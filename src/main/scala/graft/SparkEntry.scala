@@ -1,13 +1,924 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Interpolation, Sessionize, TriangularRolling}
+import graft.functions.{Similarity, TextAnalysis}
+
+/** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
+  * and the LLM-data-pipeline extension — is exposed as a named query over
+  * the driver's test tables, with an equivalent DuckDB oracle SQL.
+  *
+  * Conventions for oracle hash-parity:
+  *  - temporal outputs are formatted strings (parquet timestamp
+  *    annotations differ between engines);
+  *  - money/quantity sums are exact BIGINT "cents" (doubles summed in
+  *    different orders differ in ulps; integers don't);
+  *  - unavoidable double outputs (avgs, ratios, cosines) are rounded,
+  *    and both engines compute them with the same expression shape;
+  *  - every query ends in a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---------- shared helpers ----------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact integer cents from a 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  private def hourStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** events with the hourly aggregates used by the spine queries. */
+  private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+
+  /** Per-user dense hour spine (R2): min..max hour of each user. */
+  private def hourSpine(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+
+  /** Rolling triangular means (A3) at windows 5 and 10, unrounded. */
+  private def rollingTriang(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("value"),
+      TriangularRolling.triangMean(col("value"), w, 5).as("tri5"),
+      TriangularRolling.triangMean(col("value"), w, 10).as("tri10"))
+  }
+
+  /** MinHash signatures (8 seeds over word 3-shingles), one row per doc. */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      explode(TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 3)).as("sh"))
+    val aggs = (0 until 8).map(i =>
+      min(TextAnalysis.seededHash(i, col("sh"))).as(s"sig$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ANN scoring core: query set = vec_id < 5, cosine vs all vectors. */
+  private def annScores(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    val q = em.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // query side is tiny by construction -> broadcast, no shuffle of the
+    // big side; at 100 TB this is the canonical brute-force scoring scan.
+    broadcast(q).join(em, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "merge"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("data", "row", "value"),
+    "fr" -> Seq("join", "sort", "filter"),
+    "zh" -> Seq("spark", "query", "vector"))
+
+  // ---------- the registry ----------
+
+  /** (name, query, oracle SQL — None => driver does a rows-only check) */
+  private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ===== reference operator surface (SURVEY §2) =====
+
+    // S1: full scan + projection of the "users" dimension analogue.
+    ("s1_users_scan", (s, dir) =>
+      t(s, dir, "events").select("user_id").distinct().orderBy("user_id"),
+      Some("SELECT DISTINCT user_id FROM events ORDER BY user_id")),
+
+    // S2: equality-filter lookup (username/password check analogue).
+    ("s2_filter_lookup", (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id") === 7 && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, CAST(ROUND(value*100) AS BIGINT) AS value_c
+             FROM events WHERE user_id = 7 AND event_type = 'purchase'
+             ORDER BY event_id""")),
+
+    // S3/A1: per-user incremental watermark = max(epoch), 0 on empty.
+    ("s3_watermark", (s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .agg(coalesce(max(unix_millis(col("ts"))), lit(0L)).as("watermark_ms"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COALESCE(MAX(epoch_ms(ts)), 0) AS watermark_ms,
+             COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // S4: incremental scan — time + type predicates pushed to the parquet scan.
+    ("s4_incremental_scan", (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp")
+          && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, CAST(ROUND(value*100) AS BIGINT) AS value_c
+             FROM events
+             WHERE ts > TIMESTAMP '2024-01-20 00:00:00' AND event_type = 'purchase'
+             ORDER BY event_id""")),
+
+    // S5: point lookup by id.
+    ("s5_point_lookup", (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") === 424)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_c"), hourStr(col("ts")).as("ts_str")),
+      Some("""SELECT event_id, user_id, event_type,
+             CAST(ROUND(value*100) AS BIGINT) AS value_c,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+             FROM events WHERE event_id = 424""")),
+
+    // P1/P7: record normalization — JSON field extraction with defaults,
+    // 'error'-marker nulling (clean_raw_activities analogue).
+    ("p1_clean_defaults", (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"),
+        coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(-1L)).as("missing_default"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type_clean"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             COALESCE(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT), 0) AS k,
+             CAST(-1 AS BIGINT) AS missing_default,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type_clean
+             FROM events ORDER BY event_id""")),
+
+    // P2/P3: timestamp parse/format round trip.
+    ("p2_time_format", (s, dir) => {
+      val df = t(s, dir, "events").select(col("event_id"),
+        hourStr(col("ts")).as("ts_str"),
+        (unix_millis(col("ts")) / 1000).cast("long").as("epoch_s"))
+      df.withColumn("reparsed_epoch_s", unix_timestamp(col("ts_str"))).orderBy("event_id")
+    },
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+             epoch_ms(ts)//1000 AS epoch_s,
+             epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))//1000 AS reparsed_epoch_s
+             FROM events ORDER BY event_id""")),
+
+    // P4: conditional timestamp clamp (the 5-year BigQuery workaround,
+    // scaled to the corpus: events older than 14 days before a fixed
+    // "now" are clamped to now - 14d + 1d).
+    ("p4_clamp", (s, dir) => {
+      val nowS = 1707091200L // 2024-02-05 00:00:00 UTC
+      val lim = 14L * 86400
+      val es = (unix_millis(col("ts")) / 1000).cast("long")
+      t(s, dir, "events").select(col("event_id"), es.as("epoch_s"),
+        when(lit(nowS) - es > lim, lit(nowS - lim + 86400)).otherwise(es).as("epoch_clamped"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, epoch_ms(ts)//1000 AS epoch_s,
+             CASE WHEN 1707091200 - epoch_ms(ts)//1000 > 1209600
+                  THEN 1705968000 ELSE epoch_ms(ts)//1000 END AS epoch_clamped
+             FROM events ORDER BY event_id""")),
+
+    // P5/P11: key synthesis + md5/base64 password hash.
+    ("p5_name_key", (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        concat_ws("_", col("c_name"), col("c_custkey")).as("name_id"),
+        base64(unhex(md5(col("c_name")))).as("pw_hash"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             c_name || '_' || CAST(c_custkey AS VARCHAR) AS name_id,
+             to_base64(unhex(md5(c_name))) AS pw_hash
+             FROM customer ORDER BY c_custkey""")),
+
+    // P6: pandas-style "[a, b]" array formatting.
+    ("p6_latlng_format", (s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        concat(lit("["), col("user_id"), lit(", "), col("event_id"), lit("]")).as("latlng_str"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             '[' || CAST(user_id AS VARCHAR) || ', ' || CAST(event_id AS VARCHAR) || ']' AS latlng_str
+             FROM events ORDER BY event_id""")),
+
+    // P8: negative-to-null cleanup.
+    ("p8_negative_null", (s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        when(col("value") - 100 >= 0, round(col("value") - 100, 2)).as("pos_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             CASE WHEN value - 100 >= 0 THEN ROUND(value - 100, 2) END AS pos_val
+             FROM events ORDER BY event_id""")),
+
+    // R2/R3: dense per-user hour spine LEFT JOIN hourly aggregates.
+    ("r3_spine_join", (s, dir) => {
+      val ev = hourlyEvents(s, dir)
+      val hourly = ev.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("c"))
+      hourSpine(ev).join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), hourStr(col("h")).as("hour_str"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("c"), lit(0L)).as("value_c"))
+        .orderBy("user_id", "hour_str")
+    },
+      Some("""WITH ev AS (SELECT user_id, date_trunc('hour', ts) h, value FROM events),
+             hourly AS (SELECT user_id, h, COUNT(*) n,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) c
+                        FROM ev GROUP BY 1, 2),
+             bounds AS (SELECT user_id, MIN(h) h0, MAX(h) h1 FROM ev GROUP BY 1),
+             spine AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM bounds)
+             SELECT s.user_id, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_str,
+                    COALESCE(hh.n, 0) AS n_events, COALESCE(hh.c, 0) AS value_c
+             FROM spine s LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
+             ORDER BY s.user_id, hour_str""")),
+
+    // R4: linear interpolation over spine gaps (pandas .interpolate()
+    // semantics: leading nulls stay, interior linear, trailing ffill).
+    ("r4_interpolate", (s, dir) => {
+      // The hourly mean is computed as exact-integer cents / count — a
+      // single deterministic double division — and the interpolation
+      // output is left UNROUNDED: every arithmetic step is then the
+      // same IEEE op sequence in both engines, so values match
+      // bit-for-bit (decimal rounding of halfway doubles does not).
+      val ev = hourlyEvents(s, dir).groupBy("user_id", "h")
+        .agg((sum(cents(col("value"))).cast("double") / count(lit(1))).as("v"))
+      val joined = hourSpine(ev.select(col("user_id"), col("h"), col("v")))
+        .join(ev, Seq("user_id", "h"), "left")
+        .withColumn("t", unix_millis(col("h")))
+      Interpolation.interpolate(joined, Seq("user_id"), "t", Seq("v"))
+        .select(col("user_id"), hourStr(col("h")).as("hour_str"),
+          col("v").as("value_interp_c"))
+        .orderBy("user_id", "hour_str")
+    },
+      Some("""WITH ev AS (SELECT user_id, date_trunc('hour', ts) h,
+                          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / COUNT(*) v
+                          FROM events GROUP BY 1, 2),
+             bounds AS (SELECT user_id, MIN(h) h0, MAX(h) h1 FROM ev GROUP BY 1),
+             spine AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM bounds),
+             j AS (SELECT s.user_id, s.h, CAST(epoch_ms(s.h) AS DOUBLE) t, e.v
+                   FROM spine s LEFT JOIN ev e ON s.user_id = e.user_id AND s.h = e.h),
+             w AS (SELECT *,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+               first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+               FROM j)
+             SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_str,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN NULL
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END AS value_interp_c
+             FROM w ORDER BY user_id, hour_str""")),
+
+    // A3: triangular-weighted rolling mean (windows 5 and 10).
+    ("a3_rolling_triang", (s, dir) =>
+      rollingTriang(s, dir).select(col("event_id"),
+        round(col("tri5"), 4).as("tri5"), round(col("tri10"), 4).as("tri10"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+                         FROM events)
+             SELECT t.event_id,
+               ROUND(CASE WHEN t.rn >= 5 THEN
+                 SUM(CASE WHEN t.rn - s.rn <= 4
+                          THEN s.value * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9
+               END, 4) AS tri5,
+               ROUND(CASE WHEN t.rn >= 10 THEN
+                 SUM(s.value * (2 * LEAST(t.rn - s.rn, 9 - (t.rn - s.rn)) + 1)) / 50
+               END, 4) AS tri10
+             FROM e t JOIN e s ON t.user_id = s.user_id AND s.rn BETWEEN t.rn - 9 AND t.rn
+             GROUP BY t.event_id, t.rn
+             ORDER BY t.event_id""")),
+
+    // A4 (+A2): peak rolling efforts per user — max over the rolling series.
+    ("a4_rolling_peak", (s, dir) =>
+      rollingTriang(s, dir).groupBy("user_id").agg(
+        cents(max(col("value"))).as("peak1_c"),
+        round(max(col("tri5")), 4).as("peak5"),
+        round(max(col("tri10")), 4).as("peak10"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+                         FROM events),
+             r AS (SELECT t.user_id, t.event_id, t.rn, MAX(t.value) v,
+               CASE WHEN t.rn >= 5 THEN
+                 SUM(CASE WHEN t.rn - s.rn <= 4
+                          THEN s.value * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9
+               END AS tri5,
+               CASE WHEN t.rn >= 10 THEN
+                 SUM(s.value * (2 * LEAST(t.rn - s.rn, 9 - (t.rn - s.rn)) + 1)) / 50
+               END AS tri10
+               FROM e t JOIN e s ON t.user_id = s.user_id AND s.rn BETWEEN t.rn - 9 AND t.rn
+               GROUP BY t.user_id, t.event_id, t.rn)
+             SELECT user_id, CAST(ROUND(MAX(v)*100) AS BIGINT) AS peak1_c,
+               ROUND(MAX(tri5), 4) AS peak5, ROUND(MAX(tri10), 4) AS peak10
+             FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // R6/R7: rows -> ordered series per key (nested array analogue,
+    // serialized as a string for engine-portable comparison).
+    ("r6_nest_series", (s, dir) =>
+      t(s, dir, "events").groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), cents(col("value")).as("c")))),
+            x => x.getField("c").cast("string")),
+          ",").as("series"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             string_agg(CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR), ','
+                        ORDER BY ts, event_id) AS series
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ===== relational surface beyond the reference (SURVEY §2.7) =====
+
+    ("q01_pricing_summary", (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")).as("sum_disc_c"),
+          sum(cents(col("l_discount"))).as("sum_disc100_c"),
+          count(lit(1)).as("n_rows"))
+        // avgs derived from the exact integer sums by one deterministic
+        // double division -> bit-identical across engines, no rounding.
+        .withColumn("avg_qty", col("sum_qty_c").cast("double") / col("n_rows") / 100)
+        .withColumn("avg_disc", col("sum_disc100_c").cast("double") / col("n_rows") / 100)
+        .drop("sum_disc100_c")
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_c, n_rows,
+             CAST(sum_qty_c AS DOUBLE) / n_rows / 100 AS avg_qty,
+             CAST(sum_disc100_c AS DOUBLE) / n_rows / 100 AS avg_disc
+             FROM (SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+               CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc100_c,
+               COUNT(*) AS n_rows
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+               GROUP BY l_returnflag, l_linestatus)
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // multi-way join with broadcast dimension.
+    ("j1_join_revenue", (s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+      Some("""SELECT n_name,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+             COUNT(*) AS n_orders
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")),
+
+    ("j2_join_semi", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             ORDER BY c_custkey""")),
+
+    ("j3_join_anti", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             ORDER BY c_custkey""")),
+
+    // as-of join: each error event -> the user's most recent prior view.
+    ("j4_asof_join", (s, dir) => {
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asof(l, r, Seq("user_id"), "ts", "ts",
+        Seq("event_id" -> "view_event_id", "value" -> "view_value"))
+        .select(col("event_id"), col("user_id"), col("view_event_id"),
+          cents(col("view_value")).as("view_value_c"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS view_event_id,
+             CAST(ROUND(r.value*100) AS BIGINT) AS view_value_c
+             FROM (SELECT * FROM events WHERE event_type = 'error') l
+             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+             ORDER BY l.event_id""")),
+
+    // range join: purchases within 10 minutes after a click, same user.
+    ("j5_range_join", (s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.filter(col("event_type") === "click").select(col("user_id"), col("ts").as("t1"))
+      val b = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts").as("t2"))
+      a.join(b, Seq("user_id"))
+        .filter(col("t2") > col("t1") && col("t2") <= col("t1") + expr("interval 10 minutes"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+      Some("""SELECT a.user_id, COUNT(*) AS n_pairs
+             FROM (SELECT user_id, ts t1 FROM events WHERE event_type = 'click') a
+             JOIN (SELECT user_id, ts t2 FROM events WHERE event_type = 'purchase') b
+             ON a.user_id = b.user_id AND b.t2 > a.t1 AND b.t2 <= a.t1 + INTERVAL 10 MINUTE
+             GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    ("g1_rollup", (s, dir) =>
+      t(s, dir, "orders").rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_c"))
+        .orderBy("status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             ORDER BY status, priority""")),
+
+    ("g2_cube", (s, dir) =>
+      t(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_c"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty_c"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             ORDER BY returnflag, linestatus""")),
+
+    ("g3_distinct_agg", (s, dir) =>
+      t(s, dir, "customer").groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+             COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment
+             ORDER BY c_mktsegment""")),
+
+    // HLL sketch — engines' approx algorithms differ, rows-only check.
+    ("g4_approx_distinct", (s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      None),
+
+    ("o1_topk", (s, dir) => {
+      // limit-first so the plan is TakeOrderedAndProject (per-partition
+      // top-k + driver merge — no global sort); the row_number window
+      // then ranks only the 10 survivors.
+      val top = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .select(col("rnk"), col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+        .orderBy("rnk")
+    },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    ("o2_setops", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")).distinct()
+      val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey")).distinct()
+      f.intersect(oo).withColumn("tag", lit("both"))
+        .unionByName(f.except(oo).withColumn("tag", lit("f_only")))
+        .orderBy("c_custkey", "tag")
+    },
+      Some("""SELECT c_custkey, 'both' AS tag FROM
+               (SELECT DISTINCT o_custkey c_custkey FROM orders WHERE o_orderstatus = 'F'
+                INTERSECT
+                SELECT DISTINCT o_custkey c_custkey FROM orders WHERE o_orderstatus = 'O')
+             UNION ALL
+             SELECT c_custkey, 'f_only' AS tag FROM
+               (SELECT DISTINCT o_custkey c_custkey FROM orders WHERE o_orderstatus = 'F'
+                EXCEPT
+                SELECT DISTINCT o_custkey c_custkey FROM orders WHERE o_orderstatus = 'O')
+             ORDER BY c_custkey, tag""")),
+
+    // gap-based sessionization (batch analogue of session_window).
+    ("w1_sessionize", (s, dir) =>
+      Sessionize.withSessionId(t(s, dir, "events"), Seq("user_id"), "ts", 1800)
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+          max(col("len")).as("max_len"), sum(col("len")).as("total_events"))
+        .withColumn("avg_len", col("total_events").cast("double") / col("n_sessions"))
+        .orderBy("user_id"),
+      Some("""WITH l AS (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
+                         FROM events),
+             f AS (SELECT user_id,
+                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                        THEN 1 ELSE 0 END is_new, ts FROM l),
+             sid AS (SELECT user_id,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+                     FROM f),
+             sl AS (SELECT user_id, session_id, COUNT(*) len FROM sid GROUP BY 1, 2)
+             SELECT user_id, n_sessions, max_len, total_events,
+                    CAST(total_events AS DOUBLE) / n_sessions AS avg_len
+             FROM (SELECT user_id, COUNT(*) AS n_sessions, CAST(MAX(len) AS BIGINT) AS max_len,
+                   CAST(SUM(len) AS BIGINT) AS total_events
+                   FROM sl GROUP BY user_id)
+             ORDER BY user_id""")),
+
+    // tumbling time window (batch twin of the streaming windowed agg).
+    ("w2_tumbling", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(hourStr(col("w.start")).as("hour_str"), col("event_type"), col("n"), col("value_c"))
+        .orderBy("hour_str", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+             FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""")),
+
+    // ===== LLM-data-pipeline extension =====
+
+    // exact dedup: content-hash grouping.
+    ("d1_dedup_exact", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+             MIN(doc_id) AS keep_doc_id
+             FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
+
+    // MinHash signatures: 8 seeded minwise hashes over word 3-shingles.
+    ("d2_minhash_sig", (s, dir) =>
+      minhashSignatures(s, dir).orderBy("doc_id"),
+      Some {
+        val sigs = (0 until 8).map(i => s"MIN(md5('$i|' || sh)) AS sig$i").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+           sh AS (SELECT doc_id,
+                  UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
+                  FROM w)
+           SELECT doc_id, $sigs FROM sh GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // LSH banding: 4 bands x 2 rows -> candidate pairs via bucket join.
+    ("d3_lsh_pairs", (s, dir) => {
+      val sig = minhashSignatures(s, dir)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      bands.as("a").join(bands.as("b"), Seq("bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+      Some {
+        val sigs = (0 until 8).map(i => s"MIN(md5('$i|' || sh)) AS sig$i").mkString(", ")
+        val bandList = (0 until 4).map(b => s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+           sh AS (SELECT doc_id,
+                  UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
+                  FROM w),
+           sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig)
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           ORDER BY doc_a, doc_b"""
+      }),
+
+    // SimHash (16-bit) fingerprints from token hashes.
+    ("d4_simhash", (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+        .withColumn("h", md5(col("w")))
+      val bitSums = (0 until 16).map { j =>
+        val ci = j / 4 + 1; val bi = j % 4
+        val v = (expr(s"instr('0123456789abcdef', substr(h, $ci, 1))") - 1).cast("int")
+        val bit = (floor(v / lit(1 << bi)).cast("long") % 2).cast("int")
+        sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+      }
+      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      sums.select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
+        .orderBy("doc_id")
+    },
+      Some {
+        val sums = (0 until 16).map { j =>
+          val ci = j / 4 + 1; val bi = 1 << (j % 4)
+          s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $ci, 1)) - 1) // $bi) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(", ")
+        val bits = (0 until 16).map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, md5(UNNEST(string_split(text, ' '))) h FROM documents),
+           sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+           SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM sums ORDER BY doc_id"""
+      }),
+
+    // n-gram Jaccard near-dup within (source, length-bucket) blocks.
+    ("d5_ngram_jaccard", (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (col("n_chars") / 50).cast("long").as("lb"),
+        array_distinct(TextAnalysis.charShingles(col("text"), 5)).as("grams"))
+      val sz = d.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      val ex = d.select(col("doc_id"), col("source"), col("lb"), explode(col("grams")).as("g"))
+      val inter = ex.as("a").join(ex.as("b"),
+        col("a.source") === col("b.source") && col("a.lb") === col("b.lb")
+          && col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars//50 lb,
+                         list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
+                         FROM documents),
+             sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) n_grams FROM d),
+             ex AS (SELECT doc_id, source, lb, UNNEST(grams) g FROM d),
+             ip AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+                    FROM ex a JOIN ex b ON a.source = b.source AND a.lb = b.lb
+                                        AND a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+             SELECT doc_a, doc_b,
+                    ROUND(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
+             FROM ip JOIN sz sa ON ip.doc_a = sa.doc_id
+                     JOIN sz sb ON ip.doc_b = sb.doc_id
+             WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.5
+             ORDER BY doc_a, doc_b""")),
+
+    // embedding near-dup: cosine >= 0.95 within label blocks.
+    ("d6_embed_neardup", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      em.as("a").join(em.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.95)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+             ORDER BY vec_a, vec_b""")),
+
+    // brute-force cosine top-k (the ANN baseline).
+    ("n1_ann_topk", (s, dir) => {
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
+      annScores(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("qid", "rnk", "neighbor_id", "cos_r")
+        .orderBy("qid", "rnk")
+    },
+      Some("""WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 5),
+             s AS (SELECT qid, e.vec_id neighbor_id,
+                   ROUND(list_dot_product(qe, e.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(qe, qe)) *
+                          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cos_r
+                   FROM q, embeddings e WHERE e.vec_id <> qid),
+             r AS (SELECT qid, neighbor_id, cos_r,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                   FROM s)
+             SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+             ORDER BY qid, rnk""")),
+
+    // IVF-style ANN: probe the 2 nearest label-centroids, then top-k
+    // within the probed partitions — the bucketed scale path.
+    ("n2_ann_ivf", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val dims = em.select(col("label"), col("vec_id"),
+        posexplode(Similarity.toDoubleArray(col("embedding"))))
+        .withColumnRenamed("col", "v")
+      val cent = dims.groupBy("label", "pos").agg(round(avg(col("v")), 6).as("c"))
+      val qdims = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("pos"), col("v"))
+      val qcent = qdims.join(cent, Seq("pos"))
+        .groupBy("qid", "label")
+        .agg(round(sum(col("v") * col("c")) /
+          (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("c") * col("c")))), 6).as("ccos"))
+      val wl = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))
+      val probed = qcent.withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= 2)
+        .select("qid", "label")
+      val q = em.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cand = broadcast(probed.join(q, "qid"))
+        .join(em, Seq("label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
+      cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("qid", "rnk", "neighbor_id", "cos_r")
+        .orderBy("qid", "rnk")
+    },
+      Some("""WITH dims AS (SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) v,
+                            generate_subscripts(embedding, 1) i FROM embeddings),
+             cent AS (SELECT label, i, ROUND(AVG(v), 6) c FROM dims GROUP BY 1, 2),
+             qdims AS (SELECT vec_id qid, i, v FROM dims WHERE vec_id < 5),
+             qcent AS (SELECT qid, label,
+                       ROUND(SUM(v * c) / (sqrt(SUM(v * v)) * sqrt(SUM(c * c))), 6) ccos
+                       FROM qdims JOIN cent ON qdims.i = cent.i GROUP BY 1, 2),
+             probed AS (SELECT qid, label FROM
+                        (SELECT qid, label,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) lrnk
+                         FROM qcent) WHERE lrnk <= 2),
+             q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 5),
+             cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                      ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+                            (sqrt(list_dot_product(q.qe, q.qe)) *
+                             sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cos_r
+                      FROM probed p JOIN q ON p.qid = q.qid
+                      JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.qid),
+             r AS (SELECT qid, neighbor_id, cos_r,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                   FROM cand)
+             SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+             ORDER BY qid, rnk""")),
+
+    // text quality features + score.
+    ("t1_text_stats", (s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      val nWords = size(ws).cast("long")
+      val nDistinct = size(array_distinct(ws)).cast("long")
+      val ttr = nDistinct.cast("double") / nWords
+      val avgWlen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+      val stopRatio = TextAnalysis.markerCount(ws, stopwords).cast("double") / nWords
+      val quality = least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 + ttr * 0.3 + stopRatio * 0.2
+      t(s, dir, "documents").select(col("doc_id"),
+        nWords.as("n_words"), nDistinct.as("n_distinct_words"),
+        round(ttr, 4).as("ttr"), round(avgWlen, 4).as("avg_word_len"),
+        round(stopRatio, 4).as("stop_ratio"), round(quality, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+             ROUND(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr,
+             ROUND((len(text) - (len(w) - 1)) * 1.0 / len(w), 4) AS avg_word_len,
+             ROUND(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w), 4) AS stop_ratio,
+             ROUND(LEAST(1.0, len(w) / 100.0) * 0.5
+                   + (len(list_distinct(w)) * 1.0 / len(w)) * 0.3
+                   + (len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w)) * 0.2, 4) AS quality
+             FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+             ORDER BY doc_id""")),
+
+    // language-ID by marker-token scoring (n-gram heuristic family).
+    ("t2_langid", (s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      val scores = langMarkers.map { case (l, ms) => l -> TextAnalysis.markerCount(ws, ms) }
+      val pred = scores.foldRight(lit(langMarkers.last._1): Column) { case ((l, sc), acc) =>
+        when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((c, o) => c && sc >= o), lit(l))
+          .otherwise(acc)
+      }
+      t(s, dir, "documents").select(
+        Seq(col("doc_id")) ++ scores.map { case (l, sc) => sc.as(s"s_$l") } ++
+          Seq(pred.as("pred_lang"), (pred === col("lang")).as("matches_label")): _*)
+        .orderBy("doc_id")
+    },
+      Some {
+        val marks = langMarkers.map { case (l, ms) =>
+          l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
+        }
+        val scoreCols = marks.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")
+        val chain = marks.init.map { case (l, e) =>
+          val others = marks.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, $scoreCols,
+           CASE $chain ELSE '${langMarkers.last._1}' END AS pred_lang,
+           (CASE $chain ELSE '${langMarkers.last._1}' END) = lang AS matches_label
+           FROM (SELECT doc_id, lang, string_split(text, ' ') w FROM documents)
+           ORDER BY doc_id"""
+      }),
+
+    // token counting: whitespace + regex tokenizers.
+    ("t3_token_count", (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long").as("re_tokens"),
+        expr("size(regexp_extract_all(text, '\\\\b[aeiou][a-z]*', 0))").cast("long").as("vowel_tokens"),
+        size(array_distinct(TextAnalysis.words(col("text")))).cast("long").as("distinct_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+             CAST(len(regexp_extract_all(text, '\b[aeiou][a-z]*')) AS BIGINT) AS vowel_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+             FROM documents ORDER BY doc_id""")),
+
+    // document fingerprinting: winnowing (min hash per sliding window
+    // of 4 consecutive char-5-gram hashes).
+    ("t4_fingerprint", (s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextAnalysis.charShingles(col("text"), 5)))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      g.withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") >= 3)
+        .select("doc_id", "fp").distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH g AS (SELECT doc_id, UNNEST(generate_series(1, len(text)-4)) i,
+                         UNNEST([md5(substr(text, i, 5)) for i in generate_series(1, len(text)-4)]) h
+                         FROM documents),
+             fps AS (SELECT doc_id, i,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) fp
+                     FROM g),
+             dfp AS (SELECT DISTINCT doc_id, fp FROM fps WHERE i >= 4)
+             SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp
+             FROM dfp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // multimodal column plumbing: opaque binary payload + typed metadata.
+    // The real decoder is a mapPartitions seam (graft.multimodal); here the
+    // engine-side plumbing (byte length, content hash, preview, derived
+    // feature) is exercised end-to-end on text-as-binary.
+    ("m1_multimodal_meta", (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("preview_hex"),
+        (ascii(substring(col("text"), 1, 1)) * 256 + ascii(substring(col("text"), 2, 1)))
+          .cast("long").as("fake_feature"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+             md5(text) AS content_md5,
+             lower(hex(left(text, 8)::BLOB)) AS preview_hex,
+             CAST(ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1)) AS BIGINT) AS fake_feature
+             FROM documents ORDER BY doc_id"""))
+  )
+
+  // ---------- driver contract ----------
+
+  /** Flagship end-to-end pipeline (E1 analogue) on sf0.001: per-user
+    * watermark -> dense spine -> interpolate -> rolling peaks -> one
+    * nested row per user. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = pipelineNested(spark, "/root/testdata/sf0.001")
+
+  /** The E1 dataflow re-expressed Spark-first: one nested row per user
+    * with an ordered stream array and a struct of rolling peaks —
+    * the activities-sink shape of the reference (main.py:142-178). */
+  private def pipelineNested(s: SparkSession, dir: String): DataFrame = {
+    val ev = hourlyEvents(s, dir).groupBy("user_id", "h").agg(avg(col("value")).as("v"))
+    val dense = hourSpine(ev).join(ev, Seq("user_id", "h"), "left")
+      .withColumn("t", unix_millis(col("h")))
+    val interp = Interpolation.interpolate(dense, Seq("user_id"), "t", Seq("v"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val rolled = interp
+      .withColumn("tri5", TriangularRolling.triangMean(col("v"), w, 5))
+      .withColumn("tri10", TriangularRolling.triangMean(col("v"), w, 10))
+    rolled.groupBy("user_id").agg(
+      max(col("t")).as("watermark_ms"),
+      count(lit(1)).as("n_samples"),
+      slice(array_sort(collect_list(struct(col("t"), col("v")))), 1, 24).as("streams"),
+      struct(max(col("v")).as("peak1"), max(col("tri5")).as("peak5"),
+        max(col("tri10")).as("peak10")).as("maxs"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base = registry.map { case (name, fn, _) => name -> fn }.toMap
+    base + ("e1_pipeline_nested" -> ((s: SparkSession, dir: String) => pipelineNested(s, dir)))
+  }
+
+  /** DuckDB-equivalent SQL for every hash-checkable query. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+
+  /** Headline queries for Bench (a representative cross-section). */
+  val benchNames: Seq[String] = Seq(
+    "q01_pricing_summary", "s3_watermark", "r3_spine_join", "r4_interpolate",
+    "a3_rolling_triang", "r6_nest_series", "j1_join_revenue", "j4_asof_join",
+    "w1_sessionize", "d2_minhash_sig", "d3_lsh_pairs", "n1_ann_topk",
+    "t1_text_stats", "t4_fingerprint")
 }

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline extension:
+  * tokenization, shingling (word and character n-grams), stopword /
+  * quality features, and language-ID marker scoring. All pure Column
+  * expressions (codegen'd, no UDFs) so they compose into distributed
+  * scans without breaking whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the reference corpus is space-separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles: ["a b c", "b c d", ...]; empty array when the
+    * document has fewer than k words (guards `sequence`'s descending
+    * behaviour on an empty range). */
+  def wordShingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character k-grams as an array, in document order. */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Seeded string hash used by MinHash: lexicographically comparable
+    * md5 hex of "seed|value". min() over these is a valid minwise hash
+    * and is reproducible in any engine with md5. */
+  def seededHash(seed: Int, value: Column): Column =
+    md5(concat(lit(s"$seed|"), value))
+
+  /** Ratio of tokens belonging to `markers`, as a double in [0,1]. */
+  def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers: _*))).cast("long")
+}

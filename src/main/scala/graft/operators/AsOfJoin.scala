@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** As-of join: for every left row, attach the most recent right row with
+  * `rightTs <= leftTs` sharing the same keys.
+  *
+  * Spark has no built-in as-of join, and the naive formulation
+  * (non-equi join + row_number) degenerates to a BroadcastNestedLoopJoin
+  * or an exploding sort-merge at scale. Instead we union the two tagged
+  * sides and take a running `last(non-null)` over a single
+  * (keys, ts, side) sort: ONE shuffle on the keys, linear per partition,
+  * sort-merge friendly, and skew behaves like any window over the same
+  * keys. This is the standard large-scale formulation (a.k.a. the
+  * "union + last_value" as-of pattern).
+  *
+  * Tie-breaking: right rows sort before left rows at equal timestamps,
+  * so the match condition is inclusive (`rightTs <= leftTs`), matching
+  * DuckDB/kdb ASOF JOIN semantics.
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns to carry, as (rightCol -> outputName)
+    * @param inner     drop left rows with no match (ASOF JOIN default);
+    *                  false keeps them with null values (LEFT ASOF JOIN)
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String,
+           valueCols: Seq[(String, String)], inner: Boolean = true): DataFrame = {
+    val rSchema = right.schema
+    val payloadType = StructType(valueCols.map { case (rc, out) =>
+      StructField(out, rSchema(rc).dataType, nullable = true)
+    })
+    val leftCols = left.columns.toSeq
+
+    val l2 = left.select(
+      leftCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__payload")): _*)
+    val r2 = right.select(
+      leftCols.map { c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(valueCols.map { case (rc, out) => col(rc).as(out) }: _*).as("__payload")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l2.unionByName(r2)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val filtered = if (inner) matched.filter(col("__match").isNotNull) else matched
+    filtered.select(
+      leftCols.map(col) ++ valueCols.map { case (_, out) =>
+        col("__match").getField(out).as(out)
+      }: _*)
+  }
+}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB (tables registered
+as views over <sfDir>/*.parquet), and compares: columns sorted by name,
+rows sorted, values compared exactly (floats via repr after round-trip).
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    import datetime
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def eq(a, b):
+    # exact — mirrors a hash-based compare; floats must match bitwise
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        try:
+            duck_rel = con.sql(sql)
+            d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            print(f"  spark[:2]={s_rows[:2]}")
+            print(f"  duck[:2]={d_rows[:2]}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            if not all(eq(a, b) for a, b in zip(sr, dr)):
+                bad = (i, sr, dr)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted row {bad[0]}:")
+            print(f"  cols  = {s_cols}")
+            print(f"  spark = {bad[1]}")
+            print(f"  duck  = {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
