@@ -53,14 +53,35 @@ object SparkEntry {
       TriangularRolling.triangMean(col("value"), w, 10).as("tri10"))
   }
 
-  /** MinHash signatures (8 seeds over word 3-shingles), one row per doc. */
+  /** MinHash signatures over word 3-shingles, one row per doc: 8
+    * minwise hashes derived as 8-hex (32-bit) slices of TWO seeded md5
+    * digests per shingle — 4x fewer digest computations than one md5
+    * per signature, same minhash statistics. */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val sh = d.select(col("doc_id"),
       explode(TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 3)).as("sh"))
-    val aggs = (0 until 8).map(i =>
-      min(TextAnalysis.seededHash(i, col("sh"))).as(s"sig$i"))
+      .withColumn("h0", TextAnalysis.seededHash(0, col("sh")))
+      .withColumn("h1", TextAnalysis.seededHash(1, col("sh")))
+    val aggs = (0 until 8).map { i =>
+      val h = if (i < 4) "h0" else "h1"
+      min(substring(col(h), 8 * (i % 4) + 1, 8)).as(s"sig$i")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared oracle CTEs producing the same minhash signature table. */
+  private val oracleSigCtes: String = {
+    val sigs = (0 until 8).map { i =>
+      val h = if (i < 4) "h0" else "h1"
+      s"MIN(substr($h, ${8 * (i % 4) + 1}, 8)) AS sig$i"
+    }.mkString(", ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       sh AS (SELECT doc_id,
+              UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
+              FROM w),
+       hs AS (SELECT doc_id, md5('0|' || sh) h0, md5('1|' || sh) h1 FROM sh),
+       sig AS (SELECT doc_id, $sigs FROM hs GROUP BY doc_id)"""
   }
 
   /** ANN scoring core: query set = vec_id < 5, cosine vs all vectors. */
@@ -568,14 +589,7 @@ object SparkEntry {
     // MinHash signatures: 8 seeded minwise hashes over word 3-shingles.
     ("d2_minhash_sig", (s, dir) =>
       minhashSignatures(s, dir).orderBy("doc_id"),
-      Some {
-        val sigs = (0 until 8).map(i => s"MIN(md5('$i|' || sh)) AS sig$i").mkString(", ")
-        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-           sh AS (SELECT doc_id,
-                  UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
-                  FROM w)
-           SELECT doc_id, $sigs FROM sh GROUP BY doc_id ORDER BY doc_id"""
-      }),
+      Some(s"WITH $oracleSigCtes SELECT * FROM sig ORDER BY doc_id")),
 
     // LSH banding: 4 bands x 2 rows -> candidate pairs via bucket join.
     ("d3_lsh_pairs", (s, dir) => {
@@ -590,13 +604,8 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
       Some {
-        val sigs = (0 until 8).map(i => s"MIN(md5('$i|' || sh)) AS sig$i").mkString(", ")
         val bandList = (0 until 4).map(b => s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
-        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-           sh AS (SELECT doc_id,
-                  UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
-                  FROM w),
-           sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+        s"""WITH $oracleSigCtes,
            bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig)
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -631,40 +640,46 @@ object SparkEntry {
            SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM sums ORDER BY doc_id"""
       }),
 
-    // n-gram Jaccard near-dup within (source, length-bucket) blocks.
+    // exact n-gram Jaccard VERIFICATION over the LSH candidate pairs —
+    // the scale-correct composition: quadratic set comparison runs only
+    // on candidates surfaced by banding (d3), never on all pairs.
     ("d5_ngram_jaccard", (s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        (col("n_chars") / 50).cast("long").as("lb"),
+      val sig = minhashSignatures(s, dir)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val grams = t(s, dir, "documents").select(col("doc_id"),
         array_distinct(TextAnalysis.charShingles(col("text"), 5)).as("grams"))
-      val sz = d.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-      val ex = d.select(col("doc_id"), col("source"), col("lb"), explode(col("grams")).as("g"))
-      val inter = ex.as("a").join(ex.as("b"),
-        col("a.source") === col("b.source") && col("a.lb") === col("b.lb")
-          && col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
-        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      pairs
+        .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+        .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double")
+          / (size(col("ga")).cast("long") + size(col("gb")).cast("long") - col("inter")))
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-      Some("""WITH d AS (SELECT doc_id, source, n_chars//50 lb,
-                         list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
-                         FROM documents),
-             sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) n_grams FROM d),
-             ex AS (SELECT doc_id, source, lb, UNNEST(grams) g FROM d),
-             ip AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
-                    FROM ex a JOIN ex b ON a.source = b.source AND a.lb = b.lb
-                                        AND a.g = b.g AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2)
-             SELECT doc_a, doc_b,
-                    ROUND(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
-             FROM ip JOIN sz sa ON ip.doc_a = sa.doc_id
-                     JOIN sz sb ON ip.doc_b = sb.doc_id
-             WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.5
-             ORDER BY doc_a, doc_b""")),
+      Some {
+        val bandList = (0 until 4).map(b => s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
+        s"""WITH $oracleSigCtes,
+           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
+           pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                     FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           g AS (SELECT doc_id,
+                 list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
+                 FROM documents)
+           SELECT p.doc_a, p.doc_b,
+             CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE)
+               / (len(ga.grams) + len(gb.grams)
+                  - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) AS jaccard
+           FROM pairs p JOIN g ga ON p.doc_a = ga.doc_id
+                        JOIN g gb ON p.doc_b = gb.doc_id
+           ORDER BY doc_a, doc_b"""
+      }),
 
     // embedding near-dup: cosine >= 0.95 within label blocks.
     ("d6_embed_neardup", (s, dir) => {

@@ -17,19 +17,21 @@ object Similarity {
 
   /** Cast array<float> (parquet `list<float>`) to array<double> so all
     * arithmetic runs in double precision. */
-  def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
+  def toDoubleArray(a: Column): Column = a.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (see [[DotProduct]]); same sequential-fold
+    * float semantics as the higher-order formulation it replaces. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotProduct(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity between two embedding columns (any numeric array
     * type; computed in double). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDoubleArray(a)
-    val bd = toDoubleArray(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 }
