@@ -1,0 +1,184 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Interpolation, TriangularRolling}
+
+/** The reference's E1 dataflow (main.py:19-181) as ONE declarative
+  * Spark job over all users/activities at once, instead of a
+  * one-activity-at-a-time Python loop:
+  *
+  *   streams(long form) -> dense second spine (R2) -> LEFT JOIN (R3)
+  *   -> linear interpolation (R4) -> latlng stringify (P6)
+  *   -> 11x3 triangular rolling maxima (A3/A4) -> negative-to-null (P8)
+  *   -> nested row assembly (R6/R7) + timestamp clamp (P4)
+  *
+  * Every per-activity stage is a window/groupBy partitioned by
+  * activity_id — at 100 TB the job is one shuffle on activity_id,
+  * reused by the spine join, interpolation windows, rolling windows and
+  * the final nesting (Catalyst plans them over one sort where frames
+  * align). No driver-side loops.
+  *
+  * Two semantic modes (SURVEY §1.4):
+  *  - corrected (default): honest field mapping, per-window NaN
+  *    poisoning in the rolling kernel.
+  *  - legacyCompat: bit-faithful to the reference's observable quirks —
+  *    end_lat:=end_lng (main.py:159), max_heartrate:=start_lng (:160),
+  *    top-level timestamp:=elevation (:174), user_id:=null (:171), and
+  *    a channel with ANY null after interpolation yields null maxima
+  *    for ALL windows (pandas turns such columns to object dtype via
+  *    replace({nan:None}) and silently drops them from rolling).
+  */
+object ActivityPipeline {
+
+  private val rollChannels = Seq(
+    ("heartrate", "hr"), ("watts", "power"), ("velocity_smooth", "speed"))
+
+  /** @param activities cleaned activity records (CleanActivities.clean)
+    * @param streams    long-form samples (StravaSchemas.streamSample)
+    * @param nowEpoch   injected clock for the clamp + timenow fields
+    */
+  def process(activities: DataFrame, streams: DataFrame, nowEpoch: Long,
+              legacyCompat: Boolean = false): DataFrame = {
+    val meta = activities.select(col("activity_id"), col("elapsed_time"))
+    val tagged = streams.join(meta, Seq("activity_id"))
+    // R5: per-activity branch — long activities skip spine+interpolation.
+    val normal = tagged.filter(col("elapsed_time") < 100000).drop("elapsed_time")
+    val bypass = tagged.filter(col("elapsed_time") >= 100000).drop("elapsed_time")
+
+    val densified = densifyAndInterpolate(normal)
+    val bypassed = bypass.withColumn("time_key", col("time"))
+      .withColumn("time_new", col("time"))
+      .select(densified.columns.map(col): _*)
+
+    val samples = densified.unionByName(bypassed)
+      .withColumn("latlng_str", latlngString(col("latlng")))
+
+    val maxs = rollingMaxs(densified, legacyCompat)
+    val nested = nestStreams(samples)
+
+    assemble(activities, nested, maxs, nowEpoch, legacyCompat)
+  }
+
+  /** R2 + R3 + R4: dense per-activity second spine, left join, linear
+    * interpolation of every numeric channel (pandas semantics). */
+  private def densifyAndInterpolate(streams: DataFrame): DataFrame = {
+    val spine = streams.groupBy("activity_id")
+      .agg(max(col("time")).as("tmax"))
+      .select(col("activity_id"),
+        explode(sequence(lit(0L), col("tmax"))).as("time_key"))
+    val joined = spine.join(
+      streams.withColumn("time_key", col("time")),
+      Seq("activity_id", "time_key"), "left")
+    Interpolation.interpolate(joined, Seq("activity_id"), "time_key",
+      StravaSchemas.numericChannels)
+      .withColumn("time_new", col("time_key"))
+  }
+
+  /** P6: python str([lat, lng]) formatting; null on gap rows (the
+    * reference's nan->'None'->null two-step lands there too). */
+  private def latlngString(latlng: Column): Column =
+    when(latlng.isNotNull, concat(lit("["),
+      element_at(latlng, 1).cast("string"), lit(", "),
+      element_at(latlng, 2).cast("string"), lit("]")))
+
+  /** A3 + A4 + P8: all 11 windows x 3 channels in one pass — 33 window
+    * expressions over a single (activity_id, time_new) sort. */
+  private def rollingMaxs(densified: DataFrame, legacyCompat: Boolean): DataFrame = {
+    val w = Window.partitionBy("activity_id").orderBy("time_new")
+    val rollCols = for {
+      (ch, short) <- rollChannels
+      i <- StravaSchemas.rollingWindows
+    } yield TriangularRolling.triangMean(col(ch), w, i).as(s"__roll_${short}_$i")
+    val withRolls = densified.select(
+      Seq(col("activity_id")) ++ rollChannels.map(c => col(c._1)) ++ rollCols: _*)
+
+    val aggs = for {
+      (ch, short) <- rollChannels
+      i <- StravaSchemas.rollingWindows
+    } yield {
+      val m = max(col(s"__roll_${short}_$i"))
+      val base = if (legacyCompat) {
+        // pandas drops a column from rolling entirely once replace()
+        // turned it to object dtype (any null) -> null for all windows.
+        val poisoned = max(when(col(ch).isNull, 1).otherwise(0)) === 1
+        when(poisoned, lit(null).cast("double")).otherwise(m)
+      } else m
+      // P8 (main.py:109-117): negative maxima -> null.
+      when(base >= 0, base).as(s"max_${short}_$i")
+    }
+    withRolls.groupBy("activity_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** R6: ordered array-of-structs in include-list field order. */
+  private def nestStreams(samples: DataFrame): DataFrame = {
+    val sortKey = struct(col("time_new"), struct(
+      col("watts"), col("cadence"), col("heartrate"), col("altitude"),
+      col("temp"), col("velocity_smooth"), col("grade_smooth"),
+      col("distance"), col("latlng_str")).as("v"))
+    samples.groupBy("activity_id")
+      .agg(array_sort(collect_list(sortKey)).as("__sorted"))
+      .select(col("activity_id"),
+        transform(col("__sorted"), x => struct(
+          x.getField("v").getField("watts").as("watts"),
+          x.getField("v").getField("cadence").as("cadence"),
+          x.getField("v").getField("heartrate").as("heartrate"),
+          x.getField("v").getField("altitude").as("altitude"),
+          x.getField("v").getField("temp").as("temp"),
+          x.getField("v").getField("velocity_smooth").as("velocity_smooth"),
+          x.getField("v").getField("grade_smooth").as("grade_smooth"),
+          x.getField("v").getField("distance").as("distance"),
+          x.getField("v").getField("latlng_str").as("latlng"),
+          x.getField("time_new").as("time_new"))).as("streams"))
+  }
+
+  /** Row assembly (main.py:142-178) incl. the 5-year clamp (P4) and the
+    * legacy quirk projection. */
+  private def assemble(activities: DataFrame, nested: DataFrame,
+                       maxs: DataFrame, nowEpoch: Long,
+                       legacyCompat: Boolean): DataFrame = {
+    val fiveYears = 157680000L
+    val clamped = when(lit(nowEpoch) - col("epoch") > fiveYears,
+      date_format(from_unixtime(lit(nowEpoch - fiveYears + 86400)),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .otherwise(col("timestamp"))
+
+    val maxStruct = struct((for {
+      (_, short) <- rollChannels
+      i <- StravaSchemas.rollingWindows
+    } yield col(s"max_${short}_$i")): _*)
+
+    activities
+      .join(nested, Seq("activity_id"), "left")
+      .join(maxs, Seq("activity_id"), "left")
+      .select(
+        col("activity_id").as("id"),
+        clamped.as("activity_timestamp"),
+        col("gear_id"),
+        lit("www.google.com").as("icon_url"),          // main.py:146
+        col("start_lat"),
+        lit("blank").as("altitude_url"),               // main.py:150
+        col("is_commute"),
+        col("name"),
+        col("end_lng"),
+        concat_ws("_", col("name"), col("activity_id")).as("name_id"), // P5
+        col("polyline"),
+        (if (legacyCompat) col("end_lng") else col("end_lat")).as("end_lat"),         // main.py:159
+        (if (legacyCompat) col("start_lng") else col("max_heartrate")).as("max_heartrate"), // main.py:160
+        col("start_lng"),
+        col("max_power"), col("avg_power"), col("avg_speed"), col("max_speed"),
+        date_format(from_unixtime(lit(nowEpoch)), "yyyy-MM-dd HH:mm:ss").as("timenow"), // main.py:166
+        col("duration"),
+        col("avg_heartrate"),
+        col("distance"),
+        col("epoch"),
+        (if (legacyCompat) lit(null).cast("long") else col("user_id")).as("user_id"), // main.py:171
+        (if (legacyCompat) col("elevation") else col("epoch").cast("double")).as("timestamp"), // main.py:174
+        col("activity_type"),
+        col("elevation"),
+        coalesce(col("streams"), array().cast("array<struct<watts:double,cadence:double,heartrate:double,altitude:double,temp:double,velocity_smooth:double,grade_smooth:double,distance:double,latlng:string,time_new:bigint>>")).as("streams"),
+        array(maxStruct).as("maxs"))                    // R7: single-element array
+  }
+}

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata, and decode/feature
+  * extraction is a `mapPartitions` seam over the payloads (the Scala
+  * analogue of a Pandas-UDF-over-mapInPandas stage: per-partition
+  * batched iteration, one decoder instance per partition, no
+  * per-row setup cost).
+  *
+  * The actual codec is NOT available in this container, so
+  * [[Multimodal.StubDecoder]] produces a deterministic fake from the
+  * payload bytes; the Spark-side plumbing — schema, partitioning,
+  * per-partition batching, typed output — is real and tested. Swap
+  * [[Decoder]] for a JNI/codec-backed implementation in production.
+  */
+object Multimodal {
+
+  /** Decoded media features. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+                           height: Int, avg_luma: Double)
+
+  /** Decoder contract — one instance per partition; implementations
+    * must be serializable and thread-safe per task. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Double)
+  }
+
+  /** Deterministic stand-in for the real image/audio codec (none is
+    * installed here). Derives a fake (width, height, luma) from the
+    * payload so tests are stable. */
+  object StubDecoder extends Decoder {
+    override def decode(b: Array[Byte]): (Int, Int, Double) = {
+      // real codec binding goes here (e.g. TwelveMonkeys / ffmpeg JNI)
+      val w = 16 + (if (b.length > 0) (b(0) & 0xff) % 240 else 0)
+      val h = 16 + (if (b.length > 1) (b(1) & 0xff) % 240 else 0)
+      var s = 0L
+      var i = 0
+      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+      val luma = if (b.length == 0) 0.0 else s.toDouble / b.length
+      (w, h, luma)
+    }
+  }
+
+  /** Wrap a text/binary corpus as media rows: (doc_id, payload, meta). */
+  def toMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source"), lit("text/plain").as("mime")).as("meta"))
+
+  /** The decode stage: per-partition batched decode of payloads.
+    * Partition count should track payload volume, not row count —
+    * callers repartition by byte size before heavy codecs. */
+  def decodeFeatures(media: DataFrame, decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val (w, h, luma) = decoder.decode(bytes)
+          MediaFeatures(id, bytes.length.toLong, w, h, luma)
+        }
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("codegen DotProduct matches hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.norm(col("a")).as("na"),
+      Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[(Double, Double, Double)].collect()(0)
+    assert(got._1 == 32.0)
+    assert(math.abs(got._2 - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(got._3 - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("identical vectors have cosine 1") {
+    val df = Seq((Seq(0.5f, -0.25f), Seq(0.5f, -0.25f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("word shingles") {
+    val df = Seq("a b c d").toDF("text")
+    val got = df.select(TextAnalysis.wordShingles(
+      TextAnalysis.words(col("text")), 3)).as[Seq[String]].collect()(0)
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("short documents produce no shingles (no descending-sequence trap)") {
+    val df = Seq("a b").toDF("text")
+    val got = df.select(TextAnalysis.wordShingles(
+      TextAnalysis.words(col("text")), 3)).as[Seq[String]].collect()(0)
+    assert(got.isEmpty)
+  }
+
+  test("char shingles") {
+    val df = Seq("abcdef").toDF("text")
+    val got = df.select(TextAnalysis.charShingles(col("text"), 5))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("abcde", "bcdef"))
+  }
+
+  test("marker count") {
+    val df = Seq("the cat the dog").toDF("text")
+    val got = df.select(TextAnalysis.markerCount(
+      TextAnalysis.words(col("text")), Seq("the", "a"))).as[Long].collect()(0)
+    assert(got == 2L)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media wrap + partition-batched decode plumbing") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "hello world", "src0"), (2L, "", "src1"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.toMedia(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("doc_id", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 11L)
+    assert(feats(2L).n_bytes == 0L)
+    // deterministic stub: 'h' = 0x68 = 104 -> width 16 + 104 % 240
+    assert(feats(1L).width == 16 + 104 % 240)
+    assert(feats(1L).avg_luma > 0.0)
+  }
+}

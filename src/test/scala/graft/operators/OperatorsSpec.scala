@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class InterpolationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pandas interpolate semantics: leading stay null, interior linear, trailing ffill") {
+    val df = Seq(
+      (1L, 0L, None: Option[Double]),
+      (1L, 1L, Some(1.0)),
+      (1L, 2L, None),
+      (1L, 3L, None),
+      (1L, 4L, Some(7.0)),
+      (1L, 5L, None)).toDF("k", "t", "v")
+    val got = Interpolation.interpolate(df, Seq("k"), "t", Seq("v"))
+      .orderBy("t").select("v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, Some(1.0), Some(3.0), Some(5.0), Some(7.0), Some(7.0)))
+  }
+
+  test("interpolation is time-weighted on a non-uniform axis") {
+    val df = Seq((1L, 0L, Some(0.0)), (1L, 1L, None), (1L, 2L, None),
+      (1L, 3L, None), (1L, 4L, Some(8.0))).toDF("k", "t", "v")
+    val got = Interpolation.interpolate(df, Seq("k"), "t", Seq("v"))
+      .orderBy("t").select("v").as[Double].collect()
+    assert(got.toSeq == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+  }
+}
+
+class TriangularRollingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scipy triang weights") {
+    assert(TriangularRolling.weights(1) == Seq(1.0))
+    assert(TriangularRolling.weights(5) == Seq(1.0, 2.0, 3.0, 2.0, 1.0))
+    assert(TriangularRolling.weights(4) == Seq(1.0, 3.0, 3.0, 1.0))
+    assert(TriangularRolling.weights(10) == Seq(1.0, 3.0, 5.0, 7.0, 9.0, 9.0, 7.0, 5.0, 3.0, 1.0))
+  }
+
+  private def roll(vals: Seq[Option[Double]], n: Int): Seq[Option[Double]] = {
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+    val w = Window.partitionBy("k").orderBy("t")
+    df.select(col("t"), TriangularRolling.triangMean(col("v"), w, n).as("r"))
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+  }
+
+  test("window 5: null until min_periods, exact triangular mean after") {
+    val got = roll(Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(Some(_)), 5)
+    assert(got == Seq(None, None, None, None, Some(3.0)))
+  }
+
+  test("window 4 (even weights)") {
+    val got = roll(Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(Some(_)), 4)
+    assert(got == Seq(None, None, None, Some(2.5), Some(3.5)))
+  }
+
+  test("window 1 is identity") {
+    val got = roll(Seq(4.0, 2.0).map(Some(_)), 1)
+    assert(got == Seq(Some(4.0), Some(2.0)))
+  }
+
+  test("a null inside a full window poisons the result") {
+    val got = roll(Seq(Some(1.0), Some(2.0), None, Some(4.0), Some(5.0), Some(6.0), Some(7.0)), 3)
+    // windows: [1,2,x]->null, [2,x,4]->null, [x,4,5]->null, [4,5,6]=5, [5,6,7]=6
+    assert(got == Seq(None, None, None, None, None, Some(5.0), Some(6.0)))
+  }
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("asof picks latest right row at or before left ts; inner drops unmatched") {
+    val left = Seq((1L, ts(5), "L1"), (1L, ts(2), "L2"), (2L, ts(1), "L3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(2), "a"), (1L, ts(4), "b"), (2L, ts(3), "c"))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("v" -> "matched"))
+      .select("tag", "matched").as[(String, String)].collect().toMap
+    assert(got == Map("L1" -> "b", "L2" -> "a")) // L2: tie at ts=2 is inclusive; L3 dropped
+  }
+
+  test("left asof keeps unmatched rows with nulls") {
+    val left = Seq((2L, ts(1), "L3")).toDF("k", "t", "tag")
+    val right = Seq((2L, ts(3), "c")).toDF("k", "t", "v")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "matched"), inner = false).select("tag", "matched").collect()
+    assert(got.length == 1 && got(0).getString(0) == "L3" && got(0).isNullAt(1))
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("a gap of exactly the threshold starts a new session") {
+    val df = Seq((1L, ts(0)), (1L, ts(100)), (1L, ts(1900)), (1L, ts(3699)), (1L, ts(5499)))
+      .toDF("user_id", "ts")
+    // gaps: 100 (same), 1800 (NEW: >= gap), 1799 (same), 1800 (NEW)
+    val got = Sessionize.withSessionId(df, Seq("user_id"), "ts", 1800)
+      .orderBy("ts").select("session_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 2L, 2L, 3L))
+  }
+}
