@@ -56,11 +56,23 @@ object SparkEntry {
   /** MinHash signatures over word 3-shingles, one row per doc: 8
     * minwise hashes derived as 8-hex (32-bit) slices of TWO seeded md5
     * digests per shingle — 4x fewer digest computations than one md5
-    * per signature, same minhash statistics. */
+    * per signature, same minhash statistics.
+    *
+    * Shingles are built relationally (posexplode + lead window) rather
+    * than with a `transform` lambda: Spark's higher-order functions
+    * evaluate interpreted, and profiling showed the lambda costing 15x
+    * the equivalent codegen'd window formulation. The window shuffle on
+    * doc_id is the same exchange the signature groupBy needs anyway. */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sh = d.select(col("doc_id"),
-      explode(TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 3)).as("sh"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = d.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .withColumnRenamed("col", "w")
+    val sh = tok
+      .select(col("doc_id"), col("w"),
+        lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
       .withColumn("h0", TextAnalysis.seededHash(0, col("sh")))
       .withColumn("h1", TextAnalysis.seededHash(1, col("sh")))
     val aggs = (0 until 8).map { i =>
@@ -229,6 +241,32 @@ object SparkEntry {
       Some("""SELECT event_id,
              CASE WHEN value - 100 >= 0 THEN ROUND(value - 100, 2) END AS pos_val
              FROM events ORDER BY event_id""")),
+
+    // R1: pivot — channel-dict -> wide table analogue (event types as
+    // columns). Pivot values are supplied explicitly so no extra
+    // distinct-scan job runs at scale.
+    ("r1_pivot", (s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(cents(col("value"))))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some {
+        val cases = Seq("click", "error", "purchase", "signup", "view").map(et =>
+          s"CAST(COALESCE(SUM(CASE WHEN event_type='$et' THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS $et")
+          .mkString(", ")
+        s"SELECT user_id, $cases FROM events GROUP BY user_id ORDER BY user_id"
+      }),
+
+    // A2: column-wise array max (spine sizing analogue) over embeddings.
+    ("a2_array_max", (s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        array_max(col("embedding")).cast("double").as("emb_max"),
+        size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+             CAST(len(embedding) AS BIGINT) AS dim
+             FROM embeddings ORDER BY vec_id""")),
 
     // R2/R3: dense per-user hour spine LEFT JOIN hourly aggregates.
     ("r3_spine_join", (s, dir) => {
@@ -485,6 +523,22 @@ object SparkEntry {
              CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              ORDER BY returnflag, linestatus""")),
+
+    ("g5_grouping_sets", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                      COALESCE(o_orderpriority, 'ALL') AS priority,
+                      COUNT(*) AS n
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY status, priority""")
+    },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             ORDER BY status, priority""")),
 
     ("g3_distinct_agg", (s, dir) =>
       t(s, dir, "customer").groupBy("c_mktsegment")
@@ -851,12 +905,17 @@ object SparkEntry {
     // document fingerprinting: winnowing (min hash per sliding window
     // of 4 consecutive char-5-gram hashes).
     ("t4_fingerprint", (s, dir) => {
+      // char 5-grams via exploded positions + substr (codegen'd) — not a
+      // transform lambda (interpreted); see minhashSignatures note.
       val g = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(TextAnalysis.charShingles(col("text"), 5)))
-        .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(col("text").substr(col("i"), lit(5))).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
       g.withColumn("fp", min(col("h")).over(w))
-        .filter(col("pos") >= 3)
+        .filter(col("i") >= 4)
         .select("doc_id", "fp").distinct()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
