@@ -84,22 +84,22 @@ object ActivityPipeline {
       element_at(latlng, 1).cast("string"), lit(", "),
       element_at(latlng, 2).cast("string"), lit("]")))
 
-  /** A3 + A4 + P8: all 11 windows x 3 channels in one pass — 33 window
-    * expressions over a single (activity_id, time_new) sort. */
+  /** A3 + A4 + P8: all 11 windows x 3 channels in one pass over a
+    * single (activity_id, time_new) sort, using the O(1)-per-row
+    * prefix-sum kernel — with windows up to 1200 rows the naive
+    * collect-the-frame kernel would do 1200x the work per row. */
   private def rollingMaxs(densified: DataFrame, legacyCompat: Boolean): DataFrame = {
-    val w = Window.partitionBy("activity_id").orderBy("time_new")
-    val rollCols = for {
-      (ch, short) <- rollChannels
-      i <- StravaSchemas.rollingWindows
-    } yield TriangularRolling.triangMean(col(ch), w, i).as(s"__roll_${short}_$i")
-    val withRolls = densified.select(
-      Seq(col("activity_id")) ++ rollChannels.map(c => col(c._1)) ++ rollCols: _*)
+    val withRolls = TriangularRolling.triangMeansFast(
+      densified.select(Seq(col("activity_id"), col("time_new")) ++
+        rollChannels.map(c => col(c._1)): _*),
+      Seq("activity_id"), Seq("time_new"),
+      rollChannels.map(_._1), StravaSchemas.rollingWindows)
 
     val aggs = for {
       (ch, short) <- rollChannels
       i <- StravaSchemas.rollingWindows
     } yield {
-      val m = max(col(s"__roll_${short}_$i"))
+      val m = max(col(s"tri_${ch}_$i"))
       val base = if (legacyCompat) {
         // pandas drops a column from rolling entirely once replace()
         // turned it to object dtype (any null) -> null for all windows.

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Trailing triangular-weighted rolling mean, the one genuinely custom
@@ -45,6 +45,9 @@ object TriangularRolling {
 
   /** Triangular rolling mean of `value` over the trailing `n` rows of
     * window spec `w` (which must carry partitionBy + orderBy).
+    *
+    * O(n) per row (collects the frame). Exact reference formulation —
+    * use [[triangMeansFast]] for large windows / many windows at once.
     */
   def triangMean(value: Column, w: WindowSpec, n: Int): Column = {
     val frame = w.rowsBetween(-(n - 1), 0)
@@ -53,5 +56,76 @@ object TriangularRolling {
     val dot = aggregate(zip_with(arr, wts, (x, wt) => x * wt), lit(0.0), (acc, x) => acc + x)
     val mean = dot / lit(weights(n).sum)
     when(size(arr) === n && !isnan(mean), mean)
+  }
+
+  /** O(1)-per-row triangular rolling means via prefix-sum decomposition
+    * — the 100 TB path for the reference's windows up to 1200 rows.
+    *
+    * A triangular weight is piecewise-linear in the row number, so the
+    * weighted window sum decomposes into differences of two RUNNING
+    * sums, C = cumsum(x) and D = cumsum(x * rn), evaluated at three
+    * frame boundaries (current row, ramp apex, window start) obtained
+    * with `lag`. Running frames are computed incrementally by Spark's
+    * window operator (O(1) amortized per row), unlike sliding frames
+    * which rescan the frame — so cost is independent of the window
+    * size, and ALL windows/channels share one partition sort.
+    *
+    * Numerics: differences of prefix sums can lose a few ulps to
+    * cancellation on very long partitions (|D| ~ x*rn^2/2); this is an
+    * analytics kernel, not the bit-parity oracle path ([[triangMean]]
+    * remains that).
+    *
+    * Returns `df` plus a column `s"${outPrefix}_${ch}_${n}"` for every
+    * (channel, window) pair, with pandas min_periods + null-poisoning
+    * semantics identical to [[triangMean]].
+    */
+  def triangMeansFast(df: DataFrame, partitionCols: Seq[String],
+                      orderCols: Seq[String], channels: Seq[String],
+                      ns: Seq[Int], outPrefix: String = "tri"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // pass 1: row number + per-channel running sums
+    val rn = row_number().over(w).cast("double")
+    val pass1Cols = channels.flatMap { ch =>
+      val x = col(ch).cast("double")
+      Seq(
+        sum(coalesce(x, lit(0.0))).over(run).as(s"__c_$ch"),
+        sum(coalesce(x, lit(0.0)) * rn).over(run).as(s"__d_$ch"),
+        sum(when(x.isNull, 1L).otherwise(0L)).over(run).as(s"__nc_$ch"))
+    }
+    val staged = df.select(df.columns.map(col).toSeq ++ Seq(rn.as("__rn")) ++ pass1Cols: _*)
+
+    // pass 2: per (channel, window) O(1) combination of lagged prefixes
+    val outCols = for {
+      ch <- channels
+      n <- ns
+    } yield {
+      val m = (n + 1) / 2 // ramp length (odd: peak at m; even: m rising rows)
+      val c = col(s"__c_$ch"); val d = col(s"__d_$ch"); val nc = col(s"__nc_$ch")
+      def lag0(e: Column, j: Int) = coalesce(lag(e, j).over(w), lit(0.0))
+      def lagL(e: Column, j: Int) = coalesce(lag(e, j).over(w), lit(0L))
+      val rnT = col("__rn")
+      val sRn = rnT - n + 1 // window-start row number
+      // rising rows [s, s+m-1], falling rows [s+m, t]
+      val s0r = lag0(c, n - m) - lag0(c, n)
+      val s1r = lag0(d, n - m) - lag0(d, n)
+      val s0f = c - lag0(c, n - m)
+      val s1f = d - lag0(d, n - m)
+      val wsum = if (n % 2 == 1) {
+        // w(i) = (rn_i - s + 1) rising; (rn_t + 1 - rn_i) falling
+        (s1r + (lit(1) - sRn) * s0r) + (lit(-1) * s1f + (rnT + lit(1)) * s0f)
+      } else {
+        // w(i) = 2(rn_i - s) + 1 rising; 2n - 1 - 2(rn_i - s) falling
+        (lit(2) * s1r + (lit(1) - lit(2) * sRn) * s0r) +
+          (lit(-2) * s1f + (lit(2 * n - 1) + lit(2) * sRn) * s0f)
+      }
+      val nulls = nc - lagL(nc, n)
+      val mean = wsum / lit(weights(n).sum)
+      when(col("__rn") >= n && nulls === 0, mean).as(s"${outPrefix}_${ch}_$n")
+    }
+    staged.select(df.columns.map(col).toSeq ++ Seq(col("__rn")) ++ outCols: _*)
+      .drop("__rn")
   }
 }

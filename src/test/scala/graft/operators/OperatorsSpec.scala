@@ -72,6 +72,34 @@ class TriangularRollingSpec extends AnyFunSuite {
     // windows: [1,2,x]->null, [2,x,4]->null, [x,4,5]->null, [4,5,6]=5, [5,6,7]=6
     assert(got == Seq(None, None, None, None, None, Some(5.0), Some(6.0)))
   }
+
+  test("prefix-sum fast kernel agrees with the exact kernel (incl. nulls, multiple windows)") {
+    val rng = new scala.util.Random(42)
+    val vals: Seq[Option[Double]] = (0 until 400).map { _ =>
+      if (rng.nextDouble() < 0.07) None
+      else Some(math.rint(rng.nextDouble() * 10000) / 100)
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong % 3, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val ns = Seq(1, 4, 5, 10, 45, 120)
+    val w = Window.partitionBy("k").orderBy("t")
+    val slow = df.select(Seq(col("k"), col("t")) ++
+      ns.map(n => TriangularRolling.triangMean(col("v"), w, n).as(s"slow_$n")): _*)
+    val fast = TriangularRolling.triangMeansFast(df, Seq("k"), Seq("t"), Seq("v"), ns)
+    val joined = slow.join(fast, Seq("k", "t")).orderBy("k", "t").collect()
+    joined.foreach { r =>
+      ns.foreach { n =>
+        val si = r.fieldIndex(s"slow_$n"); val fi = r.fieldIndex(s"tri_v_$n")
+        (r.isNullAt(si), r.isNullAt(fi)) match {
+          case (true, true) => // both null: agree
+          case (false, false) =>
+            assert(math.abs(r.getDouble(si) - r.getDouble(fi)) < 1e-8,
+              s"n=$n k=${r.getLong(0)} t=${r.getLong(1)}: ${r.getDouble(si)} vs ${r.getDouble(fi)}")
+          case other => fail(s"null mismatch n=$n t=${r.getLong(1)}: $other")
+        }
+      }
+    }
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
