@@ -540,6 +540,19 @@ object SparkEntry {
              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              ORDER BY status, priority""")),
 
+    // two-phase salted aggregation (skew-resistant path); results equal
+    // a plain GROUP BY, which is exactly what the oracle checks.
+    ("g6_salted_agg", (s, dir) =>
+      graft.operators.SkewSalt.saltedSumCount(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_quantity")).as("qty_c")),
+        Seq("l_returnflag"), "qty_c", salts = 16)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             COUNT(*) AS cnt
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     ("g3_distinct_agg", (s, dir) =>
       t(s, dir, "customer").groupBy("c_mktsegment")
         .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_cust"))
@@ -706,8 +719,13 @@ object SparkEntry {
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val grams = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(TextAnalysis.charShingles(col("text"), 5)).as("grams"))
+      // gram sets are materialized ONLY for candidate docs — at corpus
+      // scale the expensive set construction must not touch non-candidates.
+      val candDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val grams = t(s, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.charShingles(col("text"), 5)).as("grams"))
       pairs
         .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
         .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
