@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.Parameters
+
+import graft.TestSpark
+
+/** Property-based invariants for the custom operators (SURVEY §5.2):
+  * pandas-semantics edges that hand-picked examples can miss.
+  */
+object OperatorProps extends Properties("operators") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(12) // each trial runs Spark jobs; keep bounded
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genSeries: Gen[List[Option[Double]]] =
+    Gen.chooseNum(4, 30).flatMap { n =>
+      Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.chooseNum(0, 10000).map(v => Some(v / 100.0)),
+        1 -> Gen.const(None)))
+    }
+
+  private def interp(vals: List[Option[Double]]): List[Option[Double]] = {
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+    Interpolation.interpolate(df, Seq("k"), "t", Seq("v"))
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toList
+  }
+
+  property("interpolation: non-null samples pass through unchanged") =
+    forAll(genSeries) { vals =>
+      val out = interp(vals)
+      vals.zip(out).forall {
+        case (Some(x), Some(y)) => x == y
+        case (Some(_), None) => false
+        case (None, _) => true
+      }
+    }
+
+  property("interpolation: null only before the first sample; interior bounded by neighbours") =
+    forAll(genSeries) { vals =>
+      val out = interp(vals)
+      val firstIdx = vals.indexWhere(_.isDefined)
+      out.zipWithIndex.forall { case (o, i) =>
+        if (firstIdx < 0 || i < firstIdx) o.isEmpty
+        else o.isDefined
+      } && {
+        // every interpolated value sits between SOME pair of original values
+        val present = vals.flatten
+        present.isEmpty || out.flatten.forall(v =>
+          v >= present.min - 1e-9 && v <= present.max + 1e-9)
+      }
+    }
+
+  property("interpolation: idempotent on dense series") =
+    forAll(genSeries.map(_.map(v => v.orElse(Some(0.0))))) { vals =>
+      interp(vals) == vals
+    }
+
+  private def triang(vals: List[Double], n: Int): List[Option[Double]] = {
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+    val w = Window.partitionBy("k").orderBy("t")
+    df.select(col("t"), TriangularRolling.triangMean(col("v"), w, n).as("r"))
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toList
+  }
+
+  private val genDense: Gen[(List[Double], Int)] = for {
+    len <- Gen.chooseNum(5, 25)
+    vals <- Gen.listOfN(len, Gen.chooseNum(0, 10000).map(_ / 100.0))
+    n <- Gen.oneOf(1, 3, 4, 5, 10)
+  } yield (vals, n)
+
+  property("rolling: constant series is constant after min_periods; null before") =
+    forAll(Gen.chooseNum(1, 8), Gen.chooseNum(1, 20)) { (n, len0) =>
+      val len = math.max(len0, n)
+      val out = triang(List.fill(len)(42.0), n)
+      out.zipWithIndex.forall { case (o, i) =>
+        if (i < n - 1) o.isEmpty else o.exists(v => math.abs(v - 42.0) < 1e-9)
+      }
+    }
+
+  property("rolling: result within [window min, window max]") =
+    forAll(genDense) { case (vals, n) =>
+      val out = triang(vals, n)
+      out.zipWithIndex.forall {
+        case (Some(v), i) =>
+          val win = vals.slice(i - n + 1, i + 1)
+          v >= win.min - 1e-9 && v <= win.max + 1e-9
+        case (None, i) => i < n - 1
+      }
+    }
+
+  property("rolling: window max never exceeds global max (peak-effort invariant)") =
+    forAll(genDense) { case (vals, n) =>
+      triang(vals, n).flatten.forall(_ <= vals.max + 1e-9)
+    }
+}
