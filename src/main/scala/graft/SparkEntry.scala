@@ -858,21 +858,25 @@ object SparkEntry {
       val avgWlen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
       val stopRatio = TextAnalysis.markerCount(ws, stopwords).cast("double") / nWords
       val quality = least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 + ttr * 0.3 + stopRatio * 0.2
+      // ratios/quality left UNROUNDED: both engines evaluate the same
+      // IEEE op sequence over exact integers, so values match bitwise;
+      // rounding would reintroduce decimal-vs-binary halfway splits
+      // (e.g. quality = 0.37875 at n_words = 32).
       t(s, dir, "documents").select(col("doc_id"),
         nWords.as("n_words"), nDistinct.as("n_distinct_words"),
-        round(ttr, 4).as("ttr"), round(avgWlen, 4).as("avg_word_len"),
-        round(stopRatio, 4).as("stop_ratio"), round(quality, 4).as("quality"))
+        ttr.as("ttr"), avgWlen.as("avg_word_len"),
+        stopRatio.as("stop_ratio"), quality.as("quality"))
         .orderBy("doc_id")
     },
       Some("""SELECT doc_id,
              CAST(len(w) AS BIGINT) AS n_words,
              CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
-             ROUND(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr,
-             ROUND((len(text) - (len(w) - 1)) * 1.0 / len(w), 4) AS avg_word_len,
-             ROUND(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w), 4) AS stop_ratio,
-             ROUND(LEAST(1.0, len(w) / 100.0) * 0.5
-                   + (len(list_distinct(w)) * 1.0 / len(w)) * 0.3
-                   + (len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w)) * 0.2, 4) AS quality
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len,
+             CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+             LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
+                   + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+                   + (CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w)) * 0.2 AS quality
              FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
              ORDER BY doc_id""")),
 

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("runtime registration exposes dot_product to SQL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("v")
+    val got = spark.sql("SELECT dot_product(a, b) AS d FROM v").as[Double].collect()(0)
+    assert(got == 11.0)
+  }
+
+  test("spark.sql.extensions injection path registers the function in a fresh session") {
+    // reuse the shared SparkContext but build a NEW session with the
+    // extensions applied (the config-file deployment path).
+    TestSpark.spark // ensure context exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq((Seq(1.0f, 2.0f), Seq(5.0f, 6.0f))).toDF("a", "b").createOrReplaceTempView("v2")
+      val got = s2.sql("SELECT dot_product(a, b) AS d FROM v2").as[Double].collect()(0)
+      assert(got == 17.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
