@@ -584,6 +584,40 @@ object SparkEntry {
              o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
+    // per-group top-k via ranking window (WindowGroupLimit pushdown).
+    ("o3_window_rank", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_c"))
+        .orderBy("o_custkey", "rnk")
+    },
+      Some("""SELECT o_custkey, rnk, o_orderkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) rnk FROM orders)
+             WHERE rnk <= 2 ORDER BY o_custkey, rnk""")),
+
+    // lag/lead offsets: per-user value delta between consecutive events.
+    ("o4_lag_delta", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          (cents(col("value")) - lag(cents(col("value")), 1).over(w)).as("delta_c"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id,
+             CAST(ROUND(value*100) AS BIGINT)
+               - lag(CAST(ROUND(value*100) AS BIGINT)) OVER w AS delta_c,
+             lead(event_id) OVER w AS next_event_id
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             ORDER BY event_id""")),
+
     ("o2_setops", (s, dir) => {
       val o = t(s, dir, "orders")
       val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")).distinct()
