@@ -2,8 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface — the streaming twin of the batch
   * watermark-pull incrementality in the reference (S3+S4: poll
@@ -32,6 +31,14 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
 
+  /** Streaming exact dedup (the streaming twin of the d1 batch dedup):
+    * drop repeated event ids, with the watermark bounding how long ids
+    * are kept in state — unbounded dedup state is the classic way a
+    * streaming dedup falls over at scale. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, value_sum: Double)
 
@@ -52,6 +59,27 @@ object EventStream {
           val updated = UserTotals(userId, n, s)
           state.update(updated)
           updated
+      }
+  }
+
+  case class Milestone(user_id: Long, milestone: Long)
+
+  /** flatMapGroupsWithState: emit 0..n rows per group per batch — here,
+    * one row each time a user's lifetime event count crosses a multiple
+    * of `every`. Shows the append-mode custom-state seam (alerts,
+    * session-close records, quota trips). */
+  def userMilestones(events: Dataset[UserEvent], every: Long = 100L): Dataset[Milestone] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Milestone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + batch.size
+          state.update(after)
+          ((before / every + 1) to (after / every))
+            .map(k => Milestone(userId, k * every)).iterator
       }
   }
 }

@@ -87,6 +87,43 @@ class StatefulStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("watermarked streaming dedup drops duplicate event ids") {
+    import graft.streaming.EventStream
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(200)
+    val doubled = batch.union(batch) // every event twice
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    doubled.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStream.dedupedEvents(stream).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 200)
+      assert(spark.table("deduped").select("event_id").distinct().count() == 200)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits milestone rows at count thresholds") {
+    import graft.streaming.EventStream
+    val dir = Files.createTempDirectory("graft-ms").toString
+    val batch = (1 to 250).map(i => (7L, i.toDouble)) ++ (1 to 90).map(i => (8L, i.toDouble))
+    batch.toDF("user_id", "value").write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("user_id LONG, value DOUBLE").parquet(dir)
+      .as[EventStream.UserEvent]
+    val q = EventStream.userMilestones(stream, every = 100L).writeStream
+      .format("memory").queryName("milestones").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("milestones").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((7L, 100L), (7L, 200L))) // user 8 never crosses 100
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     import graft.streaming.EventStream
     val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
