@@ -561,6 +561,18 @@ object SparkEntry {
              COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment
              ORDER BY c_mktsegment""")),
 
+    // exact quantiles (linear interpolation on sorted values — the
+    // same standard formula in both engines; inputs are exact cents).
+    ("g7_quantiles", (s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)").as("median_c"),
+          expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.9)").as("p90_c"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_c,
+             quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.9) AS p90_c
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // HLL sketch — engines' approx algorithms differ, rows-only check.
     ("g4_approx_distinct", (s, dir) =>
       t(s, dir, "events").groupBy("event_type")
@@ -987,6 +999,17 @@ object SparkEntry {
              dfp AS (SELECT DISTINCT doc_id, fp FROM fps WHERE i >= 4)
              SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp
              FROM dfp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // string similarity: edit distance of document prefixes against a
+    // fixed probe (the string-similarity-function family).
+    ("t5_edit_distance", (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 30),
+          lit("the quick brown fox jumps over")).cast("long").as("lev30"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(levenshtein(substr(text, 1, 30), 'the quick brown fox jumps over') AS BIGINT) AS lev30
+             FROM documents ORDER BY doc_id""")),
 
     // multimodal column plumbing: opaque binary payload + typed metadata.
     // The real decoder is a mapPartitions seam (graft.multimodal); here the
