@@ -36,7 +36,8 @@ object TextAnalysis {
   def seededHash(seed: Int, value: Column): Column =
     md5(concat(lit(s"$seed|"), value))
 
-  /** Ratio of tokens belonging to `markers`, as a double in [0,1]. */
+  /** Number of tokens belonging to `markers` (stopword / language-marker
+    * hit count), as a long. */
   def markerCount(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isin(markers: _*))).cast("long")
 }
