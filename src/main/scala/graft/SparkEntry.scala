@@ -108,6 +108,18 @@ object SparkEntry {
         round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
   }
 
+  /** Deterministic random-hyperplane codebook for LSH ANN (n3): 8
+    * planes of ±1 over 64 dims, derived from md5 bits on the driver and
+    * inlined as LITERALS into both engines — the codebook is data (like
+    * model weights), not per-row computation. */
+  private lazy val rpPlanes: Seq[Array[Double]] = (0 until 8).map { j =>
+    (0 until 64).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pl$j|$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }.toArray
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("window", "batch", "merge"),
@@ -894,6 +906,47 @@ object SparkEntry {
                    FROM cand)
              SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
              ORDER BY qid, rnk""")),
+
+    // LSH-bucketed ANN: sign-bit signatures vs the hyperplane codebook,
+    // candidates = same bucket, exact cosine re-rank inside. The other
+    // scale path next to IVF (n2); multiprobe (hamming-1 buckets) is
+    // the recall lever at real scale.
+    ("n3_ann_lsh", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val sig = rpPlanes.zipWithIndex.map { case (p, j) =>
+        when(Similarity.dot(col("embedding"), array(p.map(lit): _*)) >= 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val withSig = em.select(col("vec_id"), col("embedding"), sig.as("bucket"))
+      val q = withSig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      val cand = broadcast(q).join(withSig, Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
+      cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("qid", "rnk", "neighbor_id", "cos_r")
+        .orderBy("qid", "rnk")
+    },
+      Some {
+        val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
+          val plane = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH sig AS (SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings),
+           q AS (SELECT vec_id qid, embedding::DOUBLE[] qe, bucket FROM sig WHERE vec_id < 5),
+           cand AS (SELECT q.qid, s.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qe, s.embedding::DOUBLE[]) /
+                          (sqrt(list_dot_product(q.qe, q.qe)) *
+                           sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))), 6) cos_r
+                    FROM q JOIN sig s ON q.bucket = s.bucket AND s.vec_id <> q.qid),
+           r AS (SELECT qid, neighbor_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                 FROM cand)
+           SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+           ORDER BY qid, rnk"""
+      }),
 
     // text quality features + score.
     ("t1_text_stats", (s, dir) => {
