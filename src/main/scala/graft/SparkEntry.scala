@@ -1093,9 +1093,12 @@ object SparkEntry {
 
   /** The E1 dataflow re-expressed Spark-first: one nested row per user
     * with an ordered stream array and a struct of rolling peaks —
-    * the activities-sink shape of the reference (main.py:142-178). */
+    * the activities-sink shape of the reference (main.py:142-178).
+    * The hourly mean is exact-integer cents / count (one deterministic
+    * double division, same IEEE op sequence as the oracle — see r4). */
   private def pipelineNested(s: SparkSession, dir: String): DataFrame = {
-    val ev = hourlyEvents(s, dir).groupBy("user_id", "h").agg(avg(col("value")).as("v"))
+    val ev = hourlyEvents(s, dir).groupBy("user_id", "h")
+      .agg((sum(cents(col("value"))).cast("double") / count(lit(1))).as("v"))
     val dense = hourSpine(ev).join(ev, Seq("user_id", "h"), "left")
       .withColumn("t", unix_millis(col("h")))
     val interp = Interpolation.interpolate(dense, Seq("user_id"), "t", Seq("v"))
@@ -1111,15 +1114,75 @@ object SparkEntry {
         max(col("tri10")).as("peak10")).as("maxs"))
   }
 
+  /** Gated flat view of the nested pipeline: the driver's comparator
+    * sorts rows with pandas, which cannot order struct/array cells —
+    * so the nested row is computed (exercising R6/R7) and then
+    * projected to scalars for the hash compare. */
+  private def pipelineFlat(s: SparkSession, dir: String): DataFrame =
+    pipelineNested(s, dir).select(
+      col("user_id"),
+      col("watermark_ms"),
+      col("n_samples"),
+      size(col("streams")).cast("long").as("n_stream_head"),
+      round(col("maxs.peak1"), 4).as("peak1"),
+      round(col("maxs.peak5"), 4).as("peak5"),
+      round(col("maxs.peak10"), 4).as("peak10"))
+      .orderBy("user_id")
+
+  /** DuckDB oracle for e1: the r4 interpolation CTE chain feeding the
+    * a3 triangular self-join, aggregated per user. */
+  private val e1OracleSql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('hour', ts) h,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / COUNT(*) v
+                   FROM events GROUP BY 1, 2),
+      bounds AS (SELECT user_id, MIN(h) h0, MAX(h) h1 FROM ev GROUP BY 1),
+      spine AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM bounds),
+      j AS (SELECT s.user_id, CAST(epoch_ms(s.h) AS DOUBLE) t, e.v
+            FROM spine s LEFT JOIN ev e ON s.user_id = e.user_id AND s.h = e.h),
+      w AS (SELECT *,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+        FROM j),
+      i AS (SELECT user_id, t,
+        CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN NULL
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END v,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) rn
+        FROM w),
+      r AS (SELECT t.user_id, t.rn, MAX(t.t) tt, MAX(t.v) v,
+        CASE WHEN t.rn >= 5 THEN
+          SUM(CASE WHEN t.rn - s.rn <= 4
+                   THEN s.v * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9
+        END AS tri5,
+        CASE WHEN t.rn >= 10 THEN
+          SUM(s.v * (2 * LEAST(t.rn - s.rn, 9 - (t.rn - s.rn)) + 1)) / 50
+        END AS tri10
+        FROM i t JOIN i s ON t.user_id = s.user_id AND s.rn BETWEEN t.rn - 9 AND t.rn
+        GROUP BY t.user_id, t.rn)
+      SELECT user_id, CAST(MAX(tt) AS BIGINT) AS watermark_ms,
+        CAST(COUNT(*) AS BIGINT) AS n_samples,
+        CAST(LEAST(COUNT(*), 24) AS BIGINT) AS n_stream_head,
+        ROUND(MAX(v), 4) AS peak1, ROUND(MAX(tri5), 4) AS peak5,
+        ROUND(MAX(tri10), 4) AS peak10
+      FROM r GROUP BY user_id ORDER BY user_id"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val base = registry.map { case (name, fn, _) => name -> fn }.toMap
-    base + ("e1_pipeline_nested" -> ((s: SparkSession, dir: String) => pipelineNested(s, dir)))
+    base + ("e1_pipeline_nested" -> ((s: SparkSession, dir: String) => pipelineFlat(s, dir)))
   }
 
   /** DuckDB-equivalent SQL for every hash-checkable query. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+    registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap +
+      ("e1_pipeline_nested" -> e1OracleSql)
 
   /** Headline queries for Bench (a representative cross-section). */
   val benchNames: Seq[String] = Seq(

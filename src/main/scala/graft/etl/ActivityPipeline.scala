@@ -174,6 +174,7 @@ object ActivityPipeline {
         col("avg_heartrate"),
         col("distance"),
         col("epoch"),
+        col("username"),                               // main.py:172 — survives legacyCompat
         (if (legacyCompat) lit(null).cast("long") else col("user_id")).as("user_id"), // main.py:171
         (if (legacyCompat) col("elevation") else col("epoch").cast("double")).as("timestamp"), // main.py:174
         col("activity_type"),

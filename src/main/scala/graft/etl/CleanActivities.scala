@@ -25,11 +25,19 @@ object CleanActivities {
       col("id").as("activity_id"),                                     // strava_sdk.py:206
       col("name"),                                                     // :207
       col("type").as("activity_type"),                                 // :208
-      unix_timestamp(col("start_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      // 'X' parses the trailing Z as an explicit UTC offset, so the
+      // result is session-timezone-independent (the reference pins
+      // TZ=UTC process-wide, strava_sdk.py:9; a quoted-'Z' pattern
+      // would silently parse in the session zone instead).
+      unix_timestamp(col("start_date"), "yyyy-MM-dd'T'HH:mm:ssX")
         .as("epoch"),                                                  // :210 (P2)
       lit(nowEpoch).as("timenow"),
       col("start_date").as("timestamp"),                               // :209
       col("athlete.id").as("user_id"),                                 // :211
+      // fetch-layer username stamp (main.py:19,172); athlete id string
+      // when the stamp is absent — a user key that survives legacyCompat
+      coalesce(col("username"), col("athlete.id").cast("string"))
+        .as("username"),
       coalesce(col("total_elevation_gain"), lit(0.0)).as("elevation"), // :212
       coalesce(col("distance"), lit(0.0)).as("distance"),              // :213
       col("moving_time").as("duration"),                               // :214

@@ -26,24 +26,28 @@ object StravaEtl {
   def addHistoryData(spark: SparkSession, activitiesPath: String,
                      streamsPath: String, sinkPath: String, nowEpoch: Long,
                      legacyCompat: Boolean = false): DataFrame = {
-    // S3: per-user watermark over the existing sink (0 when absent)
+    // S3: per-user watermark over the existing sink (0 when absent).
+    // Keyed by username, as the reference is (main.py:190): username is
+    // stamped at ingest and survives legacyCompat, where the sink's
+    // user_id is nulled (main.py:171) and a user_id watermark would
+    // never match — re-ingesting everything on every run.
     val watermarks =
       try spark.read.parquet(sinkPath)
-        .groupBy("user_id").agg(max(col("epoch")).as("__wm"))
+        .groupBy("username").agg(max(col("epoch")).as("__wm"))
       catch {
         case _: Exception =>
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("user_id",
-                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("username",
+                org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("__wm",
                 org.apache.spark.sql.types.LongType))))
       }
 
     // S4: incremental scan — only activities past each user's watermark
     val acts = StravaJsonSource.activities(spark, activitiesPath, nowEpoch)
-      .join(broadcast(watermarks), Seq("user_id"), "left")
+      .join(broadcast(watermarks), Seq("username"), "left")
       .filter(col("epoch") > coalesce(col("__wm"), lit(0L)))
       .drop("__wm")
 

@@ -17,6 +17,10 @@ object StravaSchemas {
     StructField("type", StringType),
     StructField("start_date", StringType), // yyyy-MM-dd'T'HH:mm:ss'Z' UTC
     StructField("athlete", StructType(Seq(StructField("id", LongType)))),
+    // Stamped by the fetch layer: the reference threads the loop's
+    // username into every sink row (main.py:19,172); a declarative job
+    // needs that key in-band. Absent -> athlete id string (see clean).
+    StructField("username", StringType),
     StructField("total_elevation_gain", DoubleType),
     StructField("distance", DoubleType),
     StructField("moving_time", LongType),
@@ -44,6 +48,7 @@ object StravaSchemas {
     StructField("timenow", DoubleType),
     StructField("timestamp", StringType),
     StructField("user_id", LongType),
+    StructField("username", StringType),
     StructField("elevation", DoubleType),
     StructField("distance", DoubleType),
     StructField("duration", LongType),

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *
   * Tie-breaking: right rows sort before left rows at equal timestamps,
   * so the match condition is inclusive (`rightTs <= leftTs`), matching
-  * DuckDB/kdb ASOF JOIN semantics.
+  * DuckDB/kdb ASOF JOIN semantics. NULL join keys never match (also the
+  * DuckDB/kdb rule): null-keyed right rows are dropped before the
+  * union, so a null-keyed left row finds no payload in its window
+  * partition.
   */
 object AsOfJoin {
 
@@ -40,7 +43,11 @@ object AsOfJoin {
       leftCols.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
         lit(null).cast(payloadType).as("__payload")): _*)
-    val r2 = right.select(
+    // NULL keys never match: Window.partitionBy groups nulls together,
+    // so without this filter a null-keyed left row would pick up
+    // null-keyed right payloads.
+    val rightKeyed = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val r2 = rightKeyed.select(
       leftCols.map { c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)

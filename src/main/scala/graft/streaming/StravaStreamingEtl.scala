@@ -12,9 +12,14 @@ import graft.sources.StravaJsonSource
   * Structured Streaming file-source query. New activity documents
   * landing in the feed directory flow through the SAME batch pipeline
   * (clean -> spine -> interpolate -> rolling -> nest) via foreachBatch
-  * and append to the date-partitioned sink; the file-source +
-  * checkpoint replace the hand-rolled `after=watermark` poll with
-  * exactly-once source tracking.
+  * and append to the date-partitioned sink.
+  *
+  * Delivery: the file source + checkpoint replay a failed micro-batch
+  * (at-least-once), and the sink append is made IDEMPOTENT by
+  * anti-joining the batch against the ids already in the sink — pruned
+  * to the batch's activity-date partition range, so at scale the dedup
+  * scan touches only the partitions the batch could collide with.
+  * Net effect: effectively-once end to end.
   */
 object StravaStreamingEtl {
 
@@ -35,7 +40,19 @@ object StravaStreamingEtl {
           val streams = StravaJsonSource.streams(spark, streamsPath)
             .join(acts.select("activity_id"), Seq("activity_id"))
           val rows = ActivityPipeline.process(acts, streams, nowEpoch, legacyCompat)
-          ActivitySink.append(rows, sinkPath)
+          // Idempotent append: drop ids already present in the sink,
+          // reading only the date partitions this batch can touch.
+          val fresh = try {
+            val b = rows.agg(min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+              .collect()(0)
+            val seen = spark.read.parquet(sinkPath)
+              .filter(col("activity_date").between(
+                to_date(from_unixtime(lit(b.getLong(0)))),
+                to_date(from_unixtime(lit(b.getLong(1))))))
+              .select(col("id")).distinct()
+            rows.join(seen, Seq("id"), "left_anti")
+          } catch { case _: Exception => rows } // sink doesn't exist yet
+          ActivitySink.append(fresh, sinkPath)
         }
         ()
       }

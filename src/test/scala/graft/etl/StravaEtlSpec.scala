@@ -57,4 +57,29 @@ class StravaEtlSpec extends AnyFunSuite {
     assert(resync.count() == 1)
     assert(spark.read.parquet(sink).filter(org.apache.spark.sql.functions.col("id") === 1).count() == 2) // appended again
   }
+
+  test("legacyCompat sync is still incremental: the username watermark survives user_id=null") {
+    val base = Files.createTempDirectory("graft-etl-legacy")
+    val actsPath = base.resolve("activities.jsonl").toString
+    val streamsPath = base.resolve("streams.jsonl").toString
+    val sink = base.resolve("sink").toString
+
+    Files.write(base.resolve("activities.jsonl"),
+      Seq(activityJson(1, 7, "2024-01-01T00:00:00Z"),
+        activityJson(2, 7, "2024-01-03T00:00:00Z")).mkString("\n").getBytes)
+    Files.write(base.resolve("streams.jsonl"),
+      Seq(streamJson(1), streamJson(2)).mkString("\n").getBytes)
+
+    val first = StravaEtl.addHistoryData(spark, actsPath, streamsPath, sink,
+      nowEpoch, legacyCompat = true)
+    assert(first.count() == 2)
+    // sink user_id is null in legacy mode (main.py:171)…
+    assert(spark.read.parquet(sink)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull).count() == 0)
+    // …but the re-run appends NOTHING: watermark keys on username
+    val second = StravaEtl.addHistoryData(spark, actsPath, streamsPath, sink,
+      nowEpoch, legacyCompat = true)
+    assert(second.count() == 0)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
 }

@@ -125,6 +125,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       Seq("v" -> "matched"), inner = false).select("tag", "matched").collect()
     assert(got.length == 1 && got(0).getString(0) == "L3" && got(0).isNullAt(1))
   }
+
+  test("NULL join keys never match (DuckDB/kdb ASOF semantics)") {
+    val left = Seq((Option.empty[Long], ts(5), "Lnull"), (Option(1L), ts(5), "L1"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Option.empty[Long], ts(2), "rnull"), (Option(1L), ts(2), "r1"))
+      .toDF("k", "t", "v")
+    // inner: the null-keyed left row finds no match and is dropped
+    val inner = AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("v" -> "matched"))
+      .select("tag", "matched").as[(String, String)].collect().toMap
+    assert(inner == Map("L1" -> "r1"))
+    // left: it is kept, with a null payload
+    val outer = AsOfJoin.asof(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "matched"), inner = false)
+      .select("tag", "matched").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(outer == Map("L1" -> "r1", "Lnull" -> null))
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {

@@ -42,6 +42,13 @@ class StravaStreamingEtlSpec extends AnyFunSuite {
       // pipeline really ran: nested streams are densified (t=0..3)
       val r = rows.filter(org.apache.spark.sql.functions.col("id") === 2).collect()(0)
       assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("streams")).length == 4)
+
+      // re-delivery of an already-loaded activity (at-least-once replay)
+      // appends nothing: the sink anti-join makes the batch idempotent
+      Files.write(feed.resolve("batch3.jsonl"),
+        activityJson(1, "2024-01-01T00:00:00Z").getBytes)
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 2)
     } finally q.stop()
   }
 }
