@@ -79,7 +79,10 @@ object SparkEntry {
       val h = if (i < 4) "h0" else "h1"
       min(substring(col(h), 8 * (i % 4) + 1, 8)).as(s"sig$i")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // One row per doc — persist so the LSH band self-join (d3/d5) reads
+    // the signature table instead of re-running tokenize+md5 per side.
+    // At corpus scale this is the materialized signature index.
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
   }
 
   /** Shared oracle CTEs producing the same minhash signature table. */
@@ -96,17 +99,28 @@ object SparkEntry {
        sig AS (SELECT doc_id, $sigs FROM hs GROUP BY doc_id)"""
   }
 
-  /** ANN scoring core: query set = vec_id < 5, cosine vs all vectors. */
+  /** ANN scoring core: query set = vec_id < 5, cosine vs all vectors.
+    * Vectors are unit-normalized ONCE per row (codegen UnitVector), so
+    * each pair costs one dot product — not dot + two norms. */
   private def annScores(s: SparkSession, dir: String): DataFrame = {
     val em = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
     val q = em.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("ue").as("qu"))
     // query side is tiny by construction -> broadcast, no shuffle of the
     // big side; at 100 TB this is the canonical brute-force scoring scan.
     broadcast(q).join(em, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
   }
+
+  /** Shared oracle CTE: unit-normalized embeddings (same op sequence as
+    * UnitVector — fold of squares, sqrt, per-element divide). */
+  private val oracleUnitCte: String =
+    """u AS (SELECT vec_id, label,
+       list_transform(embedding::DOUBLE[],
+         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
+       FROM embeddings)"""
 
   /** Deterministic random-hyperplane codebook for LSH ANN (n3): 8
     * planes of ±1 over 64 dims, derived from md5 bits on the driver and
@@ -773,10 +787,14 @@ object SparkEntry {
       val bandCols = (0 until 4).map(b =>
         md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
       val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      // The candidate set is tiny relative to the corpus but feeds THREE
+      // consumers (candidate docs + both sides of the verify join) —
+      // persist it so the minhash/banding chain runs once, not three
+      // times (at corpus scale this is a checkpoint before verification).
       val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .distinct().persist()
       // gram sets are materialized ONLY for candidate docs — at corpus
       // scale the expensive set construction must not touch non-candidates.
       val candDocs = pairs.select(col("doc_a").as("doc_id"))
@@ -811,26 +829,26 @@ object SparkEntry {
            ORDER BY doc_a, doc_b"""
       }),
 
-    // embedding near-dup: cosine >= 0.95 within label blocks.
+    // embedding near-dup: cosine >= 0.95 within label blocks. Unit
+    // vectors once per row -> one dot per pair (norms would otherwise
+    // be recomputed quadratically across the blocked self-join).
     ("d6_embed_neardup", (s, dir) => {
-      val em = t(s, dir, "embeddings")
+      val em = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        Similarity.unit(col("embedding")).as("ue"))
       em.as("a").join(em.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          Similarity.dot(col("a.ue"), col("b.ue")).as("cos"))
         .filter(col("cos") >= 0.95)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
     },
-      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
-             FROM embeddings a JOIN embeddings b
+      Some(s"""WITH $oracleUnitCte
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.ue, b.ue), 4) AS cos_sim
+             FROM u a JOIN u b
                ON a.label = b.label AND a.vec_id < b.vec_id
-             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+             WHERE list_dot_product(a.ue, b.ue) >= 0.95
              ORDER BY vec_a, vec_b""")),
 
     // brute-force cosine top-k (the ANN baseline).
@@ -842,12 +860,11 @@ object SparkEntry {
         .select("qid", "rnk", "neighbor_id", "cos_r")
         .orderBy("qid", "rnk")
     },
-      Some("""WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 5),
-             s AS (SELECT qid, e.vec_id neighbor_id,
-                   ROUND(list_dot_product(qe, e.embedding::DOUBLE[]) /
-                         (sqrt(list_dot_product(qe, qe)) *
-                          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cos_r
-                   FROM q, embeddings e WHERE e.vec_id <> qid),
+      Some(s"""WITH $oracleUnitCte,
+             q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+             s AS (SELECT qid, u.vec_id neighbor_id,
+                   ROUND(list_dot_product(qu, u.ue), 6) cos_r
+                   FROM q, u WHERE u.vec_id <> qid),
              r AS (SELECT qid, neighbor_id, cos_r,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
                    FROM s)
@@ -871,13 +888,15 @@ object SparkEntry {
       val wl = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))
       val probed = qcent.withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= 2)
         .select("qid", "label")
-      val q = em.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val emU = em.select(col("label"), col("vec_id"),
+        Similarity.unit(col("embedding")).as("ue"))
+      val q = emU.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ue").as("qu"))
       val cand = broadcast(probed.join(q, "qid"))
-        .join(em, Seq("label"))
+        .join(emU, Seq("label"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
-          round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
+          round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
       val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
       cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
         .select("qid", "rnk", "neighbor_id", "cos_r")
@@ -894,13 +913,15 @@ object SparkEntry {
                         (SELECT qid, label,
                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) lrnk
                          FROM qcent) WHERE lrnk <= 2),
-             q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 5),
+             u AS (SELECT vec_id, label,
+                   list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
+                   FROM embeddings),
+             q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
              cand AS (SELECT p.qid, e.vec_id neighbor_id,
-                      ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
-                            (sqrt(list_dot_product(q.qe, q.qe)) *
-                             sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cos_r
+                      ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
                       FROM probed p JOIN q ON p.qid = q.qid
-                      JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.qid),
+                      JOIN u e ON e.label = p.label AND e.vec_id <> p.qid),
              r AS (SELECT qid, neighbor_id, cos_r,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
                    FROM cand)
@@ -912,18 +933,21 @@ object SparkEntry {
     // scale path next to IVF (n2); multiprobe (hamming-1 buckets) is
     // the recall lever at real scale.
     ("n3_ann_lsh", (s, dir) => {
+      // unit-normalize first: bucket signs are scale-invariant, and the
+      // in-bucket re-rank is then one dot per candidate pair.
       val em = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
       val sig = rpPlanes.zipWithIndex.map { case (p, j) =>
-        when(Similarity.dot(col("embedding"), array(p.map(lit): _*)) >= 0,
+        when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
-      val withSig = em.select(col("vec_id"), col("embedding"), sig.as("bucket"))
+      val withSig = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
       val q = withSig.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+        .select(col("vec_id").as("qid"), col("ue").as("qu"), col("bucket"))
       val cand = broadcast(q).join(withSig, Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
-          round(Similarity.cosine(col("qe"), col("embedding")), 6).as("cos_r"))
+          round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
       val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
       cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
         .select("qid", "rnk", "neighbor_id", "cos_r")
@@ -932,14 +956,13 @@ object SparkEntry {
       Some {
         val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
           val plane = p.mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
+          s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
         }.mkString(" + ")
-        s"""WITH sig AS (SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings),
-           q AS (SELECT vec_id qid, embedding::DOUBLE[] qe, bucket FROM sig WHERE vec_id < 5),
+        s"""WITH $oracleUnitCte,
+           sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
+           q AS (SELECT vec_id qid, ue qu, bucket FROM sig WHERE vec_id < 5),
            cand AS (SELECT q.qid, s.vec_id neighbor_id,
-                    ROUND(list_dot_product(q.qe, s.embedding::DOUBLE[]) /
-                          (sqrt(list_dot_product(q.qe, q.qe)) *
-                           sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))), 6) cos_r
+                    ROUND(list_dot_product(q.qu, s.ue), 6) cos_r
                     FROM q JOIN sig s ON q.bucket = s.bucket AND s.vec_id <> q.qid),
            r AS (SELECT qid, neighbor_id, cos_r,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk

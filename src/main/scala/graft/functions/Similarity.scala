@@ -34,4 +34,12 @@ object Similarity {
     * type; computed in double). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalized embedding (codegen, see [[UnitVector]]): normalize
+    * once per row so pairwise cosine is a single [[dot]] — the standard
+    * pre-normalization every ANN / near-dup pipeline does at ingest. */
+  def unit(a: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(UnitVector(Bridge.expression(a.cast("array<double>"))))
+  }
 }
