@@ -713,6 +713,103 @@ object SparkEntry {
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
              FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""")),
 
+    // sliding time window (2h window, 1h slide): each event lands in 2
+    // windows; Spark's window() explodes them, the oracle unnests the
+    // two covering hour-aligned starts.
+    ("w3_sliding", (s, dir) =>
+      t(s, dir, "events")
+        .select(window(col("ts"), "2 hours", "1 hour").as("w"), col("value"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+        .select(hourStr(col("w.start")).as("w_start"), col("n_events"), col("value_c"))
+        .orderBy("w_start"),
+      Some("""WITH x AS (SELECT UNNEST([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) ws, value
+                         FROM events)
+             SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+             FROM x GROUP BY ws ORDER BY w_start""")),
+
+    // JSON extraction (events.props is a JSON string): get_json_object
+    // path evaluation + typed cast, aggregated per event type.
+    ("x1_json_extract", (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+             MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+             MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // TPC-H Q3-shaped shipping-priority: 3-way join, filtered fact +
+    // broadcast dim, exact e4-scaled revenue, top-10 (TakeOrdered — no
+    // global sort at scale).
+    ("q03_shipping", (s, dir) => {
+      val cutoff = lit("1996-03-15 00:00:00").cast("timestamp")
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue_e4"))
+        .select(col("l_orderkey"), col("revenue_e4"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+    },
+      Some("""SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1996-03-15'
+               AND l_shipdate > TIMESTAMP '1996-03-15'
+             GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5-shaped local-supplier revenue: 6-table join chain with
+    // broadcast dims (region/nation) and co-nation predicate — the
+    // plan Catalyst should drive as filtered-fact SMJ + broadcasts.
+    ("q05_local_supplier", (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    },
+      Some("""SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+             GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""")),
+
     // ===== LLM-data-pipeline extension =====
 
     // exact dedup: content-hash grouping.
@@ -850,6 +947,54 @@ object SparkEntry {
                ON a.label = b.label AND a.vec_id < b.vec_id
              WHERE list_dot_product(a.ue, b.ue) >= 0.95
              ORDER BY vec_a, vec_b""")),
+
+    // duplicate CLUSTERS from the LSH candidate graph: iterative
+    // min-label propagation (the standard distributed connected-
+    // components loop — joins + groupBy per round, early exit at
+    // fixpoint). Oracle: recursive-CTE transitive closure.
+    ("d7_dup_clusters", (s, dir) => {
+      val sig = minhashSignatures(s, dir)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")).persist()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val prop = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("cluster"))
+        val next = labels.select("doc_id", "cluster").union(prop)
+          .groupBy("doc_id").agg(min(col("cluster")).as("cluster")).persist()
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+          .filter(col("cluster") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      labels.orderBy("doc_id")
+    },
+      Some {
+        val bandList = (0 until 4).map(b =>
+          s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
+        s"""WITH RECURSIVE $oracleSigCtes,
+           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
+           pairs AS (SELECT DISTINCT a.doc_id src, b.doc_id dst
+                     FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+           SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id
+           ORDER BY doc_id"""
+      }),
 
     // brute-force cosine top-k (the ANN baseline).
     ("n1_ann_topk", (s, dir) => {
@@ -1086,6 +1231,27 @@ object SparkEntry {
       Some("""SELECT doc_id,
              CAST(levenshtein(substr(text, 1, 30), 'the quick brown fox jumps over') AS BIGINT) AS lev30
              FROM documents ORDER BY doc_id""")),
+
+    // quality FILTER gate — the training-pipeline stage that consumes
+    // t1's features: keep docs long enough and lexically diverse
+    // enough. Both engines compute the ratio with the same op sequence,
+    // so the predicate decides identically.
+    ("t6_quality_filter", (s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      val nWords = size(ws).cast("long")
+      val ttr = size(array_distinct(ws)).cast("double") / nWords
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nWords.as("n_words"), ttr.as("ttr"))
+        .filter(col("n_words") >= 40 && col("ttr") >= 0.5)
+        .orderBy("doc_id")
+    },
+      Some("""WITH f AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) ttr
+             FROM documents)
+             SELECT doc_id, lang, n_words, ttr FROM f
+             WHERE n_words >= 40 AND ttr >= 0.5 ORDER BY doc_id""")),
 
     // multimodal column plumbing: opaque binary payload + typed metadata.
     // The real decoder is a mapPartitions seam (graft.multimodal); here the
