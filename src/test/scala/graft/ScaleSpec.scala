@@ -83,6 +83,24 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 }
 
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q03/q05 plans: dims broadcast, fact predicate pushed into the parquet scan") {
+    for (q <- Seq("q03_shipping", "q05_local_supplier")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q should broadcast its dims")
+    }
+    val q3 = SparkEntry.queries("q03_shipping")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the l_shipdate filter must reach the lineitem scan, not sit in a
+    // post-scan Filter only (at 100 TB this is the difference between
+    // reading a slice and reading the table)
+    assert(q3.contains("GreaterThan(l_shipdate"), "shipdate filter not pushed to scan")
+  }
+}
+
 class StatefulStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
