@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, UnitVector}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, so `spark.sql("SELECT dot_product(a, b) ...")` uses the
@@ -19,6 +19,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
+    e.injectFunction(GraftExtensions.unitVectorDescriptor)
   }
 }
 
@@ -31,14 +32,28 @@ object GraftExtensions {
       Cast(exprs(1), ArrayType(DoubleType)))
   }
 
+  private def buildUnitVector(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "unit_vector(array)")
+    UnitVector(Cast(exprs(0), ArrayType(DoubleType)))
+  }
+
   private[graft] val dotProductDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     buildDotProduct)
 
+  private[graft] val unitVectorDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unit_vector"),
+    new ExpressionInfo(classOf[UnitVector].getName, "unit_vector"),
+    buildUnitVector)
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", buildDotProduct, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unit_vector", buildUnitVector, "scala_udf")
+  }
 }

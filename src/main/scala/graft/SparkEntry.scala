@@ -656,6 +656,43 @@ object SparkEntry {
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              ORDER BY event_id""")),
 
+    // deterministic hash sampling — THE reproducible corpus-sampling
+    // method at scale: pure map-side filter (no shuffle, no RNG state),
+    // stable across reruns/partitionings, and the keep-decision is a
+    // scan-pushable predicate.
+    ("o5_hash_sample", (s, dir) => {
+      val h = md5(concat(lit("smp|"), col("doc_id").cast("string")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("sample_key"))
+        .filter(substring(col("sample_key"), 1, 2) < "29") // ~16% keep rate
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, lang, md5('smp|' || CAST(doc_id AS VARCHAR)) AS sample_key
+             FROM documents
+             WHERE substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+             ORDER BY doc_id""")),
+
+    // deterministic stratified sample: fixed per-language quota, picked
+    // by hash order — one window shuffle on the stratum key, quota
+    // applied per partition (rank <= n), reproducible across runs.
+    ("o6_stratified_sample", (s, dir) => {
+      val h = md5(concat(lit("smp|"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("lang").orderBy(col("sample_key"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("sample_key"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    },
+      Some("""WITH h AS (SELECT doc_id, lang,
+             md5('smp|' || CAST(doc_id AS VARCHAR)) sample_key FROM documents),
+             r AS (SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) rk
+                   FROM h)
+             SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r
+             WHERE rk <= 20 ORDER BY lang, rk""")),
+
     ("o2_setops", (s, dir) => {
       val o = t(s, dir, "orders")
       val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")).distinct()

@@ -14,6 +14,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("runtime registration exposes unit_vector to SQL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(Tuple1(Seq(3.0, 4.0))).toDF("a").createOrReplaceTempView("vu")
+    val got = spark.sql("SELECT unit_vector(a) AS u FROM vu")
+      .as[Seq[Double]].collect()(0)
+    assert(got == Seq(0.6, 0.8))
+    // cosine of a vector with itself via the two registered kernels
+    val cos = spark.sql("SELECT dot_product(unit_vector(a), unit_vector(a)) c FROM vu")
+      .as[Double].collect()(0)
+    assert(math.abs(cos - 1.0) < 1e-15)
+  }
+
   test("spark.sql.extensions injection path registers the function in a fresh session") {
     // reuse the shared SparkContext but build a NEW session with the
     // extensions applied (the config-file deployment path).
