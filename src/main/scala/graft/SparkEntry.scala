@@ -506,6 +506,27 @@ object SparkEntry {
              ON l.user_id = r.user_id AND l.ts >= r.ts
              ORDER BY l.event_id""")),
 
+    // LEFT as-of: unmatched left rows survive with null payloads —
+    // cross-validated against DuckDB's native ASOF LEFT JOIN.
+    ("j6_asof_left", (s, dir) => {
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asof(l, r, Seq("user_id"), "ts", "ts",
+        Seq("event_id" -> "buy_event_id", "value" -> "buy_value"), inner = false)
+        .select(col("event_id"), col("user_id"), col("buy_event_id"),
+          cents(col("buy_value")).as("buy_value_c"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS buy_event_id,
+             CAST(ROUND(r.value*100) AS BIGINT) AS buy_value_c
+             FROM (SELECT * FROM events WHERE event_type = 'error') l
+             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+             ORDER BY l.event_id""")),
+
     // range join: purchases within 10 minutes after a click, same user.
     ("j5_range_join", (s, dir) => {
       val e = t(s, dir, "events")
@@ -1307,7 +1328,50 @@ object SparkEntry {
              md5(text) AS content_md5,
              lower(hex(left(text, 8)::BLOB)) AS preview_hex,
              CAST(ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1)) AS BIGINT) AS fake_feature
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // frame sampling over an opaque payload: stride-100 offsets per
+    // doc, 16-byte frames, per-frame content hash — the Spark-side
+    // plumbing (offset generation, per-frame projection, long-form
+    // output) of a video frame-sampler; the codec itself is the
+    // multimodal stub seam (graft.multimodal).
+    ("m2_frame_sample", (s, dir) => {
+      val nFrames = expr("(CAST(length(text) AS BIGINT) - 1) div 100")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), explode(sequence(lit(0L), nFrames)).as("f"))
+        .select(col("doc_id"), col("f").as("frame_idx"),
+          (col("f") * 100 + 1).as("byte_off"),
+          md5(col("text").substr((col("f") * 100 + 1).cast("int"), lit(16))).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH f AS (SELECT doc_id, text,
+             UNNEST([i for i in generate_series(0, (len(text)-1)//100)]) f
+             FROM documents)
+             SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(f*100+1 AS BIGINT) AS byte_off,
+             md5(substr(text, CAST(f*100+1 AS INT), 16)) AS frame_md5
+             FROM f ORDER BY doc_id, frame_idx""")),
+
+    // correlated scalar subqueries through the SQL parser path (the
+    // predicate is exact-integer so both engines decide identically:
+    // price_c * n > 2 * sum_c instead of price > 2*avg over doubles).
+    ("x2_sql_correlated", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+              FROM orders_v o
+              WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) *
+                    (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+                    > 2 * (SELECT CAST(SUM(CAST(ROUND(o3.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                           FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)
+              ORDER BY o_orderkey""")
+    },
+      Some("""SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+             FROM orders o
+             WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) *
+                   (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                   > 2 * (SELECT CAST(SUM(CAST(ROUND(o3.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                          FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+             ORDER BY o_orderkey"""))
   )
 
   // ---------- driver contract ----------
