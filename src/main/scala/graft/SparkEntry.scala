@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Interpolation, Sessionize, TriangularRolling}
+import graft.operators.{AsOfJoin, ConnectedComponents, Interpolation, Sessionize, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -1006,10 +1006,10 @@ object SparkEntry {
              WHERE list_dot_product(a.ue, b.ue) >= 0.95
              ORDER BY vec_a, vec_b""")),
 
-    // duplicate CLUSTERS from the LSH candidate graph: iterative
-    // min-label propagation (the standard distributed connected-
-    // components loop — joins + groupBy per round, early exit at
-    // fixpoint). Oracle: recursive-CTE transitive closure.
+    // duplicate CLUSTERS from the LSH candidate graph: adaptive
+    // connected components (driver union-find for near-dup-rate-sized
+    // pair sets, distributed min-label propagation beyond — see
+    // operators.ConnectedComponents). Oracle: recursive-CTE closure.
     ("d7_dup_clusters", (s, dir) => {
       val sig = minhashSignatures(s, dir)
       val bandCols = (0 until 4).map(b =>
@@ -1019,24 +1019,7 @@ object SparkEntry {
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         .distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster", col("doc_id")).persist()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 20) {
-        val prop = labels.join(edges, col("doc_id") === col("src"))
-          .select(col("dst").as("doc_id"), col("cluster"))
-        val next = labels.select("doc_id", "cluster").union(prop)
-          .groupBy("doc_id").agg(min(col("cluster")).as("cluster")).persist()
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-          .filter(col("cluster") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        iters += 1
-      }
-      labels.orderBy("doc_id")
+      ConnectedComponents.components(s, pairs, "src", "dst").orderBy("doc_id")
     },
       Some {
         val bandList = (0 until 4).map(b =>

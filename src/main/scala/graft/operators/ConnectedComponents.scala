@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list, labelling every
+  * vertex with the MINIMUM vertex id reachable from it — the duplicate-
+  * cluster operator of the dedup pipeline (cluster id = canonical
+  * representative to keep).
+  *
+  * Two execution paths, chosen adaptively like AQE picks join
+  * strategies at runtime:
+  *
+  *  - **small graphs** (pair count under `localThreshold`): collect the
+  *    edge list and run union-find (path-halving, union-by-min) on the
+  *    driver — one collect instead of a multi-round join loop. LSH
+  *    candidate pairs are near-dup-rate-sized, not corpus-sized, so
+  *    this is the common case even at large corpus scale.
+  *  - **large graphs**: distributed min-label propagation — per round
+  *    one join against the edge list plus one min-groupBy, early exit
+  *    when no label changes. Rounds ≈ component diameter (near-dup
+  *    clusters are shallow stars/cliques). This is the classic
+  *    GraphX/GraphFrames-style CC loop, all shuffles on the edge list.
+  *
+  * Both paths produce identical output (min-reachable label), pinned by
+  * ConnectedComponentsSpec property tests.
+  */
+object ConnectedComponents {
+
+  /** @param pairs DataFrame with two long columns (src, dst), one row
+    *              per undirected edge (orientation irrelevant)
+    * @return (doc_id, cluster) — one row per vertex appearing in pairs
+    */
+  def components(spark: SparkSession, pairs: DataFrame,
+                 srcCol: String, dstCol: String,
+                 localThreshold: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val n = p.count()
+    val out =
+      if (n <= localThreshold) {
+        val labels = unionFindLocal(p.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        labels.toSeq.toDF("doc_id", "cluster")
+      } else labelPropagate(p)
+    p.unpersist()
+    out
+  }
+
+  /** Driver-side union-find (path halving, union by min root), so the
+    * root of every tree is the minimum id of its component. */
+  def unionFindLocal(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val gp = parent.getOrElse(parent(x), parent(x))
+        parent(x) = gp // path halving
+        x = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    verts.sorted.map(v => (v, find(v)))
+  }
+
+  /** Distributed min-label propagation to fixpoint. */
+  def labelPropagate(p: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels.select("doc_id", "cluster").union(prop)
+        .groupBy("doc_id").agg(min(col("cluster")).as("cluster")).persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

@@ -144,6 +144,37 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("union-find labels every vertex with its component minimum") {
+    // components {1,2,3}, {10,11}, chain {20,21,22,23}
+    val edges = Array((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (23L, 22L))
+    val got = ConnectedComponents.unionFindLocal(edges).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("distributed label propagation agrees with driver union-find") {
+    // deterministic pseudo-random graph: 60 edges over 40 vertices
+    val edges = (0 until 60).map { i =>
+      val a = (i * 7919 % 40).toLong; val b = (i * 104729 % 40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct.toArray
+    val df = edges.toSeq.toDF("src", "dst")
+    val local = ConnectedComponents.unionFindLocal(edges).toMap
+    val dist = asMap(ConnectedComponents.labelPropagate(
+      df.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))))
+    assert(dist == local)
+    // and the adaptive front door (small path) matches too
+    assert(asMap(ConnectedComponents.components(spark, df, "src", "dst")) == local)
+  }
+}
+
 class SessionizeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
