@@ -39,6 +39,25 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (streaming twin of the j5 range join):
+    * purchases within 10 minutes after a click by the same user. Both
+    * sides are watermarked and the join condition bounds the event-time
+    * range, so each side's buffered state is evictable — an unbounded
+    * stream-stream join is the other classic state blow-up next to
+    * unbounded dedup. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("buy_ts") > col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 10 minutes"))
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, value_sum: Double)
 

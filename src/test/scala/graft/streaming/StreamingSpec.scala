@@ -64,4 +64,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(g.forall { case (k, v) => e.get(k).contains(v) })
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch range join") {
+    val (dir, batch) = stagedEvents()
+    val clicks = spark.readStream.schema(batch.schema).parquet(dir)
+      .filter(col("event_type") === "click")
+    val purchases = spark.readStream.schema(batch.schema).parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val q = EventStream.clickPurchaseJoin(clicks, purchases).writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val c = batch.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val p = batch.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+      val expected = c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("buy_ts") > col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("interval 10 minutes"))
+        .select(col("user_id"), col("click_id"), col("buy_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
