@@ -771,6 +771,32 @@ object SparkEntry {
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
              FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""")),
 
+    // built-in session_window in BATCH mode (built-in-first counterpart
+    // of the custom Sessionize operator behind w1): same 30-minute gap
+    // semantics, session identified by its start time.
+    ("w4_session_window", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), hourStr(col("sw.start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH l AS (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
+                         FROM events),
+             f AS (SELECT user_id, ts,
+                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                        THEN 1 ELSE 0 END is_new FROM l),
+             sid AS (SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+                     FROM f)
+             SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+             FROM sid GROUP BY user_id, session_id
+             ORDER BY user_id, session_start""")),
+
     // sliding time window (2h window, 1h slide): each event lands in 2
     // windows; Spark's window() explodes them, the oracle unnests the
     // two covering hour-aligned starts.
