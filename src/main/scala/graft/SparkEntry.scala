@@ -1063,6 +1063,59 @@ object SparkEntry {
            ORDER BY doc_id"""
       }),
 
+    // the dedup pipeline's terminal operator: the KEEP-LIST. Every doc
+    // survives except non-canonical members of a duplicate cluster
+    // (canonical = min doc_id, d7's cluster label). One broadcast
+    // anti-join against the (tiny) drop set.
+    ("d8_dedup_keep", (s, dir) => {
+      val sig = minhashSignatures(s, dir)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val drop = ConnectedComponents.components(s, pairs, "src", "dst")
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id")
+      t(s, dir, "documents")
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+      Some {
+        val bandList = (0 until 4).map(b =>
+          s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
+        s"""WITH RECURSIVE $oracleSigCtes,
+           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
+           pairs AS (SELECT DISTINCT a.doc_id src, b.doc_id dst
+                     FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id)
+           SELECT d.doc_id, d.lang FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+           ORDER BY d.doc_id"""
+      }),
+
+    // approx quantile sketch (t-digest-family percentile_approx) — like
+    // g4's HLL, sketch internals differ per engine so the driver
+    // records a rows-only check; the exact-quantile twin is g7.
+    ("g8_approx_quantiles", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
+          .as("q_approx"))
+        .select(col("event_type"),
+          element_at(col("q_approx"), 1).as("p50"),
+          element_at(col("q_approx"), 2).as("p95"))
+        .orderBy("event_type"),
+      None),
+
     // brute-force cosine top-k (the ANN baseline).
     ("n1_ann_topk", (s, dir) => {
       val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
