@@ -67,4 +67,33 @@ object Multimodal {
         }
       }
   }
+
+  /** Resized media row: payload after the (stub) resample plus the
+    * factor applied. */
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], factor: Int,
+                          n_bytes: Long)
+
+  /** The resize stage: per-partition batched downsample to at most
+    * `maxBytes` per payload. The stub "codec" keeps every factor-th
+    * byte — deterministic, size-bounded, and shape-identical to a real
+    * image/audio resampler (payload in, smaller payload out). Output
+    * payload size is bounded, so downstream stages can size partitions
+    * by row count again. */
+  def resizePayloads(media: DataFrame, maxBytes: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val factor = math.max(1, (bytes.length + maxBytes - 1) / maxBytes)
+          // real resampler binding goes here (ffmpeg scale / imageio)
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          ResizedMedia(id, out, factor, out.length.toLong)
+        }
+      }
+  }
 }

@@ -78,4 +78,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).width == 16 + 104 % 240)
     assert(feats(1L).avg_luma > 0.0)
   }
+
+  test("resize stage bounds payload size and keeps every factor-th byte") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "abcdefghij", "s"), (2L, "xy", "s"), (3L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.resizePayloads(Multimodal.toMedia(docs), maxBytes = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    // 10 bytes at cap 4 -> factor 3, keeps indices 0,3,6,9
+    assert(out(1L).factor == 3)
+    assert(new String(out(1L).payload) == "adgj")
+    assert(out.values.forall(_.n_bytes <= 4))
+    // under the cap -> untouched
+    assert(out(2L).factor == 1 && new String(out(2L).payload) == "xy")
+    assert(out(3L).n_bytes == 0L)
+  }
 }
