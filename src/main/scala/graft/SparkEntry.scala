@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, ConnectedComponents, Interpolation, Sessionize, TriangularRolling}
+import graft.operators.{AsOfJoin, ConnectedComponents, Ewma, Interpolation, Sessionize, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -401,6 +401,26 @@ object SparkEntry {
              SELECT user_id, CAST(ROUND(MAX(v)*100) AS BIGINT) AS peak1_c,
                ROUND(MAX(tri5), 4) AS peak5, ROUND(MAX(tri10), 4) AS peak10
              FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // EWMA per user (operators.Ewma): sequential recurrence over one
+    // key-partitioned sort; alpha = 0.25 so alpha and 1-alpha are exact
+    // binary fractions and both engines' recurrences match bitwise.
+    ("a6_ewma", (s, dir) =>
+      Ewma.ewma(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.25, "ew")
+        .select(col("event_id"), col("ew"))
+        .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT event_id, user_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+                FROM events),
+             r(user_id, rn, event_id, ew) AS (
+               SELECT user_id, rn, event_id, value FROM e WHERE rn = 1
+               UNION ALL
+               SELECT e.user_id, e.rn, e.event_id, 0.25 * e.value + 0.75 * r.ew
+               FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             SELECT event_id, ew FROM r ORDER BY event_id""")),
 
     // R6/R7: rows -> ordered series per key (nested array analogue,
     // serialized as a string for engine-portable comparison).

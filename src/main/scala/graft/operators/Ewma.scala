@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exponentially weighted moving average per key:
+  * `ew_1 = v_1; ew_n = alpha * v_n + (1 - alpha) * ew_{n-1}`
+  * (pandas `ewm(alpha).mean()` with `adjust=False` seeding).
+  *
+  * EWMA is a sequential linear recurrence — the one rolling operator a
+  * window frame cannot express (every output depends on the entire
+  * prefix, and the closed form `sum v_i * (1-a)^(n-i)` underflows and
+  * changes the float op sequence). This is the legitimate case for the
+  * per-partition imperative seam (SURVEY §2's "mapPartitions as a last
+  * resort"): repartition by key so each key's rows are co-located,
+  * sort within partitions on (key, order), then one linear pass
+  * carrying O(1) state, resetting at key boundaries.
+  *
+  * Scale: one exchange on the keys (same shuffle any per-key window
+  * needs), then a single streaming pass — no per-row frame scans, no
+  * driver involvement. Skew behaves like any sort on the same keys.
+  *
+  * Float parity note: the update is written `alpha * v + (1 - alpha) *
+  * state`; with alpha an exactly-representable binary fraction (0.25,
+  * 0.5, ...) the oracle's recursive CTE performs the identical IEEE
+  * sequence and results match bitwise.
+  */
+object Ewma {
+
+  /** @param orderCols must make rows unique within a key for a
+    *                  deterministic recurrence order */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+           valueCol: String, alpha: Double, outCol: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, DoubleType)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    val parted = df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var state = 0.0
+      var seeded = false
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; seeded = false }
+        val v = r.getAs[Number](valIdx).doubleValue()
+        state = if (!seeded) { seeded = true; v }
+        else alpha * v + (1 - alpha) * state
+        Row.fromSeq(r.toSeq :+ state)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -144,6 +144,43 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 }
 
+class EwmaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-key recurrence with adjust=False seeding, reset at key boundaries") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 10.0),
+      (2L, 1L, 100.0), (2L, 2L, 0.0))
+      .toDF("k", "t", "v")
+    val got = Ewma.ewma(df, Seq("k"), Seq("t"), "v", 0.25, "ew")
+      .select("k", "t", "ew").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // k=1: 10; .25*20+.75*10 = 12.5; .25*10+.75*12.5 = 11.875
+    assert(got((1L, 1L)) == 10.0)
+    assert(got((1L, 2L)) == 12.5)
+    assert(got((1L, 3L)) == 11.875)
+    // k=2 reseeds
+    assert(got((2L, 1L)) == 100.0)
+    assert(got((2L, 2L)) == 75.0)
+  }
+
+  test("matches a sequential reference on many keys across partitions") {
+    val rows = for (k <- 0L until 7L; t <- 1L to 40L)
+      yield (k, t, ((k * 37 + t * 17) % 100).toDouble)
+    val got = Ewma.ewma(rows.toDF("k", "t", "v"), Seq("k"), Seq("t"), "v", 0.25, "ew")
+      .select("k", "t", "ew").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = 0.0; var seeded = false
+      rs.sortBy(_._2).map { case (_, t, v) =>
+        s = if (!seeded) { seeded = true; v } else 0.25 * v + 0.75 * s
+        (k, t) -> s
+      }
+    }
+    assert(got == expected)
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
