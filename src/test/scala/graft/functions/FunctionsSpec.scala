@@ -61,6 +61,33 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class UnitVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.Similarity
+
+  test("unit vectors have norm 1 and preserve cosine") {
+    val vecs = Seq(
+      (1L, Seq(3.0, 4.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(-2.0, 7.5)),
+      (4L, Seq(0.1, 0.2, 0.3, 0.4)))
+    val df = vecs.toDF("id", "v")
+    val norms = df.select(Similarity.norm(Similarity.unit(org.apache.spark.sql.functions.col("v"))))
+      .as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+    // pairwise: dot of units == classic cosine (same dims only)
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter(org.apache.spark.sql.functions.expr("size(a.v) = size(b.v) AND a.id < b.id"))
+      .select(
+        Similarity.dot(Similarity.unit(org.apache.spark.sql.functions.col("a.v")),
+          Similarity.unit(org.apache.spark.sql.functions.col("b.v"))).as("viaUnit"),
+        Similarity.cosine(org.apache.spark.sql.functions.col("a.v"),
+          org.apache.spark.sql.functions.col("b.v")).as("classic"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (u, c) => assert(math.abs(u - c) < 1e-12) }
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
