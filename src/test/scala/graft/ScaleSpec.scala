@@ -99,6 +99,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // reading a slice and reading the table)
     assert(q3.contains("GreaterThan(l_shipdate"), "shipdate filter not pushed to scan")
   }
+
+  test("flagship e1 plan: bounded shuffles, broadcast spine join") {
+    val plan = SparkEntry.queries("e1_pipeline_nested")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // spine join must broadcast (the spine is per-user-bounds-sized)
+    assert(plan.contains("BroadcastExchange"), "spine join should broadcast")
+    // hourly agg + spine bounds + window/nest = 3 shuffles, all on user
+    // keys; a regression adding a 4th exchange means a stage stopped
+    // reusing the user_id partitioning
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"flagship grew to $shuffles shuffle exchanges:\n$plan")
+  }
 }
 
 class StatefulStreamSpec extends AnyFunSuite {
