@@ -697,6 +697,26 @@ object SparkEntry {
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              ORDER BY event_id""")),
 
+    // value-RANGE window frame (vs the ROWS frames everywhere else):
+    // trailing 1-hour sum per user keyed on the event-time axis — ties
+    // are peers and enter the frame together in both engines.
+    ("o7_range_frame", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsec")).rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_millis(ts) div 1000").as("tsec"),
+          cents(col("value")).as("c"))
+        .withColumn("v1h_c", sum(col("c")).over(w))
+        .select(col("event_id"), col("v1h_c"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS v1h_c
+             FROM events ORDER BY event_id""")),
+
     // deterministic hash sampling — THE reproducible corpus-sampling
     // method at scale: pure map-side filter (no shuffle, no RNG state),
     // stable across reruns/partitionings, and the keep-decision is a
