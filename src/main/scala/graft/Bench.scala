@@ -28,7 +28,8 @@ object Bench {
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    // ---- timed runs, stable order, best-of-2 (variance control) ----
+    // ---- timed runs, stable order, best-of-3 (variance control:
+    // co-tenant noise/GC spikes were observed surviving best-of-2) ----
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -36,7 +37,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
