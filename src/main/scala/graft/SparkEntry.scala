@@ -114,6 +114,28 @@ object SparkEntry {
         round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
   }
 
+  /** Scalable per-group top-k: the single-window formulation
+    * (`row_number over partitionBy(group)`) funnels every row of a
+    * group into ONE partition — a hotspot when groups are few and huge
+    * (ANN query ids, sampling strata). Phase 1 takes a local top-k
+    * inside each physical input partition (window keyed by
+    * (group, partition-id) — parallel, no hotspot); phase 2 ranks the
+    * ≤ k×numPartitions survivors per group. The global top-k is always
+    * contained in the local top-k's, so output is identical. */
+  private def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                           orderCols: Seq[Column], k: Int,
+                           rankCol: String): DataFrame = {
+    val wLocal = Window
+      .partitionBy(groupCols.map(col) :+ col("__pid"): _*)
+      .orderBy(orderCols: _*)
+    val cand = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__rk0", row_number().over(wLocal))
+      .filter(col("__rk0") <= k)
+      .drop("__rk0", "__pid")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    cand.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
   /** Shared oracle CTE: unit-normalized embeddings (same op sequence as
     * UnitVector — fold of squares, sqrt, per-element divide). */
   private val oracleUnitCte: String =
@@ -738,11 +760,13 @@ object SparkEntry {
     // applied per partition (rank <= n), reproducible across runs.
     ("o6_stratified_sample", (s, dir) => {
       val h = md5(concat(lit("smp|"), col("doc_id").cast("string")))
-      val w = Window.partitionBy("lang").orderBy(col("sample_key"), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), h.as("sample_key"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 20)
+      // two-phase: strata are FEW and HUGE at corpus scale — a single
+      // per-lang window would funnel each stratum into one partition.
+      topKPerGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), h.as("sample_key")),
+        Seq("lang"), Seq(col("sample_key"), col("doc_id")), 20, "rk")
+        .withColumn("rk", col("rk").cast("long"))
         .select("lang", "rk", "doc_id")
         .orderBy("lang", "rk")
     },
@@ -1156,15 +1180,14 @@ object SparkEntry {
         .orderBy("event_type"),
       None),
 
-    // brute-force cosine top-k (the ANN baseline).
-    ("n1_ann_topk", (s, dir) => {
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
-      annScores(s, dir)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+    // brute-force cosine top-k (the ANN baseline). Two-phase top-k:
+    // per-query scores at corpus scale must not funnel into one window
+    // partition per qid.
+    ("n1_ann_topk", (s, dir) =>
+      topKPerGroup(annScores(s, dir), Seq("qid"),
+        Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
         .select("qid", "rnk", "neighbor_id", "cos_r")
-        .orderBy("qid", "rnk")
-    },
+        .orderBy("qid", "rnk"),
       Some(s"""WITH $oracleUnitCte,
              q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
              s AS (SELECT qid, u.vec_id neighbor_id,
@@ -1202,8 +1225,8 @@ object SparkEntry {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
-      cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      topKPerGroup(cand, Seq("qid"),
+        Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
         .select("qid", "rnk", "neighbor_id", "cos_r")
         .orderBy("qid", "rnk")
     },
@@ -1253,8 +1276,8 @@ object SparkEntry {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("neighbor_id"))
-      cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      topKPerGroup(cand, Seq("qid"),
+        Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
         .select("qid", "rnk", "neighbor_id", "cos_r")
         .orderBy("qid", "rnk")
     },
