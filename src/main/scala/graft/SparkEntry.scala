@@ -99,6 +99,38 @@ object SparkEntry {
        sig AS (SELECT doc_id, $sigs FROM hs GROUP BY doc_id)"""
   }
 
+  /** LSH candidate pairs from the signature table, with the
+    * degenerate-bucket guard: a too-common band key (boilerplate /
+    * near-empty content hashing alike) would emit |bucket|² pairs, so
+    * buckets over `maxBucket` docs are dropped before the self-join.
+    * The bucket count is a window over bkey — the same hash
+    * partitioning the self-join needs, so the guard adds no exchange. */
+  private def lshPairs(sig: DataFrame, maxBucket: Int = 100): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+    val kept = bands
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    kept.as("a").join(kept.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Oracle twin of [[lshPairs]] (appends to [[oracleSigCtes]]):
+    * CTEs `bands`, `kept`, `pairs(doc_a, doc_b)`. */
+  private val oraclePairCtes: String = {
+    val bandList = (0 until 4).map(b =>
+      s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
+    s"""bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
+       kept AS (SELECT doc_id, bkey FROM
+                (SELECT *, COUNT(*) OVER (PARTITION BY bkey) bn FROM bands)
+                WHERE bn <= 100),
+       pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
   /** ANN scoring core: query set = vec_id < 5, cosine vs all vectors.
     * Vectors are unit-normalized ONCE per row (codegen UnitVector), so
     * each pair costs one dot product — not dot + two norms. */
@@ -975,26 +1007,12 @@ object SparkEntry {
       minhashSignatures(s, dir).orderBy("doc_id"),
       Some(s"WITH $oracleSigCtes SELECT * FROM sig ORDER BY doc_id")),
 
-    // LSH banding: 4 bands x 2 rows -> candidate pairs via bucket join.
-    ("d3_lsh_pairs", (s, dir) => {
-      val sig = minhashSignatures(s, dir)
-      val bandCols = (0 until 4).map(b =>
-        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
-      bands.as("a").join(bands.as("b"), Seq("bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    },
-      Some {
-        val bandList = (0 until 4).map(b => s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
-        s"""WITH $oracleSigCtes,
-           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig)
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-           ORDER BY doc_a, doc_b"""
-      }),
+    // LSH banding: 4 bands x 2 rows -> candidate pairs via bucket join
+    // (degenerate buckets capped, see lshPairs).
+    ("d3_lsh_pairs", (s, dir) =>
+      lshPairs(minhashSignatures(s, dir)).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $oracleSigCtes, $oraclePairCtes
+             SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
     // SimHash (16-bit) fingerprints from token hashes.
     ("d4_simhash", (s, dir) => {
@@ -1028,18 +1046,11 @@ object SparkEntry {
     // the scale-correct composition: quadratic set comparison runs only
     // on candidates surfaced by banding (d3), never on all pairs.
     ("d5_ngram_jaccard", (s, dir) => {
-      val sig = minhashSignatures(s, dir)
-      val bandCols = (0 until 4).map(b =>
-        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
       // The candidate set is tiny relative to the corpus but feeds THREE
       // consumers (candidate docs + both sides of the verify join) —
       // persist it so the minhash/banding chain runs once, not three
       // times (at corpus scale this is a checkpoint before verification).
-      val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().persist()
+      val pairs = lshPairs(minhashSignatures(s, dir)).persist()
       // gram sets are materialized ONLY for candidate docs — at corpus
       // scale the expensive set construction must not touch non-candidates.
       val candDocs = pairs.select(col("doc_a").as("doc_id"))
@@ -1056,12 +1067,7 @@ object SparkEntry {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-      Some {
-        val bandList = (0 until 4).map(b => s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
-        s"""WITH $oracleSigCtes,
-           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
-           pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-                     FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      Some(s"""WITH $oracleSigCtes, $oraclePairCtes,
            g AS (SELECT doc_id,
                  list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
                  FROM documents)
@@ -1071,8 +1077,7 @@ object SparkEntry {
                   - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) AS jaccard
            FROM pairs p JOIN g ga ON p.doc_a = ga.doc_id
                         JOIN g gb ON p.doc_b = gb.doc_id
-           ORDER BY doc_a, doc_b"""
-      }),
+           ORDER BY doc_a, doc_b""")),
 
     // embedding near-dup: cosine >= 0.95 within label blocks. Unit
     // vectors once per row -> one dot per pair (norms would otherwise
@@ -1100,47 +1105,27 @@ object SparkEntry {
     // connected components (driver union-find for near-dup-rate-sized
     // pair sets, distributed min-label propagation beyond — see
     // operators.ConnectedComponents). Oracle: recursive-CTE closure.
-    ("d7_dup_clusters", (s, dir) => {
-      val sig = minhashSignatures(s, dir)
-      val bandCols = (0 until 4).map(b =>
-        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
-      val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct()
-      ConnectedComponents.components(s, pairs, "src", "dst").orderBy("doc_id")
-    },
-      Some {
-        val bandList = (0 until 4).map(b =>
-          s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
-        s"""WITH RECURSIVE $oracleSigCtes,
-           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
-           pairs AS (SELECT DISTINCT a.doc_id src, b.doc_id dst
-                     FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-           edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    ("d7_dup_clusters", (s, dir) =>
+      ConnectedComponents.components(s,
+        lshPairs(minhashSignatures(s, dir)), "doc_a", "doc_b")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
            reach(doc_id, lbl) AS (
              SELECT DISTINCT src, src FROM edges
              UNION
              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
            SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id
-           ORDER BY doc_id"""
-      }),
+           ORDER BY doc_id""")),
 
     // the dedup pipeline's terminal operator: the KEEP-LIST. Every doc
     // survives except non-canonical members of a duplicate cluster
     // (canonical = min doc_id, d7's cluster label). One broadcast
     // anti-join against the (tiny) drop set.
     ("d8_dedup_keep", (s, dir) => {
-      val sig = minhashSignatures(s, dir)
-      val bandCols = (0 until 4).map(b =>
-        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
-      val pairs = bands.as("a").join(bands.as("b"), Seq("bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct()
-      val drop = ConnectedComponents.components(s, pairs, "src", "dst")
+      val drop = ConnectedComponents.components(s,
+        lshPairs(minhashSignatures(s, dir)), "doc_a", "doc_b")
         .filter(col("doc_id") =!= col("cluster"))
         .select("doc_id")
       t(s, dir, "documents")
@@ -1148,14 +1133,9 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
-      Some {
-        val bandList = (0 until 4).map(b =>
-          s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
-        s"""WITH RECURSIVE $oracleSigCtes,
-           bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
-           pairs AS (SELECT DISTINCT a.doc_id src, b.doc_id dst
-                     FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-           edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
            reach(doc_id, lbl) AS (
              SELECT DISTINCT src, src FROM edges
              UNION
@@ -1163,8 +1143,7 @@ object SparkEntry {
            cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id)
            SELECT d.doc_id, d.lang FROM documents d
            WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
-           ORDER BY d.doc_id"""
-      }),
+           ORDER BY d.doc_id""")),
 
     // approx quantile sketch (t-digest-family percentile_approx) — like
     // g4's HLL, sketch internals differ per engine so the driver
