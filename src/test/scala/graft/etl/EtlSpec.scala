@@ -5,6 +5,28 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
+class TypedActivitiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("typed facade round-trips cleaned rows with compile-time fields") {
+    val json = """{"id": 21, "name": "Ride", "type": "Ride",
+      "start_date": "2024-02-01T08:00:00Z", "athlete": {"id": 9},
+      "total_elevation_gain": 10.0, "distance": 1000.0,
+      "moving_time": 600, "elapsed_time": 650, "commute": false}"""
+    val cleaned = CleanActivities.clean(Seq(json).toDF("json"), 1704500000.0)
+      .filter(org.apache.spark.sql.functions.col("_valid")).drop("_valid")
+    val ds = TypedActivities.from(cleaned)
+    val a = ds.collect()(0)
+    assert(a.activity_id == 21L)
+    assert(a.username == "9")            // athlete-id fallback stamp
+    assert(a.user_id.contains(9L))
+    assert(a.gear_id == "na")            // absent -> default survives typing
+    // typed transforms compose (filter + map on fields, not strings)
+    assert(ds.filter(_.distance > 500.0).map(_.activity_id).collect().toSeq == Seq(21L))
+  }
+}
+
 class CleanActivitiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
