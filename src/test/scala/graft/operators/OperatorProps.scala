@@ -101,4 +101,41 @@ object OperatorProps extends Properties("operators") {
     forAll(genDense) { case (vals, n) =>
       triang(vals, n).flatten.forall(_ <= vals.max + 1e-9)
     }
+
+  // --- as-of join: the union+last formulation vs the naive definition ---
+
+  /** Random left/right tables over few keys; right (key, ts) unique so
+    * the expected match is well-defined. */
+  private val genAsof: Gen[(List[(Long, Long)], List[(Long, Long, Long)])] = for {
+    nl <- Gen.chooseNum(1, 15)
+    left <- Gen.listOfN(nl, for {
+      k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 40L)
+    } yield (k, t))
+    nr <- Gen.chooseNum(0, 15)
+    rightRaw <- Gen.listOfN(nr, for {
+      k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 40L)
+    } yield (k, t))
+  } yield {
+    val right = rightRaw.distinct.zipWithIndex.map { case ((k, t), i) =>
+      (k, t, 1000L + i)
+    }
+    (left.zipWithIndex.map { case ((k, t), i) => (k, t) }, right)
+  }
+
+  property("asof: union+last equals the naive latest-at-or-before definition") =
+    forAll(genAsof) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = right.toDF("k", "t", "payload")
+      val got = AsOfJoin.asof(l, r, Seq("k"), "t", "t",
+        Seq("payload" -> "p"), inner = false)
+        .select("lid", "p").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .toMap
+      val expected = left.zipWithIndex.map { case ((k, t), i) =>
+        val m = right.filter(e => e._1 == k && e._2 <= t)
+        i.toLong -> (if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toMap
+      got == expected
+    }
 }
