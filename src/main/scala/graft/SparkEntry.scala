@@ -990,6 +990,33 @@ object SparkEntry {
                AND o_orderdate < TIMESTAMP '1997-01-01'
              GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""")),
 
+    // TPC-H Q18-shaped large-volume orders: HAVING-style filter on an
+    // aggregate (partial-aggregated before its shuffle), then join the
+    // tiny survivor set back to the dims — survivors broadcast, facts
+    // never reshuffled for them.
+    ("q18_large_orders", (s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        .filter(col("qty_c") > 30000L)
+      t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          cents(col("o_totalprice")).as("total_c"), col("qty_c"))
+        .orderBy(col("total_c").desc, col("o_orderkey"))
+        .limit(20)
+    },
+      Some("""SELECT c_name, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c, qty_c
+             FROM (SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) qty_c
+                   FROM lineitem GROUP BY l_orderkey HAVING qty_c > 30000) big
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             ORDER BY total_c DESC, o_orderkey LIMIT 20""")),
+
     // ===== LLM-data-pipeline extension =====
 
     // exact dedup: content-hash grouping.
