@@ -11,6 +11,14 @@ import graft.functions.{Similarity, TextAnalysis}
   * and the LLM-data-pipeline extension — is exposed as a named query over
   * the driver's test tables, with an equivalent DuckDB oracle SQL.
   *
+  * Query-name families (COVERAGE.md maps each to SURVEY §2 rows):
+  *  - s* sources/scans · p* projection/cleaning · r* reshape/spine
+  *  - a* aggregations/rolling (a6 = EWMA) · g* grouping/sketches
+  *  - j* joins (asof/range/semi/anti) · o* ordering/sampling/frames
+  *  - w* time windows · q* TPC-H-shaped analytics · x* SQL-path extras
+  *  - d* dedup pipeline · n* ANN · t* text analysis · m* multimodal
+  *  - e1 = the flagship nested pipeline (reference E1)
+  *
   * Conventions for oracle hash-parity:
   *  - temporal outputs are formatted strings (parquet timestamp
   *    annotations differ between engines);
