@@ -97,6 +97,16 @@ class ActivityPipelineSpec extends AnyFunSuite {
     .withColumn("moving", lit(true))
     .withColumn("grade_smooth", lit(0.0))
 
+  test("pipeline plan: exchange count stays bounded (shared activity_id partitioning)") {
+    val plan = ActivityPipeline.process(activities(), streams(), nowEpoch)
+      .queryExecution.executedPlan.toString
+    // measured: 4 hash exchanges, all keyed on activity_id (spine
+    // bounds, the shared interpolate/rolling sort, nesting, maxima)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 4,
+      s"flagship ETL plan grew to $shuffles shuffle exchanges:\n$plan")
+  }
+
   test("corrected mode: spine, interpolation, rolling maxs, nesting") {
     val out = ActivityPipeline.process(activities(), streams(), nowEpoch)
     val a1 = out.filter($"id" === 1).collect()(0)
