@@ -1437,6 +1437,35 @@ object SparkEntry {
              CAST(levenshtein(substr(text, 1, 30), 'the quick brown fox jumps over') AS BIGINT) AS lev30
              FROM documents ORDER BY doc_id""")),
 
+    // corpus vocabulary: top-50 terms by total frequency — the seed
+    // stats a tokenizer/BPE trainer consumes. Word keys are high-
+    // cardinality, so the groupBy partial-aggregates map-side and the
+    // top-50 is a TakeOrdered, not a global sort.
+    ("t7_vocabulary", (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("word"))
+        .limit(50),
+      Some("""SELECT w AS word, COUNT(*) AS tf
+             FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
+             GROUP BY w ORDER BY tf DESC, word LIMIT 50""")),
+
+    // document frequency (the exact-integer side of IDF): number of
+    // docs containing each term, for terms appearing in >= 25 docs.
+    // array_distinct before the explode so a doc counts once per term.
+    ("t8_doc_freq", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.words(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 25)
+        .orderBy("word"),
+      Some("""SELECT w AS word, COUNT(*) AS df
+             FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) w
+                   FROM documents)
+             GROUP BY w HAVING df >= 25 ORDER BY word""")),
+
     // quality FILTER gate — the training-pipeline stage that consumes
     // t1's features: keep docs long enough and lexically diverse
     // enough. Both engines compute the ratio with the same op sequence,
