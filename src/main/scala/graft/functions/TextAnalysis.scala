@@ -37,7 +37,11 @@ object TextAnalysis {
     md5(concat(lit(s"$seed|"), value))
 
   /** Number of tokens belonging to `markers` (stopword / language-marker
-    * hit count), as a long. */
-  def markerCount(ws: Column, markers: Seq[String]): Column =
-    size(filter(ws, w => w.isin(markers: _*))).cast("long")
+    * hit count), as a long. Codegen set-membership kernel
+    * ([[ArrayCountInSet]]) — one hash probe per token instead of an
+    * interpreted lambda with a linear `isin` scan. */
+  def markerCount(ws: Column, markers: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ArrayCountInSet(Bridge.expression(ws), markers))
+  }
 }
