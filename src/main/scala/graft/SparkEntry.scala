@@ -386,6 +386,36 @@ object SparkEntry {
              FROM spine s LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
              ORDER BY s.user_id, hour_str""")),
 
+    // R8 (new surface): unpivot/melt — the inverse of the r1 pivot;
+    // wide measure columns to long (metric, value) form, exact cents.
+    ("r8_unpivot", (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_quantity")).as("quantity_c"),
+          cents(col("l_extendedprice")).as("extendedprice_c"),
+          cents(col("l_discount")).as("discount_c"),
+          cents(col("l_tax")).as("tax_c"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity_c"), col("extendedprice_c"),
+            col("discount_c"), col("tax_c")),
+          "metric", "value_c")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value_c FROM (
+             SELECT l_orderkey, l_linenumber, 'quantity_c' metric,
+                    CAST(ROUND(l_quantity*100) AS BIGINT) value_c
+             FROM lineitem WHERE l_orderkey <= 100
+             UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice_c',
+                    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             FROM lineitem WHERE l_orderkey <= 100
+             UNION ALL SELECT l_orderkey, l_linenumber, 'discount_c',
+                    CAST(ROUND(l_discount*100) AS BIGINT)
+             FROM lineitem WHERE l_orderkey <= 100
+             UNION ALL SELECT l_orderkey, l_linenumber, 'tax_c',
+                    CAST(ROUND(l_tax*100) AS BIGINT)
+             FROM lineitem WHERE l_orderkey <= 100)
+             ORDER BY l_orderkey, l_linenumber, metric""")),
+
     // R4: linear interpolation over spine gaps (pandas .interpolate()
     // semantics: leading nulls stay, interior linear, trailing ffill).
     ("r4_interpolate", (s, dir) => {
