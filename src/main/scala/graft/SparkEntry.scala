@@ -1036,6 +1036,38 @@ object SparkEntry {
                AND o_orderdate < TIMESTAMP '1997-01-01'
              GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""")),
 
+    // TPC-H Q6-shaped revenue delta: pure scan-filter-aggregate — every
+    // predicate pushes to the parquet scan, result is one exact number.
+    ("q06_forecast_revenue", (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 10000, 0)
+          .cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+             COUNT(*) AS n_rows
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'
+               AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
+    // conditional (FILTER-clause) aggregates: per-group metrics over
+    // different predicates in ONE pass — sum(when) compiles to the same
+    // partial-aggregable plan as SQL's FILTER clause.
+    ("g9_conditional_agg", (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(when(col("l_tax") > 0.04, 1)).as("n_hi_tax"),
+        sum(when(col("l_discount") === 0.0, cents(col("l_extendedprice")))).as("full_price_c"),
+        count(when(col("l_quantity") >= 40, 1)).as("n_bulk"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             COUNT(*) FILTER (l_tax > 0.04) AS n_hi_tax,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) FILTER (l_discount = 0.0) AS BIGINT) AS full_price_c,
+             COUNT(*) FILTER (l_quantity >= 40) AS n_bulk
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // TPC-H Q18-shaped large-volume orders: HAVING-style filter on an
     // aggregate (partial-aggregated before its shuffle), then join the
     // tiny survivor set back to the dims — survivors broadcast, facts
