@@ -61,6 +61,31 @@ object SparkEntry {
       TriangularRolling.triangMean(col("value"), w, 10).as("tri10"))
   }
 
+  /** DuckDB twin of the a5_rolling_full fast-kernel gate: direct
+    * triangular dot product over a bounded self-join, exact-integer
+    * channels, one double division per cell (matches the kernel's
+    * prefix-sum result bitwise because both sides are exact integers
+    * until that division). */
+  private def a5OracleSql: String = {
+    val cells = for { ch <- Seq("vc", "pl", "em"); n <- Seq(20, 120, 1200) } yield {
+      val wsum = n.toLong * n / 2 // triangular weight total for even n
+      s"""CASE WHEN t.rn >= $n THEN
+         CAST(SUM(CASE WHEN t.rn - s.rn <= ${n - 1}
+                       THEN s.$ch * (2 * LEAST(t.rn - s.rn, ${n - 1} - (t.rn - s.rn)) + 1) END)
+              AS DOUBLE) / $wsum.0 END AS tri_${ch}_$n"""
+    }
+    s"""WITH e AS (SELECT event_id, event_type,
+         CAST(ROUND(value*100) AS BIGINT) AS vc,
+         CAST(LENGTH(props) AS BIGINT) AS pl,
+         event_id % 97 AS em,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn
+         FROM events)
+       SELECT t.event_id, ${cells.mkString(",\n")}
+       FROM e t JOIN e s
+         ON t.event_type = s.event_type AND s.rn BETWEEN t.rn - 1199 AND t.rn
+       GROUP BY t.event_id, t.rn ORDER BY t.event_id"""
+  }
+
   /** MinHash signatures over word 3-shingles, one row per doc: 8
     * minwise hashes derived as 8-hex (32-bit) slices of TWO seeded md5
     * digests per shingle — 4x fewer digest computations than one md5
@@ -501,6 +526,30 @@ object SparkEntry {
              SELECT user_id, CAST(ROUND(MAX(v)*100) AS BIGINT) AS peak1_c,
                ROUND(MAX(tri5), 4) AS peak5, ROUND(MAX(tri10), 4) AS peak10
              FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // A3 at the production windows (main.py:85-89) through the O(1)
+    // prefix-sum kernel — the 100 TB path. Gate discipline: all three
+    // channels are INTEGER-valued (cents, length, modulus), so the
+    // kernel's running sums C and D are exact integers in doubles
+    // (|D| < 5e10 << 2^53: no cancellation), the weighted sum is an
+    // exact integer, and the single final division is the identical
+    // IEEE op in both engines — bit-parity without rounding.
+    // Partitioned by event_type (~1/5 of the table each) so the
+    // 1200-row window actually fills at sf0.01, unlike per-user series.
+    ("a5_rolling_full", (s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("ts"),
+        cents(col("value")).as("vc"),
+        length(col("props")).cast("long").as("pl"),
+        (col("event_id") % 97).as("em"))
+      val rolled = TriangularRolling.triangMeansFast(
+        base, Seq("event_type"), Seq("ts", "event_id"),
+        Seq("vc", "pl", "em"), Seq(20, 120, 1200))
+      val triCols = for { ch <- Seq("vc", "pl", "em"); n <- Seq(20, 120, 1200) }
+        yield col(s"tri_${ch}_$n")
+      rolled.select(col("event_id") +: triCols: _*).orderBy("event_id")
+    },
+      Some(a5OracleSql)),
 
     // EWMA per user (operators.Ewma): sequential recurrence over one
     // key-partitioned sort; alpha = 0.25 so alpha and 1-alpha are exact

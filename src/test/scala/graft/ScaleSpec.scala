@@ -100,6 +100,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(q3.contains("GreaterThan(l_shipdate"), "shipdate filter not pushed to scan")
   }
 
+  test("a5 fast-kernel plan: one exchange, one sort, no collect_list frames") {
+    val qe = SparkEntry.queries("a5_rolling_full")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // all 9 (channel, window) columns must ride ONE event_type
+    // partitioning + sort — an extra exchange or sort means a window
+    // spec drifted; collect_list means the O(n)-per-row kernel leaked in
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(qe).length
+    val sorts = "Sort \\[".r.findAllIn(qe).length
+    assert(exchanges == 1, s"a5 grew to $exchanges exchanges:\n$qe")
+    // final orderBy adds a range exchange + global sort; the window
+    // block itself must contribute exactly one sort
+    assert(sorts <= 2, s"a5 grew to $sorts sorts:\n$qe")
+    assert(!qe.contains("collect_list"), "a5 must use the prefix-sum kernel")
+  }
+
   test("flagship e1 plan: bounded shuffles, broadcast spine join") {
     val plan = SparkEntry.queries("e1_pipeline_nested")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -46,8 +46,11 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3:])  # optional: check only these query names
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
