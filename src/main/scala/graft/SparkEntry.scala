@@ -645,14 +645,19 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
              ORDER BY c_custkey""")),
 
+    // anti-join against a FILTERED right side: customers with no
+    // P-status order. (Unfiltered orders matched every customer at
+    // sf0.01 → a 0-row gate that proved nothing; 'P' leaves ~4% of
+    // customers, so the gate carries data.)
     ("j3_join_anti", (s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
       Some("""SELECT c_custkey, c_name FROM customer
-             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             WHERE NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              ORDER BY c_custkey""")),
 
     // as-of join: each error event -> the user's most recent prior view.
@@ -1233,9 +1238,14 @@ object SparkEntry {
                         JOIN g gb ON p.doc_b = gb.doc_id
            ORDER BY doc_a, doc_b""")),
 
-    // embedding near-dup: cosine >= 0.95 within label blocks. Unit
+    // embedding near-dup: cosine threshold within label blocks. Unit
     // vectors once per row -> one dot per pair (norms would otherwise
     // be recomputed quadratically across the blocked self-join).
+    // Threshold 0.35: the synthetic corpus's random embeddings top out
+    // at cos ~0.475, so a production-style 0.95 gate returned 0 rows —
+    // vacuous. 0.35 yields ~26 pairs at sf0.01 (closest pair sits
+    // 4.7e-4 from the cut, far beyond ulp disagreement between
+    // engines), so the gate exercises UnitVector/DotProduct on data.
     ("d6_embed_neardup", (s, dir) => {
       val em = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
         Similarity.unit(col("embedding")).as("ue"))
@@ -1243,7 +1253,7 @@ object SparkEntry {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           Similarity.dot(col("a.ue"), col("b.ue")).as("cos"))
-        .filter(col("cos") >= 0.95)
+        .filter(col("cos") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
     },
@@ -1252,7 +1262,7 @@ object SparkEntry {
              ROUND(list_dot_product(a.ue, b.ue), 4) AS cos_sim
              FROM u a JOIN u b
                ON a.label = b.label AND a.vec_id < b.vec_id
-             WHERE list_dot_product(a.ue, b.ue) >= 0.95
+             WHERE list_dot_product(a.ue, b.ue) >= 0.35
              ORDER BY vec_a, vec_b""")),
 
     // duplicate CLUSTERS from the LSH candidate graph: adaptive
