@@ -1668,7 +1668,73 @@ object SparkEntry {
                    (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
                    > 2 * (SELECT CAST(SUM(CAST(ROUND(o3.o_totalprice*100) AS BIGINT)) AS BIGINT)
                           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
-             ORDER BY o_orderkey"""))
+             ORDER BY o_orderkey""")),
+
+    // E1 in legacyCompat mode, hash-gated end-to-end: orders rows are
+    // serialized as Strava-shaped JSON documents, pushed through the
+    // REAL CleanActivities.clean -> ActivityPipeline.process(legacy)
+    // path (empty streams), and the §1.4 quirk projection
+    // (end_lat:=end_lng main.py:159, max_heartrate:=start_lng :160,
+    // user_id:=null :171, timestamp:=elevation :174) plus the 5-year
+    // clamp (:143-145, nowEpoch=2002-01-01 splits the corpus) is
+    // reproduced field-by-field in the oracle.
+    ("e2_legacy_pipeline", (s, dir) => {
+      val now = 1009843200L // 2002-01-01T00:00:00Z
+      val o = t(s, dir, "orders")
+      val docs = o.select(to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("name"),
+        col("o_orderstatus").as("type"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
+        struct(col("o_custkey").as("id")).as("athlete"),
+        (col("o_orderkey") % 86400).as("moving_time"),
+        (col("o_orderkey") % 86400 + 60).as("elapsed_time"),
+        col("o_totalprice").as("distance"),
+        ((col("o_orderkey") % 1000) / lit(4.0)).as("total_elevation_gain"),
+        array(col("o_custkey") / lit(100.0),
+          col("o_custkey") / lit(1000.0) + lit(7.0)).as("start_latlng"),
+        array(col("o_orderkey") / lit(100.0),
+          col("o_custkey") / lit(50.0)).as("end_latlng"))).as("json"))
+      val cleaned = etl.CleanActivities.clean(docs, now.toDouble)
+      val noStreams = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        etl.StravaSchemas.streamSample)
+      etl.ActivityPipeline.process(
+        cleaned.filter(col("_valid")).drop("_valid"), noStreams,
+        now, legacyCompat = true)
+        .select(col("id"), col("activity_timestamp"), col("name_id"),
+          col("icon_url"), col("gear_id"), col("polyline"),
+          col("start_lat"),
+          col("end_lat"), col("max_heartrate"), col("start_lng"),
+          col("end_lng"), col("user_id"),
+          col("timestamp").as("ts_quirk"), col("elevation"),
+          col("username"), col("epoch"), col("timenow"),
+          col("duration"), col("distance"),
+          size(col("streams")).cast("long").as("n_streams"))
+        .orderBy("id")
+    },
+      Some("""WITH a AS (SELECT o_orderkey id, o_orderpriority nm,
+               CAST(epoch(o_orderdate) AS BIGINT) ep,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') sd,
+               o_custkey, o_orderkey % 86400 mt, o_totalprice dist,
+               (o_orderkey % 1000) / 4.0 elev,
+               o_custkey / 100.0 slat, o_custkey / 1000.0 + 7.0 slng,
+               o_custkey / 50.0 elng
+             FROM orders)
+             SELECT id,
+               CASE WHEN 1009843200 - ep > 157680000
+                    THEN '1997-01-03T00:00:00Z' ELSE sd END AS activity_timestamp,
+               nm || '_' || CAST(id AS VARCHAR) AS name_id,
+               'www.google.com' AS icon_url, 'na' AS gear_id, 'na' AS polyline,
+               slat AS start_lat,
+               elng AS end_lat, slng AS max_heartrate, slng AS start_lng,
+               elng AS end_lng, CAST(NULL AS BIGINT) AS user_id,
+               elev AS ts_quirk, elev AS elevation,
+               CAST(o_custkey AS VARCHAR) AS username, ep AS epoch,
+               '2002-01-01 00:00:00' AS timenow,
+               mt AS duration, dist AS distance,
+               CAST(0 AS BIGINT) AS n_streams
+             FROM a ORDER BY id"""))
   )
 
   // ---------- driver contract ----------
