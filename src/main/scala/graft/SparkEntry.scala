@@ -794,13 +794,22 @@ object SparkEntry {
              quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.9) AS p90_c
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // HLL sketch — engines' approx algorithms differ, rows-only check.
+    // HLL sketch. Engines' sketch internals differ, so the raw estimate
+    // can't hash-match — instead the gate emits the EXACT count plus a
+    // bounded-error boolean (|approx-exact|/exact <= 3*rsd); the oracle
+    // asserts TRUE, so an HLL regression beyond its own error bound
+    // flips the hash. (Spark's estimate is deterministic per dataset.)
     ("g4_approx_distinct", (s, dir) =>
       t(s, dir, "events").groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("within_bound"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+             FROM events GROUP BY event_type ORDER BY event_type""")),
 
     ("o1_topk", (s, dir) => {
       // limit-first so the plan is TakeOrderedAndProject (per-partition
@@ -1309,19 +1318,30 @@ object SparkEntry {
            WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
            ORDER BY d.doc_id""")),
 
-    // approx quantile sketch (t-digest-family percentile_approx) — like
-    // g4's HLL, sketch internals differ per engine so the driver
-    // records a rows-only check; the exact-quantile twin is g7.
+    // approx quantile sketch (percentile_approx, accuracy 1000). Like
+    // g4, sketch internals differ per engine — the gate emits the exact
+    // interpolated quantiles (g7 discipline, cents domain) plus
+    // bounded-error booleans: with accuracy 1000 the rank error is
+    // <= n/1000 (~2 ranks at sf0.01), so a 5% relative value bound has
+    // huge slack while still catching a broken sketch.
     ("g8_approx_quantiles", (s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
         .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
-          .as("q_approx"))
-        .select(col("event_type"),
-          element_at(col("q_approx"), 1).as("p50"),
-          element_at(col("q_approx"), 2).as("p95"))
+          .as("q_approx"),
+          expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)").as("p50_exact_c"),
+          expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.95)").as("p95_exact_c"))
+        .select(col("event_type"), col("p50_exact_c"), col("p95_exact_c"),
+          (abs(element_at(col("q_approx"), 1) * 100 - col("p50_exact_c")) <=
+            col("p50_exact_c") * 0.05).as("p50_within"),
+          (abs(element_at(col("q_approx"), 2) * 100 - col("p95_exact_c")) <=
+            col("p95_exact_c") * 0.05).as("p95_within"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+             quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS p50_exact_c,
+             quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.95) AS p95_exact_c,
+             TRUE AS p50_within, TRUE AS p95_within
+             FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // brute-force cosine top-k (the ANN baseline). Two-phase top-k:
     // per-query scores at corpus scale must not funnel into one window
