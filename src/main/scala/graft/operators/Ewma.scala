@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.DoubleType
   * state`; with alpha an exactly-representable binary fraction (0.25,
   * 0.5, ...) the oracle's recursive CTE performs the identical IEEE
   * sequence and results match bitwise.
+  *
+  * Nulls follow pandas `ewm(.., ignore_na=True)`: a null value emits
+  * the carried-forward mean (null before any valid value) and does not
+  * advance the recurrence — it is invisible to later rows' weights.
   */
 object Ewma {
 
@@ -44,10 +48,15 @@ object Ewma {
       it.map { r =>
         val k = keyIdx.map(r.get)
         if (curKey == null || k != curKey) { curKey = k; seeded = false }
-        val v = r.getAs[Number](valIdx).doubleValue()
-        state = if (!seeded) { seeded = true; v }
-        else alpha * v + (1 - alpha) * state
-        Row.fromSeq(r.toSeq :+ state)
+        val out: Any =
+          if (r.isNullAt(valIdx)) { if (seeded) state else null }
+          else {
+            val v = r.getAs[Number](valIdx).doubleValue()
+            state = if (!seeded) { seeded = true; v }
+            else alpha * v + (1 - alpha) * state
+            state
+          }
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(Encoders.row(outSchema))
   }

@@ -164,6 +164,20 @@ class EwmaSpec extends AnyFunSuite {
     assert(got((2L, 2L)) == 75.0)
   }
 
+  test("nulls: carried-forward mean, invisible to the recurrence (pandas ignore_na)") {
+    val df = Seq((1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, Some(20.0)),
+      (2L, 1L, None), (2L, 2L, Some(5.0)))
+      .toDF("k", "t", "v")
+    val got = Ewma.ewma(df, Seq("k"), Seq("t"), "v", 0.5, "ew")
+      .select("k", "t", "ew").as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 1L)) == Some(10.0))
+    assert(got((1L, 2L)) == Some(10.0)) // null row: carry, don't decay
+    assert(got((1L, 3L)) == Some(15.0)) // .5*20+.5*10 — gap invisible
+    assert(got((2L, 1L)) == None)       // leading null: no state yet
+    assert(got((2L, 2L)) == Some(5.0))  // seeds at first valid
+  }
+
   test("matches a sequential reference on many keys across partitions") {
     val rows = for (k <- 0L until 7L; t <- 1L to 40L)
       yield (k, t, ((k * 37 + t * 17) % 100).toDouble)
