@@ -42,6 +42,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    SparkEntry.clearCaches(spark)
     spark.stop()
   }
 }

@@ -83,6 +83,23 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 }
 
+class CacheLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dedup materialized indexes unpersist on clearCaches") {
+    // build + materialize the signature/pairs indexes via a consumer
+    SparkEntry.queries("d3_lsh_pairs")(spark, "/root/testdata/sf0.001").count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "dedup chain should persist its materialized indexes")
+    SparkEntry.clearCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearCaches must leave no pinned RDDs")
+    // rebuild-on-demand after a clear still works
+    assert(SparkEntry.queries("d3_lsh_pairs")(spark, "/root/testdata/sf0.001").count() > 0)
+    SparkEntry.clearCaches(spark)
+  }
+}
+
 class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
