@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *    driver — one collect instead of a multi-round join loop. LSH
   *    candidate pairs are near-dup-rate-sized, not corpus-sized, so
   *    this is the common case even at large corpus scale.
-  *  - **large graphs**: distributed min-label propagation — per round
-  *    one join against the edge list plus one min-groupBy, early exit
-  *    when no label changes. Rounds ≈ component diameter (near-dup
-  *    clusters are shallow stars/cliques). This is the classic
-  *    GraphX/GraphFrames-style CC loop, all shuffles on the edge list.
+  *  - **large graphs**: distributed min-label propagation with pointer
+  *    jumping — per round one join against the edge list, one
+  *    min-groupBy, and one label-of-label join, early exit when no
+  *    label changes. Rounds = O(log diameter), so even pathological
+  *    chain-shaped components (transitive near-dup chains) converge
+  *    within the iteration budget; exhaustion throws rather than
+  *    returning partial labels.
   *
   * Both paths produce identical output (min-reachable label), pinned by
   * ConnectedComponentsSpec property tests.
@@ -71,7 +73,17 @@ object ConnectedComponents {
     verts.sorted.map(v => (v, find(v)))
   }
 
-  /** Distributed min-label propagation to fixpoint. */
+  /** Distributed min-label propagation to fixpoint, with POINTER
+    * JUMPING each round (label := min(label, label-of-label)): distances
+    * to the component minimum halve per round on top of the edge hop,
+    * so convergence is O(log diameter) rounds — a 2^50-diameter path
+    * would be needed to exhaust the default iteration budget. Labels
+    * only decrease and only to reachable vertex ids, so the fixpoint is
+    * the min-reachable label (same contract as the union-find path).
+    *
+    * Throws IllegalStateException if the budget is exhausted before the
+    * fixpoint — silently returning partial labels would corrupt every
+    * downstream dedup decision. */
   def labelPropagate(p: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst"))).persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -81,8 +93,18 @@ object ConnectedComponents {
     while (changed > 0 && iters < maxIters) {
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("cluster"))
-      val next = labels.select("doc_id", "cluster").union(prop)
-        .groupBy("doc_id").agg(min(col("cluster")).as("cluster")).persist()
+      val minLabels = labels.select("doc_id", "cluster").union(prop)
+        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+      // pointer jump: my label's own label is also reachable from me.
+      // localCheckpoint truncates the lineage, which otherwise DOUBLES
+      // per round (minLabels appears twice in the jump join) — plan
+      // growth, not data, is what kills long iterative loops.
+      val next = minLabels
+        .join(minLabels.select(col("doc_id").as("__c"), col("cluster").as("__cc")),
+          col("cluster") === col("__c"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("__cc"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
@@ -90,6 +112,12 @@ object ConnectedComponents {
       iters += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "refusing to return partial cluster labels")
+    }
     labels
   }
 }

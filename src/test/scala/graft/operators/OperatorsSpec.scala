@@ -224,6 +224,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // and the adaptive front door (small path) matches too
     assert(asMap(ConnectedComponents.components(spark, df, "src", "dst")) == local)
   }
+
+  test("pointer jumping converges on a diameter-300 chain within the budget") {
+    // plain per-hop propagation would need ~300 rounds and previously
+    // exited at 50 with silently wrong labels
+    val edges = (0L until 300L).map(i => (i, i + 1)).toDF("src", "dst")
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val got = asMap(ConnectedComponents.labelPropagate(edges))
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
+
+  test("non-convergence throws instead of returning partial labels") {
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    intercept[IllegalStateException] {
+      ConnectedComponents.labelPropagate(edges, maxIters = 2)
+    }
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {
