@@ -1675,7 +1675,11 @@ object SparkEntry {
     // output) of a video frame-sampler; the codec itself is the
     // multimodal stub seam (graft.multimodal).
     ("m2_frame_sample", (s, dir) => {
-      val nFrames = expr("(CAST(length(text) AS BIGINT) - 1) div 100")
+      // greatest(len,1) guards the empty payload: Spark's `div`
+      // truncates (-1 div 100 = 0 -> one frame) while DuckDB's `//`
+      // floors (-1//100 = -1 -> zero rows) — clamping keeps both
+      // engines at exactly one frame for empty text.
+      val nFrames = expr("(greatest(CAST(length(text) AS BIGINT), 1L) - 1) div 100")
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), explode(sequence(lit(0L), nFrames)).as("f"))
         .select(col("doc_id"), col("f").as("frame_idx"),
@@ -1684,7 +1688,7 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     },
       Some("""WITH f AS (SELECT doc_id, text,
-             UNNEST([i for i in generate_series(0, (len(text)-1)//100)]) f
+             UNNEST([i for i in generate_series(0, (greatest(len(text),1)-1)//100)]) f
              FROM documents)
              SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
              CAST(f*100+1 AS BIGINT) AS byte_off,

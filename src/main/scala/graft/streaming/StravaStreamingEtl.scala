@@ -42,16 +42,28 @@ object StravaStreamingEtl {
           val rows = ActivityPipeline.process(acts, streams, nowEpoch, legacyCompat)
           // Idempotent append: drop ids already present in the sink,
           // reading only the date partitions this batch can touch.
-          val fresh = try {
+          // Sink absence is checked EXPLICITLY — a broad catch here
+          // would also swallow transient read failures and silently
+          // disable dedup during failure replay, exactly when
+          // duplicates are most likely; any other error fails the
+          // batch and lets the stream's retry semantics handle it.
+          val sinkDir = new org.apache.hadoop.fs.Path(sinkPath)
+          val sinkExists = sinkDir
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(sinkDir)
+          val fresh = if (!sinkExists) rows else {
             val b = rows.agg(min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
               .collect()(0)
-            val seen = spark.read.parquet(sinkPath)
-              .filter(col("activity_date").between(
+            val seenAll = spark.read.parquet(sinkPath)
+            // null epoch bounds (no parseable timestamps in the batch):
+            // fall back to the unpruned id scan — correctness over pruning
+            val seen = (if (b.isNullAt(0) || b.isNullAt(1)) seenAll
+              else seenAll.filter(col("activity_date").between(
                 to_date(from_unixtime(lit(b.getLong(0)))),
-                to_date(from_unixtime(lit(b.getLong(1))))))
+                to_date(from_unixtime(lit(b.getLong(1)))))))
               .select(col("id")).distinct()
             rows.join(seen, Seq("id"), "left_anti")
-          } catch { case _: Exception => rows } // sink doesn't exist yet
+          }
           ActivitySink.append(fresh, sinkPath)
         }
         ()
