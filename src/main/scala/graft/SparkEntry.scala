@@ -251,6 +251,60 @@ object SparkEntry {
     }.toArray
   }
 
+  /** Shared LSH-ANN core for n3/n4: sign-bit signatures vs [[rpPlanes]],
+    * candidates from the query's own bucket — plus, with `hamming1`,
+    * the 8 buckets one sign-flip away (multiprobe). Multiprobe is the
+    * recall lever at scale: near-neighbors straddling one hyperplane
+    * land one hamming step away, and probing 9 buckets costs 9 bucket
+    * lookups, NOT a wider scan. A neighbor matches at most one probe
+    * (each vector lives in exactly one bucket), so no dedup is needed. */
+  private def annLshTopK(s: SparkSession, dir: String, hamming1: Boolean): DataFrame = {
+    val em = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val sig = rpPlanes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withSig = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
+    val probeCols =
+      if (hamming1) col("bucket") +: (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+      else Seq(col("bucket"))
+    val q = withSig.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"),
+        explode(array(probeCols: _*)).as("probe"))
+    val cand = broadcast(q).join(withSig, col("probe") === col("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+    topKPerGroup(cand, Seq("qid"),
+      Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
+      .select("qid", "rnk", "neighbor_id", "cos_r")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Oracle twin of [[annLshTopK]]. */
+  private def annLshOracleSql(hamming1: Boolean): String = {
+    val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
+      val plane = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList =
+      if (hamming1) (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString("[bucket, ", ", ", "]")
+      else "[bucket]"
+    s"""WITH $oracleUnitCte,
+       sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
+       q AS (SELECT vec_id qid, ue qu, UNNEST($probeList) probe
+             FROM sig WHERE vec_id < 5),
+       cand AS (SELECT q.qid, s.vec_id neighbor_id,
+                ROUND(list_dot_product(q.qu, s.ue), 6) cos_r
+                FROM q JOIN sig s ON q.probe = s.bucket AND s.vec_id <> q.qid),
+       r AS (SELECT qid, neighbor_id, cos_r,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+             FROM cand)
+       SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+       ORDER BY qid, rnk"""
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("window", "batch", "merge"),
@@ -1443,46 +1497,15 @@ object SparkEntry {
 
     // LSH-bucketed ANN: sign-bit signatures vs the hyperplane codebook,
     // candidates = same bucket, exact cosine re-rank inside. The other
-    // scale path next to IVF (n2); multiprobe (hamming-1 buckets) is
-    // the recall lever at real scale.
-    ("n3_ann_lsh", (s, dir) => {
-      // unit-normalize first: bucket signs are scale-invariant, and the
-      // in-bucket re-rank is then one dot per candidate pair.
-      val em = t(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
-      val sig = rpPlanes.zipWithIndex.map { case (p, j) =>
-        when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val withSig = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
-      val q = withSig.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("ue").as("qu"), col("bucket"))
-      val cand = broadcast(q).join(withSig, Seq("bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("neighbor_id"),
-          round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
-      topKPerGroup(cand, Seq("qid"),
-        Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
-        .select("qid", "rnk", "neighbor_id", "cos_r")
-        .orderBy("qid", "rnk")
-    },
-      Some {
-        val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
-          val plane = p.mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH $oracleUnitCte,
-           sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
-           q AS (SELECT vec_id qid, ue qu, bucket FROM sig WHERE vec_id < 5),
-           cand AS (SELECT q.qid, s.vec_id neighbor_id,
-                    ROUND(list_dot_product(q.qu, s.ue), 6) cos_r
-                    FROM q JOIN sig s ON q.bucket = s.bucket AND s.vec_id <> q.qid),
-           r AS (SELECT qid, neighbor_id, cos_r,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
-                 FROM cand)
-           SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
-           ORDER BY qid, rnk"""
-      }),
+    // scale path next to IVF (n2). See annLshTopK.
+    ("n3_ann_lsh", (s, dir) => annLshTopK(s, dir, hamming1 = false),
+      Some(annLshOracleSql(hamming1 = false))),
+
+    // n3 with hamming-1 multiprobe: same codebook, 9 probes per query.
+    // The recall lift vs n3 is visible in the gates themselves (more
+    // top-5 rows survive at the same k) and pinned by AnnRecallSpec.
+    ("n4_ann_multiprobe", (s, dir) => annLshTopK(s, dir, hamming1 = true),
+      Some(annLshOracleSql(hamming1 = true))),
 
     // text quality features + score.
     ("t1_text_stats", (s, dir) => {

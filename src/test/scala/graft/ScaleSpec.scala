@@ -83,6 +83,26 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 }
 
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("hamming-1 multiprobe recall >= single-probe recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("n1_ann_topk")
+    val single = pairs("n3_ann_lsh")
+    val multi = pairs("n4_ann_multiprobe")
+    assert(multi.size >= single.size, "multiprobe must not shrink the candidate top-k")
+    val rSingle = (single & truth).size
+    val rMulti = (multi & truth).size
+    assert(rMulti >= rSingle,
+      s"multiprobe recall $rMulti < single-probe $rSingle of ${truth.size}")
+    assert(multi.nonEmpty)
+  }
+}
+
 class CacheLifecycleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
