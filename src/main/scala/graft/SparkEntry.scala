@@ -1209,14 +1209,17 @@ object SparkEntry {
 
     // TPC-H Q18-shaped large-volume orders: HAVING-style filter on an
     // aggregate (partial-aggregated before its shuffle), then join the
-    // tiny survivor set back to the dims — survivors broadcast, facts
-    // never reshuffled for them.
+    // tiny survivor set back to the dims — facts never reshuffled for
+    // them. No broadcast HINT on the survivor set: its size is
+    // data-dependent (a pathological threshold at 100x scale could
+    // overflow a forced broadcast), so AQE decides from the aggregate's
+    // actual runtime size — which at any sane threshold is tiny.
     ("q18_large_orders", (s, dir) => {
       val big = t(s, dir, "lineitem").groupBy("l_orderkey")
         .agg(sum(cents(col("l_quantity"))).as("qty_c"))
         .filter(col("qty_c") > 30000L)
       t(s, dir, "orders")
-        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),

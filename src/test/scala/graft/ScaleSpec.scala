@@ -152,6 +152,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!qe.contains("collect_list"), "a5 must use the prefix-sum kernel")
   }
 
+  test("q18 final AQE plan: facts never reshuffled, no forced broadcast hint") {
+    // the survivor set's size is data-dependent, so q18 carries no
+    // broadcast() hint — AQE must still settle on a plan whose ONLY
+    // hash exchange is the lineitem partial-agg shuffle (orders and
+    // customer are joined without being reshuffled)
+    val q18 = SparkEntry.queries("q18_large_orders")(spark, "/root/testdata/sf0.001")
+    q18.collect()
+    val plan = q18.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges == 1, s"q18 facts got reshuffled ($exchanges hash exchanges):\n$finalPlan")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      // thresholds scaled down so a 54k-row hot key trips the same
+      // OptimizeSkewedJoin logic that fires at 256MB partitions in prod
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = (0 until 60000).map(i => (if (i % 10 != 0) 7L else i.toLong, i.toLong))
+        .toDF("k", "v")
+      val right = (0 until 5000).map(i => (i.toLong, s"payload_$i")).toDF("k", "p")
+      val j = left.join(right, "k")
+      assert(j.collect().length == 54500) // 54000 hot-key + 500 tail matches
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the join as skewed:\n${plan.take(2000)}")
+      assert(plan.contains("AQEShuffleRead skewed"),
+        "AQE did not split the skewed shuffle read")
+    } finally restore.foreach(spark.conf.unset)
+  }
+
   test("flagship e1 plan: bounded shuffles, broadcast spine join") {
     val plan = SparkEntry.queries("e1_pipeline_nested")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
