@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.UserStore
+
+/** Transactional whole-doc upsert (K2) on plain parquet — the
+  * production shape of the reference's `doc_ref.set` overwrite
+  * (firebase_functions.py:54-60) without a table-format dependency.
+  *
+  * Layout: immutable snapshot directories plus one pointer file,
+  * ```
+  *   root/_CURRENT      -> "v-00000042"
+  *   root/v-00000042/   (parquet snapshot, never mutated)
+  * ```
+  * A merge writes the NEXT snapshot directory in full, then swaps the
+  * pointer via write-temp + atomic rename. Readers resolve the pointer
+  * once and only ever see a complete snapshot — there is no window
+  * where a reader observes a half-written table (the recompute/
+  * overwrite it replaces had exactly that window). Concurrent writers
+  * are handled optimistically: the pointer is re-read before the swap
+  * and a concurrent bump fails the commit loudly, leaving the winner's
+  * snapshot intact (the orphaned directory is garbage, never visible).
+  *
+  * Scale: the users dimension is small, but nothing here is
+  * size-bound — snapshots are written distributed, and the only
+  * driver-side work is two pointer reads and a rename.
+  */
+object VersionedParquetStore {
+
+  private val POINTER = "_CURRENT"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(f: FileSystem, root: String): Option[String] = {
+    val p = new Path(root, POINTER)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Current snapshot, or None before the first commit. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    readPointer(fs(spark, root), root)
+      .map(v => spark.read.parquet(new Path(root, v).toString))
+
+  /** Last-write-wins merge of `updates` into the store (UserStore
+    * semantics on `keyCol`), committed as a new snapshot.
+    * @return the merged snapshot as committed */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keyCol: String = "username",
+            beforeCommit: () => Unit = () => ()): DataFrame = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val before = readPointer(f, root)
+    val merged = read(spark, root) match {
+      case Some(cur) => UserStore.upsert(cur, updates)
+      case None      => updates
+    }
+    // monotonic version for humans + uuid so two racing writers never
+    // collide on the directory itself — the pointer decides the winner
+    val nextV = "v-%08d-%s".format(
+      before.map(_.drop(2).takeWhile(_.isDigit).toLong + 1).getOrElse(0L),
+      java.util.UUID.randomUUID.toString.take(8))
+    merged.write.mode("errorifexists")
+      .parquet(new Path(root, nextV).toString)
+
+    beforeCommit() // test seam: race injection between write and swap
+    // optimistic commit: pointer must not have moved since we read it
+    if (readPointer(f, root) != before)
+      throw new IllegalStateException(
+        s"concurrent commit detected on $root — aborting pointer swap " +
+          s"(snapshot $nextV left orphaned, never visible)")
+    val tmp = new Path(root, s"$POINTER.tmp")
+    val out = f.create(tmp, true)
+    try out.write(nextV.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(root, POINTER))) {
+      // posix/HDFS rename won't replace an existing file atomically on
+      // all filesystems — delete-then-rename is the portable two-step;
+      // the pointer file is tiny so the non-atomic window is one inode
+      // swap, and a torn read simply resolves the previous snapshot
+      f.delete(new Path(root, POINTER), false)
+      if (!f.rename(tmp, new Path(root, POINTER)))
+        throw new IllegalStateException(s"pointer swap failed on $root")
+    }
+    spark.read.parquet(new Path(root, nextV).toString)
+  }
+}
