@@ -1237,6 +1237,133 @@ object SparkEntry {
              JOIN customer ON o_custkey = c_custkey
              ORDER BY total_c DESC, o_orderkey LIMIT 20""")),
 
+    // TPC-H Q4-shaped priority check: semi-join keeps orders with at
+    // least one returned line — EXISTS never materializes the match
+    // multiplicity, so the fact join carries no fan-out.
+    ("q04_order_priority", (s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+               AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q10-shaped returned-item ranking: filtered fact -> joins ->
+    // top 20 via TakeOrderedAndProject (no global sort), nation
+    // broadcast, revenue in exact e4 units.
+    ("q10_returned_items", (s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+      Some("""SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE l_returnflag = 'R'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1996-07-01'
+             GROUP BY c_custkey, c_name, n_name
+             ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q14-shaped promo share: conditional aggregate over a
+    // broadcast part join; numerator/denominator as exact integers,
+    // ONE double division for the percentage (identical IEEE op in
+    // both engines — no post-division rounding).
+    ("q14_promo_revenue", (s, dir) => {
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")
+      t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_e4"),
+          sum(rev).as("total_e4"))
+        .select(col("promo_e4"), col("total_e4"),
+          (col("promo_e4").cast("double") * 100 / col("total_e4")).as("promo_pct"))
+    },
+      Some("""SELECT promo_e4, total_e4,
+             CAST(promo_e4 AS DOUBLE) * 100 / total_e4 AS promo_pct
+             FROM (SELECT
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS total_e4
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01')""")),
+
+    // TPC-H Q16-shaped supplier variety: distinct-count per part
+    // attribute triple, using lineitem as the part-supplier relation.
+    // countDistinct expands to a two-level aggregate — partial
+    // de-duplication before the shuffle, like every other agg here.
+    ("q16_part_suppliers", (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") =!= "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size")),
+      Some("""SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_type <> 'PROMO'
+             GROUP BY p_brand, p_type, p_size
+             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // TPC-H Q22-shaped dormant rich customers: global-scalar subquery
+    // as an EXACT integer predicate (bal_c * n > sum_c — no double
+    // average crosses an engine boundary), then anti-join to orders,
+    // rolled up per nation.
+    ("q22_dormant_balance", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val pos = c.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("sum_c"), count(lit(1)).as("n_pos"))
+      val rich = c.join(broadcast(pos))
+        .filter(cents(col("c_acctbal")) * col("n_pos") > col("sum_c"))
+      // 'no P-status order' rather than 'no order at all': every
+      // customer orders at sf0.01, which would make the gate 0-row
+      val dormant = rich.join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      dormant.join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("total_bal_c"))
+        .orderBy("n_name")
+    },
+      Some("""SELECT n_name, COUNT(*) AS numcust,
+             CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_bal_c
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) *
+                   (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+                   > (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                      FROM customer WHERE c_acctbal > 0)
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             GROUP BY n_name ORDER BY n_name""")),
+
     // ===== LLM-data-pipeline extension =====
 
     // exact dedup: content-hash grouping.
@@ -1752,7 +1879,9 @@ object SparkEntry {
     // reproduced field-by-field in the oracle.
     ("e2_legacy_pipeline", (s, dir) => {
       val now = 1009843200L // 2002-01-01T00:00:00Z
-      val o = t(s, dir, "orders")
+      // deterministic 1-in-5 slice: the quirk projection is row-wise,
+      // so 20% of the corpus gates it identically at 1/5 the cost
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
       val docs = o.select(to_json(struct(
         col("o_orderkey").as("id"),
         col("o_orderpriority").as("name"),
@@ -1792,7 +1921,7 @@ object SparkEntry {
                (o_orderkey % 1000) / 4.0 elev,
                o_custkey / 100.0 slat, o_custkey / 1000.0 + 7.0 slng,
                o_custkey / 50.0 elng
-             FROM orders)
+             FROM orders WHERE o_orderkey % 5 = 0)
              SELECT id,
                CASE WHEN 1009843200 - ep > 157680000
                     THEN '1997-01-03T00:00:00Z' ELSE sd END AS activity_timestamp,
