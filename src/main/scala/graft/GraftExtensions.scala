@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
-import graft.functions.{DotProduct, UnitVector}
+import graft.functions.{ArrayCountInSet, DotProduct, UnitVector}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, so `spark.sql("SELECT dot_product(a, b) ...")` uses the
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
     e.injectFunction(GraftExtensions.unitVectorDescriptor)
+    e.injectFunction(GraftExtensions.arrayCountInSetDescriptor)
   }
 }
 
@@ -36,6 +37,22 @@ object GraftExtensions {
     require(exprs.length == 1, "unit_vector(array)")
     UnitVector(Cast(exprs(0), ArrayType(DoubleType)))
   }
+
+  private def buildArrayCountInSet(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2,
+      "array_count_in_set(array, marker, markers...) — markers must be literals")
+    val markers = exprs.tail.map { e =>
+      require(e.foldable, "array_count_in_set markers must be literals")
+      String.valueOf(e.eval(null))
+    }
+    ArrayCountInSet(Cast(exprs.head, ArrayType(StringType)), markers)
+  }
+
+  private[graft] val arrayCountInSetDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_count_in_set"),
+    new ExpressionInfo(classOf[ArrayCountInSet].getName, "array_count_in_set"),
+    buildArrayCountInSet)
 
   private[graft] val dotProductDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -55,5 +72,7 @@ object GraftExtensions {
       "dot_product", buildDotProduct, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unit_vector", buildUnitVector, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_count_in_set", buildArrayCountInSet, "scala_udf")
   }
 }

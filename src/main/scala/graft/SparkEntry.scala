@@ -1767,6 +1767,29 @@ object SparkEntry {
              FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
              GROUP BY w ORDER BY tf DESC, word LIMIT 50""")),
 
+    // doc-term matrix head: top-3 terms per document by term frequency
+    // — the per-document half of TF-IDF as exact integers (the IDF
+    // weighting is a log over these counts, applied downstream; logs
+    // never cross the engine boundary). Two-phase top-k: at corpus
+    // scale the per-doc ranking must not funnel into one partition per
+    // doc_id.
+    ("t9_doc_terms", (s, dir) =>
+      topKPerGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")),
+        Seq("doc_id"), Seq(col("tf").desc, col("word")), 3, "rnk")
+        .select("doc_id", "rnk", "word", "tf")
+        .orderBy("doc_id", "rnk"),
+      Some("""WITH tf AS (SELECT doc_id, w AS word, COUNT(*) AS tf
+               FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) w FROM documents)
+               GROUP BY doc_id, w),
+             r AS (SELECT doc_id, word, tf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) rnk
+               FROM tf)
+             SELECT doc_id, rnk, word, tf FROM r WHERE rnk <= 3
+             ORDER BY doc_id, rnk""")),
+
     // document frequency (the exact-integer side of IDF): number of
     // docs containing each term, for terms appearing in >= 25 docs.
     // array_distinct before the explode so a doc counts once per term.

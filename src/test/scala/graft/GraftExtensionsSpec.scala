@@ -28,6 +28,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(cos - 1.0) < 1e-15)
   }
 
+  test("runtime registration exposes array_count_in_set to SQL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(Tuple1(Seq("the", "cat", "sat", "on", "the", "mat")))
+      .toDF("w").createOrReplaceTempView("vw")
+    val got = spark.sql("SELECT array_count_in_set(w, 'the', 'on') AS n FROM vw")
+      .as[Long].collect()(0)
+    assert(got == 3L)
+  }
+
   test("spark.sql.extensions injection path registers the function in a fresh session") {
     // reuse the shared SparkContext but build a NEW session with the
     // extensions applied (the config-file deployment path).
