@@ -956,6 +956,29 @@ object SparkEntry {
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS v1h_c
              FROM events ORDER BY event_id""")),
 
+    // ranking-family window functions over one per-user sort: ntile
+    // buckets, percent_rank and cume_dist. The rank doubles are
+    // (rank-1)/(n-1) and peers/n — single divisions of exact integers,
+    // the same IEEE op in both engines. Deterministic order via the
+    // unique event_id tiebreak.
+    ("o8_rank_family", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+             ORDER BY event_id""")),
+
     // deterministic hash sampling — THE reproducible corpus-sampling
     // method at scale: pure map-side filter (no shuffle, no RNG state),
     // stable across reruns/partitionings, and the keep-decision is a
