@@ -1387,6 +1387,39 @@ object SparkEntry {
                                WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              GROUP BY n_name ORDER BY n_name""")),
 
+    // C4 end-to-end: malformed input does NOT vanish silently. A mixed
+    // corpus — valid Strava-shaped JSON (orders slice) + raw prose
+    // (documents.text, never valid JSON) — goes through the real
+    // PERMISSIVE-mode clean; garbage must surface as _valid=false rows
+    // with the exact expected count, and must not perturb the valid
+    // rows' aggregates. (The reference silently try/except-dropped
+    // these — SURVEY §1.4/C4 makes the failure path explicit.)
+    ("p13_malformed_input", (s, dir) => {
+      val now = 1009843200L
+      val good = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(to_json(struct(
+          col("o_orderkey").as("id"),
+          col("o_orderpriority").as("name"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
+          struct(col("o_custkey").as("id")).as("athlete"),
+          (col("o_orderkey") % 86400).as("moving_time"),
+          (col("o_orderkey") % 86400 + 60).as("elapsed_time"))).as("json"))
+      val garbage = t(s, dir, "documents").select(col("text").as("json"))
+      etl.CleanActivities.clean(good.unionByName(garbage), now.toDouble)
+        .agg(
+          sum(when(col("_valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("_valid"), 1L).otherwise(0L)).as("n_invalid"),
+          sum(when(col("_valid"), col("epoch"))).as("epoch_sum"),
+          sum(when(col("_valid"), col("duration"))).as("duration_sum"))
+    },
+      Some("""SELECT
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_valid,
+             (SELECT COUNT(*) FROM documents) AS n_invalid,
+             (SELECT CAST(SUM(CAST(epoch(o_orderdate) AS BIGINT)) AS BIGINT)
+              FROM orders WHERE o_orderkey % 7 = 0) AS epoch_sum,
+             (SELECT CAST(SUM(o_orderkey % 86400) AS BIGINT)
+              FROM orders WHERE o_orderkey % 7 = 0) AS duration_sum""")),
+
     // ===== LLM-data-pipeline extension =====
 
     // exact dedup: content-hash grouping.
