@@ -1387,6 +1387,44 @@ object SparkEntry {
                                WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              GROUP BY n_name ORDER BY n_name""")),
 
+    // S6 hash-gated: the channel-dict -> long-form pivot with
+    // null-padding for absent channels, through the REAL source pivot
+    // (StravaJsonSource.pivotStreams). Channel arrays are built from
+    // lineitem (per-order samples sorted by a full column struct so
+    // both engines agree on the time index even with duplicate
+    // linenumbers); cadence is deliberately an absent channel, so the
+    // gate proves the padding path yields nulls, not errors.
+    ("s6_stream_pivot", (s, dir) => {
+      val arr = sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"), col("l_quantity").as("hr"),
+        col("l_extendedprice").as("w"), col("l_discount").as("dc"))))
+      val parsed = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("activity_id")).agg(arr.as("a"))
+        .select(col("activity_id"),
+          sequence(lit(0L), size(col("a")).cast("long") - 1).as("time"),
+          transform(col("a"), x => x.getField("hr")).as("heartrate"),
+          transform(col("a"), x => x.getField("w")).as("watts"),
+          lit(null).cast("array<array<double>>").as("latlng"),
+          lit(null).cast("array<double>").as("distance"),
+          lit(null).cast("array<double>").as("altitude"),
+          lit(null).cast("array<double>").as("velocity_smooth"),
+          lit(null).cast("array<double>").as("cadence"),
+          lit(null).cast("array<double>").as("temp"),
+          lit(null).cast("array<boolean>").as("moving"),
+          lit(null).cast("array<double>").as("grade_smooth"))
+      sources.StravaJsonSource.pivotStreams(parsed)
+        .select("activity_id", "time", "heartrate", "watts", "cadence")
+        .orderBy("activity_id", "time")
+    },
+      Some("""SELECT l_orderkey AS activity_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                        l_extendedprice, l_discount) - 1 AS time,
+             l_quantity AS heartrate, l_extendedprice AS watts,
+             CAST(NULL AS DOUBLE) AS cadence
+             FROM lineitem ORDER BY activity_id, time""")),
+
     // C4 end-to-end: malformed input does NOT vanish silently. A mixed
     // corpus — valid Strava-shaped JSON (orders slice) + raw prose
     // (documents.text, never valid JSON) — goes through the real

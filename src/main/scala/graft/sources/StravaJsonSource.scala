@@ -53,7 +53,17 @@ object StravaJsonSource {
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.ArrayType(elem))
         }.toSeq)
-    val parsed = spark.read.schema(schema).json(path)
+    pivotStreams(spark.read.schema(schema).json(path))
+  }
+
+  /** The S6 pivot itself, on an already-parsed channel-dict frame
+    * (one row per activity: `activity_id`, `time` array, one array per
+    * present channel — absent channels as null arrays). Exposed so the
+    * pivot/padding semantics are gateable without file IO. */
+  def pivotStreams(parsed: DataFrame): DataFrame = {
+    val channelArrays = StravaSchemas.streamSample.fields
+      .filterNot(f => f.name == "activity_id" || f.name == "time")
+      .map(_.name)
     // R1 pivot: parallel channel arrays -> one row per sample.
     val zipped = parsed.select(col("activity_id"),
       posexplode(col("time")).as(Seq("idx", "time")),
