@@ -2005,6 +2005,10 @@ object SparkEntry {
         col("o_orderstatus").as("type"),
         date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
         struct(col("o_custkey").as("id")).as("athlete"),
+        // S7: real polyline for even keys, absent -> 'na' default for odd
+        when(col("o_orderkey") % 2 === 0,
+          struct(concat(lit("poly_"), col("o_orderkey")).as("summary_polyline")))
+          .as("map"),
         (col("o_orderkey") % 86400).as("moving_time"),
         (col("o_orderkey") % 86400 + 60).as("elapsed_time"),
         col("o_totalprice").as("distance"),
@@ -2043,7 +2047,9 @@ object SparkEntry {
                CASE WHEN 1009843200 - ep > 157680000
                     THEN '1997-01-03T00:00:00Z' ELSE sd END AS activity_timestamp,
                nm || '_' || CAST(id AS VARCHAR) AS name_id,
-               'www.google.com' AS icon_url, 'na' AS gear_id, 'na' AS polyline,
+               'www.google.com' AS icon_url, 'na' AS gear_id,
+               CASE WHEN id % 2 = 0 THEN 'poly_' || CAST(id AS VARCHAR)
+                    ELSE 'na' END AS polyline,
                slat AS start_lat,
                elng AS end_lat, slng AS max_heartrate, slng AS start_lng,
                elng AS end_lng, CAST(NULL AS BIGINT) AS user_id,
