@@ -86,6 +86,77 @@ object SparkEntry {
        GROUP BY t.event_id, t.rn ORDER BY t.event_id"""
   }
 
+  /** DuckDB twin of e3_pipeline_streams: the full ActivityPipeline
+    * dataflow — R5 branch, dense spine, r4-style interpolation (t cast
+    * to double, identical IEEE sequence), a3-style triangular rolling
+    * at windows {1,5,10}, per-activity maxima, P6 latlng formatting —
+    * reproduced CTE by CTE. */
+  private def e3OracleSql: String = {
+    val chans = Seq("hr", "w", "vel")
+    val winExprs = chans.map { c =>
+      s"""last_value($c IGNORE NULLS) OVER wpre pv_$c,
+         last_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpre pt_$c,
+         first_value($c IGNORE NULLS) OVER wpost nv_$c,
+         first_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpost nt_$c"""
+    }.mkString(",\n")
+    val interpExprs = chans.map { c =>
+      s"""CASE WHEN $c IS NOT NULL THEN $c
+              WHEN pv_$c IS NULL THEN NULL
+              WHEN nv_$c IS NULL THEN pv_$c
+              ELSE pv_$c + (nv_$c - pv_$c) * (CAST(t AS DOUBLE) - pt_$c) / (nt_$c - pt_$c) END $c"""
+    }.mkString(", ")
+    val triExprs = chans.map { c =>
+      s"""MAX(CASE WHEN s.rn = t.rn THEN s.$c END) tri1_$c,
+         CASE WHEN t.rn >= 5 THEN
+           SUM(CASE WHEN t.rn - s.rn <= 4
+                    THEN s.$c * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9 END tri5_$c,
+         CASE WHEN t.rn >= 10 THEN
+           SUM(s.$c * (2 * LEAST(t.rn - s.rn, 9 - (t.rn - s.rn)) + 1)) / 50 END tri10_$c"""
+    }.mkString(",\n")
+    s"""WITH acts AS (SELECT o_orderkey aid, (o_orderkey % 4000) * 50 + 60 el
+           FROM orders WHERE o_orderkey % 5 = 0),
+       s0 AS (SELECT l_orderkey aid,
+           (ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                       l_extendedprice, l_discount) - 1) * 2 AS time,
+           ROUND(l_quantity * 100) hr, ROUND(l_extendedprice * 100) w,
+           ROUND(l_discount * 10000) vel,
+           l_quantity lat, l_discount lng
+         FROM lineitem WHERE l_orderkey % 5 = 0),
+       norm AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el < 100000),
+       byp  AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el >= 100000),
+       bounds AS (SELECT aid, MAX(time) tmax FROM norm GROUP BY aid),
+       spine AS (SELECT aid, UNNEST(generate_series(0, tmax)) t FROM bounds),
+       j AS (SELECT sp.aid, sp.t, n.hr, n.w, n.vel, n.lat, n.lng
+             FROM spine sp LEFT JOIN norm n ON sp.aid = n.aid AND sp.t = n.time),
+       wn AS (SELECT *, $winExprs FROM j
+              WINDOW wpre AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wpost AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       i AS (SELECT aid, t, lat, lng, $interpExprs FROM wn),
+       ii AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY t) rn FROM i),
+       r AS (SELECT t.aid, t.rn, $triExprs
+             FROM ii t JOIN ii s ON t.aid = s.aid AND s.rn BETWEEN t.rn - 9 AND t.rn
+             GROUP BY t.aid, t.rn),
+       maxs AS (SELECT aid, MAX(tri1_hr) m_hr1, MAX(tri5_hr) m_hr5,
+                MAX(tri10_hr) m_hr10, MAX(tri5_w) m_w5, MAX(tri10_vel) m_v10
+                FROM r GROUP BY aid),
+       allrows AS (SELECT aid, t AS time_new, hr, lat, lng FROM i
+                   UNION ALL SELECT aid, time, hr, lat, lng FROM byp),
+       firsts AS (SELECT aid, COUNT(*) n_streams,
+                  MAX(CASE WHEN time_new = 0 THEN hr END) first_hr,
+                  MAX(CASE WHEN time_new = 0 THEN
+                    '[' || CAST(lat AS VARCHAR) || ', ' || CAST(lng AS VARCHAR) || ']'
+                  END) first_latlng
+                  FROM allrows GROUP BY aid)
+       SELECT f.aid AS id, f.n_streams, f.first_hr, f.first_latlng,
+         m.m_hr1 AS peak_hr1, m.m_hr5 AS peak_hr5,
+         m.m_hr10 AS peak_hr10, m.m_w5 AS peak_power5,
+         m.m_v10 AS peak_speed10
+       FROM firsts f LEFT JOIN maxs m USING (aid) ORDER BY id"""
+  }
+
   /** MinHash signatures over word 3-shingles, one row per doc: 8
     * minwise hashes derived as 8-hex (32-bit) slices of TWO seeded md5
     * digests per shingle — 4x fewer digest computations than one md5
@@ -1386,6 +1457,73 @@ object SparkEntry {
                AND NOT EXISTS (SELECT 1 FROM orders
                                WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              GROUP BY n_name ORDER BY n_name""")),
+
+    // The REAL ActivityPipeline.process, hash-gated end-to-end in
+    // corrected mode with actual streams: lineitem rows become sparse
+    // per-activity samples (time = 2*idx so the dense spine has gaps
+    // to interpolate), elapsed_time splits the corpus across the R5
+    // branch (bypass skips densification — visible as n_streams =
+    // n_samples vs tmax+1 and null maxima), and the output checks P6
+    // latlng stringification plus rolling peaks at windows {1,5,10}.
+    // Parity is EXACT by construction: channels are cents-scaled
+    // integers and the spacing-2 spine interpolates at ratio exactly
+    // 1/2, so every interpolated value is a half-integer, the
+    // triangular window sums are exact dyadic doubles in ANY summation
+    // order, and the single /weight division is the identical IEEE op —
+    // no rounding anywhere (round-after-divide is the known
+    // engine-divergence trap). e1 gates the events-table analogue;
+    // this gates the pipeline object itself.
+    ("e3_pipeline_streams", (s, dir) => {
+      val now = 1009843200L
+      val docs = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(to_json(struct(
+          col("o_orderkey").as("id"),
+          col("o_orderpriority").as("name"),
+          col("o_orderstatus").as("type"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
+          struct(col("o_custkey").as("id")).as("athlete"),
+          (col("o_orderkey") % 86400).as("moving_time"),
+          ((col("o_orderkey") % 4000) * 50 + 60).as("elapsed_time"))).as("json"))
+      val acts = etl.CleanActivities.clean(docs, now.toDouble)
+        .filter(col("_valid")).drop("_valid")
+      val arr = sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").as("hr"), col("l_extendedprice").as("pr"),
+        col("l_discount").as("dc"))))
+      val streams = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .groupBy(col("l_orderkey").as("activity_id")).agg(arr.as("a"))
+        .select(col("activity_id"), posexplode(col("a")).as(Seq("idx", "smp")))
+        .select(col("activity_id"),
+          (col("idx") * 2).cast("long").as("time"),
+          array(col("smp.hr"), col("smp.dc")).as("latlng"),
+          lit(null).cast("double").as("distance"),
+          lit(null).cast("double").as("altitude"),
+          round(col("smp.dc") * 10000, 0).as("velocity_smooth"),
+          round(col("smp.hr") * 100, 0).as("heartrate"),
+          lit(null).cast("double").as("cadence"),
+          round(col("smp.pr") * 100, 0).as("watts"),
+          lit(null).cast("double").as("temp"),
+          lit(true).as("moving"),
+          lit(null).cast("double").as("grade_smooth"))
+      val m = element_at(col("maxs"), 1)
+      etl.ActivityPipeline.process(acts, streams, now)
+        // orders with no lineitem rows surface as empty stream arrays
+        // (K1 contract); the oracle's sample CTE is lineitem-rooted, so
+        // the gate compares the populated ones
+        .filter(size(col("streams")) > 0)
+        .select(col("id"),
+          size(col("streams")).cast("long").as("n_streams"),
+          element_at(col("streams"), 1).getField("heartrate").as("first_hr"),
+          element_at(col("streams"), 1).getField("latlng").as("first_latlng"),
+          m.getField("max_hr_1").as("peak_hr1"),
+          m.getField("max_hr_5").as("peak_hr5"),
+          m.getField("max_hr_10").as("peak_hr10"),
+          m.getField("max_power_5").as("peak_power5"),
+          m.getField("max_speed_10").as("peak_speed10"))
+        .orderBy("id")
+    },
+      Some(e3OracleSql)),
 
     // S6 hash-gated: the channel-dict -> long-form pivot with
     // null-padding for absent channels, through the REAL source pivot
