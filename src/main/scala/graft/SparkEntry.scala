@@ -114,7 +114,7 @@ object SparkEntry {
            SUM(s.$c * (2 * LEAST(t.rn - s.rn, 9 - (t.rn - s.rn)) + 1)) / 50 END tri10_$c"""
     }.mkString(",\n")
     s"""WITH acts AS (SELECT o_orderkey aid, (o_orderkey % 4000) * 50 + 60 el
-           FROM orders WHERE o_orderkey % 5 = 0),
+           FROM orders WHERE o_orderkey % 20 = 0),
        s0 AS (SELECT l_orderkey aid,
            (ROW_NUMBER() OVER (PARTITION BY l_orderkey
               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
@@ -122,7 +122,7 @@ object SparkEntry {
            ROUND(l_quantity * 100) hr, ROUND(l_extendedprice * 100) w,
            ROUND(l_discount * 10000) vel,
            l_quantity lat, l_discount lng
-         FROM lineitem WHERE l_orderkey % 5 = 0),
+         FROM lineitem WHERE l_orderkey % 20 = 0),
        norm AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el < 100000),
        byp  AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el >= 100000),
        bounds AS (SELECT aid, MAX(time) tmax FROM norm GROUP BY aid),
@@ -1475,7 +1475,7 @@ object SparkEntry {
     // this gates the pipeline object itself.
     ("e3_pipeline_streams", (s, dir) => {
       val now = 1009843200L
-      val docs = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+      val docs = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
         .select(to_json(struct(
           col("o_orderkey").as("id"),
           col("o_orderpriority").as("name"),
@@ -1491,7 +1491,7 @@ object SparkEntry {
         col("l_quantity").as("hr"), col("l_extendedprice").as("pr"),
         col("l_discount").as("dc"))))
       val streams = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 5 === 0)
+        .filter(col("l_orderkey") % 20 === 0)
         .groupBy(col("l_orderkey").as("activity_id")).agg(arr.as("a"))
         .select(col("activity_id"), posexplode(col("a")).as(Seq("idx", "smp")))
         .select(col("activity_id"),
@@ -1562,6 +1562,28 @@ object SparkEntry {
              l_quantity AS heartrate, l_extendedprice AS watts,
              CAST(NULL AS DOUBLE) AS cadence
              FROM lineitem ORDER BY activity_id, time""")),
+
+    // M: the resize/resample stage through the real mapPartitions seam
+    // (Multimodal.resizePayloads, stub codec = every factor-th byte).
+    // Payloads are ASCII text, so the oracle reconstructs the strided
+    // byte sample with a step generate_series and compares md5s —
+    // factor arithmetic, size bound, and payload bytes all gated.
+    ("m3_media_resize", (s, dir) => {
+      val media = graft.multimodal.Multimodal.toMedia(t(s, dir, "documents"))
+      graft.multimodal.Multimodal.resizePayloads(media, 64).toDF()
+        .select(col("doc_id"), col("factor").cast("long").as("factor"),
+          col("n_bytes"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             GREATEST((len(text) + 63) // 64, 1) AS factor,
+             (len(text) + GREATEST((len(text) + 63) // 64, 1) - 1)
+               // GREATEST((len(text) + 63) // 64, 1) AS n_bytes,
+             md5(array_to_string(
+               [substr(text, CAST(i AS INT), 1)
+                for i in generate_series(1, len(text),
+                  CAST(GREATEST((len(text) + 63) // 64, 1) AS INT))], '')) AS payload_md5
+             FROM documents ORDER BY doc_id""")),
 
     // C4 end-to-end: malformed input does NOT vanish silently. A mixed
     // corpus — valid Strava-shaped JSON (orders slice) + raw prose
