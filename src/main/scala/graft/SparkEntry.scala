@@ -167,16 +167,20 @@ object SparkEntry {
     * evaluate interpreted, and profiling showed the lambda costing 15x
     * the equivalent codegen'd window formulation. The window shuffle on
     * doc_id is the same exchange the signature groupBy needs anyway. */
-  private def buildMinhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** (doc_id, sh) word-3-shingle rows — the relational shingle builder
+    * shared by the signature table and the estimate-vs-exact gate. */
+  private def wordShingleRows(d: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = d.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+    d.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
       .withColumnRenamed("col", "w")
-    val sh = tok
       .select(col("doc_id"), col("w"),
         lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+  }
+
+  private def buildMinhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingleRows(t(s, dir, "documents"))
       .withColumn("h0", TextAnalysis.seededHash(0, col("sh")))
       .withColumn("h1", TextAnalysis.seededHash(1, col("sh")))
     val aggs = (0 until 8).map { i =>
@@ -1089,6 +1093,26 @@ object SparkEntry {
              SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r
              WHERE rk <= 20 ORDER BY lang, rk""")),
 
+    // latest-row-per-key (K2's read-side twin and the classic CDC
+    // compaction): one row_number over a per-key sort, keep rank 1.
+    // At scale this is one exchange on the key — same shuffle any
+    // per-key operator needs; no driver or global sort.
+    ("g10_latest_per_key", (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("latest_event"),
+          cents(col("value")).as("latest_value_c"))
+        .orderBy("user_id", "event_type")
+    },
+      Some("""SELECT user_id, event_type, event_id AS latest_event,
+             CAST(ROUND(value*100) AS BIGINT) AS latest_value_c
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) rn FROM events)
+             WHERE rn = 1 ORDER BY user_id, event_type""")),
+
     ("o2_setops", (s, dir) => {
       val o = t(s, dir, "orders")
       val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")).distinct()
@@ -1733,6 +1757,67 @@ object SparkEntry {
                ON a.label = b.label AND a.vec_id < b.vec_id
              WHERE list_dot_product(a.ue, b.ue) >= 0.35
              ORDER BY vec_a, vec_b""")),
+
+    // MinHash calibration gate: per candidate pair, the signature-
+    // agreement ESTIMATE (n_agree/8) next to the exact word-3-shingle
+    // Jaccard over the SAME shingle space — the estimator and its
+    // ground truth in one row, both as exact integers with one final
+    // division each. Exact sets are built only for candidate docs, and
+    // the shingle-equality intersection rides a (doc, shingle) join
+    // key — no per-pair set materialization.
+    ("d9_minhash_estimate", (s, dir) => {
+      val sig = minhashSignatures(s, dir)
+      val pairs = lshPairsCached(s, dir)
+      val agree = (0 until 8).map(i =>
+        when(col(s"a.sig$i") === col(s"b.sig$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val est = pairs
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      val candDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = wordShingleRows(
+        t(s, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      est
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("inter"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          (col("n_agree") / 8.0).as("est_jaccard"), col("inter"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+            .as("exact_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some(s"""WITH $oracleSigCtes, $oraclePairCtes,
+           cand AS (SELECT doc_a doc_id FROM pairs UNION SELECT doc_b FROM pairs),
+           shc AS (SELECT DISTINCT doc_id, sh FROM sh
+                   WHERE doc_id IN (SELECT doc_id FROM cand)),
+           sizes AS (SELECT doc_id, COUNT(*) n FROM shc GROUP BY doc_id),
+           ix AS (SELECT p.doc_a, p.doc_b, COUNT(*) inter
+                  FROM pairs p
+                  JOIN shc a ON a.doc_id = p.doc_a
+                  JOIN shc b ON b.doc_id = p.doc_b AND b.sh = a.sh
+                  GROUP BY p.doc_a, p.doc_b),
+           ag AS (SELECT p.doc_a, p.doc_b,
+                  ${(0 until 8).map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)").mkString(" + ")} n_agree
+                  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+                  JOIN sig b ON b.doc_id = p.doc_b)
+           SELECT g.doc_a, g.doc_b, CAST(g.n_agree AS BIGINT) n_agree,
+             g.n_agree / 8.0 AS est_jaccard,
+             CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+             CAST(COALESCE(i.inter, 0) AS DOUBLE)
+               / (s1.n + s2.n - COALESCE(i.inter, 0)) AS exact_jaccard
+           FROM ag g
+           JOIN sizes s1 ON s1.doc_id = g.doc_a
+           JOIN sizes s2 ON s2.doc_id = g.doc_b
+           LEFT JOIN ix i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+           ORDER BY g.doc_a, g.doc_b""")),
 
     // duplicate CLUSTERS from the LSH candidate graph: adaptive
     // connected components (driver union-find for near-dup-rate-sized
