@@ -1054,6 +1054,27 @@ object SparkEntry {
              WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
              ORDER BY event_id""")),
 
+    // running totals: the incremental UNBOUNDED PRECEDING frame (O(1)
+    // amortized per row — same machinery the fast rolling kernel
+    // rides), exact integer cents.
+    ("o9_running_total", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          sum(cents(col("value"))).over(w).as("running_c"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS running_c,
+             COUNT(*) OVER w AS running_n
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
+
     // deterministic hash sampling — THE reproducible corpus-sampling
     // method at scale: pure map-side filter (no shuffle, no RNG state),
     // stable across reruns/partitionings, and the keep-decision is a
