@@ -2127,6 +2127,27 @@ object SparkEntry {
              FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
              GROUP BY w ORDER BY tf DESC, word LIMIT 50""")),
 
+    // repetition ratio (Gopher/FineWeb-style quality rule): fraction of
+    // duplicate word-3-shingles per doc — high values flag boilerplate
+    // and degenerate generations. Exact integers + one division.
+    ("t10_repetition", (s, dir) =>
+      wordShingleRows(t(s, dir, "documents"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          countDistinct(col("sh")).as("n_distinct"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+            .as("dup_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             sh AS (SELECT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
+               FROM w)
+             SELECT doc_id, COUNT(*) AS n_shingles,
+               COUNT(DISTINCT sh) AS n_distinct,
+               1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*) AS dup_ratio
+             FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
     // doc-term matrix head: top-3 terms per document by term frequency
     // — the per-document half of TF-IDF as exact integers (the IDF
     // weighting is a log over these counts, applied downstream; logs
