@@ -1452,6 +1452,75 @@ object SparkEntry {
                WHERE l_shipdate >= TIMESTAMP '1996-03-01'
                  AND l_shipdate < TIMESTAMP '1996-04-01')""")),
 
+    // TPC-H Q7-shaped volume shipping: the two-fact join (lineitem ⋈
+    // orders) with supplier/customer nations resolved via broadcast
+    // dims on BOTH fact sides and a nation-pair predicate — grouped by
+    // the pair and ship year. The only big exchange is the fact-fact
+    // key; nations never induce a shuffle.
+    ("q07_volume_shipping", (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+             FROM (SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) l_year,
+                   l_extendedprice, l_discount
+                   FROM lineitem
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1998-01-01'
+                     AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+             GROUP BY supp_nation, cust_nation, l_year
+             ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q15-shaped top supplier: per-supplier revenue, keep the
+    // max-revenue supplier(s) via a broadcast scalar — the aggregate-
+    // then-global-max shape with an exact-integer comparison.
+    ("q15_top_supplier", (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue_e4"))
+      val top = rev.agg(max(col("revenue_e4")).as("max_rev"))
+      rev.join(broadcast(top)).filter(col("revenue_e4") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+        .orderBy("s_suppkey")
+    },
+      Some("""WITH rev AS (SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) revenue_e4
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name, revenue_e4
+             FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             WHERE revenue_e4 = (SELECT MAX(revenue_e4) FROM rev)
+             ORDER BY s_suppkey""")),
+
     // TPC-H Q16-shaped supplier variety: distinct-count per part
     // attribute triple, using lineitem as the part-supplier relation.
     // countDistinct expands to a two-level aggregate — partial
