@@ -86,6 +86,58 @@ object SparkEntry {
        GROUP BY t.event_id, t.rn ORDER BY t.event_id"""
   }
 
+  /** Cleaned activities for the e3/e4 pipeline gates: a 1-in-20 orders
+    * slice as Strava-shaped JSON through the real clean; elapsed_time
+    * splits the corpus across the R5 branch. */
+  private def e3Activities(s: SparkSession, dir: String, now: Long): DataFrame = {
+    val docs = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+      .select(to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("name"),
+        col("o_orderstatus").as("type"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
+        struct(col("o_custkey").as("id")).as("athlete"),
+        (col("o_orderkey") % 86400).as("moving_time"),
+        ((col("o_orderkey") % 4000) * 50 + 60).as("elapsed_time"))).as("json"))
+    etl.CleanActivities.clean(docs, now.toDouble)
+      .filter(col("_valid")).drop("_valid")
+  }
+
+  /** Long-form streams for e3/e4: lineitem rows as spacing-2 samples
+    * with cents-scaled integer channels (exact-parity design — see the
+    * e3 registry comment). With `poisonWatts`, the FIRST sample's watts
+    * is nulled for every third activity — a leading null that survives
+    * interpolation, feeding the legacy poisoning gate (e4). */
+  private def e3Streams(s: SparkSession, dir: String,
+                        poisonWatts: Boolean): DataFrame = {
+    val arr = sort_array(collect_list(struct(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").as("hr"), col("l_extendedprice").as("pr"),
+      col("l_discount").as("dc"))))
+    val watts = round(col("smp.pr") * 100, 0)
+    val wattsOut =
+      if (poisonWatts)
+        when(col("activity_id") % 60 === 0 && col("idx") === 0,
+          lit(null).cast("double")).otherwise(watts)
+      else watts
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .groupBy(col("l_orderkey").as("activity_id")).agg(arr.as("a"))
+      .select(col("activity_id"), posexplode(col("a")).as(Seq("idx", "smp")))
+      .select(col("activity_id"),
+        (col("idx") * 2).cast("long").as("time"),
+        array(col("smp.hr"), col("smp.dc")).as("latlng"),
+        lit(null).cast("double").as("distance"),
+        lit(null).cast("double").as("altitude"),
+        round(col("smp.dc") * 10000, 0).as("velocity_smooth"),
+        round(col("smp.hr") * 100, 0).as("heartrate"),
+        lit(null).cast("double").as("cadence"),
+        wattsOut.as("watts"),
+        lit(null).cast("double").as("temp"),
+        lit(true).as("moving"),
+        lit(null).cast("double").as("grade_smooth"))
+  }
+
   /** DuckDB twin of e3_pipeline_streams: the full ActivityPipeline
     * dataflow — R5 branch, dense spine, r4-style interpolation (t cast
     * to double, identical IEEE sequence), a3-style triangular rolling
@@ -155,6 +207,74 @@ object SparkEntry {
          m.m_hr10 AS peak_hr10, m.m_w5 AS peak_power5,
          m.m_v10 AS peak_speed10
        FROM firsts f LEFT JOIN maxs m USING (aid) ORDER BY id"""
+  }
+
+  /** DuckDB twin of e4_legacy_poisoning: e3's CTE chain for channels
+    * (hr, w) with the watts null injected at the first sample,
+    * null-GUARDED triangular windows (a window touching a null yields
+    * null, matching the kernel's poisoning-free semantics), and the
+    * legacy rule as a per-activity BOOL_OR(w IS NULL) that nulls the
+    * whole channel's maxima. */
+  private def e4OracleSql: String = {
+    val chans = Seq("hr", "w")
+    val winExprs = chans.map { c =>
+      s"""last_value($c IGNORE NULLS) OVER wpre pv_$c,
+         last_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpre pt_$c,
+         first_value($c IGNORE NULLS) OVER wpost nv_$c,
+         first_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpost nt_$c"""
+    }.mkString(",\n")
+    val interpExprs = chans.map { c =>
+      s"""CASE WHEN $c IS NOT NULL THEN $c
+              WHEN pv_$c IS NULL THEN NULL
+              WHEN nv_$c IS NULL THEN pv_$c
+              ELSE pv_$c + (nv_$c - pv_$c) * (CAST(t AS DOUBLE) - pt_$c) / (nt_$c - pt_$c) END $c"""
+    }.mkString(", ")
+    val triExprs = chans.map { c =>
+      s"""CASE WHEN t.rn >= 5
+               AND SUM(CASE WHEN t.rn - s.rn <= 4 AND s.$c IS NULL THEN 1 ELSE 0 END) = 0
+           THEN SUM(CASE WHEN t.rn - s.rn <= 4
+                    THEN s.$c * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9 END tri5_$c"""
+    }.mkString(",\n")
+    s"""WITH acts AS (SELECT o_orderkey aid, (o_orderkey % 4000) * 50 + 60 el
+           FROM orders WHERE o_orderkey % 20 = 0),
+       s0r AS (SELECT l_orderkey aid,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                       l_extendedprice, l_discount) rn0,
+           l_quantity hq, l_extendedprice pr
+         FROM lineitem WHERE l_orderkey % 20 = 0),
+       s0 AS (SELECT aid, (rn0 - 1) * 2 AS time, ROUND(hq * 100) hr,
+           CASE WHEN aid % 60 = 0 AND rn0 = 1 THEN NULL
+                ELSE ROUND(pr * 100) END w
+         FROM s0r),
+       norm AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el < 100000),
+       byp  AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el >= 100000),
+       bounds AS (SELECT aid, MAX(time) tmax FROM norm GROUP BY aid),
+       spine AS (SELECT aid, UNNEST(generate_series(0, tmax)) t FROM bounds),
+       j AS (SELECT sp.aid, sp.t, n.hr, n.w
+             FROM spine sp LEFT JOIN norm n ON sp.aid = n.aid AND sp.t = n.time),
+       wn AS (SELECT *, $winExprs FROM j
+              WINDOW wpre AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wpost AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       i AS (SELECT aid, t, $interpExprs FROM wn),
+       pois AS (SELECT aid, BOOL_OR(w IS NULL) p FROM i GROUP BY aid),
+       ii AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY t) rn FROM i),
+       r AS (SELECT t.aid, t.rn, $triExprs
+             FROM ii t JOIN ii s ON t.aid = s.aid AND s.rn BETWEEN t.rn - 9 AND t.rn
+             GROUP BY t.aid, t.rn),
+       maxs AS (SELECT aid, MAX(tri5_hr) hr5, MAX(tri5_w) w5 FROM r GROUP BY aid),
+       aids AS (SELECT DISTINCT aid FROM s0)
+       SELECT a.aid AS id,
+         CASE WHEN COALESCE(p.p, FALSE) THEN NULL ELSE m.w5 END AS legacy_power5,
+         m.hr5 AS legacy_hr5,
+         m.w5 AS corr_power5,
+         m.hr5 AS corr_hr5
+       FROM aids a
+       LEFT JOIN maxs m ON m.aid = a.aid
+       LEFT JOIN pois p ON p.aid = a.aid
+       ORDER BY id"""
   }
 
   /** MinHash signatures over word 3-shingles, one row per doc: 8
@@ -1589,37 +1709,8 @@ object SparkEntry {
     // this gates the pipeline object itself.
     ("e3_pipeline_streams", (s, dir) => {
       val now = 1009843200L
-      val docs = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
-        .select(to_json(struct(
-          col("o_orderkey").as("id"),
-          col("o_orderpriority").as("name"),
-          col("o_orderstatus").as("type"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
-          struct(col("o_custkey").as("id")).as("athlete"),
-          (col("o_orderkey") % 86400).as("moving_time"),
-          ((col("o_orderkey") % 4000) * 50 + 60).as("elapsed_time"))).as("json"))
-      val acts = etl.CleanActivities.clean(docs, now.toDouble)
-        .filter(col("_valid")).drop("_valid")
-      val arr = sort_array(collect_list(struct(
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity").as("hr"), col("l_extendedprice").as("pr"),
-        col("l_discount").as("dc"))))
-      val streams = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 20 === 0)
-        .groupBy(col("l_orderkey").as("activity_id")).agg(arr.as("a"))
-        .select(col("activity_id"), posexplode(col("a")).as(Seq("idx", "smp")))
-        .select(col("activity_id"),
-          (col("idx") * 2).cast("long").as("time"),
-          array(col("smp.hr"), col("smp.dc")).as("latlng"),
-          lit(null).cast("double").as("distance"),
-          lit(null).cast("double").as("altitude"),
-          round(col("smp.dc") * 10000, 0).as("velocity_smooth"),
-          round(col("smp.hr") * 100, 0).as("heartrate"),
-          lit(null).cast("double").as("cadence"),
-          round(col("smp.pr") * 100, 0).as("watts"),
-          lit(null).cast("double").as("temp"),
-          lit(true).as("moving"),
-          lit(null).cast("double").as("grade_smooth"))
+      val acts = e3Activities(s, dir, now)
+      val streams = e3Streams(s, dir, poisonWatts = false)
       val m = element_at(col("maxs"), 1)
       etl.ActivityPipeline.process(acts, streams, now)
         // orders with no lineitem rows surface as empty stream arrays
@@ -1638,6 +1729,32 @@ object SparkEntry {
         .orderBy("id")
     },
       Some(e3OracleSql)),
+
+    // The LAST ungated §1.4 quirk: legacy rolling NULL-POISONING. A
+    // channel with ANY null after densification yields null maxima for
+    // ALL windows in legacyCompat (pandas replace({nan:None}) turns the
+    // column to object dtype and rolling silently drops it), while
+    // corrected mode nulls only the windows that touch the null. The
+    // corpus nulls the FIRST watts sample of every third activity — a
+    // LEADING null, which interpolation must preserve (interior nulls
+    // would be interpolated away and the rule would be untestable).
+    // Output holds both modes side by side: legacy_power5 null vs
+    // corr_power5 carrying clean-window values, with heartrate as the
+    // unpoisoned control.
+    ("e4_legacy_poisoning", (s, dir) => {
+      val now = 1009843200L
+      val acts = e3Activities(s, dir, now)
+      val streams = e3Streams(s, dir, poisonWatts = true)
+      def peaks(legacy: Boolean, p: String) =
+        etl.ActivityPipeline.process(acts, streams, now, legacy)
+          .filter(size(col("streams")) > 0)
+          .select(col("id"),
+            element_at(col("maxs"), 1).getField("max_power_5").as(s"${p}_power5"),
+            element_at(col("maxs"), 1).getField("max_hr_5").as(s"${p}_hr5"))
+      peaks(legacy = true, "legacy").join(peaks(legacy = false, "corr"), Seq("id"))
+        .orderBy("id")
+    },
+      Some(e4OracleSql)),
 
     // S6 hash-gated: the channel-dict -> long-form pivot with
     // null-padding for absent channels, through the REAL source pivot
