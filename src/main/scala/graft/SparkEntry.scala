@@ -1356,6 +1356,24 @@ object SparkEntry {
 
     // JSON extraction (events.props is a JSON string): get_json_object
     // path evaluation + typed cast, aggregated per event type.
+    // the SQL-registered custom codegen expressions, end-to-end through
+    // the parser: dot_product(e, e) = squared norm, bit-exact with no
+    // rounding — both engines iterate the array in order, and the
+    // float->double element cast is exact.
+    ("x3_sql_extensions", (s, dir) => {
+      GraftExtensions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+      s.sql("""SELECT vec_id, dot_product(embedding, embedding) AS norm2,
+              dot_product(unit_vector(embedding), embedding) AS norm1x
+              FROM emb_v ORDER BY vec_id""")
+    },
+      Some("""SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm2,
+             list_dot_product(list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+               embedding::DOUBLE[]) AS norm1x
+             FROM embeddings ORDER BY vec_id""")),
+
     ("x1_json_extract", (s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
