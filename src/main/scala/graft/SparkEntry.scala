@@ -1563,6 +1563,27 @@ object SparkEntry {
              GROUP BY c_custkey, c_name, n_name
              ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    // zero-order customers survive, per-customer count, then a
+    // histogram over the counts — two aggregations, each with map-side
+    // partials; the distribution never concentrates on one partition.
+    ("q13_order_distribution", (s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                   FROM customer LEFT JOIN orders
+                     ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                   GROUP BY c_custkey)
+             GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
     // TPC-H Q14-shaped promo share: conditional aggregate over a
     // broadcast part join; numerator/denominator as exact integers,
     // ONE double division for the percentage (identical IEEE op in
