@@ -951,6 +951,34 @@ object SparkEntry {
              ON l.user_id = r.user_id AND l.ts >= r.ts
              ORDER BY l.event_id""")),
 
+    // as-of with TOLERANCE (pandas merge_asof(tolerance=..)): composed
+    // from the base operator — the matched right timestamp rides along
+    // as a payload column, and matches older than the window are
+    // nulled after the join. No operator extension needed: this is the
+    // compose-first path, and the tolerance check is a codegen'd
+    // scalar predicate.
+    ("j7_asof_tolerance", (s, dir) => {
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asof(l, r, Seq("user_id"), "ts", "ts",
+        Seq("value" -> "view_value", "ts" -> "view_ts"))
+        .select(col("event_id"),
+          cents(when(
+            unix_timestamp(col("ts")) - unix_timestamp(col("view_ts")) <= 3600L,
+            col("view_value"))).as("view_value_c"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id,
+             CASE WHEN epoch(l.ts) - epoch(r.ts) <= 3600
+                  THEN CAST(ROUND(r.value*100) AS BIGINT) END AS view_value_c
+             FROM (SELECT * FROM events WHERE event_type = 'error') l
+             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+             ORDER BY l.event_id""")),
+
     // LEFT as-of: unmatched left rows survive with null payloads —
     // cross-validated against DuckDB's native ASOF LEFT JOIN.
     ("j6_asof_left", (s, dir) => {
