@@ -1262,6 +1262,26 @@ object SparkEntry {
              SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r
              WHERE rk <= 20 ORDER BY lang, rk""")),
 
+    // argmax/argmin aggregates (max_by/min_by): the "which row held the
+    // extreme" question without a join-back or window — single
+    // map-side-combinable aggregate.
+    // Tiebreak rides inside one scalar key (cents*1e7 + id): DuckDB's
+    // arg_max has no struct key, and a bare double key would tie
+    // nondeterministically on duplicate values.
+    ("g11_argmax", (s, dir) => {
+      val key = cents(col("value")) * 10000000L + col("event_id")
+      t(s, dir, "events").groupBy("event_type")
+        .agg(max_by(col("event_id"), key).as("peak_event"),
+          min_by(col("event_id"), key).as("trough_event"),
+          cents(max(col("value"))).as("peak_value_c"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+             arg_max(event_id, CAST(ROUND(value*100) AS BIGINT) * 10000000 + event_id) AS peak_event,
+             arg_min(event_id, CAST(ROUND(value*100) AS BIGINT) * 10000000 + event_id) AS trough_event,
+             CAST(ROUND(MAX(value)*100) AS BIGINT) AS peak_value_c
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // latest-row-per-key (K2's read-side twin and the classic CDC
     // compaction): one row_number over a per-key sort, keep rank 1.
     // At scale this is one exchange on the key — same shuffle any
@@ -2308,6 +2328,35 @@ object SparkEntry {
            (CASE $chain ELSE '${langMarkers.last._1}' END) = lang AS matches_label
            FROM (SELECT doc_id, lang, string_split(text, ' ') w FROM documents)
            ORDER BY doc_id"""
+      }),
+
+    // language confusion matrix: the langid predictor aggregated
+    // against the labeled corpus — (label, prediction) counts, the
+    // evaluation artifact a pipeline ships with its classifier.
+    ("t11_lang_confusion", (s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      val scores = langMarkers.map { case (l, ms) => l -> TextAnalysis.markerCount(ws, ms) }
+      val pred = scores.foldRight(lit(langMarkers.last._1): Column) { case ((l, sc), acc) =>
+        when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((c, o) => c && sc >= o), lit(l))
+          .otherwise(acc)
+      }
+      t(s, dir, "documents")
+        .select(col("lang"), pred.as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    },
+      Some {
+        val marks = langMarkers.map { case (l, ms) =>
+          l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
+        }
+        val chain = marks.init.map { case (l, e) =>
+          val others = marks.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT lang, CASE $chain ELSE '${langMarkers.last._1}' END AS pred_lang,
+           COUNT(*) AS n_docs
+           FROM (SELECT lang, string_split(text, ' ') w FROM documents)
+           GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
       }),
 
     // token counting: whitespace + regex tokenizers.
