@@ -49,17 +49,27 @@ object ActivityPipeline {
     val bypass = tagged.filter(col("elapsed_time") >= 100000).drop("elapsed_time")
 
     val densified = densifyAndInterpolate(normal)
+    // A3: the rolling columns ride the SAME frame that feeds nesting, so
+    // the spine-join + interpolation subtree has exactly ONE consumer —
+    // as two separate branches Catalyst recomputed the whole chain per
+    // branch (the flagship stage doubled at scale). Bypass rows carry
+    // null rolling columns: long activities skip rolling (R5), and
+    // max(all-null) reproduces the old left-join-miss nulls exactly.
+    val withRolls = TriangularRolling.triangMeansFast(
+      densified, Seq("activity_id"), Seq("time_new"),
+      rollChannels.map(_._1), StravaSchemas.rollingWindows)
+    val triCols = for {
+      (ch, _) <- rollChannels; n <- StravaSchemas.rollingWindows
+    } yield s"tri_${ch}_$n"
     val bypassed = bypass.withColumn("time_key", col("time"))
       .withColumn("time_new", col("time"))
-      .select(densified.columns.map(col): _*)
+      .select(densified.columns.map(col) ++
+        triCols.map(c => lit(null).cast("double").as(c)): _*)
 
-    val samples = densified.unionByName(bypassed)
+    val samples = withRolls.unionByName(bypassed)
       .withColumn("latlng_str", latlngString(col("latlng")))
 
-    val maxs = rollingMaxs(densified, legacyCompat)
-    val nested = nestStreams(samples)
-
-    assemble(activities, nested, maxs, nowEpoch, legacyCompat)
+    assemble(activities, nestAndMax(samples, legacyCompat), nowEpoch, legacyCompat)
   }
 
   /** R2 + R3 + R4: dense per-activity second spine, left join, linear
@@ -84,18 +94,20 @@ object ActivityPipeline {
       element_at(latlng, 1).cast("string"), lit(", "),
       element_at(latlng, 2).cast("string"), lit("]")))
 
-  /** A3 + A4 + P8: all 11 windows x 3 channels in one pass over a
-    * single (activity_id, time_new) sort, using the O(1)-per-row
-    * prefix-sum kernel — with windows up to 1200 rows the naive
-    * collect-the-frame kernel would do 1200x the work per row. */
-  private def rollingMaxs(densified: DataFrame, legacyCompat: Boolean): DataFrame = {
-    val withRolls = TriangularRolling.triangMeansFast(
-      densified.select(Seq(col("activity_id"), col("time_new")) ++
-        rollChannels.map(c => col(c._1)): _*),
-      Seq("activity_id"), Seq("time_new"),
-      rollChannels.map(_._1), StravaSchemas.rollingWindows)
+  /** R6 + A4 + P8 in ONE aggregation: the ordered array-of-structs
+    * nesting AND the per-window rolling maxima come out of a single
+    * groupBy(activity_id) pass — one shuffle, one consumer of the
+    * upstream interpolation chain. The rolling columns (A3) were
+    * computed by the O(1)-per-row prefix-sum kernel on the way in; with
+    * windows up to 1200 rows the naive collect-the-frame kernel would
+    * do 1200x the work per row. */
+  private def nestAndMax(samples: DataFrame, legacyCompat: Boolean): DataFrame = {
+    val sortKey = struct(col("time_new"), struct(
+      col("watts"), col("cadence"), col("heartrate"), col("altitude"),
+      col("temp"), col("velocity_smooth"), col("grade_smooth"),
+      col("distance"), col("latlng_str")).as("v"))
 
-    val aggs = for {
+    val maxAggs = for {
       (ch, short) <- rollChannels
       i <- StravaSchemas.rollingWindows
     } yield {
@@ -109,18 +121,10 @@ object ActivityPipeline {
       // P8 (main.py:109-117): negative maxima -> null.
       when(base >= 0, base).as(s"max_${short}_$i")
     }
-    withRolls.groupBy("activity_id").agg(aggs.head, aggs.tail: _*)
-  }
 
-  /** R6: ordered array-of-structs in include-list field order. */
-  private def nestStreams(samples: DataFrame): DataFrame = {
-    val sortKey = struct(col("time_new"), struct(
-      col("watts"), col("cadence"), col("heartrate"), col("altitude"),
-      col("temp"), col("velocity_smooth"), col("grade_smooth"),
-      col("distance"), col("latlng_str")).as("v"))
     samples.groupBy("activity_id")
-      .agg(array_sort(collect_list(sortKey)).as("__sorted"))
-      .select(col("activity_id"),
+      .agg(array_sort(collect_list(sortKey)).as("__sorted"), maxAggs: _*)
+      .select(Seq(col("activity_id"),
         transform(col("__sorted"), x => struct(
           x.getField("v").getField("watts").as("watts"),
           x.getField("v").getField("cadence").as("cadence"),
@@ -131,14 +135,19 @@ object ActivityPipeline {
           x.getField("v").getField("grade_smooth").as("grade_smooth"),
           x.getField("v").getField("distance").as("distance"),
           x.getField("v").getField("latlng_str").as("latlng"),
-          x.getField("time_new").as("time_new"))).as("streams"))
+          x.getField("time_new").as("time_new"))).as("streams")) ++
+        maxColNames.map(col): _*)
   }
+
+  private def maxColNames: Seq[String] = for {
+    (_, short) <- rollChannels
+    i <- StravaSchemas.rollingWindows
+  } yield s"max_${short}_$i"
 
   /** Row assembly (main.py:142-178) incl. the 5-year clamp (P4) and the
     * legacy quirk projection. */
-  private def assemble(activities: DataFrame, nested: DataFrame,
-                       maxs: DataFrame, nowEpoch: Long,
-                       legacyCompat: Boolean): DataFrame = {
+  private def assemble(activities: DataFrame, nestedMaxs: DataFrame,
+                       nowEpoch: Long, legacyCompat: Boolean): DataFrame = {
     val fiveYears = 157680000L
     val clamped = when(lit(nowEpoch) - col("epoch") > fiveYears,
       date_format(from_unixtime(lit(nowEpoch - fiveYears + 86400)),
@@ -151,8 +160,7 @@ object ActivityPipeline {
     } yield col(s"max_${short}_$i")): _*)
 
     activities
-      .join(nested, Seq("activity_id"), "left")
-      .join(maxs, Seq("activity_id"), "left")
+      .join(nestedMaxs, Seq("activity_id"), "left")
       .select(
         col("activity_id").as("id"),
         clamped.as("activity_timestamp"),

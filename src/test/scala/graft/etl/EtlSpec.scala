@@ -107,6 +107,21 @@ class ActivityPipelineSpec extends AnyFunSuite {
       s"flagship ETL plan grew to $shuffles shuffle exchanges:\n$plan")
   }
 
+  test("pipeline plan: ONE interpolation chain — spine explode appears once") {
+    // The densify+interpolate subtree must have a single consumer: if the
+    // nesting and rolling-maxima branches split before it, Catalyst
+    // recomputes the whole chain per branch and the flagship stage
+    // doubles at scale. The spine `explode(sequence(...))` is the
+    // cheapest unique marker of that subtree in the plan.
+    val plan = ActivityPipeline.process(activities(), streams(), nowEpoch)
+      .queryExecution.optimizedPlan
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.length == 1,
+      s"spine explode duplicated ${generates.length}x — interpolation subtree has >1 consumer")
+  }
+
   test("corrected mode: spine, interpolation, rolling maxs, nesting") {
     val out = ActivityPipeline.process(activities(), streams(), nowEpoch)
     val a1 = out.filter($"id" === 1).collect()(0)
