@@ -4,16 +4,40 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the scale-factor dir
   * given by SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},
+  *   "heavy":{...},"failed":[...],"sf":...}`.
   *
   * A warm-up pass (table counts + one full query) runs before any
   * timing so JIT/codegen/classloader costs are not attributed to the
   * first measured query.
+  *
+  * Failures are LOUD: a query that throws records no timing — it lands
+  * in "failed" and the process exits nonzero, so a regression can never
+  * masquerade as a fast partial run.
+  *
+  * The "heavy" section re-times the scale-sensitive queries on an
+  * sf1-equivalent input ([[HeavyData]]: key-offset copies of the sf0.1
+  * tables). At sf0.1 everything sits on Spark's overhead floor and a
+  * plan that recomputes a subtree or joins before filtering is
+  * invisible; at ~10x it costs seconds — track these numbers
+  * round-over-round. Disable with SPARK_GRAFT_HEAVY=0.
   */
 object Bench {
+
+  /** Queries whose cost actually scales with the fact tables — the
+    * plan-regression canaries. Scan/agg (q01), selective join chains
+    * (q03/q07/q18), the flagship windowed pipeline (e3), session
+    * windows over events (w4), the dedup signature + candidate chain
+    * (d2/d3 on a near-duplicate-saturated corpus), brute-force ANN
+    * (n1). */
+  private val heavyQueries = Seq("q01_pricing_summary", "q03_shipping",
+    "q07_volume_shipping", "q18_large_orders", "e3_pipeline_streams",
+    "w4_session_window", "d2_minhash_sig", "d3_lsh_pairs", "n1_ann_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val heavyCopies = sys.env.getOrElse("SPARK_GRAFT_HEAVY", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -24,25 +48,51 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val failed = scala.collection.mutable.ListBuffer[String]()
+
+    /** One timed run; None (and a failure record) if the query threw. */
+    def once(name: String, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          None
+      }
+    }
+
     // ---- warm-up (untimed) ----
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
     // ---- timed runs, stable order, best-of-3 (variance control:
     // co-tenant noise/GC spikes were observed surviving best-of-2) ----
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> Seq(once(), once(), once()).min
+    val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val runs = Seq(once(name, sfDir), once(name, sfDir), once(name, sfDir)).flatten
+      if (runs.size == 3) Some(name -> runs.min) else None
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // ---- heavy tier: one run each (seconds-scale queries) ----
+    val heavy = if (heavyCopies > 1) {
+      val heavyDir = sys.env.getOrElse("SPARK_GRAFT_HEAVY_DIR",
+        s"/tmp/graft_heavy_x$heavyCopies")
+      HeavyData.ensure(spark, sfDir, heavyDir, heavyCopies)
+      Tables.load(spark, heavyDir, "lineitem").count() // warm the scans
+      heavyQueries.flatMap(n => once(n, heavyDir).map(n -> _))
+    } else Seq.empty
+
+    def obj(kv: Seq[(String, Double)]) =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${obj(results)},"heavy":${obj(heavy)},""" +
+      s""""heavy_copies":$heavyCopies,"failed":$failedJson,"sf":"$sfDir"}""")
     SparkEntry.clearCaches(spark)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the heavy bench tier: an sf1-equivalent directory made of K
+  * key-offset copies of the sf0.1 tables. At sf0.1 every query sits
+  * within fractions of a second of Spark's fixed overhead floor, so the
+  * bench cannot distinguish a good plan from one that recomputes a
+  * subtree or joins before filtering — the heavy tier exists to make
+  * plan regressions visible as wall-clock.
+  *
+  * Scaling rules (facts scale, dims don't — the realistic shape):
+  *  - lineitem/orders: o_orderkey offset by copy * stride with the SAME
+  *    stride on both tables, so the order join structure repeats per
+  *    copy; custkey/suppkey/partkey untouched (fan-out onto the
+  *    original dims grows K-fold, like real fact growth).
+  *  - documents: doc_id offset; text salted with a per-copy token so
+  *    copies are NEAR-duplicates, not exact ones — the worst realistic
+  *    case for the dedup chain (buckets fill, exact-verify runs).
+  *  - embeddings: vec_id offset, vectors untouched (corpus side grows;
+  *    query side of ANN stays fixed).
+  *  - events: event_id and user_id offset — K times the users, same
+  *    per-user session shape.
+  *  - dims (region nation customer supplier part): copied through once.
+  */
+object HeavyData {
+
+  def ensure(spark: SparkSession, baseDir: String, outDir: String,
+             copies: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_HEAVY_OK_$copies")
+    if (marker.exists()) return
+    val t0 = System.nanoTime()
+
+    def copiesOf(df: DataFrame)(perturb: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => perturb(df, i)).reduce(_ unionByName _)
+
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1
+
+    val orders = Tables.load(spark, baseDir, "orders")
+    val lineitem = Tables.load(spark, baseDir, "lineitem")
+    val orderStride = stride(orders, "o_orderkey")
+    copiesOf(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStride))
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    copiesOf(lineitem) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStride))
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val docs = Tables.load(spark, baseDir, "documents")
+    val docStride = stride(docs, "doc_id")
+    copiesOf(docs) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+        .withColumn("text",
+          if (i == 0) col("text") else concat(col("text"), lit(s" cp$i")))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.load(spark, baseDir, "embeddings")
+    val vecStride = stride(emb, "vec_id")
+    copiesOf(emb) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val events = Tables.load(spark, baseDir, "events")
+    val eventStride = stride(events, "event_id")
+    val userStride = stride(events, "user_id")
+    copiesOf(events) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eventStride))
+        .withColumn("user_id", col("user_id") + lit(i * userStride))
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      Tables.load(spark, baseDir, n)
+        .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    System.err.println(f"[bench] heavy tier ($copies copies of $baseDir) " +
+      f"built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, ConnectedComponents, Ewma, Interpolation, Sessionize, TriangularRolling}
-import graft.functions.{Similarity, TextAnalysis}
+import graft.operators.{Ann, AsOfJoin, Dedup, Ewma, Interpolation, Sessionize, TriangularRolling}
+import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
   * and the LLM-data-pipeline extension — is exposed as a named query over
@@ -289,27 +289,6 @@ object SparkEntry {
     * doc_id is the same exchange the signature groupBy needs anyway. */
   /** (doc_id, sh) word-3-shingle rows — the relational shingle builder
     * shared by the signature table and the estimate-vs-exact gate. */
-  private def wordShingleRows(d: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    d.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
-      .withColumnRenamed("col", "w")
-      .select(col("doc_id"), col("w"),
-        lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
-  }
-
-  private def buildMinhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingleRows(t(s, dir, "documents"))
-      .withColumn("h0", TextAnalysis.seededHash(0, col("sh")))
-      .withColumn("h1", TextAnalysis.seededHash(1, col("sh")))
-    val aggs = (0 until 8).map { i =>
-      val h = if (i < 4) "h0" else "h1"
-      min(substring(col(h), 8 * (i % 4) + 1, 8)).as(s"sig$i")
-    }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
   /** The signature table is a MATERIALIZED INDEX of the corpus: one row
     * per doc, built once, read by every dedup stage (signatures,
     * banding, verification, clustering, keep-list). Memoized per
@@ -326,13 +305,14 @@ object SparkEntry {
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((s, dir), buildMinhashSignatures(s, dir).persist())
+    sigCache.getOrElseUpdate((s, dir),
+      Dedup.minhashSignatures(t(s, dir, "documents")).persist())
 
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def lshPairsCached(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
-      lshPairs(minhashSignatures(s, dir)).persist())
+      Dedup.lshPairs(minhashSignatures(s, dir)).persist())
 
   /** Unpersist + drop every materialized index owned by `s`. */
   def clearCaches(s: SparkSession): Unit =
@@ -357,26 +337,7 @@ object SparkEntry {
        sig AS (SELECT doc_id, $sigs FROM hs GROUP BY doc_id)"""
   }
 
-  /** LSH candidate pairs from the signature table, with the
-    * degenerate-bucket guard: a too-common band key (boilerplate /
-    * near-empty content hashing alike) would emit |bucket|² pairs, so
-    * buckets over `maxBucket` docs are dropped before the self-join.
-    * The bucket count is a window over bkey — the same hash
-    * partitioning the self-join needs, so the guard adds no exchange. */
-  private def lshPairs(sig: DataFrame, maxBucket: Int = 100): DataFrame = {
-    val bandCols = (0 until 4).map(b =>
-      md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
-    val kept = bands
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bkey")))
-      .filter(col("__n") <= maxBucket).drop("__n")
-    kept.as("a").join(kept.as("b"), Seq("bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
-
-  /** Oracle twin of [[lshPairs]] (appends to [[oracleSigCtes]]):
+  /** Oracle twin of [[Dedup.lshPairs]] (appends to [[oracleSigCtes]]):
     * CTEs `bands`, `kept`, `pairs(doc_a, doc_b)`. */
   private val oraclePairCtes: String = {
     val bandList = (0 until 4).map(b =>
@@ -389,42 +350,8 @@ object SparkEntry {
                  FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
 
-  /** ANN scoring core: query set = vec_id < 5, cosine vs all vectors.
-    * Vectors are unit-normalized ONCE per row (codegen UnitVector), so
-    * each pair costs one dot product — not dot + two norms. */
-  private def annScores(s: SparkSession, dir: String): DataFrame = {
-    val em = t(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
-    val q = em.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("ue").as("qu"))
-    // query side is tiny by construction -> broadcast, no shuffle of the
-    // big side; at 100 TB this is the canonical brute-force scoring scan.
-    broadcast(q).join(em, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("neighbor_id"),
-        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
-  }
-
-  /** Scalable per-group top-k: the single-window formulation
-    * (`row_number over partitionBy(group)`) funnels every row of a
-    * group into ONE partition — a hotspot when groups are few and huge
-    * (ANN query ids, sampling strata). Phase 1 takes a local top-k
-    * inside each physical input partition (window keyed by
-    * (group, partition-id) — parallel, no hotspot); phase 2 ranks the
-    * ≤ k×numPartitions survivors per group. The global top-k is always
-    * contained in the local top-k's, so output is identical. */
-  private def topKPerGroup(df: DataFrame, groupCols: Seq[String],
-                           orderCols: Seq[Column], k: Int,
-                           rankCol: String): DataFrame = {
-    val wLocal = Window
-      .partitionBy(groupCols.map(col) :+ col("__pid"): _*)
-      .orderBy(orderCols: _*)
-    val cand = df.withColumn("__pid", spark_partition_id())
-      .withColumn("__rk0", row_number().over(wLocal))
-      .filter(col("__rk0") <= k)
-      .drop("__rk0", "__pid")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
-    cand.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
-  }
+  /** Gate query predicate: the probe set is the 5 lowest vec_ids. */
+  private val annQueryPred: Column = col("vec_id") < 5
 
   /** Shared oracle CTE: unit-normalized embeddings (same op sequence as
     * UnitVector — fold of squares, sqrt, per-element divide). */
@@ -434,50 +361,12 @@ object SparkEntry {
          x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
        FROM embeddings)"""
 
-  /** Deterministic random-hyperplane codebook for LSH ANN (n3): 8
-    * planes of ±1 over 64 dims, derived from md5 bits on the driver and
-    * inlined as LITERALS into both engines — the codebook is data (like
-    * model weights), not per-row computation. */
-  private lazy val rpPlanes: Seq[Array[Double]] = (0 until 8).map { j =>
-    (0 until 64).map { i =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"pl$j|$i".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1.0 else -1.0
-    }.toArray
-  }
+  /** The gates' random-hyperplane codebook: 8 planes over 64 dims
+    * ([[Ann.randomHyperplanes]]) — inlined as literals into BOTH
+    * engines; the codebook is data (like model weights). */
+  private lazy val rpPlanes: Seq[Array[Double]] = Ann.randomHyperplanes(8, 64)
 
-  /** Shared LSH-ANN core for n3/n4: sign-bit signatures vs [[rpPlanes]],
-    * candidates from the query's own bucket — plus, with `hamming1`,
-    * the 8 buckets one sign-flip away (multiprobe). Multiprobe is the
-    * recall lever at scale: near-neighbors straddling one hyperplane
-    * land one hamming step away, and probing 9 buckets costs 9 bucket
-    * lookups, NOT a wider scan. A neighbor matches at most one probe
-    * (each vector lives in exactly one bucket), so no dedup is needed. */
-  private def annLshTopK(s: SparkSession, dir: String, hamming1: Boolean): DataFrame = {
-    val em = t(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
-    val sig = rpPlanes.zipWithIndex.map { case (p, j) =>
-      when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val withSig = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
-    val probeCols =
-      if (hamming1) col("bucket") +: (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
-      else Seq(col("bucket"))
-    val q = withSig.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("ue").as("qu"),
-        explode(array(probeCols: _*)).as("probe"))
-    val cand = broadcast(q).join(withSig, col("probe") === col("bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("neighbor_id"),
-        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
-    topKPerGroup(cand, Seq("qid"),
-      Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
-      .select("qid", "rnk", "neighbor_id", "cos_r")
-      .orderBy("qid", "rnk")
-  }
-
-  /** Oracle twin of [[annLshTopK]]. */
+  /** Oracle twin of [[Ann.lshTopK]] at the gate's codebook/k. */
   private def annLshOracleSql(hamming1: Boolean): String = {
     val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
       val plane = p.mkString("[", ", ", "]")
@@ -500,13 +389,8 @@ object SparkEntry {
        ORDER BY qid, rnk"""
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("window", "batch", "merge"),
-    "en" -> Seq("the", "a", "of"),
-    "es" -> Seq("data", "row", "value"),
-    "fr" -> Seq("join", "sort", "filter"),
-    "zh" -> Seq("spark", "query", "vector"))
+  private val stopwords = TextQuality.defaultStopwords
+  private val langMarkers: Seq[(String, Seq[String])] = TextQuality.defaultLangMarkers
 
   // ---------- the registry ----------
 
@@ -1246,7 +1130,7 @@ object SparkEntry {
       val h = md5(concat(lit("smp|"), col("doc_id").cast("string")))
       // two-phase: strata are FEW and HUGE at corpus scale — a single
       // per-lang window would funnel each stratum into one partition.
-      topKPerGroup(
+      Ann.topKPerGroup(
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), h.as("sample_key")),
         Seq("lang"), Seq(col("sample_key"), col("doc_id")), 20, "rk")
@@ -1953,12 +1837,9 @@ object SparkEntry {
 
     // ===== LLM-data-pipeline extension =====
 
-    // exact dedup: content-hash grouping.
+    // exact dedup: content-hash grouping (Dedup.exactDuplicates).
     ("d1_dedup_exact", (s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(md5(col("text")).as("text_hash"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
-        .orderBy("text_hash"),
+      Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash"),
       Some("""SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
              MIN(doc_id) AS keep_doc_id
              FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
@@ -1975,23 +1856,9 @@ object SparkEntry {
       Some(s"""WITH $oracleSigCtes, $oraclePairCtes
              SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
-    // SimHash (16-bit) fingerprints from token hashes.
-    ("d4_simhash", (s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
-        .withColumn("h", md5(col("w")))
-      val bitSums = (0 until 16).map { j =>
-        val ci = j / 4 + 1; val bi = j % 4
-        val v = (expr(s"instr('0123456789abcdef', substr(h, $ci, 1))") - 1).cast("int")
-        val bit = (floor(v / lit(1 << bi)).cast("long") % 2).cast("int")
-        sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
-      }
-      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      sums.select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash16"))
-        .orderBy("doc_id")
-    },
+    // SimHash (16-bit) fingerprints from token hashes (Dedup.simhash16).
+    ("d4_simhash", (s, dir) =>
+      Dedup.simhash16(t(s, dir, "documents")).orderBy("doc_id"),
       Some {
         val sums = (0 until 16).map { j =>
           val ci = j / 4 + 1; val bi = 1 << (j % 4)
@@ -2006,28 +1873,13 @@ object SparkEntry {
     // exact n-gram Jaccard VERIFICATION over the LSH candidate pairs —
     // the scale-correct composition: quadratic set comparison runs only
     // on candidates surfaced by banding (d3), never on all pairs.
-    ("d5_ngram_jaccard", (s, dir) => {
-      // The candidate set is tiny relative to the corpus but feeds THREE
-      // consumers (candidate docs + both sides of the verify join) —
-      // the memoized persisted pairs table means the minhash/banding
-      // chain runs once, not three times (a checkpoint before verify).
-      val pairs = lshPairsCached(s, dir)
-      // gram sets are materialized ONLY for candidate docs — at corpus
-      // scale the expensive set construction must not touch non-candidates.
-      val candDocs = pairs.select(col("doc_a").as("doc_id"))
-        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val grams = t(s, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(TextAnalysis.charShingles(col("text"), 5)).as("grams"))
-      pairs
-        .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-        .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-        .withColumn("jaccard", col("inter").cast("double")
-          / (size(col("ga")).cast("long") + size(col("gb")).cast("long") - col("inter")))
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
+    // The candidate pairs table is tiny relative to the corpus but
+    // feeds THREE consumers (candidate docs + both sides of the verify
+    // join) — the memoized persisted pairs table means the
+    // minhash/banding chain runs once, not three times.
+    ("d5_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), lshPairsCached(s, dir))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $oracleSigCtes, $oraclePairCtes,
            g AS (SELECT doc_id,
                  list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
@@ -2048,17 +1900,9 @@ object SparkEntry {
     // vacuous. 0.35 yields ~26 pairs at sf0.01 (closest pair sits
     // 4.7e-4 from the cut, far beyond ulp disagreement between
     // engines), so the gate exercises UnitVector/DotProduct on data.
-    ("d6_embed_neardup", (s, dir) => {
-      val em = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-        Similarity.unit(col("embedding")).as("ue"))
-      em.as("a").join(em.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          Similarity.dot(col("a.ue"), col("b.ue")).as("cos"))
-        .filter(col("cos") >= 0.35)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    },
+    ("d6_embed_neardup", (s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
+        .orderBy("vec_a", "vec_b"),
       Some(s"""WITH $oracleUnitCte
              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(list_dot_product(a.ue, b.ue), 4) AS cos_sim
@@ -2074,35 +1918,10 @@ object SparkEntry {
     // division each. Exact sets are built only for candidate docs, and
     // the shingle-equality intersection rides a (doc, shingle) join
     // key — no per-pair set materialization.
-    ("d9_minhash_estimate", (s, dir) => {
-      val sig = minhashSignatures(s, dir)
-      val pairs = lshPairsCached(s, dir)
-      val agree = (0 until 8).map(i =>
-        when(col(s"a.sig$i") === col(s"b.sig$i"), 1L).otherwise(0L)).reduce(_ + _)
-      val est = pairs
-        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
-      val candDocs = pairs.select(col("doc_a").as("doc_id"))
-        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = wordShingleRows(
-        t(s, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))).distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      est
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .na.fill(0L, Seq("inter"))
-        .select(col("doc_a"), col("doc_b"), col("n_agree"),
-          (col("n_agree") / 8.0).as("est_jaccard"), col("inter"),
-          (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-            .as("exact_jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    ("d9_minhash_estimate", (s, dir) =>
+      Dedup.minhashEstimate(t(s, dir, "documents"),
+        minhashSignatures(s, dir), lshPairsCached(s, dir))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $oracleSigCtes, $oraclePairCtes,
            cand AS (SELECT doc_a doc_id FROM pairs UNION SELECT doc_b FROM pairs),
            shc AS (SELECT DISTINCT doc_id, sh FROM sh
@@ -2133,9 +1952,7 @@ object SparkEntry {
     // pair sets, distributed min-label propagation beyond — see
     // operators.ConnectedComponents). Oracle: recursive-CTE closure.
     ("d7_dup_clusters", (s, dir) =>
-      ConnectedComponents.components(s,
-        lshPairsCached(s, dir), "doc_a", "doc_b")
-        .orderBy("doc_id"),
+      Dedup.clusters(s, lshPairsCached(s, dir)).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
            edges AS (SELECT doc_a src, doc_b dst FROM pairs
                      UNION SELECT doc_b, doc_a FROM pairs),
@@ -2150,16 +1967,10 @@ object SparkEntry {
     // survives except non-canonical members of a duplicate cluster
     // (canonical = min doc_id, d7's cluster label). One broadcast
     // anti-join against the (tiny) drop set.
-    ("d8_dedup_keep", (s, dir) => {
-      val drop = ConnectedComponents.components(s,
-        lshPairsCached(s, dir), "doc_a", "doc_b")
-        .filter(col("doc_id") =!= col("cluster"))
-        .select("doc_id")
-      t(s, dir, "documents")
-        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+    ("d8_dedup_keep", (s, dir) =>
+      Dedup.keepList(s, t(s, dir, "documents"), lshPairsCached(s, dir))
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
            edges AS (SELECT doc_a src, doc_b dst FROM pairs
                      UNION SELECT doc_b, doc_a FROM pairs),
@@ -2201,9 +2012,7 @@ object SparkEntry {
     // per-query scores at corpus scale must not funnel into one window
     // partition per qid.
     ("n1_ann_topk", (s, dir) =>
-      topKPerGroup(annScores(s, dir), Seq("qid"),
-        Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
-        .select("qid", "rnk", "neighbor_id", "cos_r")
+      Ann.bruteForceTopK(t(s, dir, "embeddings"), annQueryPred, 5)
         .orderBy("qid", "rnk"),
       Some(s"""WITH $oracleUnitCte,
              q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
@@ -2242,7 +2051,7 @@ object SparkEntry {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
-      topKPerGroup(cand, Seq("qid"),
+      Ann.topKPerGroup(cand, Seq("qid"),
         Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
         .select("qid", "rnk", "neighbor_id", "cos_r")
         .orderBy("qid", "rnk")
@@ -2276,34 +2085,26 @@ object SparkEntry {
     // LSH-bucketed ANN: sign-bit signatures vs the hyperplane codebook,
     // candidates = same bucket, exact cosine re-rank inside. The other
     // scale path next to IVF (n2). See annLshTopK.
-    ("n3_ann_lsh", (s, dir) => annLshTopK(s, dir, hamming1 = false),
+    ("n3_ann_lsh", (s, dir) =>
+      Ann.lshTopK(t(s, dir, "embeddings"), rpPlanes, annQueryPred, 5,
+        multiprobe = false).orderBy("qid", "rnk"),
       Some(annLshOracleSql(hamming1 = false))),
 
     // n3 with hamming-1 multiprobe: same codebook, 9 probes per query.
     // The recall lift vs n3 is visible in the gates themselves (more
     // top-5 rows survive at the same k) and pinned by AnnRecallSpec.
-    ("n4_ann_multiprobe", (s, dir) => annLshTopK(s, dir, hamming1 = true),
+    ("n4_ann_multiprobe", (s, dir) =>
+      Ann.lshTopK(t(s, dir, "embeddings"), rpPlanes, annQueryPred, 5,
+        multiprobe = true).orderBy("qid", "rnk"),
       Some(annLshOracleSql(hamming1 = true))),
 
-    // text quality features + score.
-    ("t1_text_stats", (s, dir) => {
-      val ws = TextAnalysis.words(col("text"))
-      val nWords = size(ws).cast("long")
-      val nDistinct = size(array_distinct(ws)).cast("long")
-      val ttr = nDistinct.cast("double") / nWords
-      val avgWlen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
-      val stopRatio = TextAnalysis.markerCount(ws, stopwords).cast("double") / nWords
-      val quality = least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 + ttr * 0.3 + stopRatio * 0.2
-      // ratios/quality left UNROUNDED: both engines evaluate the same
-      // IEEE op sequence over exact integers, so values match bitwise;
-      // rounding would reintroduce decimal-vs-binary halfway splits
-      // (e.g. quality = 0.37875 at n_words = 32).
-      t(s, dir, "documents").select(col("doc_id"),
-        nWords.as("n_words"), nDistinct.as("n_distinct_words"),
-        ttr.as("ttr"), avgWlen.as("avg_word_len"),
-        stopRatio.as("stop_ratio"), quality.as("quality"))
-        .orderBy("doc_id")
-    },
+    // text quality features + score (TextQuality.textStats). Ratios
+    // are UNROUNDED: both engines evaluate the same IEEE op sequence
+    // over exact integers, so values match bitwise; rounding would
+    // reintroduce decimal-vs-binary halfway splits (e.g. quality =
+    // 0.37875 at n_words = 32).
+    ("t1_text_stats", (s, dir) =>
+      TextQuality.textStats(t(s, dir, "documents"), stopwords).orderBy("doc_id"),
       Some("""SELECT doc_id,
              CAST(len(w) AS BIGINT) AS n_words,
              CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
@@ -2317,18 +2118,8 @@ object SparkEntry {
              ORDER BY doc_id""")),
 
     // language-ID by marker-token scoring (n-gram heuristic family).
-    ("t2_langid", (s, dir) => {
-      val ws = TextAnalysis.words(col("text"))
-      val scores = langMarkers.map { case (l, ms) => l -> TextAnalysis.markerCount(ws, ms) }
-      val pred = scores.foldRight(lit(langMarkers.last._1): Column) { case ((l, sc), acc) =>
-        when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((c, o) => c && sc >= o), lit(l))
-          .otherwise(acc)
-      }
-      t(s, dir, "documents").select(
-        Seq(col("doc_id")) ++ scores.map { case (l, sc) => sc.as(s"s_$l") } ++
-          Seq(pred.as("pred_lang"), (pred === col("lang")).as("matches_label")): _*)
-        .orderBy("doc_id")
-    },
+    ("t2_langid", (s, dir) =>
+      TextQuality.langId(t(s, dir, "documents"), langMarkers).orderBy("doc_id"),
       Some {
         val marks = langMarkers.map { case (l, ms) =>
           l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
@@ -2348,18 +2139,9 @@ object SparkEntry {
     // language confusion matrix: the langid predictor aggregated
     // against the labeled corpus — (label, prediction) counts, the
     // evaluation artifact a pipeline ships with its classifier.
-    ("t11_lang_confusion", (s, dir) => {
-      val ws = TextAnalysis.words(col("text"))
-      val scores = langMarkers.map { case (l, ms) => l -> TextAnalysis.markerCount(ws, ms) }
-      val pred = scores.foldRight(lit(langMarkers.last._1): Column) { case ((l, sc), acc) =>
-        when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((c, o) => c && sc >= o), lit(l))
-          .otherwise(acc)
-      }
-      t(s, dir, "documents")
-        .select(col("lang"), pred.as("pred_lang"))
-        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "pred_lang")
-    },
+    ("t11_lang_confusion", (s, dir) =>
+      TextQuality.langConfusion(t(s, dir, "documents"), langMarkers)
+        .orderBy("lang", "pred_lang"),
       Some {
         val marks = langMarkers.map { case (l, ms) =>
           l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
@@ -2376,12 +2158,7 @@ object SparkEntry {
 
     // token counting: whitespace + regex tokenizers.
     ("t3_token_count", (s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        size(TextAnalysis.words(col("text"))).cast("long").as("ws_tokens"),
-        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long").as("re_tokens"),
-        expr("size(regexp_extract_all(text, '\\\\b[aeiou][a-z]*', 0))").cast("long").as("vowel_tokens"),
-        size(array_distinct(TextAnalysis.words(col("text")))).cast("long").as("distinct_tokens"))
-        .orderBy("doc_id"),
+      TextQuality.tokenCounts(t(s, dir, "documents")).orderBy("doc_id"),
       Some("""SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
@@ -2391,23 +2168,8 @@ object SparkEntry {
 
     // document fingerprinting: winnowing (min hash per sliding window
     // of 4 consecutive char-5-gram hashes).
-    ("t4_fingerprint", (s, dir) => {
-      // char 5-grams via exploded positions + substr (codegen'd) — not a
-      // transform lambda (interpreted); see minhashSignatures note.
-      val g = t(s, dir, "documents")
-        .filter(length(col("text")) >= 5)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
-        .select(col("doc_id"), col("i"),
-          md5(col("text").substr(col("i"), lit(5))).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-      g.withColumn("fp", min(col("h")).over(w))
-        .filter(col("i") >= 4)
-        .select("doc_id", "fp").distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
-        .orderBy("doc_id")
-    },
+    ("t4_fingerprint", (s, dir) =>
+      TextQuality.winnowingFingerprints(t(s, dir, "documents")).orderBy("doc_id"),
       Some("""WITH g AS (SELECT doc_id, UNNEST(generate_series(1, len(text)-4)) i,
                          UNNEST([md5(substr(text, i, 5)) for i in generate_series(1, len(text)-4)]) h
                          FROM documents),
@@ -2435,11 +2197,7 @@ object SparkEntry {
     // cardinality, so the groupBy partial-aggregates map-side and the
     // top-50 is a TakeOrdered, not a global sort.
     ("t7_vocabulary", (s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(TextAnalysis.words(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("tf"))
-        .orderBy(col("tf").desc, col("word"))
-        .limit(50),
+      TextQuality.vocabulary(t(s, dir, "documents"), 50),
       Some("""SELECT w AS word, COUNT(*) AS tf
              FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
              GROUP BY w ORDER BY tf DESC, word LIMIT 50""")),
@@ -2448,14 +2206,7 @@ object SparkEntry {
     // duplicate word-3-shingles per doc — high values flag boilerplate
     // and degenerate generations. Exact integers + one division.
     ("t10_repetition", (s, dir) =>
-      wordShingleRows(t(s, dir, "documents"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_shingles"),
-          countDistinct(col("sh")).as("n_distinct"))
-        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
-          (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
-            .as("dup_ratio"))
-        .orderBy("doc_id"),
+      TextQuality.repetitionRatio(t(s, dir, "documents")).orderBy("doc_id"),
       Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
              sh AS (SELECT doc_id,
                UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
@@ -2472,13 +2223,7 @@ object SparkEntry {
     // scale the per-doc ranking must not funnel into one partition per
     // doc_id.
     ("t9_doc_terms", (s, dir) =>
-      topKPerGroup(
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")),
-        Seq("doc_id"), Seq(col("tf").desc, col("word")), 3, "rnk")
-        .select("doc_id", "rnk", "word", "tf")
-        .orderBy("doc_id", "rnk"),
+      TextQuality.docTerms(t(s, dir, "documents"), 3).orderBy("doc_id", "rnk"),
       Some("""WITH tf AS (SELECT doc_id, w AS word, COUNT(*) AS tf
                FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) w FROM documents)
                GROUP BY doc_id, w),
@@ -2492,12 +2237,7 @@ object SparkEntry {
     // docs containing each term, for terms appearing in >= 25 docs.
     // array_distinct before the explode so a doc counts once per term.
     ("t8_doc_freq", (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.words(col("text")))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 25)
-        .orderBy("word"),
+      TextQuality.docFreq(t(s, dir, "documents"), 25L).orderBy("word"),
       Some("""SELECT w AS word, COUNT(*) AS df
              FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) w
                    FROM documents)
@@ -2507,15 +2247,8 @@ object SparkEntry {
     // t1's features: keep docs long enough and lexically diverse
     // enough. Both engines compute the ratio with the same op sequence,
     // so the predicate decides identically.
-    ("t6_quality_filter", (s, dir) => {
-      val ws = TextAnalysis.words(col("text"))
-      val nWords = size(ws).cast("long")
-      val ttr = size(array_distinct(ws)).cast("double") / nWords
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), nWords.as("n_words"), ttr.as("ttr"))
-        .filter(col("n_words") >= 40 && col("ttr") >= 0.5)
-        .orderBy("doc_id")
-    },
+    ("t6_quality_filter", (s, dir) =>
+      TextQuality.qualityFilter(t(s, dir, "documents"), 40L, 0.5).orderBy("doc_id"),
       Some("""WITH f AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) n_words,
              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

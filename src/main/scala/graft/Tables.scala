@@ -15,14 +15,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to a micros
-      // timestamp — the same ns -> us truncation DuckDB applies, so
-      // oracle comparisons agree.
+      // The driver's events.ts is parquet TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects. Read nanos as long and
+      // truncate to a micros timestamp — the same ns -> us truncation
+      // DuckDB applies, so oracle comparisons agree. Re-written copies
+      // (e.g. the heavy bench tier) come back as a plain micros
+      // timestamp already, so only convert when the column reads long.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+
+/** Text-analysis operators for a training-data pipeline, as a library:
+  * quality features and filtering, language-ID, token counting,
+  * winnowing fingerprints, corpus statistics (vocabulary / document
+  * frequency / doc-term matrix), and the Gopher-style repetition rule.
+  * The named gate queries in [[graft.SparkEntry]] are thin bindings
+  * over these. Documents need (`doc_id`, `text`); everything is pure
+  * codegen'd column expressions plus map-side-combinable aggregations.
+  *
+  * Float discipline: ratios and scores are left UNROUNDED — both
+  * engines evaluate the same IEEE op sequence over exact integers, so
+  * values match bitwise; rounding would reintroduce decimal-vs-binary
+  * halfway splits. */
+object TextQuality {
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker-token language model: language -> characteristic tokens.
+    * A real pipeline swaps in learned n-gram frequencies; the scoring
+    * and argmax shape below is the same. */
+  val defaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "merge"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("data", "row", "value"),
+    "fr" -> Seq("join", "sort", "filter"),
+    "zh" -> Seq("spark", "query", "vector"))
+
+  /** T1: per-doc quality features — word counts, type-token ratio,
+    * average word length, stopword ratio, and a blended quality score. */
+  def textStats(docs: DataFrame,
+                stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val ttr = nDistinct.cast("double") / nWords
+    val avgWlen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val stopRatio = TextAnalysis.markerCount(ws, stopwords).cast("double") / nWords
+    val quality = least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 + ttr * 0.3 + stopRatio * 0.2
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), nDistinct.as("n_distinct_words"),
+      ttr.as("ttr"), avgWlen.as("avg_word_len"),
+      stopRatio.as("stop_ratio"), quality.as("quality"))
+  }
+
+  /** Per-language marker-count score columns for `text`. */
+  def langScores(markers: Seq[(String, Seq[String])] = defaultLangMarkers): Seq[(String, Column)] = {
+    val ws = TextAnalysis.words(col("text"))
+    markers.map { case (l, ms) => l -> TextAnalysis.markerCount(ws, ms) }
+  }
+
+  /** Deterministic argmax over the marker scores (first language in
+    * marker order wins ties) — the language prediction column. */
+  def langPredict(markers: Seq[(String, Seq[String])] = defaultLangMarkers): Column = {
+    val scores = langScores(markers)
+    scores.foldRight(lit(markers.last._1): Column) { case ((l, sc), acc) =>
+      when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((c, o) => c && sc >= o), lit(l))
+        .otherwise(acc)
+    }
+  }
+
+  /** T2: language-ID — per-language scores, prediction, label match. */
+  def langId(docs: DataFrame,
+             markers: Seq[(String, Seq[String])] = defaultLangMarkers): DataFrame = {
+    val pred = langPredict(markers)
+    docs.select(
+      Seq(col("doc_id")) ++ langScores(markers).map { case (l, sc) => sc.as(s"s_$l") } ++
+        Seq(pred.as("pred_lang"), (pred === col("lang")).as("matches_label")): _*)
+  }
+
+  /** T11: language confusion matrix — (label, prediction) doc counts,
+    * the evaluation artifact a pipeline ships with its classifier. */
+  def langConfusion(docs: DataFrame,
+                    markers: Seq[(String, Seq[String])] = defaultLangMarkers): DataFrame =
+    docs.select(col("lang"), langPredict(markers).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+
+  /** T3: token counting — whitespace, regex, and distinct tokenizers. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long").as("re_tokens"),
+      expr("size(regexp_extract_all(text, '\\\\b[aeiou][a-z]*', 0))").cast("long").as("vowel_tokens"),
+      size(array_distinct(TextAnalysis.words(col("text")))).cast("long").as("distinct_tokens"))
+
+  /** T4: winnowing fingerprints — min hash per sliding window of
+    * `win` consecutive char-`gram`-gram hashes, per-doc count + min.
+    * Char grams via exploded positions + substr (codegen'd), not a
+    * transform lambda (interpreted). */
+  def winnowingFingerprints(docs: DataFrame, gram: Int = 5, win: Int = 4): DataFrame = {
+    val g = docs
+      .filter(length(col("text")) >= gram)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (gram - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(col("text").substr(col("i"), lit(gram))).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(win - 1), 0)
+    g.withColumn("fp", min(col("h")).over(w))
+      .filter(col("i") >= win)
+      .select("doc_id", "fp").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
+  }
+
+  /** T7: corpus vocabulary — top-`topN` terms by total frequency (the
+    * seed stats a tokenizer/BPE trainer consumes). Word keys are high-
+    * cardinality, so the groupBy partial-aggregates map-side and the
+    * top-N is a TakeOrdered, not a global sort. */
+  def vocabulary(docs: DataFrame, topN: Int = 50): DataFrame =
+    docs.select(explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(topN)
+
+  /** T10: repetition ratio (Gopher/FineWeb-style quality rule) —
+    * fraction of duplicate word-3-shingles per doc; high values flag
+    * boilerplate and degenerate generations. */
+  def repetitionRatio(docs: DataFrame): DataFrame =
+    Dedup.wordShingles(docs)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+          .as("dup_ratio"))
+
+  /** T9: doc-term matrix head — top-`k` terms per document by term
+    * frequency (the per-document half of TF-IDF as exact integers).
+    * Two-phase top-k: at corpus scale the per-doc ranking must not
+    * funnel into one partition per doc_id. */
+  def docTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    Ann.topKPerGroup(
+      docs.select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")),
+      Seq("doc_id"), Seq(col("tf").desc, col("word")), k, "rnk")
+      .select("doc_id", "rnk", "word", "tf")
+
+  /** T8: document frequency (the exact-integer side of IDF) — number
+    * of docs containing each term, for terms in >= `minDf` docs.
+    * array_distinct before the explode so a doc counts once per term. */
+  def docFreq(docs: DataFrame, minDf: Long = 25L): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.words(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** T6: the quality FILTER gate — the training-pipeline stage that
+    * consumes t1's features: keep docs long enough and lexically
+    * diverse enough. */
+  def qualityFilter(docs: DataFrame, minWords: Long = 40L,
+                    minTtr: Double = 0.5): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val nWords = size(ws).cast("long")
+    val ttr = size(array_distinct(ws)).cast("double") / nWords
+    docs
+      .select(col("doc_id"), col("lang"), nWords.as("n_words"), ttr.as("ttr"))
+      .filter(col("n_words") >= minWords && col("ttr") >= minTtr)
+  }
+}

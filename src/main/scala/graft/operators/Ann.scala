@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** Approximate-nearest-neighbor search over an embedding column, as a
+  * library: brute-force cosine top-k as the correctness baseline, and
+  * two bucketed scale paths — IVF (centroid probing, with a learned
+  * k-means codebook) and random-hyperplane LSH (with hamming-1
+  * multiprobe). The named gate queries in [[graft.SparkEntry]] are
+  * thin bindings over these.
+  *
+  * Inputs take (`vec_id`, `embedding`); queries are selected by a
+  * predicate on the corpus itself (the common "these ids are the
+  * probes" shape — swap in a separate query DataFrame by unioning it
+  * in with distinguishing ids).
+  */
+object Ann {
+
+  /** Scalable per-group top-k: the single-window formulation
+    * (`row_number over partitionBy(group)`) funnels every row of a
+    * group into ONE partition — a hotspot when groups are few and huge
+    * (ANN query ids, sampling strata). Phase 1 takes a local top-k
+    * inside each physical input partition (window keyed by
+    * (group, partition-id) — parallel, no hotspot); phase 2 ranks the
+    * ≤ k×numPartitions survivors per group. The global top-k is always
+    * contained in the local top-k's, so output is identical. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String): DataFrame = {
+    val wLocal = Window
+      .partitionBy(groupCols.map(col) :+ col("__pid"): _*)
+      .orderBy(orderCols: _*)
+    val cand = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__rk0", row_number().over(wLocal))
+      .filter(col("__rk0") <= k)
+      .drop("__rk0", "__pid")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    cand.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Brute-force cosine scoring: every query against every corpus
+    * vector. Vectors are unit-normalized ONCE per row (codegen
+    * UnitVector), so each pair costs one dot product — not dot + two
+    * norms. The query side is broadcast: no shuffle of the corpus at
+    * all — the canonical full-scan baseline at any scale. */
+  def bruteForceScores(embeddings: DataFrame, queryPred: Column): DataFrame = {
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val q = em.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"))
+    broadcast(q).join(em, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+  }
+
+  /** Brute-force cosine top-k per query (the ANN baseline). */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame =
+    topKPerGroup(bruteForceScores(embeddings, queryPred), Seq("qid"),
+      Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
+      .select("qid", "rnk", "neighbor_id", "cos_r")
+
+  /** Deterministic random-hyperplane codebook: `nPlanes` planes of ±1
+    * over `dims` dims, derived from md5 bits on the driver and inlined
+    * as LITERALS into the plan — the codebook is data (like model
+    * weights), not per-row computation. */
+  def randomHyperplanes(nPlanes: Int, dims: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dims).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pl$j|$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }.toArray
+    }
+
+  /** LSH-bucketed ANN: sign-bit signatures vs the hyperplane codebook,
+    * candidates from the query's own bucket — plus, with `multiprobe`,
+    * the buckets one sign-flip away. Multiprobe is the recall lever at
+    * scale: near-neighbors straddling one hyperplane land one hamming
+    * step away, and probing 1+nPlanes buckets costs that many bucket
+    * lookups, NOT a wider scan. A neighbor matches at most one probe
+    * (each vector lives in exactly one bucket), so no dedup is
+    * needed. */
+  def lshTopK(embeddings: DataFrame, planes: Seq[Array[Double]],
+              queryPred: Column, k: Int, multiprobe: Boolean): DataFrame = {
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val sig = planes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withSig = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
+    val probeCols =
+      if (multiprobe)
+        col("bucket") +: planes.indices.map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+      else Seq(col("bucket"))
+    val q = withSig.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"),
+        explode(array(probeCols: _*)).as("probe"))
+    val cand = broadcast(q).join(withSig, col("probe") === col("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+    topKPerGroup(cand, Seq("qid"),
+      Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
+      .select("qid", "rnk", "neighbor_id", "cos_r")
+  }
+
+  /** Learned k-means codebook by Lloyd iterations on unit vectors,
+    * fully deterministic and fully declarative (no collect): seeds are
+    * the unit vectors of the `k` lowest vec_ids, each round assigns
+    * every vector to its max-cosine centroid and re-averages per
+    * (cluster, dim). Centroid dims are rounded to 6 places per round —
+    * that makes the codebook REPRODUCIBLE across engines and summation
+    * orders (the oracle runs the identical unrolled rounds), the same
+    * reason a production pipeline snapshots its codebook rather than
+    * recomputing it ad hoc.
+    *
+    * Returns (cluster, pos, c) — long-form centroid dims. `iters` is
+    * small and fixed (codebook training is an offline step; at 100 TB
+    * you train on a sample and broadcast the codebook). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val dims = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+      .select(col("vec_id"), posexplode(col("ue")))
+      .withColumnRenamed("col", "v")
+    // seed codebook: the k lowest vec_ids (deterministic, data-derived)
+    var cent = dims.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("pos"),
+        round(col("v"), 6).as("c"))
+    for (_ <- 0 until iters) {
+      val scores = dims.join(cent, Seq("pos"))
+        .groupBy("vec_id", "cluster")
+        .agg(round(sum(col("v") * col("c")), 6).as("score"))
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("cluster"))
+      val assign = scores.withColumn("__r", row_number().over(wA))
+        .filter(col("__r") === 1).select("vec_id", "cluster")
+      cent = dims.join(assign, Seq("vec_id"))
+        .groupBy("cluster", "pos").agg(round(avg(col("v")), 6).as("c"))
+    }
+    cent
+  }
+
+  /** IVF-style ANN against a long-form (cluster, pos, c) codebook:
+    * rank centroids per query by cosine, probe the top `nprobe`, exact
+    * cosine re-rank only inside the probed partitions. Membership =
+    * max-cosine centroid per vector (the inverted file). At 100 TB the
+    * codebook is broadcast and the corpus is scanned once to build the
+    * file; queries touch nprobe/k of the data. */
+  def ivfTopK(embeddings: DataFrame, centroids: DataFrame,
+              queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val dims = em.select(col("vec_id"), posexplode(col("ue")))
+      .withColumnRenamed("col", "v")
+    val scores = dims.join(broadcast(centroids), Seq("pos"))
+      .groupBy("vec_id", "cluster")
+      .agg(round(sum(col("v") * col("c")), 6).as("score"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cluster"))
+    val ranked = scores.withColumn("__r", row_number().over(wA))
+    // inverted file: every vector lives in its single max-cosine cell
+    val member = ranked.filter(col("__r") === 1).select("vec_id", "cluster")
+    val probes = ranked.filter(queryPred && col("__r") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cluster"))
+    val q = em.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"))
+    val cand = broadcast(probes.join(q, "qid"))
+      .join(em.join(member, Seq("vec_id")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+    topKPerGroup(cand, Seq("qid"),
+      Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
+      .select("qid", "rnk", "neighbor_id", "cos_r")
+  }
+}

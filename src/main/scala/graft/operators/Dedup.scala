@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextAnalysis}
+
+/** Document deduplication as a library: the FineWeb/CCNet-shaped chain
+  *
+  *   shingle -> MinHash signature index -> banded LSH candidate pairs
+  *   -> exact verification on candidates only -> connected-component
+  *   clusters -> keep-list
+  *
+  * Every stage is a DataFrame-in / DataFrame-out operator a user calls
+  * directly (`Dedup.keepList(docs, pairs)`); the named gate queries in
+  * [[graft.SparkEntry]] are thin bindings over these. Input documents
+  * need (`doc_id`, `text`); embeddings need (`vec_id`, `label`,
+  * `embedding`).
+  *
+  * Scale notes (100 TB): the signature table is a MATERIALIZED INDEX —
+  * build it once ([[minhashSignatures]]), persist/write it, and feed it
+  * to every downstream stage. Candidate generation is bucketed, never
+  * all-pairs; exact (quadratic) comparison only ever touches LSH
+  * candidates.
+  */
+object Dedup {
+
+  /** Word 3-shingles, one row per (doc, shingle) — relational
+    * (posexplode + lead over a per-doc window), not a per-row lambda,
+    * so the hot path stays codegen'd. */
+  def wordShingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .withColumnRenamed("col", "w")
+      .select(col("doc_id"), col("w"),
+        lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+  }
+
+  /** D1: exact dedup by content hash — (text_hash, n_copies,
+    * keep_doc_id) per distinct content. Map-side partial aggregation;
+    * the canonical survivor is the min doc_id. */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** D2: 8 seeded minwise hashes over word 3-shingles — one row per
+    * doc: (doc_id, sig0..sig7). Build once per corpus; this is the
+    * materialized index every other stage reads. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = wordShingles(docs)
+      .withColumn("h0", TextAnalysis.seededHash(0, col("sh")))
+      .withColumn("h1", TextAnalysis.seededHash(1, col("sh")))
+    val aggs = (0 until 8).map { i =>
+      val h = if (i < 4) "h0" else "h1"
+      min(substring(col(h), 8 * (i % 4) + 1, 8)).as(s"sig$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** D3: LSH candidate pairs (doc_a < doc_b) from the signature table
+    * via 4-band x 2-row banding, with the degenerate-bucket guard: a
+    * too-common band key (boilerplate / near-empty content hashing
+    * alike) would emit |bucket|² pairs, so buckets over `maxBucket`
+    * docs are dropped before the self-join. The bucket count is a
+    * window over bkey — the same hash partitioning the self-join
+    * needs, so the guard adds no exchange. */
+  def lshPairs(sig: DataFrame, maxBucket: Int = 100): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+    val kept = bands
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    kept.as("a").join(kept.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** D4: 16-bit SimHash fingerprints from token hashes — linear
+    * bit-sum aggregation, no pairwise work. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 16).map { j =>
+      val ci = j / 4 + 1; val bi = j % 4
+      val v = (expr(s"instr('0123456789abcdef', substr(h, $ci, 1))") - 1).cast("int")
+      val bit = (floor(v / lit(1 << bi)).cast("long") % 2).cast("int")
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash16"))
+  }
+
+  /** D5: exact char-n-gram Jaccard VERIFICATION over candidate pairs —
+    * the scale-correct composition: the quadratic set comparison runs
+    * only on pairs surfaced by banding, never all-pairs, and gram sets
+    * are materialized ONLY for candidate docs. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5): DataFrame = {
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val grams = docs.join(broadcast(candDocs), Seq("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.charShingles(col("text"), n)).as("grams"))
+    pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("ga")).cast("long") + size(col("gb")).cast("long") - col("inter")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** D6: embedding near-duplicate pairs — cosine >= `threshold` within
+    * label blocks. Unit vectors once per row (codegen UnitVector) ->
+    * one dot per pair; the self-join is label-blocked, never a full
+    * cartesian. Output cos_sim is rounded to 4 places (presentation —
+    * the filter runs on the unrounded value). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val em = embeddings.select(col("vec_id"), col("label"),
+      Similarity.unit(col("embedding")).as("ue"))
+    em.as("a").join(em.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.dot(col("a.ue"), col("b.ue")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** D9: MinHash calibration — per candidate pair, the signature-
+    * agreement ESTIMATE (n_agree/8) next to the exact word-3-shingle
+    * Jaccard over the SAME shingle space. Exact sets are built only
+    * for candidate docs, and the intersection rides a (doc, shingle)
+    * join key — no per-pair set materialization. */
+  def minhashEstimate(docs: DataFrame, sig: DataFrame, pairs: DataFrame): DataFrame = {
+    val agree = (0 until 8).map(i =>
+      when(col(s"a.sig$i") === col(s"b.sig$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = pairs
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = wordShingles(docs.join(broadcast(candDocs), Seq("doc_id"))).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    est
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree") / 8.0).as("est_jaccard"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("exact_jaccard"))
+  }
+
+  /** D7: duplicate clusters from the candidate graph — adaptive
+    * connected components (driver union-find for near-dup-rate-sized
+    * pair sets, distributed min-label propagation with pointer jumping
+    * beyond; see [[ConnectedComponents]]). */
+  def clusters(s: SparkSession, pairs: DataFrame): DataFrame =
+    ConnectedComponents.components(s, pairs, "doc_a", "doc_b")
+
+  /** D8: the dedup pipeline's terminal operator — the KEEP-LIST. Every
+    * doc survives except non-canonical members of a duplicate cluster
+    * (canonical = min doc_id). One broadcast anti-join against the
+    * (tiny) drop set. */
+  def keepList(s: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = clusters(s, pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+}
