@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole shuffle/agg machinery in ONE JVM: 8g was
+  // measured to GC-thrash the heavy bench tier (e3 180s vs 21s in a
+  // roomy heap) on this 128 GiB box. Production clusters size executor
+  // memory per core; this is the single-JVM equivalent.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

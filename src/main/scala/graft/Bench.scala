@@ -80,6 +80,12 @@ object Bench {
       val heavyDir = sys.env.getOrElse("SPARK_GRAFT_HEAVY_DIR",
         s"/tmp/graft_heavy_x$heavyCopies")
       HeavyData.ensure(spark, sfDir, heavyDir, heavyCopies)
+      // session hygiene: drop the sf0.1 materialized indexes and cached
+      // relations before timing at 10x — the heavy numbers should
+      // measure the plans, not the session's accumulated state.
+      SparkEntry.clearCaches(spark)
+      spark.catalog.clearCache()
+      System.gc()
       Tables.load(spark, heavyDir, "lineitem").count() // warm the scans
       heavyQueries.flatMap(n => once(n, heavyDir).map(n -> _))
     } else Seq.empty

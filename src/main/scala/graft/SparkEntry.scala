@@ -2098,6 +2098,54 @@ object SparkEntry {
         multiprobe = true).orderBy("qid", "rnk"),
       Some(annLshOracleSql(hamming1 = true))),
 
+    // IVF with a LEARNED codebook: 2 deterministic Lloyd rounds from
+    // seed vectors (the 5 lowest vec_ids), then probe-2 search — n2's
+    // label-derived centroids only exist because the fixture has
+    // labels; real corpora train a codebook (this is that, declarative
+    // and engine-reproducible: centroid dims and scores round to 6
+    // places per round, so both engines walk identical assignments —
+    // the same reason production pipelines snapshot their codebook).
+    // Oracle: the two Lloyd rounds unrolled CTE by CTE.
+    ("n5_ann_kmeans", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.ivfTopK(em, Ann.kmeansCentroids(em, 5, 2), annQueryPred, 5, 2)
+        .orderBy("qid", "rnk")
+    },
+      Some {
+        def lloyd(centIn: String, n: Int): String =
+          s"""s$n AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+                FROM dims d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
+             a$n AS (SELECT vec_id, cluster FROM
+                (SELECT vec_id, cluster,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
+                 FROM s$n) WHERE r = 1),
+             c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
+                FROM dims d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
+        s"""WITH $oracleUnitCte,
+           dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u),
+           c0 AS (SELECT vec_id AS cluster, i, ROUND(v, 6) c FROM dims WHERE vec_id < 5),
+           ${lloyd("c0", 1)},
+           ${lloyd("c1", 2)},
+           sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+                  FROM dims d JOIN c2 c ON d.i = c.i GROUP BY 1, 2),
+           rk AS (SELECT vec_id, cluster,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
+                  FROM sf),
+           member AS (SELECT vec_id, cluster FROM rk WHERE r = 1),
+           probes AS (SELECT vec_id qid, cluster FROM rk WHERE vec_id < 5 AND r <= 2),
+           q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                    FROM probes p JOIN q ON q.qid = p.qid
+                    JOIN member m ON m.cluster = p.cluster
+                    JOIN u e ON e.vec_id = m.vec_id AND e.vec_id <> p.qid),
+           r AS (SELECT qid, neighbor_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                 FROM cand)
+           SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+           ORDER BY qid, rnk"""
+      }),
+
     // text quality features + score (TextQuality.textStats). Ratios
     // are UNROUNDED: both engines evaluate the same IEEE op sequence
     // over exact integers, so values match bitwise; rounding would

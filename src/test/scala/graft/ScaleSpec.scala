@@ -101,6 +101,23 @@ class AnnRecallSpec extends AnyFunSuite {
       s"multiprobe recall $rMulti < single-probe $rSingle of ${truth.size}")
     assert(multi.nonEmpty)
   }
+
+  test("learned-kmeans IVF (n5) recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("n1_ann_topk")
+    val km = pairs("n5_ann_kmeans")
+    // probing 2 of 5 cells must still return a FULL top-k per query...
+    assert(km.size == truth.size,
+      s"kmeans IVF returned ${km.size} of ${truth.size} top-k slots")
+    // ...and recall the probed fraction of true neighbors. On random
+    // embeddings 2/5 cells hold ~40% of neighbors in expectation;
+    // a broken codebook (empty/degenerate cells) collapses below this.
+    val recall = (km & truth).size.toDouble / truth.size
+    assert(recall >= 0.3, s"kmeans IVF recall $recall < 0.3")
+  }
 }
 
 class CacheLifecycleSpec extends AnyFunSuite {
