@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** Corpus constructors and DuckDB oracle builders for the heavyweight
+  * gates (a5 fast-kernel, the e3/e4 flagship-pipeline corpora, the
+  * shared dedup/ANN oracle CTEs). Pure gate FIXTURES — the engine
+  * lives in graft.operators / graft.functions / graft.etl; this file
+  * exists so SparkEntry stays a readable registry.
+  */
+object GateFixtures {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  /** DuckDB twin of the a5_rolling_full fast-kernel gate: direct
+    * triangular dot product over a bounded self-join, exact-integer
+    * channels, one double division per cell (matches the kernel's
+    * prefix-sum result bitwise because both sides are exact integers
+    * until that division). */
+  private[graft] def a5OracleSql: String = {
+    val cells = for { ch <- Seq("vc", "pl", "em"); n <- Seq(20, 120, 1200) } yield {
+      val wsum = n.toLong * n / 2 // triangular weight total for even n
+      s"""CASE WHEN t.rn >= $n THEN
+         CAST(SUM(CASE WHEN t.rn - s.rn <= ${n - 1}
+                       THEN s.$ch * (2 * LEAST(t.rn - s.rn, ${n - 1} - (t.rn - s.rn)) + 1) END)
+              AS DOUBLE) / $wsum.0 END AS tri_${ch}_$n"""
+    }
+    s"""WITH e AS (SELECT event_id, event_type,
+         CAST(ROUND(value*100) AS BIGINT) AS vc,
+         CAST(LENGTH(props) AS BIGINT) AS pl,
+         event_id % 97 AS em,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn
+         FROM events)
+       SELECT t.event_id, ${cells.mkString(",\n")}
+       FROM e t JOIN e s
+         ON t.event_type = s.event_type AND s.rn BETWEEN t.rn - 1199 AND t.rn
+       GROUP BY t.event_id, t.rn ORDER BY t.event_id"""
+  }
+
+  /** Cleaned activities for the e3/e4 pipeline gates: a 1-in-20 orders
+    * slice as Strava-shaped JSON through the real clean; elapsed_time
+    * splits the corpus across the R5 branch. */
+  private[graft] def e3Activities(s: SparkSession, dir: String, now: Long): DataFrame = {
+    val docs = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+      .select(to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("name"),
+        col("o_orderstatus").as("type"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_date"),
+        struct(col("o_custkey").as("id")).as("athlete"),
+        (col("o_orderkey") % 86400).as("moving_time"),
+        ((col("o_orderkey") % 4000) * 50 + 60).as("elapsed_time"))).as("json"))
+    etl.CleanActivities.clean(docs, now.toDouble)
+      .filter(col("_valid")).drop("_valid")
+  }
+
+  /** Long-form streams for e3/e4: lineitem rows as spacing-2 samples
+    * with cents-scaled integer channels (exact-parity design — see the
+    * e3 registry comment). With `poisonWatts`, the FIRST sample's watts
+    * is nulled for every third activity — a leading null that survives
+    * interpolation, feeding the legacy poisoning gate (e4). */
+  private[graft] def e3Streams(s: SparkSession, dir: String,
+                        poisonWatts: Boolean): DataFrame = {
+    val arr = sort_array(collect_list(struct(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").as("hr"), col("l_extendedprice").as("pr"),
+      col("l_discount").as("dc"))))
+    val watts = round(col("smp.pr") * 100, 0)
+    val wattsOut =
+      if (poisonWatts)
+        when(col("activity_id") % 60 === 0 && col("idx") === 0,
+          lit(null).cast("double")).otherwise(watts)
+      else watts
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .groupBy(col("l_orderkey").as("activity_id")).agg(arr.as("a"))
+      .select(col("activity_id"), posexplode(col("a")).as(Seq("idx", "smp")))
+      .select(col("activity_id"),
+        (col("idx") * 2).cast("long").as("time"),
+        array(col("smp.hr"), col("smp.dc")).as("latlng"),
+        lit(null).cast("double").as("distance"),
+        lit(null).cast("double").as("altitude"),
+        round(col("smp.dc") * 10000, 0).as("velocity_smooth"),
+        round(col("smp.hr") * 100, 0).as("heartrate"),
+        lit(null).cast("double").as("cadence"),
+        wattsOut.as("watts"),
+        lit(null).cast("double").as("temp"),
+        lit(true).as("moving"),
+        lit(null).cast("double").as("grade_smooth"))
+  }
+
+  /** DuckDB twin of e3_pipeline_streams: the full ActivityPipeline
+    * dataflow — R5 branch, dense spine, r4-style interpolation (t cast
+    * to double, identical IEEE sequence), a3-style triangular rolling
+    * at windows {1,5,10}, per-activity maxima, P6 latlng formatting —
+    * reproduced CTE by CTE. */
+  private[graft] def e3OracleSql: String = {
+    val chans = Seq("hr", "w", "vel")
+    val winExprs = chans.map { c =>
+      s"""last_value($c IGNORE NULLS) OVER wpre pv_$c,
+         last_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpre pt_$c,
+         first_value($c IGNORE NULLS) OVER wpost nv_$c,
+         first_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpost nt_$c"""
+    }.mkString(",\n")
+    val interpExprs = chans.map { c =>
+      s"""CASE WHEN $c IS NOT NULL THEN $c
+              WHEN pv_$c IS NULL THEN NULL
+              WHEN nv_$c IS NULL THEN pv_$c
+              ELSE pv_$c + (nv_$c - pv_$c) * (CAST(t AS DOUBLE) - pt_$c) / (nt_$c - pt_$c) END $c"""
+    }.mkString(", ")
+    val triExprs = chans.map { c =>
+      s"""MAX(CASE WHEN s.rn = t.rn THEN s.$c END) tri1_$c,
+         CASE WHEN t.rn >= 5 THEN
+           SUM(CASE WHEN t.rn - s.rn <= 4
+                    THEN s.$c * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9 END tri5_$c,
+         CASE WHEN t.rn >= 10 THEN
+           SUM(s.$c * (2 * LEAST(t.rn - s.rn, 9 - (t.rn - s.rn)) + 1)) / 50 END tri10_$c"""
+    }.mkString(",\n")
+    s"""WITH acts AS (SELECT o_orderkey aid, (o_orderkey % 4000) * 50 + 60 el
+           FROM orders WHERE o_orderkey % 20 = 0),
+       s0 AS (SELECT l_orderkey aid,
+           (ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                       l_extendedprice, l_discount) - 1) * 2 AS time,
+           ROUND(l_quantity * 100) hr, ROUND(l_extendedprice * 100) w,
+           ROUND(l_discount * 10000) vel,
+           l_quantity lat, l_discount lng
+         FROM lineitem WHERE l_orderkey % 20 = 0),
+       norm AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el < 100000),
+       byp  AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el >= 100000),
+       bounds AS (SELECT aid, MAX(time) tmax FROM norm GROUP BY aid),
+       spine AS (SELECT aid, UNNEST(generate_series(0, tmax)) t FROM bounds),
+       j AS (SELECT sp.aid, sp.t, n.hr, n.w, n.vel, n.lat, n.lng
+             FROM spine sp LEFT JOIN norm n ON sp.aid = n.aid AND sp.t = n.time),
+       wn AS (SELECT *, $winExprs FROM j
+              WINDOW wpre AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wpost AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       i AS (SELECT aid, t, lat, lng, $interpExprs FROM wn),
+       ii AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY t) rn FROM i),
+       r AS (SELECT t.aid, t.rn, $triExprs
+             FROM ii t JOIN ii s ON t.aid = s.aid AND s.rn BETWEEN t.rn - 9 AND t.rn
+             GROUP BY t.aid, t.rn),
+       maxs AS (SELECT aid, MAX(tri1_hr) m_hr1, MAX(tri5_hr) m_hr5,
+                MAX(tri10_hr) m_hr10, MAX(tri5_w) m_w5, MAX(tri10_vel) m_v10
+                FROM r GROUP BY aid),
+       allrows AS (SELECT aid, t AS time_new, hr, lat, lng FROM i
+                   UNION ALL SELECT aid, time, hr, lat, lng FROM byp),
+       firsts AS (SELECT aid, COUNT(*) n_streams,
+                  MAX(CASE WHEN time_new = 0 THEN hr END) first_hr,
+                  MAX(CASE WHEN time_new = 0 THEN
+                    '[' || CAST(lat AS VARCHAR) || ', ' || CAST(lng AS VARCHAR) || ']'
+                  END) first_latlng
+                  FROM allrows GROUP BY aid)
+       SELECT f.aid AS id, f.n_streams, f.first_hr, f.first_latlng,
+         m.m_hr1 AS peak_hr1, m.m_hr5 AS peak_hr5,
+         m.m_hr10 AS peak_hr10, m.m_w5 AS peak_power5,
+         m.m_v10 AS peak_speed10
+       FROM firsts f LEFT JOIN maxs m USING (aid) ORDER BY id"""
+  }
+
+  /** DuckDB twin of e4_legacy_poisoning: e3's CTE chain for channels
+    * (hr, w) with the watts null injected at the first sample,
+    * null-GUARDED triangular windows (a window touching a null yields
+    * null, matching the kernel's poisoning-free semantics), and the
+    * legacy rule as a per-activity BOOL_OR(w IS NULL) that nulls the
+    * whole channel's maxima. */
+  private[graft] def e4OracleSql: String = {
+    val chans = Seq("hr", "w")
+    val winExprs = chans.map { c =>
+      s"""last_value($c IGNORE NULLS) OVER wpre pv_$c,
+         last_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpre pt_$c,
+         first_value($c IGNORE NULLS) OVER wpost nv_$c,
+         first_value(CASE WHEN $c IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wpost nt_$c"""
+    }.mkString(",\n")
+    val interpExprs = chans.map { c =>
+      s"""CASE WHEN $c IS NOT NULL THEN $c
+              WHEN pv_$c IS NULL THEN NULL
+              WHEN nv_$c IS NULL THEN pv_$c
+              ELSE pv_$c + (nv_$c - pv_$c) * (CAST(t AS DOUBLE) - pt_$c) / (nt_$c - pt_$c) END $c"""
+    }.mkString(", ")
+    val triExprs = chans.map { c =>
+      s"""CASE WHEN t.rn >= 5
+               AND SUM(CASE WHEN t.rn - s.rn <= 4 AND s.$c IS NULL THEN 1 ELSE 0 END) = 0
+           THEN SUM(CASE WHEN t.rn - s.rn <= 4
+                    THEN s.$c * LEAST(t.rn - s.rn + 1, 5 - (t.rn - s.rn)) END) / 9 END tri5_$c"""
+    }.mkString(",\n")
+    s"""WITH acts AS (SELECT o_orderkey aid, (o_orderkey % 4000) * 50 + 60 el
+           FROM orders WHERE o_orderkey % 20 = 0),
+       s0r AS (SELECT l_orderkey aid,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                       l_extendedprice, l_discount) rn0,
+           l_quantity hq, l_extendedprice pr
+         FROM lineitem WHERE l_orderkey % 20 = 0),
+       s0 AS (SELECT aid, (rn0 - 1) * 2 AS time, ROUND(hq * 100) hr,
+           CASE WHEN aid % 60 = 0 AND rn0 = 1 THEN NULL
+                ELSE ROUND(pr * 100) END w
+         FROM s0r),
+       norm AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el < 100000),
+       byp  AS (SELECT s0.* FROM s0 JOIN acts USING (aid) WHERE el >= 100000),
+       bounds AS (SELECT aid, MAX(time) tmax FROM norm GROUP BY aid),
+       spine AS (SELECT aid, UNNEST(generate_series(0, tmax)) t FROM bounds),
+       j AS (SELECT sp.aid, sp.t, n.hr, n.w
+             FROM spine sp LEFT JOIN norm n ON sp.aid = n.aid AND sp.t = n.time),
+       wn AS (SELECT *, $winExprs FROM j
+              WINDOW wpre AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wpost AS (PARTITION BY aid ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       i AS (SELECT aid, t, $interpExprs FROM wn),
+       pois AS (SELECT aid, BOOL_OR(w IS NULL) p FROM i GROUP BY aid),
+       ii AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY t) rn FROM i),
+       r AS (SELECT t.aid, t.rn, $triExprs
+             FROM ii t JOIN ii s ON t.aid = s.aid AND s.rn BETWEEN t.rn - 9 AND t.rn
+             GROUP BY t.aid, t.rn),
+       maxs AS (SELECT aid, MAX(tri5_hr) hr5, MAX(tri5_w) w5 FROM r GROUP BY aid),
+       aids AS (SELECT DISTINCT aid FROM s0)
+       SELECT a.aid AS id,
+         CASE WHEN COALESCE(p.p, FALSE) THEN NULL ELSE m.w5 END AS legacy_power5,
+         m.hr5 AS legacy_hr5,
+         m.w5 AS corr_power5,
+         m.hr5 AS corr_hr5
+       FROM aids a
+       LEFT JOIN maxs m ON m.aid = a.aid
+       LEFT JOIN pois p ON p.aid = a.aid
+       ORDER BY id"""
+  }
+
+  /** Shared oracle CTEs producing the same minhash signature table. */
+  private[graft] val oracleSigCtes: String = {
+    val sigs = (0 until 8).map { i =>
+      val h = if (i < 4) "h0" else "h1"
+      s"MIN(substr($h, ${8 * (i % 4) + 1}, 8)) AS sig$i"
+    }.mkString(", ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       sh AS (SELECT doc_id,
+              UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]) sh
+              FROM w),
+       hs AS (SELECT doc_id, md5('0|' || sh) h0, md5('1|' || sh) h1 FROM sh),
+       sig AS (SELECT doc_id, $sigs FROM hs GROUP BY doc_id)"""
+  }
+
+  /** Oracle twin of [[Dedup.lshPairs]] (appends to [[oracleSigCtes]]):
+    * CTEs `bands`, `kept`, `pairs(doc_a, doc_b)`. */
+  private[graft] val oraclePairCtes: String = {
+    val bandList = (0 until 4).map(b =>
+      s"md5('b$b|' || sig${2 * b} || sig${2 * b + 1})").mkString(", ")
+    s"""bands AS (SELECT doc_id, UNNEST([$bandList]) bkey FROM sig),
+       kept AS (SELECT doc_id, bkey FROM
+                (SELECT *, COUNT(*) OVER (PARTITION BY bkey) bn FROM bands)
+                WHERE bn <= 100),
+       pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Shared oracle CTE: unit-normalized embeddings (same op sequence as
+    * UnitVector — fold of squares, sqrt, per-element divide). */
+  private[graft] val oracleUnitCte: String =
+    """u AS (SELECT vec_id, label,
+       list_transform(embedding::DOUBLE[],
+         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
+       FROM embeddings)"""
+
+  /** The gates' random-hyperplane codebook: 8 planes over 64 dims
+    * ([[Ann.randomHyperplanes]]) — inlined as literals into BOTH
+    * engines; the codebook is data (like model weights). */
+  private[graft] lazy val rpPlanes: Seq[Array[Double]] = Ann.randomHyperplanes(8, 64)
+
+  /** Oracle twin of [[Ann.lshTopK]] at the gate's codebook/k. */
+  private[graft] def annLshOracleSql(hamming1: Boolean): String = {
+    val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
+      val plane = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList =
+      if (hamming1) (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString("[bucket, ", ", ", "]")
+      else "[bucket]"
+    s"""WITH $oracleUnitCte,
+       sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
+       q AS (SELECT vec_id qid, ue qu, UNNEST($probeList) probe
+             FROM sig WHERE vec_id < 5),
+       cand AS (SELECT q.qid, s.vec_id neighbor_id,
+                ROUND(list_dot_product(q.qu, s.ue), 6) cos_r
+                FROM q JOIN sig s ON q.probe = s.bucket AND s.vec_id <> q.qid),
+       r AS (SELECT qid, neighbor_id, cos_r,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+             FROM cand)
+       SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+       ORDER BY qid, rnk"""
+  }
+}
