@@ -44,6 +44,10 @@ object SparkEntry {
 
   private def hourStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Unique memory-sink names for the streaming gate (bench runs each
+    * query repeatedly in one session). */
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** events with the hourly aggregates used by the spine queries. */
   private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -954,6 +958,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
         .select(hourStr(col("w.start")).as("hour_str"), col("event_type"), col("n"), col("value_c"))
         .orderBy("hour_str", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+             FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""")),
+
+    // STREAMING in the correctness gate: the same tumbling aggregate as
+    // w2, but computed by an actual Structured Streaming query — file
+    // source over the events parquet, windowed agg, complete-mode
+    // memory sink, AvailableNow trigger (runs to completion inside the
+    // gate). Complete mode emits every window, so the result is
+    // bit-identical to the batch oracle — no watermark withholding of
+    // the final hour. This pins stream==batch parity with a HASH gate,
+    // not just a spec.
+    ("w5_stream_tumbling", (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // the streaming file source lists a DIRECTORY; events.parquet is a
+      // single file in the fixture dirs, so stream the parent with a
+      // name filter (a production layout would stream the table dir).
+      val stream0 = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+      val name = s"w5_sink_${streamGateSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(hourStr(col("w.start")).as("hour_str"), col("event_type"),
+          col("n"), col("value_c"))
+        .orderBy("hour_str", "event_type")
+    },
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
