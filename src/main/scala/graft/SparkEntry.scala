@@ -1948,6 +1948,27 @@ object SparkEntry {
     // language confusion matrix: the langid predictor aggregated
     // against the labeled corpus — (label, prediction) counts, the
     // evaluation artifact a pipeline ships with its classifier.
+    // sequence packing (GPT-style pretraining layout): per-shard token
+    // streams concatenated in doc_id order and cut every 512 tokens;
+    // docs can span sequences. One window pass + span explode — pure
+    // integer arithmetic, exact parity (TextQuality.packSequences).
+    ("t12_seq_packing", (s, dir) =>
+      TextQuality.packSequences(t(s, dir, "documents"), 512L, "lang")
+        .orderBy("shard", "doc_id", "seq_id"),
+      Some("""WITH toks AS (SELECT lang AS shard, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok FROM documents),
+             cum AS (SELECT shard, doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) tok0
+               FROM toks),
+             sp AS (SELECT shard, doc_id, n_tok, tok0,
+               UNNEST([i for i in generate_series(tok0 // 512, (tok0 + n_tok - 1) // 512)]) seq_id
+               FROM cum)
+             SELECT shard, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(LEAST((seq_id + 1) * 512, tok0 + n_tok)
+                    - GREATEST(seq_id * 512, tok0) AS BIGINT) AS seq_tokens
+             FROM sp ORDER BY shard, doc_id, seq_id""")),
+
     ("t11_lang_confusion", (s, dir) =>
       TextQuality.langConfusion(t(s, dir, "documents"), langMarkers)
         .orderBy("lang", "pred_lang"),

@@ -150,6 +150,38 @@ object TextQuality {
       .groupBy("word").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** T12: sequence PACKING — the GPT-style pretraining layout: within
+    * each shard, document token streams are concatenated in doc_id
+    * order and cut every `capacity` tokens; a document can span
+    * sequences. Emits one row per (doc, sequence) span with the token
+    * count that lands in that sequence — the assignment table a
+    * packing writer consumes.
+    *
+    * Pure integer arithmetic over ONE window pass: exclusive running
+    * token sum per shard, then span explosion — no sequential
+    * recurrence needed (unlike next-fit packing, stream-cut packing is
+    * exactly a cumulative sum). Sharding bounds the window partitions:
+    * the global-concatenation variant would funnel the corpus through
+    * one partition, so at scale you pack per shard (as real pipelines
+    * do) and the shard key rides the same exchange. */
+  def packSequences(docs: DataFrame, capacity: Long,
+                    shardCol: String = "lang"): DataFrame = {
+    val toks = docs.select(col(shardCol).as("shard"), col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_tok"))
+    val cum = toks.withColumn("tok0", coalesce(sum(col("n_tok")).over(
+      Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // longs: `div` (integer division); operands are non-negative so
+    // div == floor on both engines.
+    cum
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("tok0"),
+        explode(sequence(expr(s"tok0 div ${capacity}L"),
+          expr(s"(tok0 + n_tok - 1) div ${capacity}L"))).as("seq_id"))
+      .select(col("shard"), col("doc_id"), col("seq_id"),
+        (least((col("seq_id") + 1) * capacity, col("tok0") + col("n_tok"))
+          - greatest(col("seq_id") * capacity, col("tok0"))).as("seq_tokens"))
+  }
+
   /** T6: the quality FILTER gate — the training-pipeline stage that
     * consumes t1's features: keep docs long enough and lexically
     * diverse enough. */

@@ -120,4 +120,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).factor == 1 && new String(out(2L).payload) == "xy")
     assert(out(3L).n_bytes == 0L)
   }
+
+  test("sequence packing invariants: tokens conserved, sequences full") {
+    import graft.functions.TextQuality
+    // shard A: 3+510+5 tokens over capacity 512 -> doc 3 spans seqs 0/1;
+    // shard B: exactly one capacity -> one full seq
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(3), "A"), (3L, words(510), "A"), (5L, words(5), "A"),
+      (2L, words(512), "B"))
+      .toDF("doc_id", "text", "lang")
+    val packed = TextQuality.packSequences(docs, 512L, "lang")
+    val rows = packed.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+
+    // token conservation per doc
+    val perDoc = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._4).sum)
+    assert(perDoc(("A", 1L)) == 3 && perDoc(("A", 3L)) == 510 && perDoc(("A", 5L)) == 5)
+    assert(perDoc(("B", 2L)) == 512)
+    // doc 3 spans the seq boundary: 509 tokens in seq 0, 1 in seq 1
+    assert(rows.filter(r => r._1 == "A" && r._2 == 3L).map(r => (r._3, r._4)).sorted
+      .sameElements(Seq((0L, 509L), (1L, 1L))))
+    // every sequence except a shard's last is exactly full
+    val bySeq = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq(("A", 0L)) == 512 && bySeq(("A", 1L)) == 6)
+    assert(bySeq(("B", 0L)) == 512)
+  }
 }
