@@ -1661,6 +1661,32 @@ object SparkEntry {
     // vacuous. 0.35 yields ~26 pairs at sf0.01 (closest pair sits
     // 4.7e-4 from the cut, far beyond ulp disagreement between
     // engines), so the gate exercises UnitVector/DotProduct on data.
+    // label-free embedding near-dup: hyperplane LSH buckets instead of
+    // d6's fixture-label blocking — the path a real unlabeled corpus
+    // uses. Threshold 0.30 probed on the data: nearest bucket-pair
+    // cosines sit >=0.003 from the cut at both gate sfs, far beyond
+    // cross-engine ulp disagreement.
+    ("d10_embed_neardup_lsh", (s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), rpPlanes, 0.30)
+        .orderBy("vec_a", "vec_b"),
+      Some {
+        val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
+          val plane = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $oracleUnitCte,
+           sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
+           kept AS (SELECT vec_id, ue, bucket FROM
+             (SELECT *, COUNT(*) OVER (PARTITION BY bucket) bn FROM sig)
+             WHERE bn <= 1000)
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.ue, b.ue), 4) AS cos_sim
+           FROM kept a JOIN kept b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.ue, b.ue) >= 0.30
+           ORDER BY vec_a, vec_b"""
+      }),
+
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
         .orderBy("vec_a", "vec_b"),

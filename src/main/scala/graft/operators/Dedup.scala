@@ -133,6 +133,32 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** D10: LABEL-FREE embedding near-dup — the corpus-scale path when
+    * no blocking key exists: sign-bit LSH buckets over a hyperplane
+    * codebook ([[Ann.randomHyperplanes]]), exact cosine only WITHIN a
+    * bucket. Same degenerate-bucket guard as [[lshPairs]] (an
+    * embedding-collapsed corpus would otherwise emit |bucket|²).
+    * Pairwise work is candidates-only: 2^planes buckets cut the
+    * all-pairs square by the bucket-occupancy factor. */
+  def embeddingNearDupLsh(embeddings: DataFrame, planes: Seq[Array[Double]],
+                          threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    val em = embeddings.select(col("vec_id"),
+      Similarity.unit(col("embedding")).as("ue"))
+    val sig = planes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
+    val kept = b.withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    kept.as("a").join(kept.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.dot(col("a.ue"), col("b.ue")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** D9: MinHash calibration — per candidate pair, the signature-
     * agreement ESTIMATE (n_agree/8) next to the exact word-3-shingle
     * Jaccard over the SAME shingle space. Exact sets are built only
