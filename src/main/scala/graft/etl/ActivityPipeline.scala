@@ -44,47 +44,56 @@ object ActivityPipeline {
               legacyCompat: Boolean = false): DataFrame = {
     val meta = activities.select(col("activity_id"), col("elapsed_time"))
     val tagged = streams.join(meta, Seq("activity_id"))
-    // R5: per-activity branch — long activities skip spine+interpolation.
-    val normal = tagged.filter(col("elapsed_time") < 100000).drop("elapsed_time")
-    val bypass = tagged.filter(col("elapsed_time") >= 100000).drop("elapsed_time")
+      // R5 rides as a per-row flag instead of a filter-split + union:
+      // splitting evaluated the joined stream corpus once per branch —
+      // at 100 TB that is scanning the biggest input twice.
+      .withColumn("__bypass", col("elapsed_time") >= 100000)
+      .drop("elapsed_time")
 
-    val densified = densifyAndInterpolate(normal)
-    // A3: the rolling columns ride the SAME frame that feeds nesting, so
-    // the spine-join + interpolation subtree has exactly ONE consumer —
-    // as two separate branches Catalyst recomputed the whole chain per
-    // branch (the flagship stage doubled at scale). Bypass rows carry
-    // null rolling columns: long activities skip rolling (R5), and
-    // max(all-null) reproduces the old left-join-miss nulls exactly.
+    // A3: the rolling columns ride the SAME frame that feeds nesting,
+    // and the whole chain (densify -> interpolate -> rolling -> nest)
+    // is ONE dataflow with a single consumer at every step — Catalyst
+    // recomputes nothing, and every window/groupBy shares the one
+    // activity_id exchange. Bypass activities keep raw values
+    // (interpolation passthrough) and are masked out of the maxima.
+    val densified = densify(tagged)
+    val interp = Interpolation.interpolate(densified,
+      Seq("activity_id"), "time_key", StravaSchemas.numericChannels,
+      passthrough = Some(col("__bypass")))
+      .withColumn("time_new", col("time_key"))
     val withRolls = TriangularRolling.triangMeansFast(
-      densified, Seq("activity_id"), Seq("time_new"),
+      interp, Seq("activity_id"), Seq("time_new"),
       rollChannels.map(_._1), StravaSchemas.rollingWindows)
-    val triCols = for {
-      (ch, _) <- rollChannels; n <- StravaSchemas.rollingWindows
-    } yield s"tri_${ch}_$n"
-    val bypassed = bypass.withColumn("time_key", col("time"))
-      .withColumn("time_new", col("time"))
-      .select(densified.columns.map(col) ++
-        triCols.map(c => lit(null).cast("double").as(c)): _*)
-
-    val samples = withRolls.unionByName(bypassed)
-      .withColumn("latlng_str", latlngString(col("latlng")))
+    val samples = withRolls.withColumn("latlng_str", latlngString(col("latlng")))
 
     assemble(activities, nestAndMax(samples, legacyCompat), nowEpoch, legacyCompat)
   }
 
-  /** R2 + R3 + R4: dense per-activity second spine, left join, linear
-    * interpolation of every numeric channel (pandas semantics). */
-  private def densifyAndInterpolate(streams: DataFrame): DataFrame = {
-    val spine = streams.groupBy("activity_id")
-      .agg(max(col("time")).as("tmax"))
-      .select(col("activity_id"),
-        explode(sequence(lit(0L), col("tmax"))).as("time_key"))
-    val joined = spine.join(
-      streams.withColumn("time_key", col("time")),
-      Seq("activity_id", "time_key"), "left")
-    Interpolation.interpolate(joined, Seq("activity_id"), "time_key",
-      StravaSchemas.numericChannels)
-      .withColumn("time_new", col("time_key"))
+  /** R2 + R3 without a join: every sample row emits its own gap
+    * segment — time_key in [prev_time+1, time] via lag + explode (the
+    * first row fills from 0, pandas reindex(range(0, tmax+1))
+    * semantics) — with channel values masked to null on the generated
+    * gap rows, exactly the rows the old dense-spine LEFT JOIN
+    * produced. One window over the activity_id exchange replaces a
+    * groupBy + explode + shuffle join, and the stream corpus is
+    * evaluated ONCE. Bypass rows (R5) emit only themselves. */
+  private def densify(tagged: DataFrame): DataFrame = {
+    val w = Window.partitionBy("activity_id").orderBy("time")
+    val prev = lag(col("time"), 1).over(w)
+    val fillStart = when(col("__bypass"), col("time"))
+      .otherwise(when(prev.isNull, lit(0L)).otherwise(prev + 1))
+    val dataCols = tagged.columns.toSeq
+      .filterNot(Set("activity_id", "__bypass").contains)
+    val isReal = col("time_key") === col("time")
+    tagged
+      // window expr materialized first — a Generate operator cannot
+      // host window expressions. least() guards duplicate timestamps:
+      // sequence(a, b) with a > b would generate a DESCENDING range,
+      // not an empty one.
+      .withColumn("__fs", least(fillStart, col("time")))
+      .withColumn("time_key", explode(sequence(col("__fs"), col("time"))))
+      .select(col("activity_id") +: col("__bypass") +: col("time_key") +:
+        dataCols.map(c => when(isReal, col(c)).as(c)): _*)
   }
 
   /** P6: python str([lat, lng]) formatting; null on gap rows (the
@@ -111,7 +120,9 @@ object ActivityPipeline {
       (ch, short) <- rollChannels
       i <- StravaSchemas.rollingWindows
     } yield {
-      val m = max(col(s"tri_${ch}_$i"))
+      // R5: bypass activities never get rolling maxima — their tri
+      // columns are masked out, so max() aggregates nothing -> null.
+      val m = max(when(!col("__bypass"), col(s"tri_${ch}_$i")))
       val base = if (legacyCompat) {
         // pandas drops a column from rolling entirely once replace()
         // turned it to object dtype (any null) -> null for all windows.

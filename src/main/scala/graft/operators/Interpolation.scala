@@ -29,9 +29,16 @@ object Interpolation {
     *
     * @param partitionCols series identity (e.g. user, activity)
     * @param orderCol      numeric time axis (cast to double internally)
+    * @param passthrough   rows where this predicate holds keep their RAW
+    *                      value (cast to double) — lets interpolated and
+    *                      non-interpolated series share one dataflow
+    *                      (e.g. the R5 long-activity bypass) instead of
+    *                      a filter-split + union that evaluates the
+    *                      input subtree twice
     */
   def interpolate(df: DataFrame, partitionCols: Seq[String], orderCol: String,
-                  valueCols: Seq[String]): DataFrame = {
+                  valueCols: Seq[String],
+                  passthrough: Option[Column] = None): DataFrame = {
     val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
     val before = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val after = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -42,11 +49,11 @@ object Interpolation {
       val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
       val nv = first(v, ignoreNulls = true).over(after)
       val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
-      when(v.isNotNull, v)
+      val interp = when(v.isNotNull, v)
         .when(pv.isNull, lit(null).cast("double")) // leading nulls stay null
         .when(nv.isNull, pv)                       // trailing nulls: forward fill
         .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
-        .as(c)
+      passthrough.map(g => when(g, v).otherwise(interp)).getOrElse(interp).as(c)
     }
     val keep = df.columns.filterNot(valueCols.contains).map(col).toSeq
     df.select(keep ++ interpCols: _*)
