@@ -1,18 +1,17 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.etl.{ActivityPipeline, CleanActivities}
+import graft.etl.{ActivityPipeline, CleanActivities, StravaSchemas}
 import graft.operators.{Interpolation, TriangularRolling}
 
-/** Stage-level profiler for the flagship pipeline at heavy scale —
-  * written to chase the heavy-tier finding that e3 scales ~4x worse
-  * than its inputs. Rebuilds the e3 gate inputs (orders/lineitem
-  * slices) and times each pipeline stage in isolation.
-  * Usage: runMain graft.tools.ProfileE3 [sfDir] [shufflePartitions]
-  */
+/** Stage-level profiler for the flagship pipeline at heavy scale,
+  * forcing full evaluation with noop writes (count() lets Catalyst
+  * prune aggregates and eliminate left joins — it measures the wrong
+  * thing). Usage: runMain graft.tools.ProfileE3 [sfDir] [parts] */
 object ProfileE3 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_heavy_x10")
@@ -24,13 +23,15 @@ object ProfileE3 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val now = 1009843200L
 
-    def time(label: String)(f: => Long): Unit = {
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$label%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      force(df)
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
     // --- the e3 gate inputs, reproduced ---
@@ -69,37 +70,45 @@ object ProfileE3 {
           lit(null).cast("double").as("grade_smooth"))
     }
 
-    time("activities (clean)")(acts().count())
-    time("streams (build)")(streams().count())
+    Tables.load(spark, sfDir, "orders").count(); Tables.load(spark, sfDir, "lineitem").count()
+    time("activities (clean)")(acts())
+    time("streams (build)")(streams())
 
-    val a = acts(); val st = streams()
-    val meta = a.select(col("activity_id"), col("elapsed_time"))
-    val tagged = st.join(meta, Seq("activity_id"))
-    val normal = tagged.filter(col("elapsed_time") < 100000).drop("elapsed_time")
-    time("tagged + split (normal count)")(normal.count())
+    // replicate the pipeline stage by stage (current join-free shape)
+    def tagged() = streams().join(
+      acts().select(col("activity_id"), col("elapsed_time")), Seq("activity_id"))
+      .withColumn("__bypass", col("elapsed_time") >= 100000).drop("elapsed_time")
+    time("+ tagged (join)")(tagged())
 
-    val spine = normal.groupBy("activity_id")
-      .agg(max(col("time")).as("tmax"))
-      .select(col("activity_id"),
-        explode(sequence(lit(0L), col("tmax"))).as("time_key"))
-    time("spine explode")(spine.count())
-    val joined = spine.join(
-      normal.withColumn("time_key", col("time")),
-      Seq("activity_id", "time_key"), "left")
-    time("spine join")(joined.count())
-    val interp = Interpolation.interpolate(joined, Seq("activity_id"), "time_key",
-      graft.etl.StravaSchemas.numericChannels)
+    def densified() = {
+      val t0 = tagged()
+      val w = Window.partitionBy("activity_id").orderBy("time")
+      val prev = lag(col("time"), 1).over(w)
+      val fillStart = when(col("__bypass"), col("time"))
+        .otherwise(when(prev.isNull, lit(0L)).otherwise(prev + 1))
+      val dataCols = t0.columns.toSeq.filterNot(Set("activity_id", "__bypass").contains)
+      val isReal = col("time_key") === col("time")
+      t0.withColumn("__fs", least(fillStart, col("time")))
+        .withColumn("time_key", explode(sequence(col("__fs"), col("time"))))
+        .select(col("activity_id") +: col("__bypass") +: col("time_key") +:
+          dataCols.map(c => when(isReal, col(c)).as(c)): _*)
+    }
+    time("+ densify (gap fill)")(densified())
+
+    def interp() = Interpolation.interpolate(densified(),
+      Seq("activity_id"), "time_key", StravaSchemas.numericChannels,
+      passthrough = Some(col("__bypass")))
       .withColumn("time_new", col("time_key"))
-    time("+ interpolate")(interp.count())
-    val rolled = TriangularRolling.triangMeansFast(
-      interp, Seq("activity_id"), Seq("time_new"),
-      Seq("heartrate", "watts", "velocity_smooth"),
-      graft.etl.StravaSchemas.rollingWindows)
-    time("+ rolling 3x11")(rolled.count())
-    time("full process")(
-      ActivityPipeline.process(a, st, now).count())
-    time("full process (2nd run)")(
-      ActivityPipeline.process(a, st, now).count())
+    time("+ interpolate")(interp())
+
+    def rolled() = TriangularRolling.triangMeansFast(interp(),
+      Seq("activity_id"), Seq("time_new"),
+      Seq("heartrate", "watts", "velocity_smooth"), StravaSchemas.rollingWindows)
+    time("+ rolling 3x11")(rolled())
+
+    time("full process")(ActivityPipeline.process(acts(), streams(), now))
+    time("full e3 gate query")(
+      graft.SparkEntry.queries("e3_pipeline_streams")(spark, sfDir))
     spark.stop()
   }
 }

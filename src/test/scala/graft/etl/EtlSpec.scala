@@ -97,13 +97,14 @@ class ActivityPipelineSpec extends AnyFunSuite {
     .withColumn("moving", lit(true))
     .withColumn("grade_smooth", lit(0.0))
 
-  test("pipeline plan: exchange count stays bounded (shared activity_id partitioning)") {
+  test("pipeline plan: ONE hash exchange (shared activity_id partitioning)") {
     val plan = ActivityPipeline.process(activities(), streams(), nowEpoch)
       .queryExecution.executedPlan.toString
-    // measured: 4 hash exchanges, all keyed on activity_id (spine
-    // bounds, the shared interpolate/rolling sort, nesting, maxima)
+    // the join-free gap fill + flagged bypass + fused nest/maxima mean
+    // the ENTIRE per-activity chain (densify, interpolate, rolling,
+    // nest, maxima) rides one hashpartitioning(activity_id) exchange
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles <= 4,
+    assert(shuffles == 1,
       s"flagship ETL plan grew to $shuffles shuffle exchanges:\n$plan")
   }
 
