@@ -843,6 +843,34 @@ object SparkEntry {
              WHERE substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
              ORDER BY doc_id""")),
 
+    // data-mixing upsampler (Sampling.weightedMix): per-source mixture
+    // milli-weights — src0 3x, src1 2.5x (floor + exact-integer
+    // Bernoulli on the fractional part), src2 0.5x, src3 dropped,
+    // everything else 1x. Projection + explode, zero shuffles.
+    ("o10_weighted_mix", (s, dir) =>
+      operators.Sampling.weightedMix(t(s, dir, "documents"),
+        Map("src0" -> 3000L, "src1" -> 2500L, "src2" -> 500L, "src3" -> 0L))
+        .select(col("doc_id"), col("source"), col("n_copies"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx"),
+      Some("""WITH h AS (SELECT doc_id, source,
+               md5('mix|' || CAST(doc_id AS VARCHAR)) hh,
+               CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2500
+                 WHEN 'src2' THEN 500 WHEN 'src3' THEN 0 ELSE 1000 END w
+               FROM documents),
+             v AS (SELECT doc_id, source, w,
+               (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) AS vv
+               FROM h),
+             c AS (SELECT doc_id, source,
+               w // 1000 + CASE WHEN vv * 1000 < (w % 1000) * 4096
+                                THEN 1 ELSE 0 END n
+               FROM v)
+             SELECT doc_id, source, CAST(n AS BIGINT) AS n_copies,
+               CAST(ci AS BIGINT) AS copy_idx
+             FROM c, UNNEST([i for i in generate_series(1, n)]) t(ci)
+             WHERE n > 0 ORDER BY doc_id, copy_idx""")),
+
     // deterministic stratified sample: fixed per-language quota, picked
     // by hash order — one window shuffle on the stratum key, quota
     // applied per partition (rank <= n), reproducible across runs.

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling/mixing operators. */
+object Sampling {
+
+  /** Data-mixing upsampler — the per-source mixture weights every
+    * pretraining pipeline applies (wiki x3, web x0.5, ...): emits
+    * floor(weight) copies of each doc plus one more with probability
+    * frac(weight), deterministically.
+    *
+    * Weights are MILLI-weights (2500 = 2.5x) so everything stays exact
+    * integers: the Bernoulli draw is 3 md5 nibbles of the doc id
+    * (v in [0, 4096)), and the extra copy is taken iff
+    * v * 1000 < rem * 4096 — an integer cross-multiply both engines
+    * evaluate identically (no float thresholds).
+    *
+    * Scale shape: a projection + explode, no shuffle at all; the copy
+    * explosion multiplies rows by the mixture factor exactly where a
+    * writer would consume them. Output = input columns + n_copies +
+    * copy_idx (1-based). Weight 0 drops the source. */
+  def weightedMix(docs: DataFrame, milliWeights: Map[String, Long],
+                  defaultMilli: Long = 1000L, sourceCol: String = "source",
+                  salt: String = "mix"): DataFrame = {
+    val w = milliWeights.toSeq.sortBy(_._1).foldLeft(lit(defaultMilli)) {
+      case (acc, (s, mw)) => when(col(sourceCol) === s, lit(mw)).otherwise(acc)
+    }
+    def nib(i: Int) =
+      expr(s"instr('0123456789abcdef', substr(__mixh, $i, 1))").cast("long") - 1
+    docs
+      .withColumn("__mixw", w)
+      .withColumn("__mixh", md5(concat(lit(s"$salt|"), col("doc_id").cast("string"))))
+      .withColumn("__mixv", nib(1) * 256 + nib(2) * 16 + nib(3))
+      .withColumn("n_copies", expr("__mixw div 1000") +
+        when(col("__mixv") * 1000 < (col("__mixw") % 1000) * 4096, 1L).otherwise(0L))
+      // filter BEFORE explode: sequence(1, 0) would generate a
+      // DESCENDING range, not an empty one
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__mixw", "__mixh", "__mixv")
+  }
+}
