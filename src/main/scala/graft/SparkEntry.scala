@@ -2297,7 +2297,19 @@ object SparkEntry {
   private def pipelineNested(s: SparkSession, dir: String): DataFrame = {
     val ev = hourlyEvents(s, dir).groupBy("user_id", "h")
       .agg((sum(cents(col("value"))).cast("double") / count(lit(1))).as("v"))
-    val dense = hourSpine(ev).join(ev, Seq("user_id", "h"), "left")
+    // join-free dense hour spine (same shape as ActivityPipeline's gap
+    // fill): each hourly row emits the gap hours since its predecessor,
+    // value masked null on generated rows — no spine groupBy, no
+    // shuffle join, and the hourly table is a single-consumer subtree.
+    val wU = Window.partitionBy("user_id").orderBy("h")
+    val prevH = lag(col("h"), 1).over(wU)
+    val hourStart = when(prevH.isNull, col("h"))
+      .otherwise(prevH + expr("interval 1 hour"))
+    val dense = ev
+      .withColumn("__hs", hourStart)
+      .withColumn("hk", explode(sequence(col("__hs"), col("h"), expr("interval 1 hour"))))
+      .select(col("user_id"), col("hk").as("h"),
+        when(col("hk") === col("h"), col("v")).as("v"))
       .withColumn("t", unix_millis(col("h")))
     val interp = Interpolation.interpolate(dense, Seq("user_id"), "t", Seq("v"))
     val w = Window.partitionBy("user_id").orderBy("t")

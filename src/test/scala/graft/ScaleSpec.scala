@@ -212,16 +212,15 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally restore.foreach(spark.conf.unset)
   }
 
-  test("flagship e1 plan: bounded shuffles, broadcast spine join") {
+  test("flagship e1 plan: two shuffles, join-free spine") {
     val plan = SparkEntry.queries("e1_pipeline_nested")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    // spine join must broadcast (the spine is per-user-bounds-sized)
-    assert(plan.contains("BroadcastExchange"), "spine join should broadcast")
-    // hourly agg + spine bounds + window/nest = 3 shuffles, all on user
-    // keys; a regression adding a 4th exchange means a stage stopped
-    // reusing the user_id partitioning
+    // join-free gap fill: the hourly agg shuffles on (user_id, h), then
+    // ONE user_id exchange carries the spine window, interpolation,
+    // rolling and nesting — no spine join, no broadcast
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles <= 3, s"flagship grew to $shuffles shuffle exchanges:\n$plan")
+    assert(shuffles <= 2, s"flagship grew to $shuffles shuffle exchanges:\n$plan")
+    assert(!plan.contains("Join"), "flagship pipeline should be join-free")
   }
 }
 
