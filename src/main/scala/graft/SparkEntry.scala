@@ -1715,6 +1715,24 @@ object SparkEntry {
            ORDER BY vec_a, vec_b"""
       }),
 
+    // cross-document n-gram dedup stats (exact-substring dedup at
+    // fixed gram length): per doc, the fraction of its distinct
+    // word-8-grams appearing in >= 2 documents. The near-duplicate
+    // salted docs in the heavy tier are exactly what this flags.
+    ("d11_crossdoc_grams", (s, dir) =>
+      Dedup.crossDocGrams(t(s, dir, "documents"), 8, 2L).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])
+                       for i in generate_series(1, len(w) - 7)]) sh
+               FROM w),
+             gdf AS (SELECT sh, COUNT(*) gram_df FROM sh GROUP BY sh)
+             SELECT s.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN g.gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+               CAST(SUM(CASE WHEN g.gram_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+             FROM sh s JOIN gdf g ON s.sh = g.sh
+             GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
         .orderBy("vec_a", "vec_b"),
@@ -2022,6 +2040,43 @@ object SparkEntry {
                CAST(LEAST((seq_id + 1) * 512, tok0 + n_tok)
                     - GREATEST(seq_id * 512, tok0) AS BIGINT) AS seq_tokens
              FROM sp ORDER BY shard, doc_id, seq_id""")),
+
+    // PII redaction (TextQuality.redact): emails + IPs injected
+    // deterministically into the corpus (every 5th/7th doc) so the
+    // gate is non-vacuous, then counted and replaced; the hash gate
+    // compares the per-pattern audit counts AND the md5 of the
+    // redacted text.
+    ("t13_redaction", (s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      TextQuality.redact(injected, Seq(
+        ("email", "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+        ("ip", "10\\.0\\.0\\.[0-9]+", "<IP>")))
+        .select(col("doc_id"), col("n_email"), col("n_ip"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH inj AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                 THEN ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 ELSE '' END AS text
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '10\.0\.0\.[0-9]+')) AS BIGINT) AS n_ip,
+               md5(regexp_replace(regexp_replace(text,
+                 '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '10\.0\.0\.[0-9]+', '<IP>', 'g')) AS redacted_md5
+             FROM inj ORDER BY doc_id""")),
 
     ("t11_lang_confusion", (s, dir) =>
       TextQuality.langConfusion(t(s, dir, "documents"), langMarkers)

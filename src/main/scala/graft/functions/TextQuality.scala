@@ -182,6 +182,25 @@ object TextQuality {
           - greatest(col("seq_id") * capacity, col("tok0"))).as("seq_tokens"))
   }
 
+  /** T13: pattern REDACTION — the PII-scrub stage (emails, IPs, ids)
+    * every distributed training corpus passes through before packing.
+    * Each pattern is (name, regex, replacement): the output carries a
+    * per-pattern match count (audit trail) and the text with all
+    * patterns replaced, applied in order. Pure codegen'd regex
+    * projection, no shuffle. Keep the regexes in the portable subset
+    * (character classes, +, \\.) — the engine is Java regex; exotic
+    * constructs may not match other engines' dialects. */
+  def redact(docs: DataFrame,
+             patterns: Seq[(String, String, String)]): DataFrame = {
+    val countCols = patterns.map { case (n, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$n")
+    }
+    val redacted = patterns.foldLeft(col("text")) {
+      case (c, (_, re, rep)) => regexp_replace(c, re, rep)
+    }
+    docs.select(col("doc_id") +: countCols :+ redacted.as("redacted"): _*)
+  }
+
   /** T6: the quality FILTER gate — the training-pipeline stage that
     * consumes t1's features: keep docs long enough and lexically
     * diverse enough. */

@@ -26,17 +26,37 @@ import graft.functions.{Similarity, TextAnalysis}
   */
 object Dedup {
 
-  /** Word 3-shingles, one row per (doc, shingle) — relational
-    * (posexplode + lead over a per-doc window), not a per-row lambda,
-    * so the hot path stays codegen'd. */
-  def wordShingles(docs: DataFrame): DataFrame = {
+  /** Word k-shingles (default 3), one row per (doc, shingle) —
+    * relational (posexplode + lead over a per-doc window), not a
+    * per-row lambda, so the hot path stays codegen'd. */
+  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(i => lead("w", i).over(w).as(s"w$i"))
     docs.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
       .withColumnRenamed("col", "w")
-      .select(col("doc_id"), col("w"),
-        lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+      .select(col("doc_id") +: col("w") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*).as("sh"))
+  }
+
+  /** D11: CROSS-document n-gram dedup stats (exact-substring dedup at
+    * fixed gram length, the Lee et al. "Deduplicating Training Data"
+    * shape approximated with word k-grams): for every doc, how many of
+    * its distinct grams appear in at least `minDocs` documents. High
+    * fractions flag boilerplate/templated docs; the (gram -> df) table
+    * is the removal index a scrubber consumes. Distinct-per-doc before
+    * the count, partial aggregation on the high-cardinality gram key,
+    * exact integers + one division. */
+  def crossDocGrams(docs: DataFrame, k: Int = 8, minDocs: Long = 2L): DataFrame = {
+    val sh = wordShingles(docs, k).distinct()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("gram_df"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") >= minDocs, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
   }
 
   /** D1: exact dedup by content hash — (text_hash, n_copies,
