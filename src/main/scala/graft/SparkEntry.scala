@@ -2041,6 +2041,22 @@ object SparkEntry {
                     - GREATEST(seq_id * 512, tok0) AS BIGINT) AS seq_tokens
              FROM sp ORDER BY shard, doc_id, seq_id""")),
 
+    // BPE pair counting (TextQuality.bpePairCounts): the first
+    // tokenizer-training iteration — adjacent char pairs over the
+    // vocabulary weighted by word tf, top-30 merge candidates.
+    ("t14_bpe_pairs", (s, dir) =>
+      TextQuality.bpePairCounts(t(s, dir, "documents"), 30),
+      Some("""WITH vocab AS (SELECT w AS word, COUNT(*) tf
+               FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
+               GROUP BY w),
+             p AS (SELECT word, tf,
+               UNNEST([i for i in generate_series(1, len(word) - 1)]) i
+               FROM vocab WHERE len(word) >= 2)
+             SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+               CAST(SUM(tf) AS BIGINT) AS pair_count
+             FROM p GROUP BY 1, 2
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 30""")),
+
     // PII redaction (TextQuality.redact): emails + IPs injected
     // deterministically into the corpus (every 5th/7th doc) so the
     // gate is non-vacuous, then counted and replaced; the hash gate

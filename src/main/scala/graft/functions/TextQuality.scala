@@ -182,6 +182,29 @@ object TextQuality {
           - greatest(col("seq_id") * capacity, col("tok0"))).as("seq_tokens"))
   }
 
+  /** T14: BPE pair counting — the first iteration of byte-pair-encoding
+    * tokenizer training: adjacent character-pair frequencies over the
+    * vocabulary, weighted by word frequency (count over distinct WORDS
+    * scaled by tf, not over raw corpus positions — the standard BPE
+    * trainer shape). Pure relational: vocab groupBy, position explode,
+    * substr pairs, weighted sum; top-`topN` ranked (count desc, pair
+    * asc) is a TakeOrdered. Iterating the merge loop re-runs this over
+    * the re-segmented vocab; each round is this same aggregation. */
+  def bpePairCounts(docs: DataFrame, topN: Int = 30): DataFrame = {
+    val vocab = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("tf"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("lhs"),
+        col("word").substr(col("i") + 1, lit(1)).as("rhs"), col("tf"))
+      .groupBy("lhs", "rhs").agg(sum(col("tf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(topN)
+  }
+
   /** T13: pattern REDACTION — the PII-scrub stage (emails, IPs, ids)
     * every distributed training corpus passes through before packing.
     * Each pattern is (name, regex, replacement): the output carries a

@@ -138,4 +138,50 @@ object OperatorProps extends Properties("operators") {
       }.toMap
       got == expected
     }
+
+  private val genDocs: Gen[List[(Long, String, String)]] =
+    Gen.chooseNum(1, 20).flatMap { n =>
+      Gen.sequence[List[(Long, String, String)], (Long, String, String)](
+        (0 until n).map { i =>
+          for {
+            words <- Gen.chooseNum(1, 40)
+            src <- Gen.oneOf("a", "b", "c")
+          } yield (i.toLong, (1 to words).map(j => s"w$j").mkString(" "), src)
+        })
+    }
+
+  property("packSequences: tokens conserved, interior sequences full") =
+    forAll(genDocs, Gen.chooseNum(2L, 64L)) { (docs, cap) =>
+      val df = docs.toDF("doc_id", "text", "lang")
+      val packed = graft.functions.TextQuality.packSequences(df, cap, "lang")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val wordCount = docs.map { case (id, text, src) =>
+        (src, id) -> text.split(" ").length.toLong }.toMap
+      val perDoc = packed.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._4).sum)
+      // every doc's tokens land somewhere, exactly once
+      wordCount.forall { case (k, n) => perDoc.get(k).contains(n) } && {
+        // per shard, every sequence except the last is exactly full
+        packed.groupBy(_._1).forall { case (_, rows) =>
+          val bySeq = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+          val lastSeq = bySeq.keys.max
+          bySeq.forall { case (s, tot) => s == lastSeq || tot == cap }
+        }
+      }
+    }
+
+  property("weightedMix: per-doc copies within [floor, ceil] of its weight") =
+    forAll(genDocs) { docs =>
+      val mw = Map("a" -> 2500L, "b" -> 700L, "c" -> 0L)
+      val df = docs.toDF("doc_id", "text", "source")
+      val out = Sampling.weightedMix(df, mw)
+        .groupBy("doc_id", "source").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val counts = out.map(r => (r._1, r._2) -> r._3).toMap
+      docs.forall { case (id, _, src) =>
+        val w = mw(src)
+        val n = counts.getOrElse((id, src), 0L)
+        n >= w / 1000 && n <= w / 1000 + (if (w % 1000 == 0) 0 else 1) &&
+          (src != "c" || n == 0L)
+      }
+    }
 }
