@@ -871,6 +871,49 @@ object SparkEntry {
              FROM c, UNNEST([i for i in generate_series(1, n)]) t(ci)
              WHERE n > 0 ORDER BY doc_id, copy_idx""")),
 
+    // leakage-free grouped split (Sampling.groupSplit): every doc of a
+    // source lands in the same train/val/test split, so near-dups
+    // sharing a source can never straddle train and eval.
+    ("o11_group_split", (s, dir) =>
+      // salt chosen so all three splits are inhabited on the 20-source
+      // fixture (the default salt left val empty — a weaker gate)
+      operators.Sampling.groupSplit(t(s, dir, "documents"), "source",
+        salt = "sp")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, source,
+               md5('sp|' || source) hh FROM documents),
+             v AS (SELECT doc_id, source,
+               (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) AS vv
+               FROM h)
+             SELECT doc_id, source,
+               CASE WHEN vv * 1000 < 800 * 4096 THEN 'train'
+                    WHEN vv * 1000 < 900 * 4096 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM v ORDER BY doc_id""")),
+
+    // per-source token budget capping (Sampling.tokenBudget): docs
+    // admitted in deterministic hash order until the source's token
+    // quota is spent — corpus curation under a token budget. The
+    // running total BEFORE each doc decides admission (exact ints).
+    ("o12_token_budget", (s, dir) =>
+      operators.Sampling.tokenBudget(t(s, dir, "documents"), 1200L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("tok_before"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
+               md5('tb|' || CAST(doc_id AS VARCHAR)) hh
+               FROM documents),
+             c AS (SELECT doc_id, source, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY hh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) tok_before
+               FROM d)
+             SELECT doc_id, source, n_tok, tok_before FROM c
+             WHERE tok_before < 1200 ORDER BY doc_id""")),
+
     // deterministic stratified sample: fixed per-language quota, picked
     // by hash order — one window shuffle on the stratum key, quota
     // applied per partition (rank <= n), reproducible across runs.

@@ -1,10 +1,53 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling/mixing operators. */
 object Sampling {
+
+  /** Leakage-free train/val/test SPLIT by GROUP: every member of a
+    * group (domain, source, cluster id) lands in the same split, so
+    * near-duplicates sharing a group can never straddle train and
+    * eval. Milli-thresholds (train 800 = 80%); assignment is 3 md5
+    * nibbles of the group key cross-multiplied exactly like
+    * [[weightedMix]] — deterministic, engine-exact, no shuffle (a
+    * per-row projection). */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 trainMilli: Long = 800L, valMilli: Long = 100L,
+                 salt: String = "split"): DataFrame = {
+    def nib(i: Int) =
+      expr(s"instr('0123456789abcdef', substr(__sph, $i, 1))").cast("long") - 1
+    df.withColumn("__sph", md5(concat(lit(s"$salt|"), col(groupCol).cast("string"))))
+      .withColumn("__spv", nib(1) * 256 + nib(2) * 16 + nib(3))
+      .withColumn("split",
+        when(col("__spv") * 1000 < lit(trainMilli) * 4096, "train")
+          .when(col("__spv") * 1000 < lit(trainMilli + valMilli) * 4096, "val")
+          .otherwise("test"))
+      .drop("__sph", "__spv")
+  }
+
+  /** Per-source token BUDGET capping — corpus curation under a token
+    * quota: within each source, docs are taken in deterministic hash
+    * order until the budget is exhausted (the doc that crosses the
+    * line is kept — budgets are targets, not hard ceilings). One
+    * window pass keyed on the source: the running token total BEFORE
+    * each doc decides admission, so admission is order-stable and
+    * engine-exact (pure integers). */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long,
+                  sourceCol: String = "source", salt: String = "tb"): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val h = md5(concat(lit(s"$salt|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(sourceCol).orderBy("__tbh", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__tbh", h)
+      .withColumn("n_tok", toks)
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("tok_before") < budgetTokens)
+      .drop("__tbh")
+  }
 
   /** Data-mixing upsampler — the per-source mixture weights every
     * pretraining pipeline applies (wiki x3, web x0.5, ...): emits
