@@ -2100,6 +2100,36 @@ object SparkEntry {
              FROM p GROUP BY 1, 2
              ORDER BY pair_count DESC, lhs, rhs LIMIT 30""")),
 
+    // the BPE MERGE LOOP (TextQuality.bpeMerges): 5 actual training
+    // rounds — count pairs, argmax, merge everywhere, repeat. The
+    // oracle unrolls the identical rounds CTE by CTE, with the argmax
+    // as a 1-row scalar feeding the next round's replace.
+    ("t15_bpe_merges", (s, dir) =>
+      TextQuality.bpeMerges(t(s, dir, "documents"), 5).orderBy("round"),
+      Some {
+        def round(r: Int): String =
+          s"""p$r AS (SELECT lhs, rhs, CAST(SUM(tf) AS BIGINT) cnt FROM (
+                SELECT tf, s[i] lhs, s[i + 1] rhs
+                FROM (SELECT tf, string_split(seg, ' ') s FROM v${r - 1}),
+                     UNNEST([i for i in generate_series(1, len(s) - 1)]) t(i))
+              GROUP BY lhs, rhs),
+             t$r AS (SELECT lhs, rhs, cnt FROM p$r
+                     ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+             v$r AS (SELECT word, tf, trim(replace(' ' || seg || ' ',
+                     (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM t$r),
+                     (SELECT ' ' || lhs || rhs || ' ' FROM t$r))) seg
+                     FROM v${r - 1})"""
+        val unions = (1 to 5).map(r =>
+          s"SELECT CAST($r AS BIGINT) round, lhs, rhs, cnt AS pair_count FROM t$r")
+          .mkString("\n UNION ALL ")
+        s"""WITH v0 AS (SELECT w AS word, COUNT(*) tf,
+             array_to_string([substr(w, i, 1) for i in generate_series(1, len(w))], ' ') seg
+             FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
+             GROUP BY w),
+           ${(1 to 5).map(round).mkString(",\n")}
+           SELECT * FROM ($unions) ORDER BY round"""
+      }),
+
     // PII redaction (TextQuality.redact): emails + IPs injected
     // deterministically into the corpus (every 5th/7th doc) so the
     // gate is non-vacuous, then counted and replaced; the hash gate

@@ -205,6 +205,60 @@ object TextQuality {
       .limit(topN)
   }
 
+  /** T15: the BPE MERGE LOOP — actual tokenizer training, `rounds`
+    * iterations of count -> argmax -> re-segment over the vocabulary:
+    * each round counts adjacent symbol pairs (tf-weighted), picks the
+    * most frequent (ties broken lexicographically), and merges every
+    * occurrence in the space-separated segmentation. Returns the merge
+    * table (round, lhs, rhs, pair_count) — the artifact a BPE
+    * tokenizer ships.
+    *
+    * The one driver-side step is the per-round argmax (a 1-row
+    * collect — codebook training, like the k-means seeds): symbol
+    * statistics stay distributed, and the vocab is persisted per round
+    * so each iteration is one aggregation over |vocab| rows, not a
+    * corpus re-scan. Merge replacement pads the segmentation with
+    * spaces so matches respect symbol boundaries; left-to-right
+    * non-overlapping replace is the standard greedy BPE semantics
+    * (both engines agree on it). */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+      // split on the between-chars boundary, NOT "": Java's split("")
+      // with limit -1 (Spark's default) emits a trailing empty symbol
+      .withColumn("seg", concat_ws(" ", split(col("word"), "(?!^)")))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val wWin = Window.partitionBy("word").orderBy("pos")
+      val top = vocab
+        .select(col("word"), col("tf"), posexplode(split(col("seg"), " ")))
+        .withColumnRenamed("col", "sym")
+        .withColumn("nxt", lead("sym", 1).over(wWin))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
+        .agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, l, rr, c))
+      // corpus words are tokenized on single spaces, so symbols can
+      // never contain quotes/spaces — safe to inline as SQL literals
+      val next = vocab.withColumn("seg",
+        expr(s"trim(replace(concat(' ', seg, ' '), ' $l $rr ', ' $l$rr '))"))
+        .persist()
+      next.count()
+      vocab.unpersist()
+      vocab = next
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
   /** T13: pattern REDACTION — the PII-scrub stage (emails, IPs, ids)
     * every distributed training corpus passes through before packing.
     * Each pattern is (name, regex, replacement): the output carries a
