@@ -2101,9 +2101,11 @@ object SparkEntry {
              ORDER BY pair_count DESC, lhs, rhs LIMIT 30""")),
 
     // the BPE MERGE LOOP (TextQuality.bpeMerges): 5 actual training
-    // rounds — count pairs, argmax, merge everywhere, repeat. The
-    // oracle unrolls the identical rounds CTE by CTE, with the argmax
-    // as a 1-row scalar feeding the next round's replace.
+    // rounds — count pairs, argmax, greedy left-to-right merge, repeat.
+    // The oracle unrolls the identical rounds CTE by CTE, with the
+    // argmax as a 1-row scalar feeding the next round's merge. Both
+    // engines use the double-space merge (see bpeMerges scaladoc): a
+    // single-space replace would skip adjacent occurrences.
     ("t15_bpe_merges", (s, dir) =>
       TextQuality.bpeMerges(t(s, dir, "documents"), 5).orderBy("round"),
       Some {
@@ -2115,9 +2117,10 @@ object SparkEntry {
               GROUP BY lhs, rhs),
              t$r AS (SELECT lhs, rhs, cnt FROM p$r
                      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-             v$r AS (SELECT word, tf, trim(replace(' ' || seg || ' ',
-                     (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM t$r),
-                     (SELECT ' ' || lhs || rhs || ' ' FROM t$r))) seg
+             v$r AS (SELECT word, tf, trim(replace(replace(
+                     '  ' || replace(seg, ' ', '  ') || '  ',
+                     (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM t$r),
+                     (SELECT ' ' || lhs || rhs || ' ' FROM t$r)), '  ', ' ')) seg
                      FROM v${r - 1})"""
         val unions = (1 to 5).map(r =>
           s"SELECT CAST($r AS BIGINT) round, lhs, rhs, cnt AS pair_count FROM t$r")

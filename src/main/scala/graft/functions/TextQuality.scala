@@ -217,19 +217,30 @@ object TextQuality {
     * collect — codebook training, like the k-means seeds): symbol
     * statistics stay distributed, and the vocab is persisted per round
     * so each iteration is one aggregation over |vocab| rows, not a
-    * corpus re-scan. Merge replacement pads the segmentation with
-    * spaces so matches respect symbol boundaries; left-to-right
-    * non-overlapping replace is the standard greedy BPE semantics
-    * (both engines agree on it). */
+    * corpus re-scan.
+    *
+    * The merge step is exactly the standard greedy left-to-right
+    * non-overlapping merge. A plain space-padded replace of " l r "
+    * is NOT: the match consumes the shared separator, so adjacent
+    * occurrences are skipped ("a a a a" -> "aa a a"). Doubling the
+    * inter-symbol gaps first fixes that — the pattern " l  r " takes
+    * one space from each side of a two-space gap, leaving the
+    * neighboring occurrence its leading space, and a single replace
+    * pass lands on precisely the greedy merge set (property-tested
+    * against a reference implementation in BpeMergeSpec; symbols never
+    * contain spaces, so matches always align to symbol boundaries). */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs
       .select(explode(TextAnalysis.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("tf"))
-      // split on the between-chars boundary, NOT "": Java's split("")
-      // with limit -1 (Spark's default) emits a trailing empty symbol
-      .withColumn("seg", concat_ws(" ", split(col("word"), "(?!^)")))
+      // split on INTERIOR between-chars boundaries only: both "" and
+      // "(?!^)" also match at end-of-word, and Spark's limit -1 keeps
+      // the trailing empty symbol — which then shows up as phantom
+      // (last-char, "") pairs in the counts. (?s) so tokens containing
+      // newlines still split per char.
+      .withColumn("seg", concat_ws(" ", split(col("word"), "(?s)(?<=.)(?=.)")))
       .persist()
     vocab.count()
     val merges = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
@@ -246,10 +257,15 @@ object TextQuality {
         .limit(1).collect()(0)
       val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r.toLong, l, rr, c))
-      // corpus words are tokenized on single spaces, so symbols can
-      // never contain quotes/spaces — safe to inline as SQL literals
-      val next = vocab.withColumn("seg",
-        expr(s"trim(replace(concat(' ', seg, ' '), ' $l $rr ', ' $l$rr '))"))
+      // Pattern and replacement are Column LITERALS, never interpolated
+      // SQL text: symbols come from the corpus and may contain quotes
+      // ("don't") or anything else tokenization lets through — a
+      // string-built expr() would hand them to the SQL parser.
+      val doubled = concat(lit("  "),
+        replace(col("seg"), lit(" "), lit("  ")), lit("  "))
+      val merged = replace(doubled, lit(s" $l  $rr "), lit(s" $l$rr "))
+      val next = vocab
+        .withColumn("seg", trim(replace(merged, lit("  "), lit(" "))))
         .persist()
       next.count()
       vocab.unpersist()
