@@ -1065,10 +1065,20 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      // Materialize the result and DROP the sink view: a complete-mode
+      // memory sink holds the full aggregate in driver memory, and the
+      // per-invocation unique names would otherwise accumulate one copy
+      // per run across a long-lived session (bench best-of-3, repeated
+      // gates). The collect is aggregate-sized (hours x event types —
+      // bounded), same class as the other documented driver scalars.
+      val resolved = s.table(name)
         .select(hourStr(col("w.start")).as("hour_str"), col("event_type"),
           col("n"), col("value_c"))
         .orderBy("hour_str", "event_type")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
     },
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
              event_type, COUNT(*) AS n,
@@ -1999,7 +2009,10 @@ object SparkEntry {
                 FROM dims d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
         s"""WITH $oracleUnitCte,
            dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u),
-           c0 AS (SELECT vec_id AS cluster, i, ROUND(v, 6) c FROM dims WHERE vec_id < 5),
+           seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+                     FROM (SELECT DISTINCT vec_id FROM dims) ORDER BY vec_id LIMIT 5),
+           c0 AS (SELECT s.cluster, d.i, ROUND(d.v, 6) c
+                  FROM dims d JOIN seeds s USING (vec_id)),
            ${lloyd("c0", 1)},
            ${lloyd("c1", 2)},
            sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score

@@ -42,13 +42,7 @@ object ActivityPipeline {
     */
   def process(activities: DataFrame, streams: DataFrame, nowEpoch: Long,
               legacyCompat: Boolean = false): DataFrame = {
-    val meta = activities.select(col("activity_id"), col("elapsed_time"))
-    val tagged = streams.join(meta, Seq("activity_id"))
-      // R5 rides as a per-row flag instead of a filter-split + union:
-      // splitting evaluated the joined stream corpus once per branch —
-      // at 100 TB that is scanning the biggest input twice.
-      .withColumn("__bypass", col("elapsed_time") >= 100000)
-      .drop("elapsed_time")
+    val tagged = tagStreams(activities, streams)
 
     // A3: the rolling columns ride the SAME frame that feeds nesting,
     // and the whole chain (densify -> interpolate -> rolling -> nest)
@@ -69,6 +63,17 @@ object ActivityPipeline {
     assemble(activities, nestAndMax(samples, legacyCompat), nowEpoch, legacyCompat)
   }
 
+  /** Streams joined to activity meta with the R5 bypass as a per-row
+    * flag instead of a filter-split + union: splitting evaluated the
+    * joined stream corpus once per branch — at 100 TB that is scanning
+    * the biggest input twice. (private[graft] so the stage profiler
+    * drives the REAL stages instead of drifting copies.) */
+  private[graft] def tagStreams(activities: DataFrame, streams: DataFrame): DataFrame =
+    streams.join(activities.select(col("activity_id"), col("elapsed_time")),
+        Seq("activity_id"))
+      .withColumn("__bypass", col("elapsed_time") >= 100000)
+      .drop("elapsed_time")
+
   /** R2 + R3 without a join: every sample row emits its own gap
     * segment — time_key in [prev_time+1, time] via lag + explode (the
     * first row fills from 0, pandas reindex(range(0, tmax+1))
@@ -77,7 +82,7 @@ object ActivityPipeline {
     * produced. One window over the activity_id exchange replaces a
     * groupBy + explode + shuffle join, and the stream corpus is
     * evaluated ONCE. Bypass rows (R5) emit only themselves. */
-  private def densify(tagged: DataFrame): DataFrame = {
+  private[graft] def densify(tagged: DataFrame): DataFrame = {
     val w = Window.partitionBy("activity_id").orderBy("time")
     val prev = lag(col("time"), 1).over(w)
     val fillStart = when(col("__bypass"), col("time"))

@@ -111,7 +111,7 @@ object Ann {
 
   /** Learned k-means codebook by Lloyd iterations on unit vectors,
     * fully deterministic and fully declarative (no collect): seeds are
-    * the unit vectors of the `k` lowest vec_ids, each round assigns
+    * the unit vectors of the `k` lowest vec_ids (by rank), each round assigns
     * every vector to its max-cosine centroid and re-averages per
     * (cluster, dim). Centroid dims are rounded to 6 places per round —
     * that makes the codebook REPRODUCIBLE across engines and summation
@@ -127,10 +127,15 @@ object Ann {
       .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
       .select(col("vec_id"), posexplode(col("ue")))
       .withColumnRenamed("col", "v")
-    // seed codebook: the k lowest vec_ids (deterministic, data-derived)
-    var cent = dims.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("pos"),
-        round(col("v"), 6).as("c"))
+    // seed codebook: the k lowest vec_ids BY RANK (deterministic,
+    // data-derived, and correct on any id space — filtering vec_id < k
+    // silently under-seeds a corpus whose ids don't start at 0). The
+    // rank window runs over k rows post-limit, not the corpus.
+    val seedIds = embeddings.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    var cent = dims.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("cluster"), col("pos"), round(col("v"), 6).as("c"))
     for (_ <- 0 until iters) {
       val scores = dims.join(cent, Seq("pos"))
         .groupBy("vec_id", "cluster")
