@@ -1573,13 +1573,19 @@ object SparkEntry {
       val now = 1009843200L
       val acts = e3Activities(s, dir, now)
       val streams = e3Streams(s, dir, poisonWatts = true)
-      def peaks(legacy: Boolean, p: String) =
-        etl.ActivityPipeline.process(acts, streams, now, legacy)
-          .filter(size(col("streams")) > 0)
-          .select(col("id"),
-            element_at(col("maxs"), 1).getField("max_power_5").as(s"${p}_power5"),
-            element_at(col("maxs"), 1).getField("max_hr_5").as(s"${p}_hr5"))
-      peaks(legacy = true, "legacy").join(peaks(legacy = false, "corr"), Seq("id"))
+      // dualMaxs: BOTH variants come out of the one pipeline pass (the
+      // rules differ only in the final groupBy's aggregate set) — the
+      // old two-runs-plus-self-join shape cost 2x the most expensive
+      // query in every heavy bench run.
+      val leg = element_at(col("maxs_legacy"), 1)
+      val m = element_at(col("maxs"), 1)
+      etl.ActivityPipeline.process(acts, streams, now, dualMaxs = true)
+        .filter(size(col("streams")) > 0)
+        .select(col("id"),
+          leg.getField("max_power_5").as("legacy_power5"),
+          leg.getField("max_hr_5").as("legacy_hr5"),
+          m.getField("max_power_5").as("corr_power5"),
+          m.getField("max_hr_5").as("corr_hr5"))
         .orderBy("id")
     },
       Some(e4OracleSql)),

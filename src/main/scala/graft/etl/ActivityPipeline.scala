@@ -39,9 +39,15 @@ object ActivityPipeline {
   /** @param activities cleaned activity records (CleanActivities.clean)
     * @param streams    long-form samples (StravaSchemas.streamSample)
     * @param nowEpoch   injected clock for the clamp + timenow fields
+    * @param dualMaxs   emit BOTH maxima variants (`maxs` corrected,
+    *                   `maxs_legacy` with the poisoning rule) from the
+    *                   SAME groupBy — the side-by-side comparison gate
+    *                   (e4) costs one pipeline pass instead of two runs
+    *                   plus a join. Schema is unchanged unless set.
     */
   def process(activities: DataFrame, streams: DataFrame, nowEpoch: Long,
-              legacyCompat: Boolean = false): DataFrame = {
+              legacyCompat: Boolean = false,
+              dualMaxs: Boolean = false): DataFrame = {
     val tagged = tagStreams(activities, streams)
 
     // A3: the rolling columns ride the SAME frame that feeds nesting,
@@ -60,7 +66,8 @@ object ActivityPipeline {
       rollChannels.map(_._1), StravaSchemas.rollingWindows)
     val samples = withRolls.withColumn("latlng_str", latlngString(col("latlng")))
 
-    assemble(activities, nestAndMax(samples, legacyCompat), nowEpoch, legacyCompat)
+    assemble(activities, nestAndMax(samples, legacyCompat, dualMaxs),
+      nowEpoch, legacyCompat, dualMaxs)
   }
 
   /** Streams joined to activity meta with the R5 bypass as a per-row
@@ -115,28 +122,36 @@ object ActivityPipeline {
     * computed by the O(1)-per-row prefix-sum kernel on the way in; with
     * windows up to 1200 rows the naive collect-the-frame kernel would
     * do 1200x the work per row. */
-  private def nestAndMax(samples: DataFrame, legacyCompat: Boolean): DataFrame = {
+  private def maxAggsFor(legacy: Boolean, prefix: String): Seq[Column] = for {
+    (ch, short) <- rollChannels
+    i <- StravaSchemas.rollingWindows
+  } yield {
+    // R5: bypass activities never get rolling maxima — their tri
+    // columns are masked out, so max() aggregates nothing -> null.
+    val m = max(when(!col("__bypass"), col(s"tri_${ch}_$i")))
+    val base = if (legacy) {
+      // pandas drops a column from rolling entirely once replace()
+      // turned it to object dtype (any null) -> null for all windows.
+      val poisoned = max(when(col(ch).isNull, 1).otherwise(0)) === 1
+      when(poisoned, lit(null).cast("double")).otherwise(m)
+    } else m
+    // P8 (main.py:109-117): negative maxima -> null.
+    when(base >= 0, base).as(s"$prefix${short}_$i")
+  }
+
+  private def nestAndMax(samples: DataFrame, legacyCompat: Boolean,
+                         dualMaxs: Boolean): DataFrame = {
     val sortKey = struct(col("time_new"), struct(
       col("watts"), col("cadence"), col("heartrate"), col("altitude"),
       col("temp"), col("velocity_smooth"), col("grade_smooth"),
       col("distance"), col("latlng_str")).as("v"))
 
-    val maxAggs = for {
-      (ch, short) <- rollChannels
-      i <- StravaSchemas.rollingWindows
-    } yield {
-      // R5: bypass activities never get rolling maxima — their tri
-      // columns are masked out, so max() aggregates nothing -> null.
-      val m = max(when(!col("__bypass"), col(s"tri_${ch}_$i")))
-      val base = if (legacyCompat) {
-        // pandas drops a column from rolling entirely once replace()
-        // turned it to object dtype (any null) -> null for all windows.
-        val poisoned = max(when(col(ch).isNull, 1).otherwise(0)) === 1
-        when(poisoned, lit(null).cast("double")).otherwise(m)
-      } else m
-      // P8 (main.py:109-117): negative maxima -> null.
-      when(base >= 0, base).as(s"max_${short}_$i")
-    }
+    // dual mode rides BOTH variants on the one groupBy — aggregates are
+    // per-group state, so the extra set costs arithmetic, not a pass.
+    val maxAggs =
+      if (dualMaxs) maxAggsFor(legacy = false, "max_") ++
+        maxAggsFor(legacy = true, "maxleg_")
+      else maxAggsFor(legacyCompat, "max_")
 
     samples.groupBy("activity_id")
       .agg(array_sort(collect_list(sortKey)).as("__sorted"), maxAggs: _*)
@@ -152,32 +167,37 @@ object ActivityPipeline {
           x.getField("v").getField("distance").as("distance"),
           x.getField("v").getField("latlng_str").as("latlng"),
           x.getField("time_new").as("time_new"))).as("streams")) ++
-        maxColNames.map(col): _*)
+        (maxColNames("max_") ++
+          (if (dualMaxs) maxColNames("maxleg_") else Nil)).map(col): _*)
   }
 
-  private def maxColNames: Seq[String] = for {
+  private def maxColNames(prefix: String): Seq[String] = for {
     (_, short) <- rollChannels
     i <- StravaSchemas.rollingWindows
-  } yield s"max_${short}_$i"
+  } yield s"$prefix${short}_$i"
 
   /** Row assembly (main.py:142-178) incl. the 5-year clamp (P4) and the
     * legacy quirk projection. */
   private def assemble(activities: DataFrame, nestedMaxs: DataFrame,
-                       nowEpoch: Long, legacyCompat: Boolean): DataFrame = {
+                       nowEpoch: Long, legacyCompat: Boolean,
+                       dualMaxs: Boolean = false): DataFrame = {
     val fiveYears = 157680000L
     val clamped = when(lit(nowEpoch) - col("epoch") > fiveYears,
       date_format(from_unixtime(lit(nowEpoch - fiveYears + 86400)),
         "yyyy-MM-dd'T'HH:mm:ss'Z'"))
       .otherwise(col("timestamp"))
 
-    val maxStruct = struct((for {
+    // legacy variant keeps the SAME struct field names, so consumers
+    // address both arrays with getField("max_...").
+    def maxStructOf(prefix: String) = struct((for {
       (_, short) <- rollChannels
       i <- StravaSchemas.rollingWindows
-    } yield col(s"max_${short}_$i")): _*)
+    } yield col(s"$prefix${short}_$i").as(s"max_${short}_$i")): _*)
+    val maxStruct = maxStructOf("max_")
 
     activities
       .join(nestedMaxs, Seq("activity_id"), "left")
-      .select(
+      .select(Seq(
         col("activity_id").as("id"),
         clamped.as("activity_timestamp"),
         col("gear_id"),
@@ -204,6 +224,8 @@ object ActivityPipeline {
         col("activity_type"),
         col("elevation"),
         coalesce(col("streams"), array().cast("array<struct<watts:double,cadence:double,heartrate:double,altitude:double,temp:double,velocity_smooth:double,grade_smooth:double,distance:double,latlng:string,time_new:bigint>>")).as("streams"),
-        array(maxStruct).as("maxs"))                    // R7: single-element array
+        array(maxStruct).as("maxs")) ++                 // R7: single-element array
+        (if (dualMaxs) Seq(array(maxStructOf("maxleg_")).as("maxs_legacy"))
+         else Nil): _*)
   }
 }

@@ -123,6 +123,32 @@ class ActivityPipelineSpec extends AnyFunSuite {
       s"spine explode duplicated ${generates.length}x — interpolation subtree has >1 consumer")
   }
 
+  test("dualMaxs: one pipeline pass, legacy array == legacyCompat run") {
+    val dual = ActivityPipeline.process(activities(), streams(), nowEpoch,
+      dualMaxs = true)
+    // the extra aggregate set must not cost a pass: still ONE hash
+    // exchange and ONE spine explode (same pins as the flagship plan)
+    val plan = dual.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"dualMaxs grew to $shuffles exchanges:\n$plan")
+    val generates = dual.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.length == 1,
+      s"dualMaxs duplicated the spine explode ${generates.length}x")
+    // and maxs_legacy must be bit-identical to a legacyCompat run's maxs
+    val legacyRef = ActivityPipeline
+      .process(activities(), streams(), nowEpoch, legacyCompat = true)
+      .select($"id", $"maxs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val got = dual.select($"id", $"maxs_legacy").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1) == legacyRef(r.getLong(0)),
+        s"legacy maxima diverged for id ${r.getLong(0)}")
+    }
+  }
+
   test("corrected mode: spine, interpolation, rolling maxs, nesting") {
     val out = ActivityPipeline.process(activities(), streams(), nowEpoch)
     val a1 = out.filter($"id" === 1).collect()(0)
