@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   * tables). At sf0.1 everything sits on Spark's overhead floor and a
   * plan that recomputes a subtree or joins before filtering is
   * invisible; at ~10x it costs seconds — track these numbers
-  * round-over-round. Disable with SPARK_GRAFT_HEAVY=0.
+  * round-over-round. Each heavy query runs in a FRESH forked JVM
+  * ([[tools.HeavyRunner]]) with SPARK_GRAFT_HEAVY_N timed runs (default
+  * 3) and per-run GC seconds — in-session numbers inherited the main
+  * loop's heap/JIT state and were irreproducible (18/56/101 s spreads
+  * for identical code). Disable with SPARK_GRAFT_HEAVY=0.
   */
 object Bench {
 
@@ -76,33 +80,76 @@ object Bench {
       if (runs.size == 3) Some(name -> runs.min) else None
     }
 
-    // ---- heavy tier: one run each (seconds-scale queries) ----
-    val heavy = if (heavyCopies > 1) {
+    // ---- heavy tier: FRESH JVM per query, n timed runs each, GC
+    // seconds recorded per run. In-session heavy numbers inherit the
+    // main loop's JVM/heap/JIT state and were measured 18/56/101 s for
+    // the same code — the fork is what makes the flagship's scale
+    // numbers reproducible. Falls back to in-session best-of-2 only if
+    // the compiled-classes dir can't be located (e.g. assembly run). ----
+    case class HeavyResult(name: String, walls: Seq[Double], gcs: Seq[Double])
+    val heavyN = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "3").toInt
+    val heavy: Seq[HeavyResult] = if (heavyCopies > 1) {
       val heavyDir = sys.env.getOrElse("SPARK_GRAFT_HEAVY_DIR",
         s"/tmp/graft_heavy_x$heavyCopies")
       HeavyData.ensure(spark, sfDir, heavyDir, heavyCopies)
-      // session hygiene: drop the sf0.1 materialized indexes and cached
-      // relations before timing at 10x — the heavy numbers should
-      // measure the plans, not the session's accumulated state.
-      SparkEntry.clearCaches(spark)
-      spark.catalog.clearCache()
-      System.gc()
-      Tables.load(spark, heavyDir, "lineitem").count() // warm the scans
-      // best-of-2: single-run heavy numbers were observed 5-40x off
-      // under co-tenant load spikes; the second run also gets warm
-      // scans/codegen, which is what we want to measure.
-      heavyQueries.flatMap { n =>
-        val runs = Seq(once(n, heavyDir), once(n, heavyDir)).flatten
-        if (runs.nonEmpty) Some(n -> runs.min) else None
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsoluteFile
+      if (classes.isDirectory) {
+        val javaBin = new java.io.File(
+          new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+        val cp = classes.getPath + java.io.File.pathSeparator + "/opt/spark/jars/*"
+        heavyQueries.flatMap { q =>
+          val cmd = Seq(javaBin) ++ tools.HeavyRunner.jdk17AddOpens ++ Seq(
+            s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+            "-cp", cp, "graft.tools.HeavyRunner", heavyDir, heavyN.toString, q)
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+          val code = proc.waitFor()
+          val parsed = out.linesIterator
+            .find(l => l.startsWith("HEAVY\t") && l.split("\t")(1) == q)
+            .map { l =>
+              val f = l.split("\t")
+              HeavyResult(q, f(2).split(",").toSeq.map(_.toDouble),
+                f(3).split(",").toSeq.map(_.toDouble))
+            }
+          if (code != 0 || parsed.isEmpty) {
+            System.err.println(s"[bench] heavy $q runner FAILED (exit $code)")
+            failed += q
+          }
+          parsed
+        }
+      } else {
+        System.err.println("[bench] no classes dir; heavy tier in-session")
+        SparkEntry.clearCaches(spark)
+        spark.catalog.clearCache()
+        System.gc()
+        Tables.load(spark, heavyDir, "lineitem").count()
+        heavyQueries.flatMap { n =>
+          val runs = Seq(once(n, heavyDir), once(n, heavyDir)).flatten
+          if (runs.nonEmpty) Some(HeavyResult(n, runs, Seq.empty)) else None
+        }
       }
     } else Seq.empty
 
     def obj(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def arrObj(kv: Seq[(String, Seq[Double])]) =
+      kv.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // heavy value = min wall; heavy_gc = GC seconds of that same run;
+    // heavy_runs/heavy_gc_runs = the full series for variance checks.
+    val heavyMin = heavy.map(h => h.name -> h.walls.min)
+    val heavyGc = heavy.collect { case h if h.gcs.nonEmpty =>
+      h.name -> h.gcs(h.walls.indexOf(h.walls.min)) }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${obj(results)},"heavy":${obj(heavy)},""" +
+      s""""queries":${obj(results)},"heavy":${obj(heavyMin)},""" +
+      s""""heavy_gc":${obj(heavyGc)},""" +
+      s""""heavy_runs":${arrObj(heavy.map(h => h.name -> h.walls))},""" +
+      s""""heavy_gc_runs":${arrObj(heavy.map(h => h.name -> h.gcs))},""" +
+      s""""heavy_n":$heavyN,""" +
       s""""heavy_copies":$heavyCopies,"failed":$failedJson,"sf":"$sfDir"}""")
     SparkEntry.clearCaches(spark)
     spark.stop()

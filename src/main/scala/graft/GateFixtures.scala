@@ -92,6 +92,41 @@ object GateFixtures {
         lit(null).cast("double").as("grade_smooth"))
   }
 
+  /** The e3 gate's output projection over an ActivityPipeline.process
+    * result — shared by the correctness gate and the heavy bench
+    * (which runs the pipeline from PERSISTED fixture corpora so it
+    * times the engine, not fixture construction). Orders with no
+    * lineitem rows surface as empty stream arrays (K1 contract); the
+    * oracle's sample CTE is lineitem-rooted, so the gate compares the
+    * populated ones. */
+  private[graft] def e3Select(out: DataFrame): DataFrame = {
+    val m = element_at(col("maxs"), 1)
+    out.filter(size(col("streams")) > 0)
+      .select(col("id"),
+        size(col("streams")).cast("long").as("n_streams"),
+        element_at(col("streams"), 1).getField("heartrate").as("first_hr"),
+        element_at(col("streams"), 1).getField("latlng").as("first_latlng"),
+        m.getField("max_hr_1").as("peak_hr1"),
+        m.getField("max_hr_5").as("peak_hr5"),
+        m.getField("max_hr_10").as("peak_hr10"),
+        m.getField("max_power_5").as("peak_power5"),
+        m.getField("max_speed_10").as("peak_speed10"))
+      .orderBy("id")
+  }
+
+  /** The e4 gate's output projection over a dualMaxs process result. */
+  private[graft] def e4Select(out: DataFrame): DataFrame = {
+    val leg = element_at(col("maxs_legacy"), 1)
+    val m = element_at(col("maxs"), 1)
+    out.filter(size(col("streams")) > 0)
+      .select(col("id"),
+        leg.getField("max_power_5").as("legacy_power5"),
+        leg.getField("max_hr_5").as("legacy_hr5"),
+        m.getField("max_power_5").as("corr_power5"),
+        m.getField("max_hr_5").as("corr_hr5"))
+      .orderBy("id")
+  }
+
   /** DuckDB twin of e3_pipeline_streams: the full ActivityPipeline
     * dataflow — R5 branch, dense spine, r4-style interpolation (t cast
     * to double, identical IEEE sequence), a3-style triangular rolling

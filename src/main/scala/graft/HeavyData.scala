@@ -26,9 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object HeavyData {
 
+  /** Fixture-corpus files the heavy tier reads instead of rebuilding
+    * the e3/e4 inputs (to_json -> clean -> groupBy) on every timed run:
+    * persisting them splits fixture-construction cost out of the
+    * flagship measurements, so heavy e3/e4 time ActivityPipeline. */
+  private[graft] val e3ActsFile = "e3_acts.parquet"
+  private[graft] val e3StreamsFile = "e3_streams.parquet"
+  private[graft] val e3PoisonFile = "e3_streams_poison.parquet"
+  private[graft] val gateNow = 1009843200L
+
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
              copies: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_HEAVY_OK_$copies")
+    // v2: also persists the e3/e4 fixture corpora (marker rename
+    // forces a one-time rebuild of dirs created by older rounds)
+    val marker = new java.io.File(s"$outDir/_HEAVY_OK_${copies}_v2")
     if (marker.exists()) return
     val t0 = System.nanoTime()
 
@@ -74,6 +85,16 @@ object HeavyData {
       Tables.load(spark, baseDir, n)
         .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
     }
+
+    // flagship fixture corpora, derived from the heavy tables just
+    // written — read back by HeavyRunner so e3/e4 measurements start
+    // at the pipeline's inputs
+    GateFixtures.e3Activities(spark, outDir, gateNow)
+      .write.mode("overwrite").parquet(s"$outDir/$e3ActsFile")
+    GateFixtures.e3Streams(spark, outDir, poisonWatts = false)
+      .write.mode("overwrite").parquet(s"$outDir/$e3StreamsFile")
+    GateFixtures.e3Streams(spark, outDir, poisonWatts = true)
+      .write.mode("overwrite").parquet(s"$outDir/$e3PoisonFile")
 
     marker.getParentFile.mkdirs()
     marker.createNewFile()

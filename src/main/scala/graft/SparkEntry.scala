@@ -1537,24 +1537,8 @@ object SparkEntry {
     // this gates the pipeline object itself.
     ("e3_pipeline_streams", (s, dir) => {
       val now = 1009843200L
-      val acts = e3Activities(s, dir, now)
-      val streams = e3Streams(s, dir, poisonWatts = false)
-      val m = element_at(col("maxs"), 1)
-      etl.ActivityPipeline.process(acts, streams, now)
-        // orders with no lineitem rows surface as empty stream arrays
-        // (K1 contract); the oracle's sample CTE is lineitem-rooted, so
-        // the gate compares the populated ones
-        .filter(size(col("streams")) > 0)
-        .select(col("id"),
-          size(col("streams")).cast("long").as("n_streams"),
-          element_at(col("streams"), 1).getField("heartrate").as("first_hr"),
-          element_at(col("streams"), 1).getField("latlng").as("first_latlng"),
-          m.getField("max_hr_1").as("peak_hr1"),
-          m.getField("max_hr_5").as("peak_hr5"),
-          m.getField("max_hr_10").as("peak_hr10"),
-          m.getField("max_power_5").as("peak_power5"),
-          m.getField("max_speed_10").as("peak_speed10"))
-        .orderBy("id")
+      GateFixtures.e3Select(etl.ActivityPipeline.process(
+        e3Activities(s, dir, now), e3Streams(s, dir, poisonWatts = false), now))
     },
       Some(e3OracleSql)),
 
@@ -1569,24 +1553,15 @@ object SparkEntry {
     // Output holds both modes side by side: legacy_power5 null vs
     // corr_power5 carrying clean-window values, with heartrate as the
     // unpoisoned control.
+    // dualMaxs: BOTH variants come out of the one pipeline pass (the
+    // rules differ only in the final groupBy's aggregate set) — the
+    // old two-runs-plus-self-join shape cost 2x the most expensive
+    // query in every heavy bench run.
     ("e4_legacy_poisoning", (s, dir) => {
       val now = 1009843200L
-      val acts = e3Activities(s, dir, now)
-      val streams = e3Streams(s, dir, poisonWatts = true)
-      // dualMaxs: BOTH variants come out of the one pipeline pass (the
-      // rules differ only in the final groupBy's aggregate set) — the
-      // old two-runs-plus-self-join shape cost 2x the most expensive
-      // query in every heavy bench run.
-      val leg = element_at(col("maxs_legacy"), 1)
-      val m = element_at(col("maxs"), 1)
-      etl.ActivityPipeline.process(acts, streams, now, dualMaxs = true)
-        .filter(size(col("streams")) > 0)
-        .select(col("id"),
-          leg.getField("max_power_5").as("legacy_power5"),
-          leg.getField("max_hr_5").as("legacy_hr5"),
-          m.getField("max_power_5").as("corr_power5"),
-          m.getField("max_hr_5").as("corr_hr5"))
-        .orderBy("id")
+      GateFixtures.e4Select(etl.ActivityPipeline.process(
+        e3Activities(s, dir, now), e3Streams(s, dir, poisonWatts = true), now,
+        dualMaxs = true))
     },
       Some(e4OracleSql)),
 

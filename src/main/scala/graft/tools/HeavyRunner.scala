@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{HeavyData, SparkEntry, Tables}
+
+/** Heavy-tier measurement in a FRESH JVM: one process per query, `n`
+  * timed runs, wall AND GC seconds per run. Exists because in-session
+  * heavy numbers inherit 300+ queries of JVM/heap/JIT state — the
+  * round-4 flagship measured 18/56/101 s across three same-code runs,
+  * which made its scale story unfalsifiable. Bench forks this runner;
+  * it can also be launched by hand:
+  *
+  *   java --add-opens ... -Xmx48g \
+  *     -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
+  *     graft.tools.HeavyRunner /tmp/graft_heavy_x10 3 e3_pipeline_streams
+  *
+  * Timed work is forced with a noop WRITE, not count(): count() lets
+  * Catalyst prune the maxima aggregates and the final sort out of the
+  * flagship plan — it measures less than the query.
+  *
+  * Output: one tab-separated line per query on stdout:
+  *   HEAVY\t<query>\t<wall1,wall2,...>\t<gc1,gc2,...>
+  */
+object HeavyRunner {
+
+  /** Spark 4.x on JDK 17 outside spark-submit needs these (same list
+    * as build.sbt's javaOptions — keep in sync). */
+  val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Heavy variant of a registry query: e3/e4 run the pipeline from
+    * the PERSISTED fixture corpora (HeavyData writes them next to the
+    * tables) so the measurement starts at the pipeline inputs instead
+    * of re-deriving them through to_json -> clean -> groupBy on every
+    * run; everything else is the registry entry itself. */
+  def resolve(name: String): (SparkSession, String) => DataFrame = {
+    def persisted(dir: String) =
+      new java.io.File(s"$dir/${HeavyData.e3ActsFile}").exists()
+    name match {
+      case "e3_pipeline_streams" => (s, dir) =>
+        if (!persisted(dir)) SparkEntry.queries(name)(s, dir)
+        else graft.GateFixtures.e3Select(graft.etl.ActivityPipeline.process(
+          s.read.parquet(s"$dir/${HeavyData.e3ActsFile}"),
+          s.read.parquet(s"$dir/${HeavyData.e3StreamsFile}"),
+          HeavyData.gateNow))
+      case "e4_legacy_poisoning" => (s, dir) =>
+        if (!persisted(dir)) SparkEntry.queries(name)(s, dir)
+        else graft.GateFixtures.e4Select(graft.etl.ActivityPipeline.process(
+          s.read.parquet(s"$dir/${HeavyData.e3ActsFile}"),
+          s.read.parquet(s"$dir/${HeavyData.e3PoisonFile}"),
+          HeavyData.gateNow, dualMaxs = true))
+      case _ => SparkEntry.queries(name)
+    }
+  }
+
+  private def gcMillis: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: HeavyRunner <dir> <n> <query>...")
+    val dir = args(0)
+    val n = args(1).toInt
+    val queries = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-heavy")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    Tables.load(spark, dir, "lineitem").count() // warm the scans
+
+    for (q <- queries) {
+      val fn = resolve(q)
+      val runs = (1 to n).map { _ =>
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, (gcMillis - g0) / 1e3)
+      }
+      println(s"HEAVY\t$q\t${runs.map(r => f"${r._1}%.3f").mkString(",")}" +
+        s"\t${runs.map(r => f"${r._2}%.3f").mkString(",")}")
+      SparkEntry.clearCaches(spark)
+    }
+    spark.stop()
+  }
+}
