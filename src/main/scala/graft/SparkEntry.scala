@@ -1767,6 +1767,36 @@ object SparkEntry {
              FROM sh s JOIN gdf g ON s.sh = g.sh
              GROUP BY s.doc_id ORDER BY s.doc_id""")),
 
+    // VARIABLE-LENGTH substring dedup (Dedup.longestCommonRuns): exact
+    // longest common contiguous token run per anchor-sharing candidate
+    // pair — anchor word-8-grams, df-capped buckets, match-diagonal
+    // gaps-and-islands. Pure integer arithmetic; corpus runs measured
+    // 11..93 tokens at sf0.01, so minRun=12 is a real variable-length
+    // cut (d11's fixed k can't express it).
+    ("d12_substring_runs", (s, dir) =>
+      Dedup.longestCommonRuns(t(s, dir, "documents"), 8, 12, 100)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             an AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])
+                       for i in generate_series(1, len(w) - 7)]) sh
+               FROM w),
+             kept AS (SELECT doc_id, sh FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY sh) n FROM an) WHERE n <= 100),
+             pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+               FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             tok AS (SELECT doc_id, UNNEST(w) tok, generate_subscripts(w, 1) pos FROM w),
+             m AS (SELECT p.doc_a, p.doc_b, ta.pos i, ta.pos - tb.pos diag
+               FROM pairs p JOIN tok ta ON ta.doc_id = p.doc_a
+               JOIN tok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok),
+             r AS (SELECT doc_a, doc_b, diag,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY i) grp FROM m),
+             runs AS (SELECT doc_a, doc_b, COUNT(*) run_len
+               FROM r GROUP BY doc_a, doc_b, diag, grp)
+             SELECT doc_a, doc_b, CAST(MAX(run_len) AS BIGINT) AS max_run
+             FROM runs GROUP BY doc_a, doc_b HAVING MAX(run_len) >= 12
+             ORDER BY doc_a, doc_b""")),
+
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
         .orderBy("vec_a", "vec_b"),

@@ -59,6 +59,58 @@ object Dedup {
         (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
   }
 
+  /** D12: VARIABLE-LENGTH repeated-substring detection — the Lee et
+    * al. exact-substring dedup shape (arXiv:2107.06499) beyond d11's
+    * fixed-k grams: for every candidate doc pair, the exact length of
+    * the longest common contiguous TOKEN run. Fully relational:
+    *
+    *  1. candidates = pairs sharing >= 1 anchor word-`anchorK`-gram
+    *     (distinct per doc, df-capped buckets like [[lshPairs]] — never
+    *     all-pairs). Any common run of length >= anchorK contains an
+    *     anchor gram, so no pair at or above a `minRun` >= anchorK
+    *     threshold can be missed.
+    *  2. token positions of both docs joined on token VALUE per pair —
+    *     each equal-token match point (i, j) lies on alignment diagonal
+    *     i - j; a common substring is a set of consecutive match points
+    *     on one diagonal.
+    *  3. longest run per diagonal by gaps-and-islands (i minus
+    *     row_number is constant within a consecutive island), then the
+    *     per-pair max.
+    *
+    * At 100 TB the full-corpus answer is a suffix-array/automaton build
+    * over the concatenated corpus; this is its bucketed pair-verify
+    * form — pairwise work only on anchor-sharing docs, match points
+    * bounded per pair by the token-frequency products. */
+  def longestCommonRuns(docs: DataFrame, anchorK: Int = 8, minRun: Int = 12,
+                        maxBucket: Int = 100): DataFrame = {
+    val anchors = wordShingles(docs, anchorK).distinct()
+    val kept = anchors
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val pairs = kept.as("a").join(kept.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val toks = docs.join(broadcast(candDocs), Seq("doc_id"))
+      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .withColumnRenamed("col", "w")
+    val m = pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("w")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("w")),
+        Seq("doc_b", "w"))
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        (col("i") - col("j")).as("diag"))
+    val wRun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
+    m.withColumn("__grp", col("i") - row_number().over(wRun))
+      .groupBy("doc_a", "doc_b", "diag", "__grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_a", "doc_b").agg(max(col("run_len")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+  }
+
   /** D1: exact dedup by content hash — (text_hash, n_copies,
     * keep_doc_id) per distinct content. Map-side partial aggregation;
     * the canonical survivor is the min doc_id. */

@@ -258,3 +258,37 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got == Seq(1L, 1L, 2L, 2L, 3L))
   }
 }
+
+class LongestCommonRunsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("variable-length runs: anchor gating, diagonal islands, exact lengths") {
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ") // 15-token run
+    val doc1 = s"p1 p2 the $shared q1 the q2"             // 21 tokens
+    val doc2 = s"r1 the r2 r3 $shared u1 u2"
+    // shares only a 7-token run with doc1 (< anchorK=8): NOT a candidate
+    val doc3 = "p1 p2 the s1 s2 s3 s4 x y z"
+    val doc4 = doc1                                       // exact copy
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4))
+      .toDF("doc_id", "text")
+    val got = Dedup.longestCommonRuns(docs, anchorK = 8, minRun = 10)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    // repeated filler tokens ("the") add off-run diagonal matches that
+    // must not inflate the max run
+    assert(got == Seq((1L, 2L, 15L), (1L, 4L, 21L), (2L, 4L, 15L)))
+  }
+
+  test("minRun filters pairs that anchor-match but stay short") {
+    val run8 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, s"a b $run8 c"), (2L, s"d $run8 e f"))
+      .toDF("doc_id", "text")
+    // the pair IS a candidate (shares the 8-gram anchor) but its max
+    // run (8) sits below minRun=12 -> empty result
+    assert(Dedup.longestCommonRuns(docs, 8, 12).count() == 0)
+    // and at minRun=8 it surfaces with the exact length
+    val got = Dedup.longestCommonRuns(docs, 8, 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 8L)))
+  }
+}
