@@ -90,7 +90,25 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # Full-registry green runs regenerate SCALE.md's oracle-count line,
+    # so the doc's claim is produced by the gate, never hand-typed.
+    if not only and n_fail == 0:
+        update_scale_md(n_pass)
     return 1 if n_fail else 0
+
+
+def update_scale_md(n_pass, path="SCALE.md"):
+    import re
+    try:
+        text = open(path).read()
+    except OSError:
+        return
+    new = re.sub(r"\d+/\d+ as of [^)\n—]*",
+                 f"{n_pass}/{n_pass} as of this file's last gate run ",
+                 text, count=1)
+    if new != text:
+        open(path, "w").write(new)
+        print(f"[check] SCALE.md oracle count regenerated: {n_pass}/{n_pass}")
 
 
 if __name__ == "__main__":
