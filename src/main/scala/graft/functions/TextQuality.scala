@@ -32,6 +32,14 @@ object TextQuality {
     "fr" -> Seq("join", "sort", "filter"),
     "zh" -> Seq("spark", "query", "vector"))
 
+  /** Stock (name, java-regex, replacement) triples for [[redact]]:
+    * emails, IPv4, and NANP-style phone numbers. A production pipeline
+    * extends this list; these three cover the audit shape. */
+  val defaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
   /** T1: per-doc quality features — word counts, type-token ratio,
     * average word length, stopword ratio, and a blended quality score. */
   def textStats(docs: DataFrame,

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.TextQuality
+import graft.operators._
+
+/** Fluent entry point to the library: `import graft.syntax._` and the
+  * operator catalog hangs off the DataFrame itself —
+  *
+  * {{{
+  *   import graft.syntax._
+  *   docs.exactDuplicates                     // dedup
+  *   docs.qualityFilter().packSequences(2048) // curation
+  *   events.sessionized(Seq("user_id"), "ts", gapSeconds = 1800)
+  *   trades.asofJoin(quotes, Seq("sym"), "t", "qt", Seq("px" -> "quote_px"))
+  * }}}
+  *
+  * Every method is pure delegation to the library object named in its
+  * doc — no logic lives here, so the façade can never drift from the
+  * operators (the one-line bodies are the whole contract). Column
+  * conventions follow the library: text ops expect (`doc_id`, `text`),
+  * embedding ops (`vec_id`, `embedding`), mixing/budget ops a source
+  * column.
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- sessions / time series ([[operators.Sessionize]], [[operators.Ewma]],
+    //      [[operators.Interpolation]], [[operators.AsOfJoin]]) ----
+
+    /** Gap-based session ids per key; see [[Sessionize.withSessionId]]. */
+    def sessionized(keys: Seq[String], tsCol: String, gapSeconds: Long): DataFrame =
+      Sessionize.withSessionId(df, keys, tsCol, gapSeconds)
+
+    /** Exponentially weighted moving average; see [[Ewma.ewma]]. */
+    def ewma(keyCols: Seq[String], orderCols: Seq[String], valueCol: String,
+             alpha: Double, outCol: String): DataFrame =
+      Ewma.ewma(df, keyCols, orderCols, valueCol, alpha, outCol)
+
+    /** Linear interpolation of null gaps; see [[Interpolation.interpolate]]. */
+    def interpolated(partitionCols: Seq[String], orderCol: String,
+                     valueCols: Seq[String],
+                     passthrough: Option[Column] = None): DataFrame =
+      Interpolation.interpolate(df, partitionCols, orderCol, valueCols, passthrough)
+
+    /** As-of join (latest right row at or before the left timestamp);
+      * see [[AsOfJoin.asof]]. */
+    def asofJoin(right: DataFrame, keys: Seq[String], leftTs: String,
+                 rightTs: String, valueCols: Seq[(String, String)],
+                 inner: Boolean = true): DataFrame =
+      AsOfJoin.asof(df, right, keys, leftTs, rightTs, valueCols, inner)
+
+    // ---- dedup over (doc_id, text) ([[operators.Dedup]]) ----
+
+    /** Exact duplicate groups by content hash; see [[Dedup.exactDuplicates]]. */
+    def exactDuplicates: DataFrame = Dedup.exactDuplicates(df)
+
+    /** MinHash signatures; see [[Dedup.minhashSignatures]]. */
+    def minhashSignatures: DataFrame = Dedup.minhashSignatures(df)
+
+    /** SimHash 16-bit fingerprints; see [[Dedup.simhash16]]. */
+    def simhash: DataFrame = Dedup.simhash16(df)
+
+    /** Cross-doc n-gram dedup stats; see [[Dedup.crossDocGrams]]. */
+    def crossDocGrams(k: Int = 8, minDocs: Long = 2L): DataFrame =
+      Dedup.crossDocGrams(df, k, minDocs)
+
+    /** Longest shared token runs per candidate pair; see
+      * [[Dedup.longestCommonRuns]]. */
+    def longestCommonRuns(anchorK: Int = 8, minRun: Int = 12,
+                          maxBucket: Int = 100): DataFrame =
+      Dedup.longestCommonRuns(df, anchorK, minRun, maxBucket)
+
+    // ---- text curation over (doc_id, text) ([[functions.TextQuality]]) ----
+
+    /** Per-doc quality features; see [[TextQuality.textStats]]. */
+    def textStats(stopwords: Seq[String] = TextQuality.defaultStopwords): DataFrame =
+      TextQuality.textStats(df, stopwords)
+
+    /** Quality keep-filter; see [[TextQuality.qualityFilter]]. */
+    def qualityFilter(minWords: Long = 40L, minTtr: Double = 0.5): DataFrame =
+      TextQuality.qualityFilter(df, minWords, minTtr)
+
+    /** n-gram language id; see [[TextQuality.langId]]. */
+    def langId: DataFrame = TextQuality.langId(df)
+
+    /** Whitespace + BPE-ish token counts; see [[TextQuality.tokenCounts]]. */
+    def tokenCounts: DataFrame = TextQuality.tokenCounts(df)
+
+    /** Winnowing fingerprints; see [[TextQuality.winnowingFingerprints]]. */
+    def winnowingFingerprints(gram: Int = 5, win: Int = 4): DataFrame =
+      TextQuality.winnowingFingerprints(df, gram, win)
+
+    /** PII redaction with per-pattern audit counts; see [[TextQuality.redact]]. */
+    def redact(patterns: Seq[(String, String, String)] =
+                 TextQuality.defaultPiiPatterns): DataFrame =
+      TextQuality.redact(df, patterns)
+
+    /** Per-shard sequence packing; see [[TextQuality.packSequences]]. */
+    def packSequences(capacity: Long, shardCol: String = "lang"): DataFrame =
+      TextQuality.packSequences(df, capacity, shardCol)
+
+    // ---- sampling / mixing ([[operators.Sampling]]) ----
+
+    /** Leakage-free grouped train/val/test split; see [[Sampling.groupSplit]]. */
+    def groupSplit(groupCol: String, trainMilli: Long = 800L,
+                   valMilli: Long = 100L, salt: String = "split"): DataFrame =
+      Sampling.groupSplit(df, groupCol, trainMilli, valMilli, salt)
+
+    /** Per-source token budget cap; see [[Sampling.tokenBudget]]. */
+    def tokenBudget(budgetTokens: Long, sourceCol: String = "source",
+                    salt: String = "tb"): DataFrame =
+      Sampling.tokenBudget(df, budgetTokens, sourceCol, salt)
+
+    /** Deterministic weighted up/down-sampling mix; see
+      * [[Sampling.weightedMix]]. */
+    def weightedMix(milliWeights: Map[String, Long], defaultMilli: Long = 1000L,
+                    sourceCol: String = "source", salt: String = "mix"): DataFrame =
+      Sampling.weightedMix(df, milliWeights, defaultMilli, sourceCol, salt)
+
+    // ---- ANN over (vec_id, embedding) ([[operators.Ann]]) ----
+
+    /** Brute-force cosine top-k baseline; see [[Ann.bruteForceTopK]]. */
+    def annTopK(queryPred: Column, k: Int): DataFrame =
+      Ann.bruteForceTopK(df, queryPred, k)
+
+    /** Hotspot-free per-group top-k; see [[Ann.topKPerGroup]]. */
+    def topKPerGroup(groupCols: Seq[String], orderCols: Seq[Column], k: Int,
+                     rankCol: String = "rnk"): DataFrame =
+      Ann.topKPerGroup(df, groupCols, orderCols, k, rankCol)
+  }
+
+  /** Pair-graph operations that need a session (driver-adaptive CC);
+    * `pairs` carries (doc_id_a, doc_id_b). */
+  implicit class GraftPairOps(private val pairs: DataFrame) extends AnyVal {
+
+    /** Duplicate clusters from candidate pairs; see
+      * [[ConnectedComponents.components]]. */
+    def duplicateClusters(spark: SparkSession, srcCol: String = "doc_id_a",
+                          dstCol: String = "doc_id_b"): DataFrame =
+      ConnectedComponents.components(spark, pairs, srcCol, dstCol)
+  }
+}

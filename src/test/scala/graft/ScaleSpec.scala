@@ -287,3 +287,67 @@ class StatefulStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** IVF probing is an accuracy/cost dial; these pin its two endpoints
+  * and the direction of travel. Candidate sets are nested in nprobe
+  * (probing more cells only adds candidates), so recall vs the exact
+  * brute-force top-k can never decrease — and probing EVERY cell makes
+  * the inverted file a partition of the corpus, i.e. the candidate set
+  * is the full corpus and IVF must equal brute force bit-for-bit. */
+class IvfProbeSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("recall is monotone in nprobe and exact at full probe") {
+    import graft.operators.Ann
+    val em = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pred = col("vec_id") < 5
+    val k = 5
+    val cent = Ann.kmeansCentroids(em, 5, 2)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Ann.bruteForceTopK(em, pred, k))
+    val recalls = Seq(1, 2, 5).map { np =>
+      np -> (pairs(Ann.ivfTopK(em, cent, pred, k, np)) & truth).size
+    }
+    recalls.sliding(2).foreach { case Seq((npA, rA), (npB, rB)) =>
+      assert(rA <= rB, s"recall fell from $rA (nprobe=$npA) to $rB (nprobe=$npB)")
+    }
+    assert(recalls.last._2 == truth.size,
+      s"full probe (nprobe=5 of 5 cells) recalled ${recalls.last._2} of ${truth.size}")
+  }
+}
+
+/** The custom gap operator and Spark's built-in session_window must
+  * describe the SAME sessions — start, end (last event + gap), and
+  * size — on real event data. w4's oracle proves the built-in against
+  * SQL; this proves the two Scala surfaces against each other, so a
+  * user can pick either and migrate between batch and streaming
+  * without a semantics change. */
+class SessionizeEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("Sessionize.withSessionId == session_window on events (30 min gap)") {
+    import graft.operators.Sessionize
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts")
+    val viaOp = Sessionize.withSessionId(events, Seq("user_id"), "ts", 1800L)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("end"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("start"), col("end"), col("n"))
+    val viaBuiltin = events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("start"),
+        col("sw.end").as("end"), col("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val a = rows(viaOp)
+    val b = rows(viaBuiltin)
+    assert(a.nonEmpty && a == b,
+      s"session sets differ: onlyOp=${(a -- b).take(3)} onlyBuiltin=${(b -- a).take(3)}")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextQuality
+import graft.operators.{Dedup, Sessionize}
+import graft.syntax._
+
+/** The façade is one-line delegation; these prove the wiring (implicit
+  * resolution, argument order, default params) by comparing a
+  * representative method per group against the direct library call. */
+class SyntaxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    .select("doc_id", "text", "lang", "source")
+
+  test("dedup + text façades match direct calls") {
+    assert(docs.exactDuplicates.collect().toSet ==
+      Dedup.exactDuplicates(docs).collect().toSet)
+    assert(docs.qualityFilter().collect().toSet ==
+      TextQuality.qualityFilter(docs).collect().toSet)
+  }
+
+  test("sessionized façade matches Sessionize") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts")
+    assert(events.sessionized(Seq("user_id"), "ts", 1800L).collect().toSet ==
+      Sessionize.withSessionId(events, Seq("user_id"), "ts", 1800L).collect().toSet)
+  }
+
+  test("default PII patterns redact email, ip, and phone with audit counts") {
+    import spark.implicits._
+    val d = Seq((1L, "mail a.b+c@ex-ample.org ip 192.168.0.1 tel 555-123-4567"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val r = d.redact().orderBy("doc_id")
+      .select("n_email", "n_ip", "n_phone", "redacted").collect()
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 1L && r(0).getLong(2) == 1L)
+    assert(r(0).getString(3) == "mail <EMAIL> ip <IP> tel <PHONE>")
+    assert(r(1).getString(3) == "clean text")
+  }
+}
