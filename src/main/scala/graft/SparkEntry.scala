@@ -1085,6 +1085,40 @@ object SparkEntry {
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
              FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""")),
 
+    // Streaming CONTENT dedup (EventStream.distinctContent) run for
+    // real inside the gate: readStream over the document corpus,
+    // stateful dropDuplicates on the content hash, append-mode memory
+    // sink. The output column IS the dedup key, so the result set is
+    // arrival-order independent and hash-gates against a batch
+    // DISTINCT — the first-seen-row form would not (first sight
+    // depends on partition order). The corpus has no exact duplicates,
+    // so the stream is the UNION of two readers of the same file:
+    // every hash arrives (at least) twice and the state must actually
+    // drop ~half the input for the row count to match the oracle.
+    ("w6_stream_dedup", (s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      def reader() = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val stream = reader().union(reader())
+      val name = s"w6_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.distinctContent(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // materialize + drop the sink view (same lifecycle discipline as
+      // w5; the collect is distinct-hash-sized, bounded by the corpus)
+      val resolved = s.table(name).orderBy("content_hash")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""SELECT DISTINCT md5(text) AS content_hash
+             FROM documents ORDER BY content_hash""")),
+
     // built-in session_window in BATCH mode (built-in-first counterpart
     // of the custom Sessionize operator behind w1): same 30-minute gap
     // semantics, session identified by its start time.
@@ -2156,6 +2190,42 @@ object SparkEntry {
            ${(1 to 5).map(round).mkString(",\n")}
            SELECT * FROM ($unions) ORDER BY round"""
       }),
+
+    // Full TF-IDF with a RATIONAL idf (score_ppm = tf*1e6 div df):
+    // engine-exact bigints end to end — transcendental log never
+    // crosses the oracle boundary (float-parity rules). DuckDB's `//`
+    // and Spark's DIV both floor on non-negative operands.
+    ("t16_tfidf", (s, dir) =>
+      TextQuality.tfIdfTopTerms(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rnk"),
+      Some("""WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) word FROM documents),
+             tf AS (SELECT doc_id, word, COUNT(*) tf FROM w GROUP BY 1, 2),
+             df AS (SELECT word, COUNT(*) df
+                    FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+             sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                    tf.tf * 1000000 // df.df AS score_ppm
+                    FROM tf JOIN df USING (word)),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score_ppm DESC, tf DESC, word) rnk FROM sc)
+             SELECT doc_id, rnk, word, tf, df, score_ppm FROM r
+             WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Word-bigram familiarity (TextQuality.bigramFamiliarity): an
+    // n-gram-LM quality proxy — mean corpus probability mass of the
+    // doc's bigrams, in ppm. Exact bigints until one floor division.
+    ("t17_bigram_familiarity", (s, dir) =>
+      TextQuality.bigramFamiliarity(t(s, dir, "documents")).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             bi AS (SELECT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]) sh
+               FROM w),
+             c AS (SELECT sh, COUNT(*) c FROM bi GROUP BY 1),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) total FROM c),
+             d AS (SELECT doc_id, CAST(SUM(c.c) AS BIGINT) sum_c, COUNT(*) n_bigrams
+                   FROM bi JOIN c USING (sh) GROUP BY 1)
+             SELECT doc_id, n_bigrams,
+               sum_c * 1000000 // (n_bigrams * total) AS familiarity_ppm
+             FROM d, tot ORDER BY doc_id""")),
 
     // PII redaction (TextQuality.redact): emails + IPs injected
     // deterministically into the corpus (every 5th/7th doc) so the

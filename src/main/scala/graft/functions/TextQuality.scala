@@ -158,6 +158,58 @@ object TextQuality {
       .groupBy("word").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** T16: full TF-IDF top-`k` terms per document, with a RATIONAL idf:
+    * score_ppm = tf * 1e6 div df (integer division). The usual
+    * log-idf is a monotone transform of 1/df per fixed tf, but tf·log
+    * and tf/df do rank differently — this variant is chosen because it
+    * is engine-exact (pure bigints; transcendental functions never
+    * cross the oracle boundary, per the repo's float-parity rules) and
+    * preserves the property that rare terms dominate. Rank ties break
+    * on raw tf then term text, so the output is fully deterministic.
+    *
+    * Scale shape: one shuffle on (doc_id, word) for tf, one partial-
+    * aggregated shuffle on word for df, a word-keyed join (both sides
+    * word-partitioned), and the hotspot-free two-phase top-k. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        expr("tf * 1000000 DIV df").as("score_ppm"))
+    Ann.topKPerGroup(scored, Seq("doc_id"),
+      Seq(col("score_ppm").desc, col("tf").desc, col("word")), k, "rnk")
+      .select("doc_id", "rnk", "word", "tf", "df", "score_ppm")
+  }
+
+  /** T17: word-bigram FAMILIARITY — a language-model-style quality
+    * signal without a language model: how common are this document's
+    * word bigrams in the corpus? familiarity_ppm is the mean corpus
+    * count of the doc's bigram occurrences, scaled by the corpus total
+    * (ppm of probability mass, integer division — engine-exact).
+    * Low scores flag out-of-distribution/garbled text, very high
+    * scores flag boilerplate — the two tails a curation pipeline
+    * trims. The real-LM version swaps the count table for learned
+    * n-gram log-probs; the dataflow (model-as-table join + per-doc
+    * aggregate) is identical.
+    *
+    * Scale shape: bigram counts are one partial-aggregated groupBy on
+    * the bigram key; the per-occurrence join against them rides the
+    * same key; the corpus total is a one-row broadcast. Doc scores are
+    * exact bigints until the final ppm division. */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val bi = Dedup.wordShingles(docs, 2)
+    val counts = bi.groupBy("sh").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    bi.join(counts, "sh")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_bigrams"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_c * 1000000 DIV (n_bigrams * total)").as("familiarity_ppm"))
+  }
+
   /** T12: sequence PACKING — the GPT-style pretraining layout: within
     * each shard, document token streams are concatenated in doc_id
     * order and cut every `capacity` tokens; a document can span

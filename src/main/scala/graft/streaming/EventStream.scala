@@ -39,6 +39,19 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup over a document stream (the streaming
+    * twin of d1's exact dedup): the first sight of each content hash
+    * passes, repeats drop. The output column is the dedup key itself,
+    * so the result SET is independent of arrival order — which is what
+    * makes this form gateable against a batch DISTINCT. Documents
+    * carry no event time, so state here is unbounded; the production
+    * variant bounds it with `dropDuplicatesWithinWatermark` (see
+    * [[dedupedEvents]]) once the stream has a time column, or relies
+    * on state-store TTL. */
+  def distinctContent(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("content_hash"))
+      .dropDuplicates("content_hash")
+
   /** Stream-stream interval join (streaming twin of the j5 range join):
     * purchases within 10 minutes after a click by the same user. Both
     * sides are watermarked and the join condition bounds the event-time

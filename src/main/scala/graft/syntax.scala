@@ -93,6 +93,13 @@ object syntax {
     def winnowingFingerprints(gram: Int = 5, win: Int = 4): DataFrame =
       TextQuality.winnowingFingerprints(df, gram, win)
 
+    /** Rational-idf TF-IDF top terms; see [[TextQuality.tfIdfTopTerms]]. */
+    def tfIdfTopTerms(k: Int = 3): DataFrame = TextQuality.tfIdfTopTerms(df, k)
+
+    /** Word-bigram LM-style familiarity score; see
+      * [[TextQuality.bigramFamiliarity]]. */
+    def bigramFamiliarity: DataFrame = TextQuality.bigramFamiliarity(df)
+
     /** PII redaction with per-pattern audit counts; see [[TextQuality.redact]]. */
     def redact(patterns: Seq[(String, String, String)] =
                  TextQuality.defaultPiiPatterns): DataFrame =
