@@ -280,6 +280,34 @@ object GateFixtures {
        sig AS (SELECT doc_id, $sigs FROM hs GROUP BY doc_id)"""
   }
 
+  /** Shared oracle CTE chain unrolling `rounds` BPE training rounds
+    * (oracle twin of the TextQuality.bpeTrain loop): `v0` is the
+    * char-segmented vocab, each round r adds pair counts `p{r}`, the
+    * 1-row argmax `t{r}`, and the re-merged vocab `v{r}`. Both engines
+    * use the double-space merge (see bpeMerges scaladoc): a
+    * single-space replace would skip adjacent occurrences. t15 reads
+    * the `t{r}` tables, t18 reads the final `v{rounds}`. */
+  private[graft] def bpeOracleCtes(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT lhs, rhs, CAST(SUM(tf) AS BIGINT) cnt FROM (
+            SELECT tf, s[i] lhs, s[i + 1] rhs
+            FROM (SELECT tf, string_split(seg, ' ') s FROM v${r - 1}),
+                 UNNEST([i for i in generate_series(1, len(s) - 1)]) t(i))
+          GROUP BY lhs, rhs),
+         t$r AS (SELECT lhs, rhs, cnt FROM p$r
+                 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         v$r AS (SELECT word, tf, trim(replace(replace(
+                 '  ' || replace(seg, ' ', '  ') || '  ',
+                 (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM t$r),
+                 (SELECT ' ' || lhs || rhs || ' ' FROM t$r)), '  ', ' ')) seg
+                 FROM v${r - 1})"""
+    s"""v0 AS (SELECT w AS word, COUNT(*) tf,
+         array_to_string([substr(w, i, 1) for i in generate_series(1, len(w))], ' ') seg
+         FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
+         GROUP BY w),
+       ${(1 to rounds).map(round).mkString(",\n")}"""
+  }
+
   /** Oracle twin of [[Dedup.lshPairs]] (appends to [[oracleSigCtes]]):
     * CTEs `bands`, `kept`, `pairs(doc_a, doc_b)`. */
   private[graft] val oraclePairCtes: String = {

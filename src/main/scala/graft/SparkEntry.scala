@@ -30,9 +30,9 @@ import graft.functions.{Similarity, TextAnalysis, TextQuality}
   */
 object SparkEntry {
 
-  import GateFixtures.{a5OracleSql, annLshOracleSql, e3Activities,
-    e3OracleSql, e3Streams, e4OracleSql, oraclePairCtes, oracleSigCtes,
-    oracleUnitCte, rpPlanes}
+  import GateFixtures.{a5OracleSql, annLshOracleSql, bpeOracleCtes,
+    e3Activities, e3OracleSql, e3Streams, e4OracleSql, oraclePairCtes,
+    oracleSigCtes, oracleUnitCte, rpPlanes}
 
   // ---------- shared helpers ----------
 
@@ -2167,29 +2167,26 @@ object SparkEntry {
     ("t15_bpe_merges", (s, dir) =>
       TextQuality.bpeMerges(t(s, dir, "documents"), 5).orderBy("round"),
       Some {
-        def round(r: Int): String =
-          s"""p$r AS (SELECT lhs, rhs, CAST(SUM(tf) AS BIGINT) cnt FROM (
-                SELECT tf, s[i] lhs, s[i + 1] rhs
-                FROM (SELECT tf, string_split(seg, ' ') s FROM v${r - 1}),
-                     UNNEST([i for i in generate_series(1, len(s) - 1)]) t(i))
-              GROUP BY lhs, rhs),
-             t$r AS (SELECT lhs, rhs, cnt FROM p$r
-                     ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-             v$r AS (SELECT word, tf, trim(replace(replace(
-                     '  ' || replace(seg, ' ', '  ') || '  ',
-                     (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM t$r),
-                     (SELECT ' ' || lhs || rhs || ' ' FROM t$r)), '  ', ' ')) seg
-                     FROM v${r - 1})"""
         val unions = (1 to 5).map(r =>
           s"SELECT CAST($r AS BIGINT) round, lhs, rhs, cnt AS pair_count FROM t$r")
           .mkString("\n UNION ALL ")
-        s"""WITH v0 AS (SELECT w AS word, COUNT(*) tf,
-             array_to_string([substr(w, i, 1) for i in generate_series(1, len(w))], ' ') seg
-             FROM (SELECT UNNEST(string_split(text, ' ')) w FROM documents)
-             GROUP BY w),
-           ${(1 to 5).map(round).mkString(",\n")}
+        s"""WITH ${bpeOracleCtes(5)}
            SELECT * FROM ($unions) ORDER BY round"""
       }),
+
+    // BPE APPLY (TextQuality.bpeTokenize): tokenize the corpus with
+    // the tokenizer t15 trains — a vocab-sized join, never a
+    // per-occurrence re-merge. The oracle replays the same 5 training
+    // rounds (shared CTE chain) and counts v5 segments per doc word.
+    ("t18_bpe_tokenize", (s, dir) =>
+      TextQuality.bpeTokenize(t(s, dir, "documents"), 5).orderBy("doc_id"),
+      Some(s"""WITH ${bpeOracleCtes(5)}
+             SELECT d.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(string_split(v.seg, ' '))) AS BIGINT) AS n_bpe_tokens
+             FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) word
+                   FROM documents) d
+             JOIN v5 v ON d.word = v.word
+             GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
     // Full TF-IDF with a RATIONAL idf (score_ppm = tf*1e6 div df):
     // engine-exact bigints end to end — transcendental log never

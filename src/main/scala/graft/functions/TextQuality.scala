@@ -292,6 +292,41 @@ object TextQuality {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (vocab, merges) = bpeTrain(docs, rounds)
+    vocab.unpersist()
+    merges.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** T18: tokenize the corpus with the tokenizer [[bpeMerges]] trains —
+    * the apply half of the BPE loop. Segmentation happens once per
+    * VOCAB word (the training loop already maintains exactly that
+    * table), so applying the tokenizer to the corpus is a vocab-sized
+    * join (broadcastable — the canonical model-as-table shape), never
+    * a per-occurrence re-merge. Output: per-doc whitespace word count
+    * and BPE token count — the budget numbers a packing/pricing stage
+    * consumes. */
+  def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
+    val (vocab, _) = bpeTrain(docs, rounds)
+    val wordTok = vocab.select(col("word"),
+      size(split(col("seg"), " ")).cast("long").as("n_tok"))
+    val out = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
+      .join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+    // Safe to release here: the returned plan re-derives the vocab on
+    // evaluation as the base aggregation + `rounds` narrow literal
+    // replaces (the merge argmaxes were collected eagerly above), so
+    // no consumer ever re-runs the training collects.
+    vocab.unpersist()
+    out
+  }
+
+  /** Shared BPE training loop: returns the persisted segmented vocab
+    * after `rounds` greedy merges (word, tf, seg) and the merge list
+    * (round, lhs, rhs, pair_count). Callers own the final unpersist. */
+  private def bpeTrain(docs: DataFrame,
+                       rounds: Int): (DataFrame, Seq[(Long, String, String, Long)]) = {
     var vocab = docs
       .select(explode(TextAnalysis.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("tf"))
@@ -331,8 +366,7 @@ object TextQuality {
       vocab.unpersist()
       vocab = next
     }
-    vocab.unpersist()
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+    (vocab, merges.toSeq)
   }
 
   /** T13: pattern REDACTION — the PII-scrub stage (emails, IPs, ids)

@@ -105,6 +105,10 @@ object syntax {
                  TextQuality.defaultPiiPatterns): DataFrame =
       TextQuality.redact(df, patterns)
 
+    /** Tokenize with a freshly trained BPE tokenizer; see
+      * [[TextQuality.bpeTokenize]]. */
+    def bpeTokenize(rounds: Int): DataFrame = TextQuality.bpeTokenize(df, rounds)
+
     /** Per-shard sequence packing; see [[TextQuality.packSequences]]. */
     def packSequences(capacity: Long, shardCol: String = "lang"): DataFrame =
       TextQuality.packSequences(df, capacity, shardCol)

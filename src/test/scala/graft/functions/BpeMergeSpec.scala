@@ -88,4 +88,29 @@ class BpeMergeSpec extends AnyFunSuite {
       "newest widest nicest lowest")
     assert(trained(docs, 5) === referenceMerges(docs, 5))
   }
+
+  test("bpeTokenize: zero rounds = char count; token count shrinks with rounds") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "aaaa aaab bbbb"),
+      (3L, "don't stop don't stop"))
+    val df = docs.toDF("doc_id", "text")
+    def totals(rounds: Int): (Long, Long) = {
+      val r = TextQuality.bpeTokenize(df, rounds)
+        .agg(org.apache.spark.sql.functions.sum("n_words"),
+          org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val nChars = docs.map(_._2.count(_ != ' ') + 0L).sum
+    val nWords = docs.map(_._2.split(" ", -1).length.toLong).sum
+    val (w0, t0) = totals(0)
+    assert(w0 == nWords && t0 == nChars,
+      s"0 rounds must tokenize to characters: got $t0 of $nChars")
+    val counts = (0 to 4).map(r => totals(r)._2)
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"token count rose after a merge round: $counts")
+    }
+    // every word is at least one token
+    assert(counts.last >= nWords)
+  }
 }
