@@ -1119,6 +1119,47 @@ object SparkEntry {
       Some("""SELECT DISTINCT md5(text) AS content_hash
              FROM documents ORDER BY content_hash""")),
 
+    // Stream-stream INTERVAL JOIN (EventStream.clickPurchaseJoin) run
+    // for real inside the gate: two watermarked file-source streams,
+    // event-time range condition, append sink. An inner join's result
+    // SET is arrival-order independent (matches emit when found; the
+    // watermark only bounds buffered state), so it hash-gates against
+    // the batch range join the oracle runs.
+    ("w7_stream_interval_join", (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      def reader() = {
+        val st = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => st
+        }
+      }
+      val clicks = reader().filter(col("event_type") === "click")
+      val purchases = reader().filter(col("event_type") === "purchase")
+      val name = s"w7_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.clickPurchaseJoin(clicks, purchases)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name).orderBy("user_id", "click_id", "buy_id")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
+             FROM events c JOIN events p
+               ON p.user_id = c.user_id
+               AND c.event_type = 'click' AND p.event_type = 'purchase'
+               AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+             ORDER BY c.user_id, click_id, buy_id""")),
+
     // built-in session_window in BATCH mode (built-in-first counterpart
     // of the custom Sessionize operator behind w1): same 30-minute gap
     // semantics, session identified by its start time.
@@ -1954,6 +1995,29 @@ object SparkEntry {
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
                    FROM s)
              SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+             ORDER BY qid, rnk""")),
+
+    // Quantized brute-force ANN (Ann.quantizedTopK): int8 codes +
+    // per-vector scale — the 4x-smaller memory path. Exact integer
+    // dot, dequantized by the two scales; floor-quantization keeps
+    // both engines bit-identical (see Ann.quantizeInt8 scaladoc).
+    ("n6_ann_quantized", (s, dir) =>
+      Ann.quantizedTopK(t(s, dir, "embeddings"), annQueryPred, 5)
+        .orderBy("qid", "rnk"),
+      Some(s"""WITH $oracleUnitCte,
+             m AS (SELECT vec_id, ue,
+                   list_max(list_transform(ue, x -> abs(x))) / 127.0 scale FROM u),
+             qz AS (SELECT vec_id, scale,
+                    list_transform(ue, x -> CAST(floor(x / scale) AS BIGINT)) q FROM m),
+             qs AS (SELECT vec_id qid, scale qscale, q qq FROM qz WHERE vec_id < 5),
+             s AS (SELECT qid, z.vec_id neighbor_id,
+                   ROUND(list_dot_product(qq::DOUBLE[], z.q::DOUBLE[])
+                         * qscale * z.scale, 6) qcos_r
+                   FROM qs, qz z WHERE z.vec_id <> qid),
+             r AS (SELECT qid, neighbor_id, qcos_r,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos_r DESC, neighbor_id) rnk
+                   FROM s)
+             SELECT qid, rnk, neighbor_id, qcos_r FROM r WHERE rnk <= 5
              ORDER BY qid, rnk""")),
 
     // IVF-style ANN: probe the 2 nearest label-centroids, then top-k

@@ -109,6 +109,47 @@ object Ann {
       .select("qid", "rnk", "neighbor_id", "cos_r")
   }
 
+  /** Symmetric int8 scalar quantization of unit embeddings — the
+    * memory-path companion to the search operators: per-vector
+    * scale = max|x|/127, codes = floor(x/scale) ∈ [-128,127]. At
+    * 100 TB this is 4× less embedding storage and bandwidth (byte
+    * codes + one float scale vs float32), which is what makes a
+    * corpus-wide scan or a big IVF cell affordable; scoring
+    * dequantizes on the fly (integer dot × the two scales). floor
+    * (not round-half) keeps the op engine-exact: both engines produce
+    * identical IEEE doubles for x/scale, and floor of identical
+    * doubles is identical, while decimal round-half rules differ.
+    * Returns (vec_id, scale, q). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val ue = Similarity.unit(col("embedding"))
+    embeddings
+      .select(col("vec_id"), ue.as("ue"))
+      .withColumn("scale",
+        array_max(transform(col("ue"), x => abs(x))) / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        transform(col("ue"), x => floor(x / col("scale"))).as("q"))
+  }
+
+  /** Brute-force top-k over QUANTIZED embeddings: exact integer dot of
+    * the int8 codes, dequantized by the two scales. Same broadcast
+    * shape as [[bruteForceTopK]] but the corpus side streams byte
+    * codes, not floats — the 4×-smaller scan. Scores approximate
+    * cosine; AnnRecallSpec pins recall vs the float baseline. */
+  def quantizedTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val qz = quantizeInt8(embeddings)
+    val qside = qz.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("scale").as("qscale"),
+        col("q").as("qq"))
+    val dotq = aggregate(
+      zip_with(col("qq"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val cand = broadcast(qside).join(qz, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(dotq.cast("double") * col("qscale") * col("scale"), 6).as("qcos_r"))
+    topKPerGroup(cand, Seq("qid"),
+      Seq(col("qcos_r").desc, col("neighbor_id")), k, "rnk")
+      .select("qid", "rnk", "neighbor_id", "qcos_r")
+  }
+
   /** Learned k-means codebook by Lloyd iterations on unit vectors,
     * fully deterministic and fully declarative (no collect): seeds are
     * the unit vectors of the `k` lowest vec_ids (by rank), each round assigns

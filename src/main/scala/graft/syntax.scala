@@ -137,6 +137,15 @@ object syntax {
     def annTopK(queryPred: Column, k: Int): DataFrame =
       Ann.bruteForceTopK(df, queryPred, k)
 
+    /** Int8 symmetric quantization of embeddings; see
+      * [[Ann.quantizeInt8]]. */
+    def quantizeInt8: DataFrame = Ann.quantizeInt8(df)
+
+    /** Top-k over quantized codes (4x-smaller scan); see
+      * [[Ann.quantizedTopK]]. */
+    def quantizedTopK(queryPred: Column, k: Int): DataFrame =
+      Ann.quantizedTopK(df, queryPred, k)
+
     /** Hotspot-free per-group top-k; see [[Ann.topKPerGroup]]. */
     def topKPerGroup(groupCols: Seq[String], orderCols: Seq[Column], k: Int,
                      rankCol: String = "rnk"): DataFrame =

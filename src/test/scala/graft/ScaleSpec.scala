@@ -102,6 +102,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("int8-quantized top-k (n6) recall vs float brute force") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("n1_ann_topk")
+    val quant = pairs("n6_ann_quantized")
+    assert(quant.size == truth.size, "quantized path must fill every top-k slot")
+    // int8 over 64 dims loses ~1e-2 of score resolution; on random
+    // embeddings the top-k overlap should stay high — a collapse here
+    // means the scale/code math broke, not that quantization "is lossy"
+    val recall = (quant & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"quantized recall $recall < 0.6")
+  }
+
   test("learned-kmeans IVF (n5) recall vs brute force") {
     val dir = "/root/testdata/sf0.001"
     def pairs(q: String): Set[(Long, Long)] =
