@@ -1872,6 +1872,29 @@ object SparkEntry {
              FROM runs GROUP BY doc_a, doc_b HAVING MAX(run_len) >= 12
              ORDER BY doc_a, doc_b""")),
 
+    // Benchmark DECONTAMINATION (Dedup.contamination): flag training
+    // docs sharing any word-8-gram with a held-out benchmark slice
+    // (every 5th doc here). Benchmark grams broadcast — no corpus
+    // shuffle on the gram key; output rows only for contaminated docs.
+    ("d13_contamination", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), 8)
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])
+                       for i in generate_series(1, len(w) - 7)]) sh
+               FROM w),
+             b AS (SELECT sh, doc_id bid FROM sh WHERE doc_id % 5 = 0),
+             t AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 <> 0)
+             SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap_grams,
+               COUNT(DISTINCT b.bid) AS n_bench_docs
+             FROM t JOIN b USING (sh)
+             GROUP BY t.doc_id ORDER BY doc_id""")),
+
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
         .orderBy("vec_a", "vec_b"),

@@ -59,6 +59,31 @@ object Dedup {
         (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
   }
 
+  /** D13: benchmark DECONTAMINATION — the eval-leakage stage every
+    * training pipeline runs before a model ships: flag training docs
+    * that share any word-`k`-gram with a held-out benchmark set, with
+    * the overlap count and the matched grams' benchmark doc ids. The
+    * benchmark side is tiny (eval suites are thousands of docs, not
+    * billions), so its distinct gram set BROADCASTS and the corpus
+    * side is one scan + gram explode + broadcast semi-join-shaped
+    * aggregation — no corpus shuffle on the gram key at all. Returns
+    * one row per CONTAMINATED training doc (clean docs don't pay an
+    * output row at 100 TB).
+    *
+    * Reference decontamination drops or splices matching docs; this
+    * emits the audit table (doc, n overlapping grams, distinct
+    * benchmark docs hit) that either policy consumes. */
+  def contamination(train: DataFrame, benchmark: DataFrame, k: Int = 8): DataFrame = {
+    val bGrams = wordShingles(benchmark, k)
+      .select(col("sh"), col("doc_id").as("bench_doc_id")).distinct()
+    wordShingles(train, k).distinct()
+      .join(broadcast(bGrams), Seq("sh"))
+      .groupBy("doc_id").agg(
+        countDistinct(col("sh")).as("n_overlap_grams"),
+        countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+      .select(col("doc_id"), col("n_overlap_grams"), col("n_bench_docs"))
+  }
+
   /** D12: VARIABLE-LENGTH repeated-substring detection — the Lee et
     * al. exact-substring dedup shape (arXiv:2107.06499) beyond d11's
     * fixed-k grams: for every candidate doc pair, the exact length of

@@ -73,6 +73,11 @@ object syntax {
                           maxBucket: Int = 100): DataFrame =
       Dedup.longestCommonRuns(df, anchorK, minRun, maxBucket)
 
+    /** Benchmark-overlap audit (decontamination); see
+      * [[Dedup.contamination]]. */
+    def contaminationAudit(benchmark: DataFrame, k: Int = 8): DataFrame =
+      Dedup.contamination(df, benchmark, k)
+
     // ---- text curation over (doc_id, text) ([[functions.TextQuality]]) ----
 
     /** Per-doc quality features; see [[TextQuality.textStats]]. */
