@@ -2511,6 +2511,42 @@ object SparkEntry {
              md5(substr(text, CAST(f*100+1 AS INT), 16)) AS frame_md5
              FROM f ORDER BY doc_id, frame_idx""")),
 
+    // Perceptual-hash dedup groups (multimodal twin of d1; the
+    // mapPartitions codec seam is Multimodal.perceptualHashes, pinned
+    // to this column twin by MultimodalSpec): 16-cell aHash over the
+    // payload bytes, integer threshold (16*cell >= sum — no division),
+    // groupBy phash. 41 multi-doc groups on the sf0.01 corpus.
+    ("m4_perceptual_dup", (s, dir) => {
+      val cells = (0 until 16).map(i =>
+        expr(s"ascii(substr(text, CAST((length(text) * $i) div 16 AS INT) + 1, 1))")
+          .as(s"c$i"))
+      val sumC = (0 until 16).map(i => col(s"c$i")).reduce(_ + _)
+      val bits = (0 until 16).map(i =>
+        when(lit(16) * col(s"c$i") >= col("s"), lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id") +: cells: _*)
+        .withColumn("s", sumC)
+        .select(col("doc_id"), bits.as("phash"))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("phash")
+    },
+      Some {
+        val cells = (0 until 16).map(i =>
+          s"ascii(substr(text, CAST((len(text) * $i) // 16 AS INT) + 1, 1)) c$i")
+          .mkString(", ")
+        val sumC = (0 until 16).map(i => s"c$i").mkString(" + ")
+        val bits = (0 until 16).map(i =>
+          s"(CASE WHEN 16 * c$i >= s THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH c AS (SELECT doc_id, $cells FROM documents),
+           sm AS (SELECT *, $sumC s FROM c),
+           p AS (SELECT doc_id, $bits phash FROM sm)
+           SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+           FROM p GROUP BY phash ORDER BY phash"""
+      }),
+
     // correlated scalar subqueries through the SQL parser path (the
     // predicate is exact-integer so both engines decide identically:
     // price_c * n > 2 * sum_c instead of price > 2*avg over doubles).

@@ -68,6 +68,45 @@ object Multimodal {
       }
   }
 
+  /** Perceptual hash row. */
+  case class PerceptualHash(doc_id: Long, phash: Long)
+
+  /** The perceptual-hash stage (aHash shape): resample the decoded
+    * payload to a 16-cell grid (cell i = the byte at offset
+    * floor(len·i/16)), threshold each cell against the grid mean, pack
+    * the bits. Near-identical media land on the SAME hash, so
+    * perceptual dedup is a plain groupBy on `phash` — the multimodal
+    * twin of d1's content-hash dedup, and the blocking key for a
+    * hamming-distance refinement (same banding as SimHash). The
+    * threshold is the integer form 16·cell >= sum(cells) — no
+    * division, engine-exact. A real image codec swaps the byte grid
+    * for decoded luma; the bit-packing and dedup shape are identical
+    * (MultimodalSpec pins this seam against the m4 gate's column
+    * twin). */
+  def perceptualHashes(media: DataFrame): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val b = if (payload == null) Array.emptyByteArray else payload
+          val n = b.length
+          val cells = Array.tabulate(16) { i =>
+            if (n == 0) 0 else b(n * i / 16) & 0xff
+          }
+          val s = cells.sum
+          var h = 0L
+          var i = 0
+          while (i < 16) {
+            if (16 * cells(i) >= s) h |= (1L << i)
+            i += 1
+          }
+          PerceptualHash(id, h)
+        }
+      }
+  }
+
   /** Resized media row: payload after the (stub) resample plus the
     * factor applied. */
   case class ResizedMedia(doc_id: Long, payload: Array[Byte], factor: Int,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.TestSpark
+import graft.{SparkEntry, Tables, TestSpark}
 
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -91,6 +91,23 @@ class UnitVectorSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("perceptual-hash seam matches the m4 gate's column twin") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val viaSeam = Multimodal.perceptualHashes(Multimodal.toMedia(docs))
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    val viaGate = SparkEntry.queries("m4_perceptual_dup")(spark, "/root/testdata/sf0.001")
+    // the gate groups by phash; regroup the seam output the same way
+    val seamGroups = viaSeam.groupBy(_._2)
+      .map { case (ph, xs) => (ph, xs.size.toLong, xs.keys.min) }.toSet
+    val gateGroups = viaGate.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seamGroups == gateGroups)
+    // non-vacuous: at least one multi-doc perceptual group exists
+    assert(seamGroups.exists(_._2 > 1L))
+  }
 
   test("media wrap + partition-batched decode plumbing") {
     import graft.multimodal.Multimodal
