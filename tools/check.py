@@ -109,6 +109,15 @@ def update_scale_md(n_pass, path="SCALE.md"):
     if new != text:
         open(path, "w").write(new)
         print(f"[check] SCALE.md oracle count regenerated: {n_pass}/{n_pass}")
+    try:
+        readme = open("README.md").read()
+    except OSError:
+        return
+    new = re.sub(r"query registry: \d+ named queries",
+                 f"query registry: {n_pass} named queries", readme, count=1)
+    if new != readme:
+        open("README.md", "w").write(new)
+        print(f"[check] README.md query count regenerated: {n_pass}")
 
 
 if __name__ == "__main__":
