@@ -1640,6 +1640,73 @@ object SparkEntry {
     },
       Some(e4OracleSql)),
 
+    // E5: the CURATION PIPELINE end to end, as ONE declarative plan —
+    // quality filter (inline predicate, pushdown-eligible) -> language
+    // ID -> per-language weighted mix -> sequence packing sharded by
+    // predicted language. Every stage is the already-gated library op
+    // (t6/t2/o10/t12); this gate proves they COMPOSE: one corpus scan
+    // feeds a projection+explode chain with exactly one exchange (the
+    // packing shard window), and the oracle replays the full chain.
+    ("e5_curation_pipeline", (s, dir) => {
+      val kept = t(s, dir, "documents")
+        .filter(TextQuality.qualityPredicate(40L, 0.5))
+        .withColumn("pred_lang", TextQuality.langPredict(langMarkers))
+      val mixed = operators.Sampling.weightedMix(kept,
+        Map("de" -> 2000L, "en" -> 500L, "es" -> 1500L, "fr" -> 1000L,
+          "zh" -> 3000L),
+        defaultMilli = 1000L, sourceCol = "pred_lang", salt = "e5")
+      // copies need distinct packing ids (copy_idx <= 4 here, so *10)
+      val packIn = mixed.select(
+        (col("doc_id") * 10 + col("copy_idx")).as("doc_id"),
+        col("text"), col("pred_lang"))
+      TextQuality.packSequences(packIn, 512L, "pred_lang")
+        .orderBy("shard", "doc_id", "seq_id")
+    },
+      Some {
+        val marks = langMarkers.map { case (l, ms) =>
+          l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
+        }
+        val chain = marks.init.map { case (l, e) =>
+          val others = marks.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+           q AS (SELECT doc_id, text, w FROM f
+                 WHERE len(w) >= 40
+                   AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.5),
+           l AS (SELECT doc_id, text,
+                 CASE $chain ELSE '${langMarkers.last._1}' END AS pred_lang FROM q),
+           h AS (SELECT doc_id, text, pred_lang,
+                 md5('e5|' || CAST(doc_id AS VARCHAR)) hh,
+                 CASE pred_lang WHEN 'de' THEN 2000 WHEN 'en' THEN 500
+                      WHEN 'es' THEN 1500 WHEN 'fr' THEN 1000
+                      WHEN 'zh' THEN 3000 ELSE 1000 END wgt
+                 FROM l),
+           v AS (SELECT *, (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) AS vv FROM h),
+           c AS (SELECT doc_id, text, pred_lang,
+                 wgt // 1000 + CASE WHEN vv * 1000 < (wgt % 1000) * 4096
+                                    THEN 1 ELSE 0 END n
+                 FROM v),
+           m AS (SELECT doc_id * 10 + ci AS pid, pred_lang AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) n_tok
+                 FROM c, UNNEST([i for i in generate_series(1, n)]) t(ci)
+                 WHERE n > 0),
+           cum AS (SELECT shard, pid, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY pid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) tok0
+                 FROM m),
+           sp AS (SELECT shard, pid, n_tok, tok0,
+                 UNNEST([i for i in generate_series(tok0 // 512, (tok0 + n_tok - 1) // 512)]) seq_id
+                 FROM cum)
+           SELECT shard, CAST(pid AS BIGINT) AS doc_id,
+             CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(LEAST((seq_id + 1) * 512, tok0 + n_tok)
+                  - GREATEST(seq_id * 512, tok0) AS BIGINT) AS seq_tokens
+           FROM sp ORDER BY shard, doc_id, seq_id"""
+      }),
+
     // S6 hash-gated: the channel-dict -> long-form pivot with
     // null-padding for absent channels, through the REAL source pivot
     // (StravaJsonSource.pivotStreams). Channel arrays are built from

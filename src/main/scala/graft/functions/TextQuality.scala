@@ -400,4 +400,14 @@ object TextQuality {
       .select(col("doc_id"), col("lang"), nWords.as("n_words"), ttr.as("ttr"))
       .filter(col("n_words") >= minWords && col("ttr") >= minTtr)
   }
+
+  /** The t6 keep-predicate as a bare Column, for pipelines that filter
+    * inline and keep `text` flowing (a filter on the scan beats a
+    * stats-projection + join-back at any scale). */
+  def qualityPredicate(minWords: Long = 40L, minTtr: Double = 0.5): Column = {
+    val ws = TextAnalysis.words(col("text"))
+    val nWords = size(ws).cast("long")
+    val ttr = size(array_distinct(ws)).cast("double") / nWords
+    nWords >= minWords && ttr >= minTtr
+  }
 }
