@@ -38,7 +38,8 @@ object Bench {
     "q07_volume_shipping", "q18_large_orders", "e3_pipeline_streams",
     "e4_legacy_poisoning", "w4_session_window", "d2_minhash_sig",
     "d3_lsh_pairs", "d5_ngram_jaccard", "d12_substring_runs",
-    "n1_ann_topk", "n5_ann_kmeans", "t17_bigram_familiarity")
+    "d14_chunk_dedup", "n1_ann_topk", "n5_ann_kmeans",
+    "t17_bigram_familiarity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1962,6 +1962,31 @@ object SparkEntry {
              FROM t JOIN b USING (sh)
              GROUP BY t.doc_id ORDER BY doc_id""")),
 
+    // Chunk-level (paragraph) dedup (Dedup.chunkDedup): the CCNet
+    // paragraph-hash stage — 10-word chunks, the first corpus-wide
+    // occurrence survives (ordered by doc_id, chunk_idx), documents
+    // reassembled from their surviving chunks; the gate hashes the
+    // reassembled text. One exchange on the chunk digest, no pairwise
+    // work (near-duplicate docs share exact chunks, so the gate is
+    // non-vacuous on this corpus).
+    ("d14_chunk_dedup", (s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"), 10).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             ch AS (SELECT doc_id,
+               UNNEST([struct_pack(ci := i,
+                 chunk := array_to_string(w[(i-1)*10+1 : least(i*10, len(w))], ' '))
+                 for i in generate_series(1, (len(w)+9)//10)]) s
+               FROM w),
+             e AS (SELECT doc_id, s.ci - 1 AS chunk_idx, s.chunk AS chunk,
+               md5(s.chunk) h FROM ch),
+             k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+               ORDER BY doc_id, chunk_idx) = 1 AS keep FROM e)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
+                 ORDER BY chunk_idx), '')) AS cleaned_md5
+             FROM k GROUP BY doc_id ORDER BY doc_id""")),
+
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
         .orderBy("vec_a", "vec_b"),
@@ -2109,6 +2134,26 @@ object SparkEntry {
                    FROM s)
              SELECT qid, rnk, neighbor_id, qcos_r FROM r WHERE rnk <= 5
              ORDER BY qid, rnk""")),
+
+    // Embedding OUTLIER detection (Ann.centroidOutliers): cosine of
+    // every unit vector against its own label's mean vector (centroid
+    // dims rounded to 6, reproducible) — the SemDeDup/embedding-filter
+    // curation stage; cos < 0 flags the off-distribution tail (~10%
+    // of this corpus — non-vacuous both ways).
+    ("n7_embed_outliers", (s, dir) =>
+      Ann.centroidOutliers(t(s, dir, "embeddings"), "label", 0.0)
+        .orderBy("vec_id"),
+      Some(s"""WITH $oracleUnitCte,
+             dims AS (SELECT vec_id, label, UNNEST(ue) v,
+               generate_subscripts(ue, 1) i FROM u),
+             cent AS (SELECT label, i, ROUND(AVG(v), 6) c
+               FROM dims GROUP BY 1, 2),
+             ca AS (SELECT label, list(c ORDER BY i) carr FROM cent GROUP BY label)
+             SELECT u.vec_id, u.label,
+               ROUND(list_dot_product(u.ue, ca.carr), 6) AS cos_centroid,
+               ROUND(list_dot_product(u.ue, ca.carr), 6) < 0.0 AS is_outlier
+             FROM u JOIN ca USING (label)
+             ORDER BY vec_id""")),
 
     // IVF-style ANN: probe the 2 nearest label-centroids, then top-k
     // within the probed partitions — the bucketed scale path.
@@ -2377,6 +2422,45 @@ object SparkEntry {
              SELECT doc_id, n_bigrams,
                sum_c * 1000000 // (n_bigrams * total) AS familiarity_ppm
              FROM d, tot ORDER BY doc_id""")),
+
+    // Feature-hashed LINEAR CLASSIFIER scoring (TextQuality
+    // .hashedLinearScore): the fastText-style quality-model head —
+    // bucket = first 4 md5 hex digits of "qc|"+token, stand-in weight
+    // = bucket - 32768 (production swaps in learned weights keyed by
+    // the same bucket). Exact integers end to end.
+    ("t19_quality_classifier", (s, dir) =>
+      TextQuality.hashedLinearScore(t(s, dir, "documents")).orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+               md5('qc|' || UNNEST(string_split(text, ' '))) h FROM documents),
+             wgt AS (SELECT doc_id,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS w
+               FROM tok)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w) AS BIGINT) AS sum_w, SUM(w) > 0 AS keep
+             FROM wgt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Sliding-window RAG/embedding chunking (TextQuality
+    // .slidingChunks): 32-token chunks every 24 tokens (8-token
+    // overlap), one row per chunk with token count + digest. Pure
+    // projection + explode — zero shuffles.
+    ("t20_rag_chunks", (s, dir) =>
+      TextQuality.slidingChunks(t(s, dir, "documents"), 32, 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             n AS (SELECT doc_id, w, CASE WHEN len(w) <= 32 THEN 1
+               ELSE 2 + (len(w) - 33) // 24 END AS nc FROM w),
+             ch AS (SELECT doc_id,
+               UNNEST([struct_pack(ci := i,
+                 cw := w[(i-1)*24+1 : least((i-1)*24+32, len(w))])
+                 for i in generate_series(1, nc)]) s
+               FROM n)
+             SELECT doc_id, s.ci - 1 AS chunk_idx,
+               CAST(len(s.cw) AS BIGINT) AS n_tokens,
+               md5(array_to_string(s.cw, ' ')) AS chunk_md5
+             FROM ch ORDER BY doc_id, chunk_idx""")),
 
     // PII redaction (TextQuality.redact): emails + IPs injected
     // deterministically into the corpus (every 5th/7th doc) so the

@@ -388,6 +388,50 @@ object TextQuality {
     docs.select(col("doc_id") +: countCols :+ redacted.as("redacted"): _*)
   }
 
+  /** T19: feature-hashed LINEAR CLASSIFIER scoring — the fastText-style
+    * quality-model head (score = Σ tf(token)·w(bucket(token))) that
+    * pipelines like CCNet run as the "looks like Wikipedia?" filter.
+    * The hashing-trick bucket is the first 4 hex digits of
+    * md5("qc|" + token) and the stand-in weight is (bucket − 32768) —
+    * a production run swaps in a learned weight table keyed by the
+    * SAME bucket (a broadcast map lookup; the dataflow is identical).
+    * Everything is exact integer arithmetic: (doc_id, n_tokens, sum_w,
+    * keep = sum_w > 0). One token explode + one partial-agg groupBy —
+    * linear, no shuffle beyond the doc_id aggregation. */
+  def hashedLinearScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val bucket = conv(substring(md5(concat(lit("qc|"), col("w"))), 1, 4), 16, 10)
+      .cast("long")
+    tok.select(col("doc_id"), (bucket - 32768L).as("wgt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("sum_w"))
+      .withColumn("keep", col("sum_w") > 0L)
+  }
+
+  /** T20: sliding-window CHUNKING for embedding/RAG indexing — cut each
+    * document into `window`-token chunks every `stride` tokens (the
+    * overlap `window - stride` preserves cross-boundary context), one
+    * output row per chunk with its token count and content digest.
+    * A doc shorter than `window` yields exactly one chunk. Pure
+    * projection + explode: zero shuffles, fully codegen'd — the shape
+    * that feeds a 100 TB corpus into an embedding model. */
+  def slidingChunks(docs: DataFrame, window: Int = 32,
+                    stride: Int = 24): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val n = size(ws)
+    // chunks = 1 for n <= window, else 1 + ceil((n - window) / stride)
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      lit(2) + floor((n - lit(window + 1)) / lit(stride)).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => slice(ws, i * stride + 1, lit(window)))
+    docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "cw")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+  }
+
   /** T6: the quality FILTER gate — the training-pipeline stage that
     * consumes t1's features: keep docs long enough and lexically
     * diverse enough. */

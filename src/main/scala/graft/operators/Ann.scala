@@ -223,4 +223,33 @@ object Ann {
       Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
       .select("qid", "rnk", "neighbor_id", "cos_r")
   }
+
+  /** Embedding OUTLIER detection — the centroid-distance filter a
+    * curation pipeline runs after clustering/labeling: cosine of every
+    * unit vector against its own group's mean vector; rows far from
+    * their centroid (cos < `threshold`) are flagged as mislabeled /
+    * off-distribution candidates (the SemDeDup/embedding-filter
+    * family). Centroid dims round to 6 places (reproducible across
+    * engines and summation orders, like [[kmeansCentroids]]).
+    *
+    * Scale: centroids aggregate to (groups × dims) rows — broadcast;
+    * the corpus side is one scan + one partial-agg groupBy per dim
+    * explode. Scoring joins the tiny centroid-array table broadcast,
+    * so the big side never shuffles for the dot product. */
+  def centroidOutliers(embeddings: DataFrame, groupCol: String = "label",
+                       threshold: Double = 0.8): DataFrame = {
+    val u = embeddings.select(col("vec_id"), col(groupCol),
+      Similarity.unit(col("embedding")).as("ue"))
+    val dims = u.select(col("vec_id"), col(groupCol), posexplode(col("ue")))
+      .withColumnRenamed("col", "v")
+    val cent = dims.groupBy(groupCol, "pos")
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    u.join(broadcast(cent), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol),
+        round(Similarity.dot(col("ue"), col("centroid")), 6).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
 }

@@ -136,6 +136,45 @@ object Dedup {
       .filter(col("max_run") >= minRun)
   }
 
+  /** D14: CHUNK-level dedup — the CCNet/FineWeb paragraph-dedup stage
+    * (reference pipeline shape: hash every paragraph, keep the first
+    * corpus-wide occurrence, reassemble documents from the survivors).
+    * The corpus here is single-line, so "paragraphs" are consecutive
+    * `chunkWords`-word windows — the unit swaps freely for real
+    * newline-split paragraphs.
+    *
+    * Returns one row per doc: (doc_id, n_chunks, n_kept, cleaned_md5)
+    * where cleaned_md5 fingerprints the doc reassembled from only its
+    * surviving chunks (kept chunks rejoin in document order).
+    *
+    * Scale: chunking is a pure projection (no shuffle); first-
+    * occurrence election is ONE hash exchange on the chunk digest
+    * (row_number over the chunk-hash partition — the same partitioning
+    * a 100 TB run would bucket by); reassembly is one partial-agg
+    * groupBy on doc_id. No pairwise work anywhere. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val nChunks = floor((size(ws) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val firstWin = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    exploded
+      .withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("cleaned_md5"))
+  }
+
   /** D1: exact dedup by content hash — (text_hash, n_copies,
     * keep_doc_id) per distinct content. Map-side partial aggregation;
     * the canonical survivor is the min doc_id. */

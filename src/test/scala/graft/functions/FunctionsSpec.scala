@@ -164,3 +164,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bySeq(("B", 0L)) == 512)
   }
 }
+
+class HashedLinearScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def weight(tok: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qc|$tok".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 4), 16) - 32768L
+  }
+
+  test("sum of per-token hashed weights, tf-weighted; keep = sum > 0") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = TextQuality.hashedLinearScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val s1 = 2 * weight("alpha") + weight("beta")
+    val s2 = weight("gamma")
+    assert(got == Seq((1L, 3L, s1, s1 > 0), (2L, 1L, s2, s2 > 0)))
+  }
+
+  test("weights are stable in [-32768, 32767] and not degenerate") {
+    val ws = (1 to 200).map(i => weight(s"tok$i"))
+    assert(ws.forall(w => w >= -32768L && w <= 32767L))
+    assert(ws.exists(_ > 0) && ws.exists(_ < 0))
+  }
+}
+
+class SlidingChunksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("short doc -> one chunk; long doc -> stride-spaced overlapping chunks") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 10 tokens, window 4, stride 3: chunks at 1,4,7 -> sizes 4,4,4
+    // (last chunk starts at 7, covers w7..w10)
+    val docs = Seq((1L, words(10)), (2L, words(3))).toDF("doc_id", "text")
+    val got = TextQuality.slidingChunks(docs, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 0, 4L), (1L, 1, 4L), (1L, 2, 4L), (2L, 0, 3L)))
+  }
+
+  test("every token is covered and consecutive chunks overlap by window - stride") {
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, words(100))).toDF("doc_id", "text")
+    val rows = TextQuality.slidingChunks(docs, 32, 24)
+      .orderBy("chunk_idx").select("chunk_idx", "n_tokens")
+      .as[(Int, Long)].collect()
+    // starts at 0,24,48,72 -> last covers t73..t100 (28 tokens)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_._2).toSeq == Seq(32L, 32L, 32L, 28L))
+  }
+}

@@ -292,3 +292,64 @@ class LongestCommonRunsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 8L)))
   }
 }
+
+class ChunkDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("first corpus-wide chunk occurrence survives; docs reassemble in order") {
+    // chunkWords = 3: doc 1 = [A][B], doc 2 = [B][C] (B duplicates doc 1's),
+    // doc 3 = [A'] a 2-word tail chunk, unique
+    val a = "a1 a2 a3"; val b = "b1 b2 b3"; val c = "c1 c2 c3"
+    val docs = Seq((1L, s"$a $b"), (2L, s"$b $c"), (3L, "a1 a2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, 3).orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("cleaned digest reflects only surviving chunks, rejoined in document order") {
+    val docs = Seq((1L, "x1 x2 y1 y2"), (2L, "x1 x2 z1 z2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, 2).orderBy("doc_id").collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1 keeps both chunks; doc 2 loses "x1 x2" (doc 1 owns it)
+    assert(got(0).getAs[String]("cleaned_md5") == md5hex("x1 x2 y1 y2"))
+    assert(got(1).getAs[String]("cleaned_md5") == md5hex("z1 z2"))
+  }
+
+  test("an exact duplicate doc keeps nothing; survivor tie-breaks on chunk_idx") {
+    val docs = Seq((2L, "p q r"), (1L, "p q r")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, 3).orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 0L)))
+  }
+}
+
+class CentroidOutlierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine to own-group centroid; far rows flagged") {
+    // group 0: two vectors on +x (cos to centroid 1.0) and one on -x
+    val em = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.centroidOutliers(em, "label", threshold = 0.0)
+      .orderBy("vec_id")
+      .select("vec_id", "cos_centroid", "is_outlier")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    // group 0 centroid = mean of unit vecs = (1/3, 0)
+    assert(got(0) == ((1L, 0.333333, false)))
+    assert(got(1) == ((2L, 0.333333, false)))
+    assert(got(2) == ((3L, -0.333333, true)))
+    // singleton group: centroid is the vector itself, cos = 1
+    assert(got(3) == ((4L, 1.0, false)))
+  }
+}
