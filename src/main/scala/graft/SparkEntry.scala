@@ -977,6 +977,37 @@ object SparkEntry {
                    ORDER BY ts DESC, event_id DESC) rn FROM events)
              WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // SCD2 / type-2 dimension build from the event log: each state
+    // CHANGE (event_type differs from the user's previous event) opens
+    // a validity interval, closed by the next change; the open
+    // interval is current. Two window passes over the SAME
+    // (user_id, ts) partitioning — one sort, no joins; the standard
+    // warehouse history-table construction.
+    ("g12_scd2_intervals", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__prev", lag("event_type", 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .withColumn("__vt", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          hourStr(col("ts")).as("valid_from"),
+          hourStr(col("__vt")).as("valid_to"),
+          col("__vt").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+               FROM events),
+             ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+             iv AS (SELECT user_id, event_type AS state, ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) vt
+               FROM ch)
+             SELECT user_id, state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               vt IS NULL AS is_current
+             FROM iv ORDER BY user_id, valid_from, state""")),
+
     ("o2_setops", (s, dir) => {
       val o = t(s, dir, "orders")
       val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")).distinct()
@@ -1961,6 +1992,32 @@ object SparkEntry {
                COUNT(DISTINCT b.bid) AS n_bench_docs
              FROM t JOIN b USING (sh)
              GROUP BY t.doc_id ORDER BY doc_id""")),
+
+    // INCREMENTAL dedup (Dedup.incrementalDedup): a new ingest batch
+    // (every 4th doc) screened against the signature index of the
+    // accepted corpus (the rest) — the index side is the persisted
+    // d2 artifact in production; only the batch is shingled. Output
+    // rows only for colliding new docs.
+    ("d15_incremental_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 4 =!= 0)),
+        docs.filter(col("doc_id") % 4 === 0))
+        .orderBy("new_doc")
+    },
+      Some(s"""WITH $oracleSigCtes,
+             bands AS (SELECT doc_id, UNNEST([md5('b0|' || sig0 || sig1),
+               md5('b1|' || sig2 || sig3), md5('b2|' || sig4 || sig5),
+               md5('b3|' || sig6 || sig7)]) bkey FROM sig),
+             ib AS (SELECT doc_id, bkey FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY bkey) bn
+                FROM bands WHERE doc_id % 4 <> 0) WHERE bn <= 100),
+             nb AS (SELECT doc_id AS new_doc, bkey FROM bands WHERE doc_id % 4 = 0),
+             hits AS (SELECT DISTINCT n.new_doc, i.doc_id index_doc
+               FROM nb n JOIN ib i USING (bkey))
+             SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_index_hits,
+               MIN(index_doc) AS first_index_doc
+             FROM hits GROUP BY new_doc ORDER BY new_doc""")),
 
     // Chunk-level (paragraph) dedup (Dedup.chunkDedup): the CCNet
     // paragraph-hash stage — 10-word chunks, the first corpus-wide

@@ -216,6 +216,40 @@ object Dedup {
       .distinct()
   }
 
+  /** D15: INCREMENTAL dedup — screen a NEW ingest batch against the
+    * persisted signature INDEX of the already-accepted corpus (the
+    * production shape: the index is built once by
+    * [[minhashSignatures]] and stored; each arriving batch signatures
+    * only ITSELF and probes the index's LSH buckets — the historical
+    * corpus is never re-shingled). Returns one row per new doc that
+    * collides with the index (clean docs pay nothing): (new_doc,
+    * n_index_hits, first_index_doc).
+    *
+    * The degenerate-bucket guard applies to the INDEX side (boilerplate
+    * band keys would fan every new doc out |bucket|-wide); at 100 TB
+    * the band join is bucket-partitioned so a batch touches only the
+    * buckets its own band keys hash to. */
+  def incrementalDedup(indexSig: DataFrame, newDocs: DataFrame,
+                       maxBucket: Int = 100): DataFrame = {
+    def bands(sig: DataFrame) = {
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+    }
+    val idxBands = bands(indexSig)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    bands(minhashSignatures(newDocs))
+      .withColumnRenamed("doc_id", "new_doc")
+      .join(idxBands, Seq("bkey"))
+      .filter(col("new_doc") =!= col("doc_id"))
+      .select(col("new_doc"), col("doc_id").as("index_doc"))
+      .distinct()
+      .groupBy("new_doc")
+      .agg(count(lit(1)).as("n_index_hits"),
+        min(col("index_doc")).as("first_index_doc"))
+  }
+
   /** D4: 16-bit SimHash fingerprints from token hashes — linear
     * bit-sum aggregation, no pairwise work. */
   def simhash16(docs: DataFrame): DataFrame = {

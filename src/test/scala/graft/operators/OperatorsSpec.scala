@@ -353,3 +353,37 @@ class CentroidOutlierSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 1.0, false)))
   }
 }
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a new doc collides with index docs sharing a band; clean docs emit nothing") {
+    val body = (1 to 12).map(i => s"b$i").mkString(" ")
+    val index = Seq((1L, body), (2L, s"$body tail"), (3L, "c1 c2 c3 c4 c5"))
+      .toDF("doc_id", "text")
+    // doc 10 duplicates doc 1's content (all bands match); doc 11 is novel
+    val batch = Seq((10L, body), (11L, "z1 z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(Dedup.minhashSignatures(index), batch)
+      .orderBy("new_doc")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L))          // only the colliding doc
+    assert(got.head._3 == 1L)                  // earliest index hit
+    assert(got.head._2 >= 1L)                  // at least doc 1 collides
+  }
+
+  test("the degenerate-bucket guard drops an oversized index bucket") {
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val index = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val batch = Seq((100L, boiler)).toDF("doc_id", "text")
+    // maxBucket=3: the 5-doc boilerplate bucket is dropped -> no hits
+    assert(Dedup.incrementalDedup(
+      Dedup.minhashSignatures(index), batch, maxBucket = 3).count() == 0)
+    // with a permissive cap the batch doc hits all 5
+    val got = Dedup.incrementalDedup(
+      Dedup.minhashSignatures(index), batch, maxBucket = 100)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 5L, 1L)))
+  }
+}
