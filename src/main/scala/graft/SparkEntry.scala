@@ -1626,6 +1626,364 @@ object SparkEntry {
                                WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              GROUP BY n_name ORDER BY n_name""")),
 
+    // TPC-H Q2-shaped min-cost supplier. lineitem stands in for the
+    // absent partsupp table: per (part, supplier) the min observed unit
+    // price is the supply cost. The correlated MIN-per-part subquery
+    // becomes a partition-window min applied AFTER the broadcast part
+    // filter — safe, because the min is computed within a partkey and
+    // the part predicate only removes whole partkeys. Two shuffles
+    // total (the ps aggregation and the window); every dim broadcasts.
+    ("q02_min_cost_supplier", (s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100, 0)
+          .cast("long")).as("cost_c"))
+      val eurSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val eps = ps.join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      eps.withColumn("min_cost", min(col("cost_c")).over(Window.partitionBy("l_partkey")))
+        .filter(col("cost_c") === col("min_cost"))
+        .select(cents(col("s_acctbal")).as("s_acctbal_c"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("cost_c"))
+        .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+      Some("""WITH ps AS (
+               SELECT l_partkey, l_suppkey,
+                 CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT) AS cost_c
+               FROM lineitem GROUP BY l_partkey, l_suppkey),
+             eps AS (
+               SELECT ps.*, s_name, s_acctbal, n_name
+               FROM ps JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE')
+             SELECT CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_c, s_name, n_name,
+                    p_partkey, cost_c
+             FROM eps JOIN part ON l_partkey = p_partkey
+             WHERE p_size <= 10 AND p_type = 'LARGE'
+               AND cost_c = (SELECT MIN(e2.cost_c) FROM eps e2 WHERE e2.l_partkey = eps.l_partkey)
+             ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+             LIMIT 100""")),
+
+    // TPC-H Q8-shaped national market share: six-table join where every
+    // non-fact side is either broadcast (part filter, nation, region)
+    // or semi-reduced before the fact touches it (AMERICA customers).
+    // The only big exchange is lineitem ⋈ orders. Share = one double
+    // division over two exact-integer sums.
+    ("q08_market_share", (s, dir) => {
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")
+      val amerNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(amerNations), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey")
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L)).as("nation_e4"),
+          sum(rev).as("total_e4"))
+        .select(col("o_year"), col("nation_e4"), col("total_e4"),
+          (col("nation_e4").cast("double") / col("total_e4")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+      Some("""SELECT o_year, nation_e4, total_e4,
+               CAST(nation_e4 AS DOUBLE) / total_e4 AS mkt_share
+             FROM (
+               SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                 CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS nation_e4,
+                 CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS total_e4
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON c_nationkey = n1.n_nationkey
+               JOIN region ON n1.n_regionkey = r_regionkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+               GROUP BY o_year)
+             ORDER BY o_year""")),
+
+    // TPC-H Q9-shaped product-type profit. No partsupp/supplycost here:
+    // cost is modeled as 60% of retail price per unit. Profit stays an
+    // exact BIGINT because each line contributes a DIFFERENCE of two
+    // independently-rounded integers — summed in any order, identical
+    // in both engines. The part filter broadcasts; supplier→nation is
+    // a dim join AQE resolves (no hint: supplier is unfiltered and
+    // grows with SF); lineitem ⋈ orders is the one real exchange.
+    ("q09_product_profit", (s, dir) => {
+      val profit =
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long") -
+          round(col("p_retailprice") * lit(0.6) * col("l_quantity") * 10000, 0).cast("long")
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%widget%"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+      Some("""SELECT nation, o_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+                      - CAST(ROUND(p_retailprice*0.6*l_quantity*10000) AS BIGINT)) AS BIGINT) AS profit_e4
+             FROM (
+               SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice, l_discount, p_retailprice, l_quantity
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN orders ON l_orderkey = o_orderkey
+               WHERE p_name LIKE '%widget%')
+             GROUP BY nation, o_year
+             ORDER BY nation, o_year DESC""")),
+
+    // TPC-H Q11-shaped important parts: per-part value held by a
+    // three-nation supplier group, kept where it exceeds 1/700 of the
+    // group total. The q22 pattern at fact scale — the global threshold
+    // is a 1-row broadcast, the comparison exact integers; the supplier
+    // restriction is a semi-join against a filtered dim (AQE broadcasts
+    // it when it fits).
+    ("q11_important_parts", (s, dir) => {
+      val supp3 = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val v = t(s, dir, "lineitem")
+        .join(supp3, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+      val total = v.agg(sum(col("value_c")).as("total_c"))
+      v.join(broadcast(total))
+        .filter(col("value_c") * 700 > col("total_c"))
+        .select("l_partkey", "value_c")
+        .orderBy(col("value_c").desc, col("l_partkey"))
+    },
+      Some("""WITH v AS (
+               SELECT l_partkey,
+                 CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name IN ('NATION_0','NATION_1','NATION_2')
+               GROUP BY l_partkey)
+             SELECT l_partkey, value_c FROM v
+             WHERE value_c * 700 > (SELECT CAST(SUM(value_c) AS BIGINT) FROM v)
+             ORDER BY value_c DESC, l_partkey""")),
+
+    // TPC-H Q12-shaped late-shipment priority split. The schema has no
+    // commit/receipt dates or ship modes, so "late" = shipped more than
+    // 90 days after the order date, split by line status instead of
+    // ship mode — same plan shape: date-filtered fact ⋈ orders with a
+    // residual inequality predicate, then a conditional aggregate.
+    ("q12_late_lines", (s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+      Some("""SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+               AND l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+             GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // TPC-H Q17-shaped small-quantity revenue: the correlated per-part
+    // average becomes a partition window AFTER the broadcast part
+    // filter (per-part stats are unaffected by dropping whole parts —
+    // same argument as q02). The avg comparison is exact:
+    // qty < sum/n ⟺ qty·5·n < sum in integer cents. ONE double
+    // division at the very end.
+    ("q17_small_qty_revenue", (s, dir) => {
+      val w = Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#1" && col("p_size") <= 10)
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_extendedprice"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_c"))
+        .withColumn("sum_q_c", sum(col("qty_c")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("qty_c") * 5 * col("n") < col("sum_q_c"))
+        .agg(sum(cents(col("l_extendedprice"))).as("total_c"))
+        .select(col("total_c"),
+          (col("total_c").cast("double") / 700.0).as("avg_yearly_c"))
+    },
+      Some("""WITH pq AS (
+               SELECT l_partkey,
+                 CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_q_c,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY l_partkey)
+             SELECT total_c, CAST(total_c AS DOUBLE) / 700.0 AS avg_yearly_c
+             FROM (
+               SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_c
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN pq ON pq.l_partkey = p_partkey
+               WHERE p_brand = 'Brand#1' AND p_size <= 10
+                 AND CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * n < sum_q_c)""")),
+
+    // TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs across
+    // both sides of a broadcast join. The brand membership implied by
+    // the disjuncts is pushed into the build side explicitly (Catalyst
+    // does not derive the union of per-branch brand constraints), so
+    // the broadcast table carries 3 brands, not 25.
+    ("q19_disjunctive_rev", (s, dir) => {
+      val pred =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(pred)
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                    CAST(COUNT(*) AS BIGINT) AS n_lines
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""")),
+
+    // TPC-H Q20-shaped excess shippers: the nested EXISTS chain becomes
+    // aggregate → threshold → semi-join. The shipped-quantity aggregate
+    // runs over the part-filtered fact (broadcast build), its survivors
+    // are a tiny supplier set, and the final semi-join is AQE-broadcast.
+    ("q20_excess_shippers", (s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("red%"))
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("ship_q_c"))
+        .filter(col("ship_q_c") > 40000)
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
+      Some("""SELECT s_suppkey, s_name, n_name
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE EXISTS (
+               SELECT 1 FROM (
+                 SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS ship_q_c
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_name LIKE 'red%'
+                   AND l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                 GROUP BY l_suppkey) sh
+               WHERE sh.l_suppkey = s_suppkey AND sh.ship_q_c > 40000)
+             ORDER BY s_suppkey""")),
+
+    // TPC-H Q21-shaped waiting suppliers: the EXISTS / NOT EXISTS pair
+    // over sibling lines collapses into ONE per-order aggregate —
+    // n_supp distinct suppliers and n_late distinct LATE suppliers
+    // (late = shipped >60 days after order date). A late line of a
+    // multi-supplier order where n_late = 1 is exactly a line whose
+    // supplier kept everyone waiting: some other supplier exists, and
+    // no OTHER supplier was late. One fact-fact join feeds both the
+    // aggregate and the kept lines; no per-order re-scan, no
+    // correlated self-joins.
+    ("q21_waiting_suppliers", (s, dir) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val lo = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      val qualOrders = lo.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select(col("l_orderkey").as("ok"))
+      val suppN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(
+          "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      lo.filter(late)
+        .join(qualOrders, col("l_orderkey") === col("ok"), "left_semi")
+        .join(suppN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             FROM lineitem l1
+             JOIN orders ON o_orderkey = l1.l_orderkey
+             JOIN supplier ON l1.l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE o_orderstatus = 'F'
+               AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+               AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+               AND EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                               JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                               WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                                 AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+             GROUP BY s_name
+             ORDER BY numwait DESC, s_name
+             LIMIT 20""")),
+
     // The REAL ActivityPipeline.process, hash-gated end-to-end in
     // corrected mode with actual streams: lineitem rows become sparse
     // per-activity samples (time = 2*idx so the dense spine has gaps

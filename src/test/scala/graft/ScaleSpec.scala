@@ -227,6 +227,37 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally restore.foreach(spark.conf.unset)
   }
 
+  test("q02/q17 correlated-min plans: per-part window, not a self-join") {
+    // the correlated MIN/AVG-per-part subquery must compile to ONE
+    // partition window over the part key — a join-back against a
+    // re-aggregated copy would scan the fact twice at 100 TB
+    val q02 = SparkEntry.queries("q02_min_cost_supplier")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // exactly two hash exchanges: the (part, supplier) aggregation and
+    // the per-part window; dims all broadcast
+    val ex02 = "Exchange hashpartitioning".r.findAllIn(q02).length
+    assert(ex02 == 2, s"q02 grew to $ex02 hash exchanges:\n$q02")
+    assert(q02.contains("Window"), "q02 lost its window-min formulation")
+    val q17 = SparkEntry.queries("q17_small_qty_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val ex17 = "Exchange hashpartitioning".r.findAllIn(q17).length
+    assert(ex17 == 1, s"q17 grew to $ex17 hash exchanges:\n$q17")
+    assert(q17.contains("Window"), "q17 lost its window-avg formulation")
+  }
+
+  test("q19 disjunctive plan: one broadcast join, zero fact shuffles") {
+    val plan = SparkEntry.queries("q19_disjunctive_rev")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "q19 part side must broadcast")
+    // the OR-of-ANDs is a residual join predicate + partial agg — the
+    // fact is never hash-repartitioned (only the final SinglePartition
+    // gather of two partial sums)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 0, s"q19 shuffled the fact ($ex hash exchanges):\n$plan")
+    // the derived brand-membership filter reaches the part scan
+    assert(plan.contains("In(p_brand"), "brand union filter not pushed to part scan")
+  }
+
   test("flagship e1 plan: two shuffles, join-free spine") {
     val plan = SparkEntry.queries("e1_pipeline_nested")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
