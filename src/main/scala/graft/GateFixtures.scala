@@ -329,6 +329,74 @@ object GateFixtures {
          x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
        FROM embeddings)"""
 
+  /** k-means membership CTE chain at the gates' codebook (k=5, 2 Lloyd
+    * rounds): unit vectors → long-form dims → deterministic rank seeds
+    * → two unrolled Lloyd rounds → final scores → `rk` (per-vector
+    * centroid ranking) and `member` (the inverted file). Shared by n5
+    * (probes = top-nprobe of rk) and d16 (cluster-scoped pair dedup) —
+    * both oracles must run the IDENTICAL training rounds or the
+    * codebooks diverge. */
+  private[graft] val kmeansMemberCtes: String = {
+    def lloyd(centIn: String, n: Int): String =
+      s"""s$n AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+            FROM dims d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
+         a$n AS (SELECT vec_id, cluster FROM
+            (SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
+             FROM s$n) WHERE r = 1),
+         c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
+            FROM dims d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
+    s"""$oracleUnitCte,
+       dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u),
+       seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+                 FROM (SELECT DISTINCT vec_id FROM dims) ORDER BY vec_id LIMIT 5),
+       c0 AS (SELECT s.cluster, d.i, ROUND(d.v, 6) c
+              FROM dims d JOIN seeds s USING (vec_id)),
+       ${lloyd("c0", 1)},
+       ${lloyd("c1", 2)},
+       sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+              FROM dims d JOIN c2 c ON d.i = c.i GROUP BY 1, 2),
+       rk AS (SELECT vec_id, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
+              FROM sf),
+       member AS (SELECT vec_id, cluster FROM rk WHERE r = 1)"""
+  }
+
+  /** Per-subspace CTE chain for the PQ gate (n8): unit-normalized
+    * `subDim`-wide slice → one unrolled Lloyd round at codebook size
+    * `k` → membership (the codes) and the per-query lookup table —
+    * the oracle twin of [[Ann.pqTopK]]'s training+encode for subspace
+    * `s`. All CTE names are suffixed with the subspace index. */
+  private[graft] def pqSubspaceCtes(s: Int, subDim: Int, k: Int): String = {
+    val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
+    s"""u$s AS (SELECT vec_id,
+         list_transform(sub, x -> x / sqrt(list_dot_product(sub, sub))) ue
+         FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], $lo, $hi) sub
+               FROM embeddings)),
+       dims$s AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u$s),
+       seeds$s AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+                 FROM (SELECT DISTINCT vec_id FROM dims$s) ORDER BY vec_id LIMIT $k),
+       c0$s AS (SELECT sd.cluster, d.i, ROUND(d.v, 6) c
+              FROM dims$s d JOIN seeds$s sd USING (vec_id)),
+       sc$s AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+              FROM dims$s d JOIN c0$s c ON d.i = c.i GROUP BY 1, 2),
+       asg$s AS (SELECT vec_id, cluster FROM
+              (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
+               FROM sc$s) WHERE r = 1),
+       c1$s AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
+              FROM dims$s d JOIN asg$s a ON d.vec_id = a.vec_id GROUP BY 1, 2),
+       sf$s AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+              FROM dims$s d JOIN c1$s c ON d.i = c.i GROUP BY 1, 2),
+       member$s AS (SELECT vec_id, cluster FROM
+              (SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
+               FROM sf$s) WHERE r = 1),
+       lut$s AS (SELECT d.vec_id qid, c.cluster, ROUND(SUM(d.v * c.c), 6) part
+              FROM dims$s d JOIN c1$s c ON d.i = c.i
+              WHERE d.vec_id < 5 GROUP BY 1, 2)"""
+  }
+
   /** The gates' random-hyperplane codebook: 8 planes over 64 dims
     * ([[Ann.randomHyperplanes]]) — inlined as literals into BOTH
     * engines; the codebook is data (like model weights). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Dedup, Ewma, Interpolation, Sessionize, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Dedup, Ewma, GlobalRank, Interpolation, Sessionize, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -31,8 +31,8 @@ import graft.functions.{Similarity, TextAnalysis, TextQuality}
 object SparkEntry {
 
   import GateFixtures.{a5OracleSql, annLshOracleSql, bpeOracleCtes,
-    e3Activities, e3OracleSql, e3Streams, e4OracleSql, oraclePairCtes,
-    oracleSigCtes, oracleUnitCte, rpPlanes}
+    e3Activities, e3OracleSql, e3Streams, e4OracleSql, kmeansMemberCtes,
+    oraclePairCtes, oracleSigCtes, oracleUnitCte, pqSubspaceCtes, rpPlanes}
 
   // ---------- shared helpers ----------
 
@@ -96,13 +96,15 @@ object SparkEntry {
       Dedup.lshPairs(minhashSignatures(s, dir)).persist())
 
   /** Unpersist + drop every materialized index owned by `s`. */
-  def clearCaches(s: SparkSession): Unit =
+  def clearCaches(s: SparkSession): Unit = {
     Seq(sigCache, pairsCache).foreach { cache =>
       cache.toSeq.filter(_._1._1 eq s).foreach { case (k, df) =>
         df.unpersist(blocking = false)
         cache.remove(k)
       }
     }
+    GlobalRank.clear(s)
+  }
 
 
   /** Gate query predicate: the probe set is the 5 lowest vec_ids. */
@@ -914,6 +916,22 @@ object SparkEntry {
              SELECT doc_id, source, n_tok, tok_before FROM c
              WHERE tok_before < 1200 ORDER BY doc_id""")),
 
+    // curriculum ordering: number EVERY doc of the corpus by a global
+    // quality order (longest first here; any score works). The naive
+    // ROW_NUMBER() OVER (ORDER BY ...) is a one-partition window — the
+    // operator ranks via range-repartition + per-partition offsets
+    // instead (GlobalRank scaladoc), so the sort parallelism is the
+    // cluster's, not 1. The doc_id tiebreaker makes the order total,
+    // hence the hash gate deterministic.
+    ("o13_curriculum_rank", (s, dir) =>
+      GlobalRank.withGlobalRank(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "global_rank", Seq(col("n_chars").desc, col("doc_id")))
+        .orderBy("global_rank"),
+      Some("""SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS global_rank
+             FROM documents ORDER BY global_rank""")),
+
     // deterministic stratified sample: fixed per-language quota, picked
     // by hash order — one window shuffle on the stratum key, quota
     // applied per partition (rank <= n), reproducible across runs.
@@ -1201,6 +1219,60 @@ object SparkEntry {
         .select(col("user_id"), hourStr(col("sw.start")).as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start"),
+      Some("""WITH l AS (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
+                         FROM events),
+             f AS (SELECT user_id, ts,
+                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                        THEN 1 ELSE 0 END is_new FROM l),
+             sid AS (SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+                     FROM f)
+             SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+             FROM sid GROUP BY user_id, session_id
+             ORDER BY user_id, session_start""")),
+
+    // STREAMING session windows in the correctness gate: w4's exact
+    // aggregate computed by a real Structured Streaming query — merging
+    // session state across micro-batches is the stateful-streaming
+    // path that tumbling windows (w5) never exercise. Complete mode
+    // emits every closed-and-open session at the end of the AvailableNow
+    // run, so the result hash-matches the batch oracle (w4's SQL) with
+    // no watermark withholding.
+    ("w8_stream_session", (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream0 = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val agg = stream
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val name = s"w8_sink_${streamGateSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // materialize + drop the sink view (w5's lifecycle discipline;
+      // the collect is session-count-sized, bounded)
+      val resolved = s.table(name)
+        .select(col("user_id"), hourStr(col("sw.start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
       Some("""WITH l AS (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
                          FROM events),
@@ -2656,30 +2728,8 @@ object SparkEntry {
       Ann.ivfTopK(em, Ann.kmeansCentroids(em, 5, 2), annQueryPred, 5, 2)
         .orderBy("qid", "rnk")
     },
-      Some {
-        def lloyd(centIn: String, n: Int): String =
-          s"""s$n AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
-                FROM dims d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
-             a$n AS (SELECT vec_id, cluster FROM
-                (SELECT vec_id, cluster,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
-                 FROM s$n) WHERE r = 1),
-             c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
-                FROM dims d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
-        s"""WITH $oracleUnitCte,
-           dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u),
-           seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
-                     FROM (SELECT DISTINCT vec_id FROM dims) ORDER BY vec_id LIMIT 5),
-           c0 AS (SELECT s.cluster, d.i, ROUND(d.v, 6) c
-                  FROM dims d JOIN seeds s USING (vec_id)),
-           ${lloyd("c0", 1)},
-           ${lloyd("c1", 2)},
-           sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
-                  FROM dims d JOIN c2 c ON d.i = c.i GROUP BY 1, 2),
-           rk AS (SELECT vec_id, cluster,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
-                  FROM sf),
-           member AS (SELECT vec_id, cluster FROM rk WHERE r = 1),
+      Some(
+        s"""WITH $kmeansMemberCtes,
            probes AS (SELECT vec_id qid, cluster FROM rk WHERE vec_id < 5 AND r <= 2),
            q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
            cand AS (SELECT p.qid, e.vec_id neighbor_id,
@@ -2691,8 +2741,53 @@ object SparkEntry {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
                  FROM cand)
            SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
-           ORDER BY qid, rnk"""
-      }),
+           ORDER BY qid, rnk""")),
+
+    // SemDeDup-shaped semantic dedup (Dedup.semanticDedup): pairwise
+    // cosine ONLY within a learned k-means cell, drop-vs-lowest-id.
+    // Same codebook (and oracle CTE chain) as n5 — a production
+    // pipeline trains ONE codebook and feeds both its ANN index and
+    // its dedup pass.
+    ("d16_semantic_dedup", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Dedup.semanticDedup(em, Ann.kmeansCentroids(em, 5, 2), 0.4)
+        .orderBy("drop_id")
+    },
+      Some(
+        s"""WITH $kmeansMemberCtes,
+           m AS (SELECT u.vec_id, u.ue, member.cluster FROM u JOIN member USING (vec_id)),
+           pairs AS (SELECT a.cluster, a.vec_id AS drop_id,
+                     ROUND(list_dot_product(a.ue, b.ue), 6) cos_r
+                     FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id > b.vec_id)
+           SELECT drop_id, cluster, CAST(COUNT(*) AS BIGINT) AS n_conflicts,
+                  MAX(cos_r) AS max_cos_r
+           FROM pairs WHERE cos_r >= 0.4
+           GROUP BY drop_id, cluster ORDER BY drop_id""")),
+
+    // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
+    // centroids over 32-dim slices; the corpus is scanned as 2 small
+    // codes per vector, scores are 2 LUT lookups summed. The memory
+    // path of the ANN family (n1 exact / n2+n5 IVF / n3+n4 LSH /
+    // n6 int8 / n8 PQ).
+    ("n8_ann_pq", (s, dir) =>
+      Ann.pqTopK(t(s, dir, "embeddings"), m = 2, subDim = 32, k = 16,
+        iters = 1, queryPred = annQueryPred, topK = 5)
+        .orderBy("qid", "rnk"),
+      Some(s"""WITH ${pqSubspaceCtes(0, 32, 16)},
+           ${pqSubspaceCtes(1, 32, 16)},
+           parts AS (
+             SELECT l.qid, m.vec_id, l.part
+             FROM member0 m JOIN lut0 l ON l.cluster = m.cluster
+             UNION ALL
+             SELECT l.qid, m.vec_id, l.part
+             FROM member1 m JOIN lut1 l ON l.cluster = m.cluster),
+           scq AS (SELECT qid, vec_id neighbor_id, ROUND(SUM(part), 6) score_r
+                  FROM parts WHERE vec_id <> qid GROUP BY 1, 2),
+           r AS (SELECT qid, neighbor_id, score_r,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_r DESC, neighbor_id) rnk
+                 FROM scq)
+           SELECT qid, rnk, neighbor_id, score_r FROM r WHERE rnk <= 5
+           ORDER BY qid, rnk""")),
 
     // text quality features + score (TextQuality.textStats). Ratios
     // are UNROUNDED: both engines evaluate the same IEEE op sequence

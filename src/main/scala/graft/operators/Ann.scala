@@ -191,6 +191,25 @@ object Ann {
     cent
   }
 
+  /** Inverted-file membership: each vector's single max-cosine
+    * centroid against a long-form (cluster, pos, c) codebook — the
+    * (vec_id, cluster) assignment [[ivfTopK]] builds internally,
+    * exposed for cluster-scoped operators (semantic dedup). The
+    * codebook broadcasts; the corpus contributes one dim-explode
+    * partial aggregation and one per-vector argmax window. */
+  def clusterAssignment(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val dims = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+      .select(col("vec_id"), posexplode(col("ue")))
+      .withColumnRenamed("col", "v")
+    val scores = dims.join(broadcast(centroids), Seq("pos"))
+      .groupBy("vec_id", "cluster")
+      .agg(round(sum(col("v") * col("c")), 6).as("score"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cluster"))
+    scores.withColumn("__r", row_number().over(wA))
+      .filter(col("__r") === 1).select("vec_id", "cluster")
+  }
+
   /** IVF-style ANN against a long-form (cluster, pos, c) codebook:
     * rank centroids per query by cosine, probe the top `nprobe`, exact
     * cosine re-rank only inside the probed partitions. Membership =
@@ -222,6 +241,52 @@ object Ann {
     topKPerGroup(cand, Seq("qid"),
       Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
       .select("qid", "rnk", "neighbor_id", "cos_r")
+  }
+
+  /** Product-quantization top-k with ADC (asymmetric distance
+    * computation) — the FAISS-style MEMORY path: the corpus is stored
+    * as `m` small integer codes per vector (here m sub-codebooks of
+    * `k` centroids over contiguous `subDim`-wide slices), and scoring
+    * never touches the original floats. Per query, a lookup table of
+    * query-subvector × centroid dots (m×k entries, broadcast) is
+    * built once; a candidate's score is m table lookups summed. This
+    * is "spherical PQ": each subvector is unit-normalized and
+    * codebooks are trained by the same deterministic Lloyd rounds as
+    * [[kmeansCentroids]], so the codebooks — and hence the gate — are
+    * reproducible across engines. Scores approximate full-vector
+    * cosine (AnnRecallSpec pins recall vs the float baseline).
+    *
+    * Scale: codes are m bytes/vector vs 4·dims float bytes (32× here)
+    * — the difference between an in-memory corpus scan and not; the
+    * scan side joins two broadcast tables (codes→LUT), no shuffle of
+    * the corpus beyond the per-subspace encode aggregations. */
+  def pqTopK(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
+             iters: Int, queryPred: Column, topK: Int): DataFrame = {
+    val perSub = (0 until m).map { s =>
+      val sub = embeddings.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      val cb = kmeansCentroids(sub, k, iters)
+      val codes = clusterAssignment(sub, cb)
+        .select(col("vec_id"), col("cluster"))
+      // per-query LUT: dot of the unit query subvector with each centroid
+      val qdims = sub.filter(queryPred)
+        .select(col("vec_id").as("qid"), Similarity.unit(col("embedding")).as("qu"))
+        .select(col("qid"), posexplode(col("qu")))
+        .withColumnRenamed("col", "qv")
+      val lut = qdims.join(broadcast(cb), Seq("pos"))
+        .groupBy("qid", "cluster")
+        .agg(round(sum(col("qv") * col("c")), 6).as("part"))
+      codes.join(broadcast(lut), Seq("cluster"))
+        .select(col("qid"), col("vec_id"), col("part"))
+    }
+    val scored = perSub.reduce(_ unionByName _)
+      .groupBy("qid", "vec_id")
+      .agg(round(sum(col("part")), 6).as("score_r"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    topKPerGroup(scored, Seq("qid"),
+      Seq(col("score_r").desc, col("neighbor_id")), topK, "rnk")
+      .select("qid", "rnk", "neighbor_id", "score_r")
   }
 
   /** Embedding OUTLIER detection — the centroid-distance filter a

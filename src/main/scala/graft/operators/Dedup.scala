@@ -303,6 +303,38 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** D16: SemDeDup-shaped SEMANTIC dedup (Abbas et al. 2023 pattern,
+    * PAPERS.md): partition the embedding space with a learned k-means
+    * codebook ([[Ann.kmeansCentroids]]), compare pairs ONLY within a
+    * cluster, and flag every vector with a lower-id cluster-mate at
+    * cosine >= `threshold` (keep-lowest-id, the d1/d8 convention —
+    * deterministic, no iterative re-election). Returns one row per
+    * flagged vector: (drop_id, cluster, n_conflicts, max_cos_r).
+    *
+    * Scale: this is the no-label, no-LSH third leg next to [[d6
+    * embeddingNearDup]] (label blocks) and [[d10 embeddingNearDupLsh]]
+    * (hyperplane buckets) — cluster blocking bounds pairwise work by
+    * the largest k-means cell, and k grows with the corpus (SemDeDup
+    * runs ~100k clusters at web scale), so the quadratic term stays
+    * per-cell, never corpus-wide. The codebook is trained offline and
+    * broadcast (kmeansCentroids scaladoc). */
+  def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val member = Ann.clusterAssignment(embeddings, centroids)
+    val m = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+      .join(member, Seq("vec_id"))
+    val a = m.select(col("cluster"), col("vec_id").as("drop_id"), col("ue").as("ua"))
+    val b = m.select(col("cluster"), col("vec_id").as("keep_id"), col("ue").as("ub"))
+    a.join(b, Seq("cluster"))
+      .filter(col("drop_id") > col("keep_id"))
+      .select(col("cluster"), col("drop_id"),
+        round(Similarity.dot(col("ua"), col("ub")), 6).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
+      .groupBy(col("drop_id"), col("cluster"))
+      .agg(count(lit(1)).as("n_conflicts"), max(col("cos_r")).as("max_cos_r"))
+  }
+
   /** D10: LABEL-FREE embedding near-dup — the corpus-scale path when
     * no blocking key exists: sign-bit LSH buckets over a hyperplane
     * codebook ([[Ann.randomHyperplanes]]), exact cosine only WITHIN a

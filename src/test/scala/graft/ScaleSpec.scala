@@ -117,6 +117,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"quantized recall $recall < 0.6")
   }
 
+  test("PQ-ADC top-k (n8): full slots, picks far above the random baseline") {
+    import graft.operators.Ann
+    val dir = "/root/testdata/sf0.001"
+    val em = Tables.load(spark, dir, "embeddings")
+    val pq = SparkEntry.queries("n8_ann_pq")(spark, dir)
+      .select("qid", "neighbor_id")
+    assert(pq.count() == 25, "PQ path must fill every top-k slot")
+    // 2×16 codebooks over STRUCTURE-FREE random embeddings can't chase
+    // exact top-k (sf0.01 recall ≈ 0.16 — quantization noise dominates
+    // when there are no clusters to exploit), so the pin is the
+    // decision-quality one: the TRUE cosine of PQ's picks must sit far
+    // above the corpus mean (≈ 0 for random vectors). A broken
+    // codebook/LUT collapses picks to random → mean ≈ 0.
+    val truth = Ann.bruteForceScores(em, col("vec_id") < 5)
+    val meanCos = pq.join(truth, Seq("qid", "neighbor_id"))
+      .agg(avg("cos_r")).collect()(0).getDouble(0)
+    assert(meanCos > 0.15, s"PQ picks average true cosine $meanCos — near random")
+  }
+
   test("learned-kmeans IVF (n5) recall vs brute force") {
     val dir = "/root/testdata/sf0.001"
     def pairs(q: String): Set[(Long, Long)] =

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GlobalRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches ROW_NUMBER over a global total order, across many partitions") {
+    val df = (1 to 5000).map(i => ((i * 7919) % 1000, i.toLong)).toDF("score", "id")
+    val got = GlobalRank.withGlobalRank(
+      df, "rk", Seq(col("score").desc, col("id")), numPartitions = Some(13))
+      .select("score", "id", "rk")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = df.select(col("score"), col("id"),
+      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long").as("rk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    GlobalRank.clear(spark)
+  }
+
+  test("more partitions than rows: empty ranges contribute zero offsets") {
+    val df = Seq((3, 30L), (1, 10L), (2, 20L)).toDF("score", "id")
+    val got = GlobalRank.withGlobalRank(df, "rk", Seq(col("score")),
+      numPartitions = Some(8))
+      .select("score", "rk").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 1L), (2, 2L), (3, 3L)))
+    GlobalRank.clear(spark)
+  }
+
+  test("plan has no single-partition window; clear() unpins the sorted input") {
+    val df = (1 to 100).map(i => (i % 10, i.toLong)).toDF("score", "id")
+    val ranked = GlobalRank.withGlobalRank(df, "rk", Seq(col("score"), col("id")))
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "global rank must not fall back to a window")
+    assert(ranked.count() == 100)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    GlobalRank.clear(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clear() must unpin the sorted input")
+  }
+}
