@@ -39,7 +39,11 @@ object Bench {
     "e4_legacy_poisoning", "w4_session_window", "d2_minhash_sig",
     "d3_lsh_pairs", "d5_ngram_jaccard", "d12_substring_runs",
     "d14_chunk_dedup", "n1_ann_topk", "n5_ann_kmeans",
-    "t17_bigram_familiarity")
+    "t17_bigram_familiarity",
+    // round 5: the partsupp stand-in aggregation (the widest new
+    // exchange), cell-blocked pairwise dedup on the near-dup-saturated
+    // corpus, and the corpus-as-codes PQ scan
+    "q02_min_cost_supplier", "d16_semantic_dedup", "n8_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,7 +92,8 @@ object Bench {
     // the same code — the fork is what makes the flagship's scale
     // numbers reproducible. Falls back to in-session best-of-2 only if
     // the compiled-classes dir can't be located (e.g. assembly run). ----
-    case class HeavyResult(name: String, walls: Seq[Double], gcs: Seq[Double])
+    case class HeavyResult(name: String, walls: Seq[Double], gcs: Seq[Double],
+                           loads: Seq[Double])
     val heavyN = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "3").toInt
     val heavy: Seq[HeavyResult] = if (heavyCopies > 1) {
       val heavyDir = sys.env.getOrElse("SPARK_GRAFT_HEAVY_DIR",
@@ -113,7 +118,9 @@ object Bench {
             .map { l =>
               val f = l.split("\t")
               HeavyResult(q, f(2).split(",").toSeq.map(_.toDouble),
-                f(3).split(",").toSeq.map(_.toDouble))
+                f(3).split(",").toSeq.map(_.toDouble),
+                f.lift(4).map(_.split(",").toSeq.map(_.toDouble))
+                  .getOrElse(Seq.empty))
             }
           if (code != 0 || parsed.isEmpty) {
             System.err.println(s"[bench] heavy $q runner FAILED (exit $code)")
@@ -129,7 +136,8 @@ object Bench {
         Tables.load(spark, heavyDir, "lineitem").count()
         heavyQueries.flatMap { n =>
           val runs = Seq(once(n, heavyDir), once(n, heavyDir)).flatten
-          if (runs.nonEmpty) Some(HeavyResult(n, runs, Seq.empty)) else None
+          if (runs.nonEmpty) Some(HeavyResult(n, runs, Seq.empty, Seq.empty))
+          else None
         }
       }
     } else Seq.empty
@@ -151,6 +159,7 @@ object Bench {
       s""""heavy_gc":${obj(heavyGc)},""" +
       s""""heavy_runs":${arrObj(heavy.map(h => h.name -> h.walls))},""" +
       s""""heavy_gc_runs":${arrObj(heavy.map(h => h.name -> h.gcs))},""" +
+      s""""heavy_load_runs":${arrObj(heavy.map(h => h.name -> h.loads))},""" +
       s""""heavy_n":$heavyN,""" +
       s""""heavy_copies":$heavyCopies,"failed":$failedJson,"sf":"$sfDir"}""")
     SparkEntry.clearCaches(spark)

@@ -716,6 +716,36 @@ object SparkEntry {
              COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // MERGEABLE distinct-count sketches (DataSketches HLL): per-day
+    // sketches built once, merged per event type — the pre-aggregate-
+    // once / merge-cheaply pattern that replaces re-scanning history
+    // for every distinct query at 100 TB (store sketch bytes per
+    // partition; any rollup is a union of sketches, never a rescan).
+    // Gate: two booleans the oracle asserts TRUE — the merged estimate
+    // stays inside the HLL error bound vs exact, and merging the daily
+    // sketches agrees with one direct whole-corpus sketch (HLL
+    // registers max-merge, so union-of-parts ≈ sketch-of-whole).
+    ("g13_sketch_union", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      val direct = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("direct_est"),
+          countDistinct(col("user_id")).as("exact_users"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("merged_est") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("within_bound"),
+          (abs(col("merged_est") - col("direct_est")) <=
+            col("exact_users") * 0.02).as("merge_consistent"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS within_bound, TRUE AS merge_consistent
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     ("o1_topk", (s, dir) => {
       // limit-first so the plan is TakeOrderedAndProject (per-partition
       // top-k + driver merge — no global sort); the row_number window

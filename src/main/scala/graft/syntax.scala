@@ -155,6 +155,24 @@ object syntax {
     def topKPerGroup(groupCols: Seq[String], orderCols: Seq[Column], k: Int,
                      rankCol: String = "rnk"): DataFrame =
       Ann.topKPerGroup(df, groupCols, orderCols, k, rankCol)
+
+    /** PQ-ADC top-k over sub-codebook codes; see [[Ann.pqTopK]]. */
+    def pqTopK(m: Int, subDim: Int, k: Int, iters: Int,
+               queryPred: Column, topK: Int): DataFrame =
+      Ann.pqTopK(df, m, subDim, k, iters, queryPred, topK)
+
+    /** SemDeDup-shaped semantic drop list against a trained codebook;
+      * see [[Dedup.semanticDedup]]. */
+    def semanticDedup(centroids: DataFrame, threshold: Double): DataFrame =
+      Dedup.semanticDedup(df, centroids, threshold)
+
+    // ---- global ordering ([[operators.GlobalRank]]) ----
+
+    /** Scalable global row numbers (no single-partition window); see
+      * [[GlobalRank.withGlobalRank]]. */
+    def globalRank(rankCol: String, sortCols: Seq[Column],
+                   numPartitions: Option[Int] = None): DataFrame =
+      GlobalRank.withGlobalRank(df, rankCol, sortCols, numPartitions)
   }
 
   /** Pair-graph operations that need a session (driver-adaptive CC);

@@ -68,6 +68,14 @@ object HeavyRunner {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
 
+  /** 1-minute system load average at this instant — recorded per run
+    * because co-tenant load is the dominant confound on shared boxes
+    * (round-4/5 receipts: heavy d5 measured 245-692 s during a load
+    * spike vs 26/20 s idle, same code, same data). A heavy number is
+    * only evidence when its load column is quiet. */
+  private def loadAvg: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: HeavyRunner <dir> <n> <query>...")
     val dir = args(0)
@@ -93,10 +101,11 @@ object HeavyRunner {
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        (wall, (gcMillis - g0) / 1e3)
+        (wall, (gcMillis - g0) / 1e3, loadAvg)
       }
       println(s"HEAVY\t$q\t${runs.map(r => f"${r._1}%.3f").mkString(",")}" +
-        s"\t${runs.map(r => f"${r._2}%.3f").mkString(",")}")
+        s"\t${runs.map(r => f"${r._2}%.3f").mkString(",")}" +
+        s"\t${runs.map(r => f"${r._3}%.2f").mkString(",")}")
       SparkEntry.clearCaches(spark)
     }
     spark.stop()

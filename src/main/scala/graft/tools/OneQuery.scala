@@ -17,7 +17,11 @@ object OneQuery {
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to n) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, sfDir).count()
+      // noop WRITE, not count(): count() lets Catalyst prune projection
+      // work (e.g. d5's jaccard column) and under-measures the query —
+      // same rule as HeavyRunner
+      graft.SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"ONEQUERY\t$q\trun$i\t${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     graft.SparkEntry.clearCaches(spark)
