@@ -303,8 +303,8 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** D16: SemDeDup-shaped SEMANTIC dedup (Abbas et al. 2023 pattern,
-    * PAPERS.md): partition the embedding space with a learned k-means
+  /** D16: SemDeDup-shaped SEMANTIC dedup (the public SemDeDup recipe —
+    * Abbas et al., 2023): partition the embedding space with a learned k-means
     * codebook ([[Ann.kmeansCentroids]]), compare pairs ONLY within a
     * cluster, and flag every vector with a lower-id cluster-mate at
     * cosine >= `threshold` (keep-lowest-id, the d1/d8 convention —

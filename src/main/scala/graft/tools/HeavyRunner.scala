@@ -60,6 +60,22 @@ object HeavyRunner {
           s.read.parquet(s"$dir/${HeavyData.e3ActsFile}"),
           s.read.parquet(s"$dir/${HeavyData.e3PoisonFile}"),
           HeavyData.gateNow, dualMaxs = true))
+      case "d16_semantic_dedup" => (s, dir) => {
+        // production configuration, not the gate's: the codebook GROWS
+        // with the corpus (25 cells at 10x vs the gate's 5 — bounds
+        // in-cell pairwise work) and is TRAINED ON A SAMPLE (k-means
+        // scoring is n·d·k rows per Lloyd round; the 10% deterministic
+        // sample keeps training from dominating what it feeds —
+        // kmeansCentroids scaladoc says exactly this). Measuring heavy
+        // d16 at gate settings would time the deliberately-wrong
+        // configuration.
+        import org.apache.spark.sql.functions.col
+        val em = Tables.load(s, dir, "embeddings")
+        val sample = em.filter(col("vec_id") % 10 === 0)
+        graft.operators.Dedup.semanticDedup(
+          em, graft.operators.Ann.kmeansCentroids(sample, 25, 2), 0.4)
+          .orderBy("drop_id")
+      }
       case _ => SparkEntry.queries(name)
     }
   }
