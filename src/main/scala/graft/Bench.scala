@@ -93,7 +93,7 @@ object Bench {
     // numbers reproducible. Falls back to in-session best-of-2 only if
     // the compiled-classes dir can't be located (e.g. assembly run). ----
     case class HeavyResult(name: String, walls: Seq[Double], gcs: Seq[Double],
-                           loads: Seq[Double])
+                           loads: Seq[Double], cpus: Seq[Double])
     val heavyN = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "3").toInt
     val heavy: Seq[HeavyResult] = if (heavyCopies > 1) {
       val heavyDir = sys.env.getOrElse("SPARK_GRAFT_HEAVY_DIR",
@@ -117,10 +117,10 @@ object Bench {
             .find(l => l.startsWith("HEAVY\t") && l.split("\t")(1) == q)
             .map { l =>
               val f = l.split("\t")
+              def opt(i: Int) = f.lift(i)
+                .map(_.split(",").toSeq.map(_.toDouble)).getOrElse(Seq.empty)
               HeavyResult(q, f(2).split(",").toSeq.map(_.toDouble),
-                f(3).split(",").toSeq.map(_.toDouble),
-                f.lift(4).map(_.split(",").toSeq.map(_.toDouble))
-                  .getOrElse(Seq.empty))
+                f(3).split(",").toSeq.map(_.toDouble), opt(4), opt(5))
             }
           if (code != 0 || parsed.isEmpty) {
             System.err.println(s"[bench] heavy $q runner FAILED (exit $code)")
@@ -135,8 +135,26 @@ object Bench {
         System.gc()
         Tables.load(spark, heavyDir, "lineitem").count()
         heavyQueries.flatMap { n =>
-          val runs = Seq(once(n, heavyDir), once(n, heavyDir)).flatten
-          if (runs.nonEmpty) Some(HeavyResult(n, runs, Seq.empty, Seq.empty))
+          // same query semantics as the fork path: resolve() swaps in
+          // the heavy variants (persisted e3/e4 fixtures, production
+          // d16 config) — SparkEntry.queries here would time DIFFERENT
+          // work under the same JSON key
+          def one(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try {
+              tools.HeavyRunner.resolve(n)(spark, heavyDir)
+                .write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] heavy $n FAILED: ${e.getMessage}")
+                failed += n
+                None
+            }
+          }
+          val runs = Seq(one(), one()).flatten
+          if (runs.nonEmpty)
+            Some(HeavyResult(n, runs, Seq.empty, Seq.empty, Seq.empty))
           else None
         }
       }
@@ -160,6 +178,7 @@ object Bench {
       s""""heavy_runs":${arrObj(heavy.map(h => h.name -> h.walls))},""" +
       s""""heavy_gc_runs":${arrObj(heavy.map(h => h.name -> h.gcs))},""" +
       s""""heavy_load_runs":${arrObj(heavy.map(h => h.name -> h.loads))},""" +
+      s""""heavy_cpu_runs":${arrObj(heavy.map(h => h.name -> h.cpus))},""" +
       s""""heavy_n":$heavyN,""" +
       s""""heavy_copies":$heavyCopies,"failed":$failedJson,"sf":"$sfDir"}""")
     SparkEntry.clearCaches(spark)

@@ -23,7 +23,9 @@ import graft.{HeavyData, SparkEntry, Tables}
   * flagship plan — it measures less than the query.
   *
   * Output: one tab-separated line per query on stdout:
-  *   HEAVY\t<query>\t<wall1,wall2,...>\t<gc1,gc2,...>
+  *   HEAVY\t<query>\t<wall,...>\t<gcSec,...>\t<loadAvg,...>\t<cpuSec,...>
+  * cpuSec/(wall*cores) is the run's CPU utilization — the
+  * co-tenant-starvation discriminator (see [[cpuSeconds]]).
   */
 object HeavyRunner {
 
@@ -84,13 +86,28 @@ object HeavyRunner {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
 
-  /** 1-minute system load average at this instant — recorded per run
-    * because co-tenant load is the dominant confound on shared boxes
-    * (round-4/5 receipts: heavy d5 measured 245-692 s during a load
-    * spike vs 26/20 s idle, same code, same data). A heavy number is
-    * only evidence when its load column is quiet. */
+  /** 1-minute system load average at this instant — co-tenant load is
+    * the dominant confound on shared boxes (round-4/5 receipts: heavy
+    * d5 measured 245-692 s during a load spike vs 26/20 s idle, same
+    * code, same data). Sampled after each run, so it MIXES our own
+    * 32-thread load with neighbors' — corroborating signal only; the
+    * discriminating signal is [[cpuSeconds]] utilization. */
   private def loadAvg: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative CPU seconds of THIS process. The per-run delta divided
+    * by (wall × cores) is the fork's CPU utilization — the signal that
+    * actually separates "genuinely expensive" (high utilization: we
+    * had the cores and used them) from "starved by co-tenants" (low
+    * utilization: the run waited, the work didn't grow). The 1-minute
+    * load average cannot make that distinction because a saturating
+    * run raises it by itself. */
+  private def cpuSeconds: Double =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9 // nanoseconds on HotSpot
+      case _ => -1.0
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: HeavyRunner <dir> <n> <query>...")
@@ -114,14 +131,16 @@ object HeavyRunner {
       val fn = resolve(q)
       val runs = (1 to n).map { _ =>
         val g0 = gcMillis
+        val c0 = cpuSeconds
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        (wall, (gcMillis - g0) / 1e3, loadAvg)
+        (wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0)
       }
       println(s"HEAVY\t$q\t${runs.map(r => f"${r._1}%.3f").mkString(",")}" +
         s"\t${runs.map(r => f"${r._2}%.3f").mkString(",")}" +
-        s"\t${runs.map(r => f"${r._3}%.2f").mkString(",")}")
+        s"\t${runs.map(r => f"${r._3}%.2f").mkString(",")}" +
+        s"\t${runs.map(r => f"${r._4}%.1f").mkString(",")}")
       SparkEntry.clearCaches(spark)
     }
     spark.stop()

@@ -16,14 +16,19 @@ object SeqProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // noop WRITE, not count() — count() lets Catalyst prune projection
+    // work and under-measures (HeavyRunner's rule)
+    def force(q: String): Unit =
+      graft.SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     pre.foreach { q =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, sfDir).count()
+      force(q)
       println(f"SEQPROBE\tpre\t$q\t${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(target)(spark, sfDir).count()
+      force(target)
       println(f"SEQPROBE\ttarget\t$target\trun$i\t${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     graft.SparkEntry.clearCaches(spark)
