@@ -746,6 +746,40 @@ object SparkEntry {
              TRUE AS within_bound, TRUE AS merge_consistent
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Misra-Gries heavy hitters as a native TypedImperativeAggregate
+    // (functions.MisraGries): k=4 bounded counters per day over 5
+    // event types — eviction and the partial-aggregate MERGE both
+    // genuinely exercised. The summary's ESTIMATES are order-dependent
+    // (undercount ≤ n/(k+1)); its MEMBERSHIP guarantee is not: every
+    // type with exact count > n_day/5 MUST be present. The gate's row
+    // set comes from exact counts (deterministic), and in_summary
+    // asserts the guarantee — the oracle says TRUE.
+    ("g14_heavy_hitters", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("event_type"))
+      val summaries = ev.groupBy("d")
+        .agg(graft.functions.MisraGries.heavyHitters(col("event_type"), 4).as("hh"))
+        .select(col("d"), col("hh.item").as("hh_items"))
+      val exact = ev.groupBy("d", "event_type").agg(count(lit(1)).as("n"))
+      val totals = ev.groupBy("d").agg(count(lit(1)).as("n_day"))
+      exact.join(totals, "d")
+        .filter(col("n") * 5 > col("n_day"))
+        .join(summaries, "d")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"),
+          array_contains(col("hh_items"), col("event_type")).as("in_summary"))
+        .orderBy("day", "event_type")
+    },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+             exact AS (SELECT d, event_type, CAST(COUNT(*) AS BIGINT) n
+                       FROM e GROUP BY 1, 2),
+             tot AS (SELECT d, COUNT(*) n_day FROM e GROUP BY 1)
+             SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n,
+                    TRUE AS in_summary
+             FROM exact JOIN tot USING (d)
+             WHERE n * 5 > n_day
+             ORDER BY day, event_type""")),
+
     ("o1_topk", (s, dir) => {
       // limit-first so the plan is TakeOrderedAndProject (per-partition
       // top-k + driver merge — no global sort); the row_number window
