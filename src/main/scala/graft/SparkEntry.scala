@@ -780,6 +780,42 @@ object SparkEntry {
              WHERE n * 5 > n_day
              ORDER BY day, event_type""")),
 
+    // Count-min sketch as a native TypedImperativeAggregate
+    // (functions.CmsBuild) + codegen probe (CmsEstimate): point
+    // frequency estimates for every user from 4x128 counters instead
+    // of a full distinct-key shuffle. Counters are exact sums and
+    // merge is pointwise addition, so estimates are fully
+    // deterministic — the oracle REPLAYS the same pairwise-independent
+    // hashes ((a*x+b) mod p mod w, p=2^31-1) in plain SQL and the gate
+    // hash-matches the ESTIMATES themselves, collisions included
+    // (width 128 < 150 keys forces real overestimates; exact_n sits
+    // alongside to show the one-sided error).
+    ("g15_cms_counts", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = ev.agg(graft.functions.CountMin.build(col("user_id"), 4, 128).as("sk"))
+      ev.groupBy(col("user_id").as("key")).agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(sk))
+        .select(col("key"), col("exact_n"),
+          graft.functions.CountMin.estimateCol(col("sk"), col("key"), 4, 128)
+            .as("cms_est"))
+        .orderBy("key")
+    },
+      Some("""WITH params AS (SELECT * FROM (VALUES (0, 1103633425, 12345),
+               (1, 962287286, 67891), (2, 1847980503, 24682),
+               (3, 735693217, 98531)) p(r, a, b)),
+             bu AS (SELECT p.r,
+               ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 128 AS bucket,
+               COUNT(*) c
+               FROM events e CROSS JOIN params p GROUP BY 1, 2),
+             keys AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) exact_n
+                      FROM events GROUP BY 1),
+             kb AS (SELECT k.key, k.exact_n, p.r,
+               ((p.a * (k.key % 2147483647) + p.b) % 2147483647) % 128 AS bucket
+               FROM keys k CROSS JOIN params p)
+             SELECT key, exact_n, CAST(MIN(c) AS BIGINT) AS cms_est
+             FROM kb JOIN bu USING (r, bucket)
+             GROUP BY key, exact_n ORDER BY key""")),
+
     ("o1_topk", (s, dir) => {
       // limit-first so the plan is TakeOrderedAndProject (per-partition
       // top-k + driver merge — no global sort); the row_number window
@@ -2482,6 +2518,34 @@ object SparkEntry {
                FROM w),
              b AS (SELECT sh, doc_id bid FROM sh WHERE doc_id % 5 = 0),
              t AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 <> 0)
+             SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap_grams,
+               COUNT(DISTINCT b.bid) AS n_bench_docs
+             FROM t JOIN b USING (sh)
+             GROUP BY t.doc_id ORDER BY doc_id""")),
+
+    // Bloom-PREFILTERED decontamination (Dedup.contaminationBloom):
+    // same audit table as d13 but the benchmark side ships as BITS
+    // (native BloomBuild aggregate -> 1-row broadcast -> codegen
+    // might_contain at scan speed) with exact verification after —
+    // the shape that still works when the benchmark gram set outgrows
+    // a broadcast join hash map. Exact output = exact oracle; the
+    // sketch only moves the work, never the answer. Different split
+    // (every 7th doc) and gram width (6) from d13 so the two gates
+    // exercise independent configurations.
+    ("d17_bloom_decontaminate", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), 6)
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])
+                       for i in generate_series(1, len(w) - 5)]) sh
+               FROM w),
+             b AS (SELECT sh, doc_id bid FROM sh WHERE doc_id % 7 = 0),
+             t AS (SELECT doc_id, sh FROM sh WHERE doc_id % 7 <> 0)
              SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap_grams,
                COUNT(DISTINCT b.bid) AS n_bench_docs
              FROM t JOIN b USING (sh)

@@ -84,6 +84,50 @@ object Dedup {
       .select(col("doc_id"), col("n_overlap_grams"), col("n_bench_docs"))
   }
 
+  /** D17: decontamination with a BLOOM-FILTER prefilter — the scale
+    * path for when the benchmark gram set outgrows a broadcast join
+    * hash map. [[contamination]] broadcasts the gram STRINGS (fine for
+    * thousands of eval docs); at hundreds of millions of grams the
+    * strings don't broadcast but the BITS still do: `numBits = 2^27`
+    * is 16 MB regardless of item count.
+    *
+    *  1. build the filter over the benchmark grams (one native
+    *     [[graft.functions.BloomBuild]] aggregate, OR-merged),
+    *  2. ship the single binary to every executor (1-row broadcast
+    *     nested-loop join — the documented way to attach a scalar
+    *     sketch to a scan without a collect),
+    *  3. probe every training gram inside whole-stage codegen
+    *     ([[graft.functions.BloomMightContain]]) BEFORE the gram
+    *     dedup — the only exchanges that see full gram volume are the
+    *     doc-local shingle window (doc_id-keyed, map-side when the
+    *     corpus is stored partitioned by doc); the gram-key distinct
+    *     and everything after it see ~true-match volume
+    *     (BloomSpec pins this order in the physical plan),
+    *  4. exact-verify the survivors against the benchmark grams (the
+    *     join input is now tiny on BOTH sides, so strategy barely
+    *     matters — AQE picks).
+    *
+    * False positives only ever cost a row through step 4; the output
+    * is EXACTLY [[contamination]]'s audit table, which is what makes
+    * the operator hash-gateable against the exact oracle. */
+  def contaminationBloom(train: DataFrame, benchmark: DataFrame, k: Int = 8,
+                         numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    import graft.functions.Bloom
+    val bGrams = wordShingles(benchmark, k)
+      .select(col("sh"), col("doc_id").as("bench_doc_id")).distinct()
+    val bloom = bGrams.agg(Bloom.build(col("sh"), numBits, numHashes).as("bf"))
+    val survivors = wordShingles(train, k)
+      .join(broadcast(bloom))
+      .filter(Bloom.mightContainCol(col("bf"), col("sh"), numHashes))
+      .drop("bf")
+      .distinct()
+    survivors.join(bGrams, Seq("sh"))
+      .groupBy("doc_id").agg(
+        countDistinct(col("sh")).as("n_overlap_grams"),
+        countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+      .select(col("doc_id"), col("n_overlap_grams"), col("n_bench_docs"))
+  }
+
   /** D12: VARIABLE-LENGTH repeated-substring detection — the Lee et
     * al. exact-substring dedup shape (arXiv:2107.06499) beyond d11's
     * fixed-k grams: for every candidate doc pair, the exact length of

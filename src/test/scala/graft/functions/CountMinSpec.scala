@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Depth = 4
+  private val Width = 32
+
+  private def sketchOf(rows: Seq[Long], partitions: Int): Array[Byte] =
+    rows.toDF("x").repartition(partitions)
+      .agg(CountMin.build(col("x"), Depth, Width).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  test("estimates never undercount and are exact without collisions") {
+    // 10 distinct keys in a 4x32 sketch: every key's min-counter row is
+    // very likely collision-free, but the guarantee we assert is only
+    // the one-sided bound, which holds regardless
+    val rows = (1L to 10L).flatMap(k => Seq.fill(k.toInt * 3)(k))
+    val sk = sketchOf(rows, 7)
+    (1L to 10L).foreach { k =>
+      val est = CountMin.estimate(sk, k, Depth, Width)
+      assert(est >= k * 3, s"undercount for key $k: $est < ${k * 3}")
+    }
+    // total mass bound: est <= true + N (degenerate) — tighter check:
+    // every estimate is <= N
+    val n = rows.size.toLong
+    (1L to 10L).foreach { k =>
+      assert(CountMin.estimate(sk, k, Depth, Width) <= n)
+    }
+  }
+
+  test("sketch is independent of partitioning and row order") {
+    val rows = (1 to 5000).map(i => (i % 97).toLong)
+    val a = sketchOf(rows, 1)
+    val b = sketchOf(scala.util.Random.shuffle(rows), 17)
+    assert(java.util.Arrays.equals(a, b),
+      "pointwise-sum merge must make the sketch order-independent")
+  }
+
+  test("forced collisions overestimate, never underestimate") {
+    // 200 distinct keys >> 32 buckets: collisions in every row
+    val rows = (0L until 200L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sk = sketchOf(rows, 8)
+    var over = 0
+    truth.foreach { case (k, n) =>
+      val est = CountMin.estimate(sk, k, Depth, Width)
+      assert(est >= n, s"undercount for $k")
+      if (est > n) over += 1
+    }
+    assert(over > 0, "200 keys in 32 buckets must collide somewhere")
+  }
+
+  test("probe expression matches the helper through codegen") {
+    val rows = (1 to 1000).map(i => (i % 50).toLong)
+    val skDf = rows.toDF("x").agg(CountMin.build(col("x"), Depth, Width).as("sk"))
+    val got = (0L until 50L).toDF("key")
+      .join(broadcast(skDf))
+      .select(col("key"), CountMin.estimateCol(col("sk"), col("key"), Depth, Width).as("est"))
+      .as[(Long, Long)].collect().toMap
+    val sk = skDf.collect()(0).getAs[Array[Byte]](0)
+    (0L until 50L).foreach { k =>
+      assert(got(k) == CountMin.estimate(sk, k, Depth, Width))
+    }
+  }
+}
