@@ -2268,6 +2268,47 @@ object SparkEntry {
            FROM sp ORDER BY shard, doc_id, seq_id"""
       }),
 
+    // E6: the DEDUP PIPELINE end to end — the FineWeb chain as ONE
+    // job: minhash signatures -> banded LSH candidates (the memoized
+    // d2/d3 index) -> exact n-gram Jaccard verification at 0.35 (drops
+    // 3 of 28 candidate pairs; nearest pair sits >= 0.077 from the cut
+    // at both gate sfs — no ulp sensitivity) -> connected-component
+    // clusters -> keep-list anti-join. Every stage is the already-
+    // gated library op (d2/d3/d5/d7/d8); this gate proves they COMPOSE
+    // into the production dedup job: candidates from the persisted
+    // index, quadratic work only on candidates, VERIFIED pairs (not
+    // raw LSH collisions, which is what d8 clusters) electing cluster
+    // canonicals, survivors as the final corpus.
+    ("e6_dedup_pipeline", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val verified = Dedup.ngramJaccard(docs, lshPairsCached(s, dir))
+        .filter(col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b")
+      Dedup.keepList(s, docs, verified)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           g AS (SELECT doc_id,
+                 list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
+                 FROM documents),
+           vp AS (SELECT p.doc_a, p.doc_b FROM pairs p
+                  JOIN g ga ON p.doc_a = ga.doc_id
+                  JOIN g gb ON p.doc_b = gb.doc_id
+                  WHERE CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE)
+                    / (len(ga.grams) + len(gb.grams)
+                       - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) >= 0.35),
+           edges AS (SELECT doc_a src, doc_b dst FROM vp
+                     UNION SELECT doc_b, doc_a FROM vp),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id)
+           SELECT d.doc_id, d.lang, d.source FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+           ORDER BY d.doc_id""")),
+
     // S6 hash-gated: the channel-dict -> long-form pivot with
     // null-padding for absent channels, through the REAL source pivot
     // (StravaJsonSource.pivotStreams). Channel arrays are built from
