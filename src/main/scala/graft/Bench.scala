@@ -43,7 +43,11 @@ object Bench {
     // round 5: the partsupp stand-in aggregation (the widest new
     // exchange), cell-blocked pairwise dedup on the near-dup-saturated
     // corpus, and the corpus-as-codes PQ scan
-    "q02_min_cost_supplier", "d16_semantic_dedup", "n8_ann_pq")
+    "q02_min_cost_supplier", "d16_semantic_dedup", "n8_ann_pq",
+    // round 5b: the composed FineWeb chain (verify feeds clustering —
+    // the production dedup job) and the bloom-prefiltered
+    // decontamination (codegen probe at scan speed + exact verify)
+    "e6_dedup_pipeline", "d17_bloom_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
