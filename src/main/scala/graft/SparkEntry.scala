@@ -1389,6 +1389,52 @@ object SparkEntry {
              FROM sid GROUP BY user_id, session_id
              ORDER BY user_id, session_start""")),
 
+    // Streaming DECONTAMINATION at ingest (EventStream
+    // .decontaminateStream): documents arrive as a file-source stream,
+    // are shingled by the streamable ARRAY projection (no window),
+    // bloom-probed inside the stream's whole-stage codegen (the
+    // benchmark filter is a 16 KB binary literal — no state, no join
+    // for the prefilter), and exact-verified by a STATELESS
+    // stream-static join. The appended (doc_id, gram) audit set is
+    // exact (FPs die in the join) and arrival-order independent —
+    // hash-gated against the batch oracle. The one collect is the
+    // 16 KB sketch itself (documented-scalar family).
+    ("w9_stream_decontaminate", (s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val bGrams = operators.Dedup
+        .wordShingles(raw.filter(col("doc_id") % 7 === 0), 6)
+        .select("sh").distinct()
+      val bloomBytes = bGrams
+        .agg(graft.functions.Bloom.build(col("sh"), 1 << 17, 5).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 7 =!= 0)
+      val name = s"w9_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .decontaminateStream(stream, bloomBytes, bGrams, 6, 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name).orderBy("doc_id", "sh")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             g AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])
+                       for i in generate_series(1, len(w) - 5)]) sh
+               FROM w),
+             b AS (SELECT DISTINCT sh FROM g WHERE doc_id % 7 = 0),
+             t AS (SELECT doc_id, sh FROM g WHERE doc_id % 7 <> 0)
+             SELECT t.doc_id, t.sh FROM t JOIN b USING (sh)
+             ORDER BY doc_id, sh""")),
+
     // sliding time window (2h window, 1h slide): each event lands in 2
     // windows; Spark's window() explodes them, the oracle unnests the
     // two covering hour-aligned starts.

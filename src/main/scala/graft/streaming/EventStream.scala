@@ -52,6 +52,33 @@ object EventStream {
     docs.select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
 
+  /** Streaming DECONTAMINATION at ingest (streaming twin of d17's
+    * bloom-prefiltered batch audit): every arriving document is
+    * shingled as a per-row array projection (no window — the batch
+    * shingler's lead-over-doc window is not streamable), its grams
+    * probed against the benchmark Bloom filter INSIDE the stream's
+    * projection (a 16 KB binary literal compiled into the plan — no
+    * join, no state), and only surviving grams reach the stream-static
+    * exact-verify join. Emits one `(doc_id, sh)` audit row per exact
+    * benchmark overlap; false positives die in the join, so the
+    * appended result SET is exact and arrival-order independent —
+    * gateable against the batch oracle.
+    *
+    * At scale: the probe cuts the stream-static join's input to
+    * ~true-match volume per micro-batch, and the join carries no
+    * streaming state at all (static side is a table) — the whole
+    * thing is stateless ingest filtering. */
+  def decontaminateStream(docs: DataFrame, bloom: Array[Byte],
+      benchGrams: DataFrame, k: Int = 6, numHashes: Int = 5): DataFrame = {
+    import graft.functions.{Bloom, TextAnalysis}
+    docs.select(col("doc_id"),
+        explode(array_distinct(
+          TextAnalysis.wordShingles(TextAnalysis.words(col("text")), k))).as("sh"))
+      .filter(Bloom.mightContainCol(lit(bloom), col("sh"), numHashes))
+      .join(benchGrams, Seq("sh"))
+      .select(col("doc_id"), col("sh"))
+  }
+
   /** Stream-stream interval join (streaming twin of the j5 range join):
     * purchases within 10 minutes after a click by the same user. Both
     * sides are watermarked and the join condition bounds the event-time
