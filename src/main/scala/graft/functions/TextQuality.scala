@@ -445,6 +445,36 @@ object TextQuality {
       .filter(col("n_words") >= minWords && col("ttr") >= minTtr)
   }
 
+  /** T21: INTRA-document repetition scrub — the Gopher/C4 within-doc
+    * rule that [[graft.operators.Dedup.chunkDedup]]'s CROSS-doc
+    * election deliberately does not apply: cut the doc into
+    * `chunkWords`-word chunks, keep only the FIRST occurrence of each
+    * repeated chunk, reassemble in order. Returns
+    * (doc_id, text, n_chunks, n_dropped).
+    *
+    * Entirely per-row array algebra (chunk, first-occurrence filter by
+    * `array_position`, reassemble) — ZERO shuffle, no explode, no
+    * state, so it runs at scan speed on a 100 TB corpus and is
+    * streamable at ingest like [[slidingChunks]]. The chunk width is
+    * the policy knob: production paragraph-sized, the gate uses the
+    * corpus-calibrated width that actually exercises drops. */
+  def scrubRepeats(docs: DataFrame, chunkWords: Int = 2): DataFrame = {
+    val cs = chunkWords
+    val ws = TextAnalysis.words(col("text"))
+    val chunks = when(size(ws) >= 1,
+      transform(sequence(lit(1), (size(ws) + lit(cs - 1)).divide(lit(cs)).cast("int")),
+        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(cs) + lit(1), lit(cs)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("__chunks", chunks)
+      .withColumn("__kept",
+        filter(col("__chunks"), (c, i) => array_position(col("__chunks"), c) === i + lit(1)))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__kept")).as("text"),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
   /** The t6 keep-predicate as a bare Column, for pipelines that filter
     * inline and keep `text` flowing (a filter on the scan beats a
     * stats-projection + join-back at any scale). */

@@ -219,4 +219,23 @@ class SlidingChunksSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
     assert(rows.map(_._2).toSeq == Seq(32L, 32L, 32L, 28L))
   }
+
+  test("scrubRepeats keeps first occurrences in order and is idempotent") {
+    // chunks of 2: [a b][c d][a b][e] -> drop the repeated [a b]
+    val docs = Seq(
+      (1L, "a b c d a b e"),
+      (2L, "x y x y x y"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val once = TextQuality.scrubRepeats(docs, 2).orderBy("doc_id")
+    val got = once.select("doc_id", "text", "n_chunks", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b c d e", 4L, 1L),
+      (2L, "x y", 3L, 2L),
+      (3L, "p q r s", 2L, 0L)))
+    // idempotent: a scrubbed doc has no repeated chunks left
+    val twice = TextQuality.scrubRepeats(once.select("doc_id", "text"), 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sorted
+    assert(twice == got.map(r => (r._1, r._2)).sorted)
+  }
 }
