@@ -2355,6 +2355,50 @@ object SparkEntry {
            WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
            ORDER BY d.doc_id""")),
 
+    // E7: CCNet-style QUALITY-BUCKETED sampling — the
+    // perplexity-bucketing stage of the CCNet/FineWeb chain: score
+    // every doc with the t17 LM proxy (bigram familiarity, exact
+    // integer ppm), bucket by fixed thresholds (head/mid/tail — in
+    // production the thresholds come from a held-out distribution,
+    // exactly as hard-coded here), then keep head entirely, mid at
+    // ~50% and tail at ~16% by the o5 deterministic hash draw. All
+    // three branches non-vacuous on this corpus (111/175/4 rows).
+    // After the t17 scoring joins, bucketing + sampling are pure
+    // projection+filter — no new exchange at any corpus size.
+    ("e7_quality_buckets", (s, dir) => {
+      val fam = TextQuality.bigramFamiliarity(t(s, dir, "documents"))
+      val b = fam.withColumn("bucket",
+        when(col("familiarity_ppm") >= 1180, "head")
+          .when(col("familiarity_ppm") >= 1100, "mid")
+          .otherwise("tail"))
+        .withColumn("__h", md5(concat(lit("qb|"), col("doc_id").cast("string"))))
+      b.filter(
+        col("bucket") === "head" ||
+          (col("bucket") === "mid" && substring(col("__h"), 1, 2) < "80") ||
+          (col("bucket") === "tail" && substring(col("__h"), 1, 2) < "29"))
+        .select(col("doc_id"), col("bucket"), col("familiarity_ppm"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             bi AS (SELECT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]) sh
+               FROM w),
+             c AS (SELECT sh, COUNT(*) c FROM bi GROUP BY 1),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) total FROM c),
+             d AS (SELECT doc_id, CAST(SUM(c.c) AS BIGINT) sum_c, COUNT(*) n_bigrams
+                   FROM bi JOIN c USING (sh) GROUP BY 1),
+             f AS (SELECT doc_id, sum_c * 1000000 // (n_bigrams * total) AS familiarity_ppm
+                   FROM d, tot),
+             b AS (SELECT doc_id, familiarity_ppm,
+                   CASE WHEN familiarity_ppm >= 1180 THEN 'head'
+                        WHEN familiarity_ppm >= 1100 THEN 'mid'
+                        ELSE 'tail' END bucket,
+                   md5('qb|' || CAST(doc_id AS VARCHAR)) hh FROM f)
+             SELECT doc_id, bucket, familiarity_ppm FROM b
+             WHERE bucket = 'head' OR (bucket = 'mid' AND substr(hh,1,2) < '80')
+                OR (bucket = 'tail' AND substr(hh,1,2) < '29')
+             ORDER BY doc_id""")),
+
     // S6 hash-gated: the channel-dict -> long-form pivot with
     // null-padding for absent channels, through the REAL source pivot
     // (StravaJsonSource.pivotStreams). Channel arrays are built from
