@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
     e.injectFunction(GraftExtensions.unitVectorDescriptor)
     e.injectFunction(GraftExtensions.arrayCountInSetDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.KernelSubstitution)
   }
 }
 
@@ -74,5 +75,11 @@ object GraftExtensions {
       "unit_vector", buildUnitVector, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_count_in_set", buildArrayCountInSet, "scala_udf")
+    // kernel substitution is idempotent and purely semantic-preserving,
+    // but only add it once per session
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelSubstitution)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.KernelSubstitution
+    }
   }
 }

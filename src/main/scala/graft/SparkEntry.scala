@@ -1472,6 +1472,29 @@ object SparkEntry {
                embedding::DOUBLE[]) AS norm1x
              FROM embeddings ORDER BY vec_id""")),
 
+    // KERNEL SUBSTITUTION through the optimizer (plans
+    // .KernelSubstitution, installed by GraftExtensions.register): the
+    // query is written in the idiomatic HOF spelling — size(filter(w,
+    // x -> x IN (...))) — and the injected Rule[LogicalPlan] rewrites
+    // it to the codegen ArrayCountInSet kernel (GraftExtensionsSpec
+    // pins the substitution in the plan; >10 markers exercises the
+    // post-OptimizeIn InSet branch). The gate hash-checks the
+    // SUBSTITUTED kernel's arithmetic end to end.
+    ("x4_kernel_substitution", (s, dir) => {
+      GraftExtensions.register(s)
+      val markers = Seq("table", "row", "scan", "agg", "join", "sort",
+        "filter", "window", "group", "query", "batch")
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), " "),
+          w => w.isin(markers.map(lit): _*))).cast("long").as("n_markers"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['table','row','scan','agg','join','sort',
+                 'filter','window','group','query','batch'], x))) AS BIGINT) AS n_markers
+             FROM documents ORDER BY doc_id""")),
+
     ("x1_json_extract", (s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),

@@ -39,6 +39,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == 3L)
   }
 
+  test("kernel substitution rewrites size(filter(x IN ...)) to the codegen kernel") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // a real scan — a local Seq would be constant-folded into a
+    // LocalTableScan before the plan shows any expression at all
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def idiomatic(markers: Seq[String]) = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "),
+        w => w.isin(markers.map(lit): _*))).as("n"))
+    // few markers: the In branch
+    val few = idiomatic(Seq("table", "row"))
+    assert(few.queryExecution.executedPlan.toString.contains("arraycountinset"),
+      "In-branch substitution did not fire")
+    // >10 markers: OptimizeIn turns the list into InSet first
+    val many = idiomatic(Seq("table", "row", "m1", "m2", "m3", "m4", "m5", "m6",
+      "m7", "m8", "m9", "m10"))
+    assert(many.queryExecution.executedPlan.toString.contains("arraycountinset"),
+      "InSet-branch substitution did not fire")
+    // semantics preserved: compare against the interpreted HOF kernel
+    // (same spelling with a non-foldable guard that declines the rule)
+    val raw = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "),
+        w => w.isin(lit("table"), lit("row")) && length(w) >= 0)).as("n"))
+    assert(!raw.queryExecution.executedPlan.toString.contains("arraycountinset"))
+    val subbed = few.orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(subbed == raw.orderBy("doc_id").as[(Long, Int)].collect().toSeq)
+    assert(subbed == many.orderBy("doc_id").as[(Long, Int)].collect().toSeq)
+    assert(subbed.exists(_._2 > 0), "fixture must contain marker tokens")
+  }
+
   test("spark.sql.extensions injection path registers the function in a fresh session") {
     // reuse the shared SparkContext but build a NEW session with the
     // extensions applied (the config-file deployment path).
