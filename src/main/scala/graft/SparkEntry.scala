@@ -1401,29 +1401,34 @@ object SparkEntry {
     // 16 KB sketch itself (documented-scalar family).
     ("w9_stream_decontaminate", (s, dir) => {
       val raw = s.read.parquet(s"$dir/documents.parquet")
+      // the benchmark gram table is STATIC and read by both the bloom
+      // build and every micro-batch's verify join — cache for the
+      // stream's lifetime (production materializes it as a table)
       val bGrams = operators.Dedup
         .wordShingles(raw.filter(col("doc_id") % 7 === 0), 6)
-        .select("sh").distinct()
-      val bloomBytes = bGrams
-        .agg(graft.functions.Bloom.build(col("sh"), 1 << 17, 5).as("bf"))
-        .collect()(0).getAs[Array[Byte]](0)
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .filter(col("doc_id") % 7 =!= 0)
-      val name = s"w9_sink_${streamGateSeq.incrementAndGet()}"
-      val q = graft.streaming.EventStream
-        .decontaminateStream(stream, bloomBytes, bGrams, 6, 5)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val resolved = s.table(name).orderBy("doc_id", "sh")
-      val rows = java.util.Arrays.asList(resolved.collect(): _*)
-      val out = s.createDataFrame(rows, resolved.schema)
-      s.catalog.dropTempView(name)
-      out
+        .select("sh").distinct().cache()
+      try {
+        val bloomBytes = bGrams
+          .agg(graft.functions.Bloom.build(col("sh"), 1 << 17, 5).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") % 7 =!= 0)
+        val name = s"w9_sink_${streamGateSeq.incrementAndGet()}"
+        val q = graft.streaming.EventStream
+          .decontaminateStream(stream, bloomBytes, bGrams, 6, 5)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val resolved = s.table(name).orderBy("doc_id", "sh")
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally bGrams.unpersist()
     },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
              g AS (SELECT DISTINCT doc_id,
@@ -3253,6 +3258,33 @@ object SparkEntry {
                CAST(len(s.cw) AS BIGINT) AS n_tokens,
                md5(array_to_string(s.cw, ' ')) AS chunk_md5
              FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // REGEX PRETOKENIZATION (TextQuality.regexPretokenize): the
+    // GPT-2-style pretokenizer pass — letter/digit/punctuation runs
+    // before BPE. Digits+punct injected into every 3rd doc (t13's
+    // injection discipline) so all three classes are non-vacuous; the
+    // per-class counts are exact integers from one zero-shuffle
+    // projection.
+    ("t22_regex_pretokenize", (s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" v2.1-beta built 2024!"))
+            .otherwise(lit(""))).as("text"))
+      TextQuality.regexPretokenize(injected).orderBy("doc_id")
+    },
+      Some("""WITH inj AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN ' v2.1-beta built 2024!'
+                            ELSE '' END AS text
+               FROM documents),
+             tok AS (SELECT doc_id,
+               UNNEST(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) t
+               FROM inj)
+             SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (t ~ '[a-z]+') AS BIGINT) AS n_alpha,
+               CAST(COUNT(*) FILTER (t ~ '[0-9]+') AS BIGINT) AS n_digit,
+               CAST(COUNT(*) FILTER (NOT (t ~ '[a-z]+') AND NOT (t ~ '[0-9]+')) AS BIGINT) AS n_punct
+             FROM tok GROUP BY doc_id ORDER BY doc_id""")),
 
     // INTRA-doc repetition scrub (TextQuality.scrubRepeats): the
     // Gopher/C4 within-document rule — first occurrence of each

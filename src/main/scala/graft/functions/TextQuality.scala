@@ -475,6 +475,27 @@ object TextQuality {
         (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_dropped"))
   }
 
+  /** T22: REGEX PRETOKENIZATION counts — the GPT-2-style pretokenizer
+    * pass (split into letter runs / digit runs / punctuation runs
+    * before BPE ever sees the text; reference pattern family:
+    * `'s|'t|\p{L}+|\p{N}+|...` — here the lowercase-ASCII corpus
+    * subset). Emits per-doc token counts by class, the stats a
+    * tokenizer-budget planner consumes (chars-per-token, digit/punct
+    * load). Pure per-row projection over `regexp_extract_all`: zero
+    * shuffle, streamable; the class counts are exact integers. */
+  def regexPretokenize(docs: DataFrame,
+      pattern: String = "[a-z]+|[0-9]+|[^a-z0-9 ]+"): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(pattern), lit(0))
+    docs
+      .withColumn("__toks", toks)
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
+        size(filter(col("__toks"), t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit"),
+        size(filter(col("__toks"),
+          t => !t.rlike("^[a-z]+$") && !t.rlike("^[0-9]+$"))).cast("long").as("n_punct"))
+  }
+
   /** The t6 keep-predicate as a bare Column, for pipelines that filter
     * inline and keep `text` flowing (a filter on the scan beats a
     * stats-projection + join-back at any scale). */
