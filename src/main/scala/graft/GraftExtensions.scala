@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.unitVectorDescriptor)
     e.injectFunction(GraftExtensions.arrayCountInSetDescriptor)
     e.injectOptimizerRule(_ => graft.plans.KernelSubstitution)
+    e.injectPlannerStrategy(_ => graft.plans.LocalTopKStrategy)
   }
 }
 
@@ -80,6 +81,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelSubstitution)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.KernelSubstitution
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.LocalTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LocalTopKStrategy
     }
   }
 }

@@ -2886,6 +2886,31 @@ object SparkEntry {
              SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
              ORDER BY qid, rnk""")),
 
+    // ANN top-k through the CUSTOM PHYSICAL OPERATOR (plans
+    // .LocalTopKPerGroup via Ann.topKPerGroupLocal): partition-local
+    // bounded-heap pruning with no exchange and no sort, then the
+    // exact ranking window over k x partitions survivors — where n1's
+    // declarative phase 1 shuffles every scored row. Same oracle as
+    // n1: the operator must be invisible in the answer.
+    ("n9_ann_topk_local", (s, dir) => {
+      GraftExtensions.register(s)
+      Ann.topKPerGroupLocal(
+        Ann.bruteForceScores(t(s, dir, "embeddings"), annQueryPred),
+        Seq("qid"), Seq(("cos_r", true), ("neighbor_id", false)), 5, "rnk")
+        .select(col("qid"), col("rnk"), col("neighbor_id"), col("cos_r"))
+        .orderBy("qid", "rnk")
+    },
+      Some(s"""WITH $oracleUnitCte,
+             q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+             s AS (SELECT qid, u.vec_id neighbor_id,
+                   ROUND(list_dot_product(qu, u.ue), 6) cos_r
+                   FROM q, u WHERE u.vec_id <> qid),
+             r AS (SELECT qid, neighbor_id, cos_r,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                   FROM s)
+             SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+             ORDER BY qid, rnk""")),
+
     // Quantized brute-force ANN (Ann.quantizedTopK): int8 codes +
     // per-vector scale — the 4x-smaller memory path. Exact integer
     // dot, dequantized by the two scales; floor-quantization keeps

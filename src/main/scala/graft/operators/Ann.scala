@@ -42,6 +42,24 @@ object Ann {
     cand.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Two-phase top-k with the CUSTOM PHYSICAL phase 1
+    * ([[graft.plans.LocalTopKPerGroup]]): partition-local bounded-heap
+    * pruning with NO exchange and NO sort (the declarative
+    * [[topKPerGroup]] phase 1 is a window over (group, partition_id),
+    * whose required distribution still shuffles every input row), then
+    * the exact global ranking window over the pruned survivors — at
+    * most k x partitions rows per group reach the exchange. Same
+    * result as [[topKPerGroup]] for any total `orderCols`; requires
+    * the [[graft.GraftExtensions]] strategy registration. */
+  def topKPerGroupLocal(df: DataFrame, groupCols: Seq[String],
+                        orderKeys: Seq[(String, Boolean)], k: Int,
+                        rankCol: String): DataFrame = {
+    val pruned = graft.plans.LocalTopK.prune(df, groupCols, orderKeys, k)
+    val ocols = orderKeys.map { case (n, desc) => if (desc) col(n).desc else col(n) }
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ocols: _*)
+    pruned.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
   /** Brute-force cosine scoring: every query against every corpus
     * vector. Vectors are unit-normalized ONCE per row (codegen
     * UnitVector), so each pair costs one dot product — not dot + two
