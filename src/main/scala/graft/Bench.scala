@@ -47,7 +47,10 @@ object Bench {
     // round 5b: the composed FineWeb chain (verify feeds clustering —
     // the production dedup job) and the bloom-prefiltered
     // decontamination (codegen probe at scan speed + exact verify)
-    "e6_dedup_pipeline", "d17_bloom_decontaminate")
+    "e6_dedup_pipeline", "d17_bloom_decontaminate",
+    // the custom-physical-operator top-k next to its declarative twin
+    // (n1): same answer, phase-1 shuffle removed
+    "n9_ann_topk_local")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
