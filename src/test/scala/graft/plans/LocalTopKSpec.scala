@@ -48,6 +48,23 @@ class LocalTopKSpec extends AnyFunSuite {
     assert(top3(df).nonEmpty)
   }
 
+  test("null sort keys follow the same null ordering as the ranking window") {
+    GraftExtensions.register(spark)
+    // null scores in every group; desc => NullsLast in both the custom
+    // heap's SortOrder and the window's col.desc
+    val df = (0 until 400).map { i =>
+      val score: java.lang.Double = if (i % 5 == 0) null else (i % 37).toDouble
+      (i % 4L, i.toLong, score)
+    }.toDF("gid", "doc_id", "score").repartition(8)
+    val a = Ann.topKPerGroupLocal(df, Seq("gid"),
+      Seq(("score", true), ("doc_id", false)), 6, "rnk")
+      .select("gid", "rnk", "doc_id").orderBy("gid", "rnk").collect().toSeq
+    val b = Ann.topKPerGroup(df, Seq("gid"),
+      Seq(col("score").desc, col("doc_id")), 6, "rnk")
+      .select("gid", "rnk", "doc_id").orderBy("gid", "rnk").collect().toSeq
+    assert(a == b && a.size == 24)
+  }
+
   test("topKPerGroupLocal equals the declarative two-phase topKPerGroup") {
     GraftExtensions.register(spark)
     val df = orders.repartition(16) // many partitions: heaps + merge both exercised
