@@ -2427,6 +2427,58 @@ object SparkEntry {
                 OR (bucket = 'tail' AND substr(hh,1,2) < '29')
              ORDER BY doc_id""")),
 
+    // E8: CLUSTER-AWARE train/val/test split — the leakage-free split
+    // a dedup pipeline must do: o11's grouped split keyed by the
+    // NEAR-DUP CLUSTER (e6's verified components; singletons key by
+    // their own id), so near-duplicate docs can never straddle train
+    // and eval — the classic contamination sin that survives doc-level
+    // splitting. Split assignment itself stays the o11 projection
+    // (md5-nibble cross-multiply, no shuffle); the cluster map join is
+    // drop-set-sized. 406/46/48 docs per split at sf0.01 with cluster
+    // members present in val AND test (proving clusters ride the key).
+    ("e8_cluster_split", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val verified = Dedup.ngramJaccard(docs, lshPairsCached(s, dir))
+        .filter(col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b")
+      val cl = Dedup.clusters(s, verified)
+      val keyed = docs.join(broadcast(cl), Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("cluster"), col("doc_id")))
+      operators.Sampling.groupSplit(keyed, "split_key")
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           g AS (SELECT doc_id,
+                 list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
+                 FROM documents),
+           vp AS (SELECT p.doc_a, p.doc_b FROM pairs p
+                  JOIN g ga ON p.doc_a = ga.doc_id
+                  JOIN g gb ON p.doc_b = gb.doc_id
+                  WHERE CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE)
+                    / (len(ga.grams) + len(gb.grams)
+                       - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) >= 0.35),
+           edges AS (SELECT doc_a src, doc_b dst FROM vp
+                     UNION SELECT doc_b, doc_a FROM vp),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id),
+           k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS split_key
+                 FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+           h AS (SELECT doc_id, split_key,
+                 md5('split|' || CAST(split_key AS VARCHAR)) hh FROM k),
+           v AS (SELECT doc_id, split_key,
+                 (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) AS vv FROM h)
+           SELECT doc_id, split_key,
+             CASE WHEN vv * 1000 < 800 * 4096 THEN 'train'
+                  WHEN vv * 1000 < 900 * 4096 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM v ORDER BY doc_id""")),
+
     // S6 hash-gated: the channel-dict -> long-form pivot with
     // null-padding for absent channels, through the REAL source pivot
     // (StravaJsonSource.pivotStreams). Channel arrays are built from

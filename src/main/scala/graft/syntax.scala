@@ -78,6 +78,13 @@ object syntax {
     def contaminationAudit(benchmark: DataFrame, k: Int = 8): DataFrame =
       Dedup.contamination(df, benchmark, k)
 
+    /** Bloom-prefiltered decontamination (the beyond-broadcast-scale
+      * path); see [[Dedup.contaminationBloom]]. */
+    def contaminationAuditBloom(benchmark: DataFrame, k: Int = 8,
+                                numBits: Int = 1 << 17,
+                                numHashes: Int = 5): DataFrame =
+      Dedup.contaminationBloom(df, benchmark, k, numBits, numHashes)
+
     // ---- text curation over (doc_id, text) ([[functions.TextQuality]]) ----
 
     /** Per-doc quality features; see [[TextQuality.textStats]]. */
@@ -118,6 +125,15 @@ object syntax {
     def packSequences(capacity: Long, shardCol: String = "lang"): DataFrame =
       TextQuality.packSequences(df, capacity, shardCol)
 
+    /** Intra-doc repeated-chunk scrub (Gopher/C4 rule); see
+      * [[TextQuality.scrubRepeats]]. */
+    def scrubRepeats(chunkWords: Int = 2): DataFrame =
+      TextQuality.scrubRepeats(df, chunkWords)
+
+    /** GPT-2-style regex pretokenization class counts; see
+      * [[TextQuality.regexPretokenize]]. */
+    def regexPretokenize(): DataFrame = TextQuality.regexPretokenize(df)
+
     // ---- sampling / mixing ([[operators.Sampling]]) ----
 
     /** Leakage-free grouped train/val/test split; see [[Sampling.groupSplit]]. */
@@ -155,6 +171,14 @@ object syntax {
     def topKPerGroup(groupCols: Seq[String], orderCols: Seq[Column], k: Int,
                      rankCol: String = "rnk"): DataFrame =
       Ann.topKPerGroup(df, groupCols, orderCols, k, rankCol)
+
+    /** Per-group top-k through the custom shuffle-free physical phase 1
+      * (needs [[GraftExtensions]] registered); see
+      * [[Ann.topKPerGroupLocal]]. */
+    def topKPerGroupLocal(groupCols: Seq[String],
+                          orderKeys: Seq[(String, Boolean)], k: Int,
+                          rankCol: String = "rnk"): DataFrame =
+      Ann.topKPerGroupLocal(df, groupCols, orderKeys, k, rankCol)
 
     /** PQ-ADC top-k over sub-codebook codes; see [[Ann.pqTopK]]. */
     def pqTopK(m: Int, subDim: Int, k: Int, iters: Int,

@@ -23,6 +23,24 @@ class SyntaxSpec extends AnyFunSuite {
       TextQuality.qualityFilter(docs).collect().toSet)
   }
 
+  test("round-5b façades match direct calls") {
+    assert(docs.scrubRepeats().collect().toSet ==
+      TextQuality.scrubRepeats(docs).collect().toSet)
+    assert(docs.regexPretokenize().collect().toSet ==
+      TextQuality.regexPretokenize(docs).collect().toSet)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    assert(train.contaminationAuditBloom(bench, 6).collect().toSet ==
+      Dedup.contaminationBloom(train, bench, 6).collect().toSet)
+    GraftExtensions.register(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val scores = graft.operators.Ann.bruteForceScores(emb, col("vec_id") < 3)
+    assert(scores.topKPerGroupLocal(Seq("qid"),
+        Seq(("cos_r", true), ("neighbor_id", false)), 4).collect().toSet ==
+      graft.operators.Ann.topKPerGroupLocal(scores, Seq("qid"),
+        Seq(("cos_r", true), ("neighbor_id", false)), 4, "rnk").collect().toSet)
+  }
+
   test("sessionized façade matches Sessionize") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select("user_id", "ts")
