@@ -816,6 +816,57 @@ object SparkEntry {
              FROM kb JOIN bu USING (r, bucket)
              GROUP BY key, exact_n ORDER BY key""")),
 
+    // Join-CARDINALITY estimation from two CMS sketches (CountMin
+    // .innerProduct, Cormode & Muthukrishnan §4.2): |A join B| on
+    // user_id estimated as the min-over-rows bucket-product sum of
+    // the two streams' sketches — NO join executed, 4 KB of state per
+    // stream. The planner-style primitive: at 100 TB you size the
+    // join strategy (broadcast? skew-split?) from sketch bytes, never
+    // a probe query. One-sided like the point estimates; the gate
+    // emits estimate AND exact side by side (the oracle replays both)
+    // — 219,676 est vs 166,859 exact at sf0.01, a real overestimate
+    // from real collisions.
+    ("g16_cms_join_size", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val ska = ev.filter(col("event_id") % 2 === 0)
+        .agg(graft.functions.CountMin.build(col("user_id"), 4, 128).as("ska"))
+      val skb = ev.filter(col("event_id") % 2 === 1)
+        .agg(graft.functions.CountMin.build(col("user_id"), 4, 128).as("skb"))
+      val exact = ev.filter(col("event_id") % 2 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(ev.filter(col("event_id") % 2 === 1)
+          .groupBy("user_id").agg(count(lit(1)).as("nb")), "user_id")
+        .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+      ska.join(skb).join(exact)
+        .select(
+          graft.functions.CountMin.innerProductCol(col("ska"), col("skb"), 4, 128)
+            .as("est_pairs"),
+          col("exact_pairs"),
+          (graft.functions.CountMin.innerProductCol(col("ska"), col("skb"), 4, 128)
+            >= col("exact_pairs")).as("one_sided"))
+    },
+      Some("""WITH params AS (SELECT * FROM (VALUES (0, 1103633425, 12345),
+               (1, 962287286, 67891), (2, 1847980503, 24682),
+               (3, 735693217, 98531)) p(r, a, b)),
+             ea AS (SELECT user_id FROM events WHERE event_id % 2 = 0),
+             eb AS (SELECT user_id FROM events WHERE event_id % 2 = 1),
+             ba AS (SELECT p.r,
+               ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 128 AS bucket,
+               COUNT(*) c FROM ea e CROSS JOIN params p GROUP BY 1, 2),
+             bb AS (SELECT p.r,
+               ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 128 AS bucket,
+               COUNT(*) c FROM eb e CROSS JOIN params p GROUP BY 1, 2),
+             ip AS (SELECT ba.r, SUM(ba.c * bb.c) s FROM ba JOIN bb USING (r, bucket)
+                    GROUP BY 1),
+             ex AS (SELECT CAST(SUM(a.n * b.n) AS BIGINT) exact_pairs FROM
+                    (SELECT user_id, COUNT(*) n FROM ea GROUP BY 1) a
+                    JOIN (SELECT user_id, COUNT(*) n FROM eb GROUP BY 1) b
+                    USING (user_id))
+             SELECT CAST(MIN(s) AS BIGINT) AS est_pairs,
+               (SELECT exact_pairs FROM ex) AS exact_pairs,
+               MIN(s) >= (SELECT exact_pairs FROM ex) AS one_sided
+             FROM ip""")),
+
     ("o1_topk", (s, dir) => {
       // limit-first so the plan is TakeOrderedAndProject (per-partition
       // top-k + driver merge — no global sort); the row_number window

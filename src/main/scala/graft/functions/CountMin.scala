@@ -57,6 +57,30 @@ object CountMin {
     min
   }
 
+  /** Inner-product estimate from two sketches (Cormode &
+    * Muthukrishnan §4.2): min over rows of the bucket-wise product
+    * sum. Estimates `sum_k fA(k) * fB(k)` — the equi-join cardinality
+    * of the two sketched streams on the sketched key — one-sided
+    * (never under), without executing any join. */
+  def innerProduct(a: Array[Byte], b: Array[Byte], depth: Int, width: Int): Long = {
+    val ba = ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) {
+        val idx = (r * width + j) << 3
+        s += ba.getLong(idx) * bb.getLong(idx)
+        j += 1
+      }
+      if (s < min) min = s
+      r += 1
+    }
+    min
+  }
+
   /** Aggregate a long column into a serialized sketch (`binary`,
     * little-endian, `depth * width` long counters). */
   def build(c: Column, depth: Int, width: Int): Column = {
@@ -70,6 +94,13 @@ object CountMin {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(
       CmsEstimate(Bridge.expression(sketch), Bridge.expression(key), depth, width))
+  }
+
+  /** Join-cardinality estimate from two sketch columns. */
+  def innerProductCol(a: Column, b: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      CmsInnerProduct(Bridge.expression(a), Bridge.expression(b), depth, width))
   }
 }
 
@@ -158,4 +189,26 @@ case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: I
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cms_estimate"
+}
+
+/** `cms_inner_product(sketchA, sketchB)` — the join-size estimate;
+  * same codegen shape as [[CmsEstimate]]. */
+case class CmsInnerProduct(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountMin.innerProduct(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CountMin$$.MODULE$$.innerProduct($a, $b, $depth, $width);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cms_inner_product"
 }

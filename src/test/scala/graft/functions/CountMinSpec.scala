@@ -57,6 +57,20 @@ class CountMinSpec extends AnyFunSuite {
     assert(over > 0, "200 keys in 32 buckets must collide somewhere")
   }
 
+  test("inner product estimates join size, one-sided, exact without collisions") {
+    // 8 distinct keys in 4x32: near-certainly collision-free per row
+    val a = (1L to 8L).flatMap(k => Seq.fill(k.toInt)(k))       // fA(k) = k
+    val b = (1L to 8L).flatMap(k => Seq.fill(2 * k.toInt)(k))   // fB(k) = 2k
+    val ska = sketchOf(a, 3)
+    val skb = sketchOf(b, 5)
+    val exact = (1L to 8L).map(k => k * 2 * k).sum
+    val est = CountMin.innerProduct(ska, skb, Depth, Width)
+    assert(est >= exact, "inner product must never undercount")
+    assert(est == exact, "8 keys in 32 buckets should be collision-free here")
+    // symmetry
+    assert(CountMin.innerProduct(skb, ska, Depth, Width) == est)
+  }
+
   test("probe expression matches the helper through codegen") {
     val rows = (1 to 1000).map(i => (i % 50).toLong)
     val skDf = rows.toDF("x").agg(CountMin.build(col("x"), Depth, Width).as("sk"))
