@@ -65,13 +65,20 @@ object StravaActivitySource {
   }
 }
 
-private[v2] class StravaActivityTable(path: String) extends Table with SupportsRead {
+private[v2] class StravaActivityTable(path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"strava_activities($path)"
   override def schema(): StructType = StravaActivitySource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StravaScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new StravaWriteBuilder(path)
 }
 
 private[v2] class StravaScanBuilder(path: String)
@@ -165,5 +172,121 @@ private[v2] class StravaPartitionReader(file: String, pushed: Array[Filter],
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// WRITE path: the K1 sink as a first-class DSv2 BatchWrite with the full
+// two-phase commit protocol — the engine-native form of the reference's
+// "write activities back to the store" step, with the transactionality
+// the reference's ad-hoc file writes lack.
+//
+// Protocol (the standard staging-rename design every production DSv2
+// sink uses):
+//   - each TASK writes its rows to a private staging file
+//     `.staging-<uuid>/part-<partition>-<task>.jsonl` and returns the
+//     path in its commit MESSAGE; speculative/retried attempts stage
+//     separate files, and Spark forwards exactly one message per
+//     partition — uncommitted attempts' files are left in staging and
+//     removed with it,
+//   - driver-side BatchWrite.commit MOVES the committed files into the
+//     destination directory and deletes the staging dir — readers never
+//     observe a partial job,
+//   - BatchWrite.abort (any task ultimately failed) deletes the staging
+//     dir — the destination is untouched, so a failed job is a no-op.
+//
+// At scale the rename-based commit maps onto an object-store manifest
+// commit (the design seam is `commit(messages)`); per-task staging and
+// one-message-per-partition semantics are identical.
+// ---------------------------------------------------------------------------
+
+private[v2] class StravaWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateMode = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateMode = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new StravaBatchWrite(path, truncateMode)
+    }
+}
+
+private[v2] case class StravaCommitMessage(stagedFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[v2] class StravaBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val staging =
+    Paths.get(path, s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    Files.createDirectories(staging)
+    new StravaWriterFactory(staging.toString)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dest = Paths.get(path)
+    Files.createDirectories(dest)
+    if (truncate) {
+      Files.list(dest).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".jsonl"))
+        .foreach(Files.delete)
+    }
+    messages.foreach { case StravaCommitMessage(staged) =>
+      val src = Paths.get(staged)
+      Files.move(src, dest.resolve(src.getFileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteStaging()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    deleteStaging()
+
+  private def deleteStaging(): Unit =
+    if (Files.exists(staging)) {
+      Files.list(staging).iterator().asScala.foreach(Files.delete)
+      Files.delete(staging)
+    }
+}
+
+private[v2] class StravaWriterFactory(stagingDir: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new StravaDataWriter(stagingDir, partitionId, taskId)
+}
+
+private[v2] class StravaDataWriter(stagingDir: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val file = Paths.get(stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
+  private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
+
+  override def write(row: InternalRow): Unit = {
+    val json = row.getUTF8String(1)
+    require(json != null, s"null json document (partition $partitionId)")
+    out.write(json.toString)
+    out.write('\n')
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    StravaCommitMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(file)
+  }
+
   override def close(): Unit = ()
 }

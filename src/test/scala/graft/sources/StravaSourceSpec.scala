@@ -82,6 +82,58 @@ class StravaSourceV2Spec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("DSv2 write: staged two-phase commit round-trips, appends, truncates") {
+    val dir = Files.createTempDirectory("strava-v2-write").toString
+    def doc(i: Int) =
+      s"""{"id": $i, "start_date": "2024-02-0${(i % 9) + 1}T00:00:00Z"}"""
+    def df(ids: Range) = ids.map { i =>
+      (java.time.Instant.parse(f"2024-02-0${(i % 9) + 1}T00:00:00Z").getEpochSecond, doc(i))
+    }.toDF("epoch", "json").repartition(3)
+    def readBack = spark.read.format(classOf[StravaActivitySource].getName)
+      .option("path", dir).load()
+
+    df(1 to 6).write.format(classOf[StravaActivitySource].getName)
+      .option("path", dir).mode("append").save()
+    assert(readBack.count() == 6)
+    // append accumulates
+    df(7 to 9).write.format(classOf[StravaActivitySource].getName)
+      .option("path", dir).mode("append").save()
+    assert(readBack.count() == 9)
+    // overwrite truncates the previous committed files
+    df(1 to 4).write.format(classOf[StravaActivitySource].getName)
+      .option("path", dir).mode("overwrite").save()
+    assert(readBack.count() == 4)
+    // commit left no staging dirs behind
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    assert(!scala.jdk.CollectionConverters.IteratorHasAsScala(leftovers).asScala
+      .exists(_.getFileName.toString.startsWith(".staging")))
+  }
+
+  test("DSv2 write: a failed job aborts cleanly — destination untouched") {
+    val dir = Files.createTempDirectory("strava-v2-abort").toString
+    Seq((1L, """{"id": 1, "start_date": "2024-02-01T00:00:00Z"}"""))
+      .toDF("epoch", "json")
+      .write.format(classOf[StravaActivitySource].getName)
+      .option("path", dir).mode("append").save()
+    // poisoned second write: a null json row makes its task throw
+    val bad = Seq((2L, """{"id": 2}"""), (3L, null.asInstanceOf[String]))
+      .toDF("epoch", "json").repartition(2)
+    intercept[Exception] {
+      bad.write.format(classOf[StravaActivitySource].getName)
+        .option("path", dir).mode("append").save()
+    }
+    // committed state unchanged; abort removed all staging
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.endsWith(".jsonl")) == 1, s"destination changed: $names")
+    assert(!names.exists(_.startsWith(".staging")), s"staging leaked: $names")
+    val back = spark.read.format(classOf[StravaActivitySource].getName)
+      .option("path", dir).load()
+    assert(back.count() == 1)
+  }
+
   test("DSv2 source composes with CleanActivities (fetch -> clean layering)") {
     val dir = writeFixture(4)
     val raw = spark.read.format(classOf[StravaActivitySource].getName)
