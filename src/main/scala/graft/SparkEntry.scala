@@ -1491,6 +1491,67 @@ object SparkEntry {
              SELECT t.doc_id, t.sh FROM t JOIN b USING (sh)
              ORDER BY doc_id, sh""")),
 
+    // STREAMING SKETCH maintenance (w10): the g15 CmsBuild custom
+    // aggregate running INSIDE a streaming groupBy — the state store
+    // carries the serialized counter matrix between partial merges, so
+    // this gates the TypedImperativeAggregate's serialize/merge path
+    // under incremental execution (batch gates only exercise the
+    // in-memory path). Per-day sketches, then point estimates for 10
+    // fixed keys read off the sink; 5 of 300 estimates are zero (the
+    // empty-bucket path). The production shape: sketch bytes per
+    // (window, partition) in the store, rollups by merge, never a
+    // rescan — the streaming twin of g13's union discipline.
+    ("w10_stream_sketch", (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream0 = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val agg = stream.groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.CountMin.build(col("user_id"), 4, 64).as("sk"))
+      val name = s"w10_sink_${streamGateSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val keys = s.range(0, 10).toDF("key")
+      val resolved = s.table(name).join(keys)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("key"),
+          graft.functions.CountMin.estimateCol(col("sk"), col("key"), 4, 64)
+            .as("est"))
+        .orderBy("day", "key")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH params AS (SELECT * FROM (VALUES (0, 1103633425, 12345),
+               (1, 962287286, 67891), (2, 1847980503, 24682),
+               (3, 735693217, 98531)) p(r, a, b)),
+             e AS (SELECT CAST(ts AS DATE) d, user_id FROM events),
+             bu AS (SELECT d, p.r,
+               ((p.a * (user_id % 2147483647) + p.b) % 2147483647) % 64 AS bucket,
+               COUNT(*) c FROM e CROSS JOIN params p GROUP BY 1, 2, 3),
+             k AS (SELECT UNNEST(generate_series(0, 9)) AS key),
+             kb AS (SELECT k.key, p.r,
+               ((p.a * (k.key % 2147483647) + p.b) % 2147483647) % 64 AS bucket
+               FROM k CROSS JOIN params p),
+             days AS (SELECT DISTINCT d FROM e),
+             kbd AS (SELECT days.d, kb.key, kb.r, kb.bucket
+                     FROM days CROSS JOIN kb),
+             j AS (SELECT kbd.d, kbd.key, kbd.r, COALESCE(bu.c, 0) c
+                   FROM kbd LEFT JOIN bu ON bu.d = kbd.d AND bu.r = kbd.r
+                     AND bu.bucket = kbd.bucket)
+             SELECT strftime(d, '%Y-%m-%d') AS day, CAST(key AS BIGINT) AS key,
+               CAST(MIN(c) AS BIGINT) AS est
+             FROM j GROUP BY d, key ORDER BY day, key""")),
+
     // sliding time window (2h window, 1h slide): each event lands in 2
     // windows; Spark's window() explodes them, the oracle unnests the
     // two covering hour-aligned starts.
