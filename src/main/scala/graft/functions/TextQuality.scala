@@ -452,12 +452,13 @@ object TextQuality {
     * repeated chunk, reassemble in order. Returns
     * (doc_id, text, n_chunks, n_dropped).
     *
-    * Entirely per-row array algebra (chunk, first-occurrence filter by
-    * `array_position`, reassemble) — ZERO shuffle, no explode, no
-    * state, so it runs at scan speed on a 100 TB corpus and is
-    * streamable at ingest like [[slidingChunks]]. The chunk width is
-    * the policy knob: production paragraph-sized, the gate uses the
-    * corpus-calibrated width that actually exercises drops. */
+    * Entirely per-row array algebra — chunk, then `array_distinct`
+    * (which is exactly keep-first-occurrence-in-order, evaluated as a
+    * linear hash-set pass), then reassemble — ZERO shuffle, no
+    * explode, no state, so it runs at scan speed on a 100 TB corpus
+    * and is streamable at ingest like [[slidingChunks]]. The chunk
+    * width is the policy knob: production paragraph-sized, the gate
+    * uses the corpus-calibrated width that actually exercises drops. */
   def scrubRepeats(docs: DataFrame, chunkWords: Int = 2): DataFrame = {
     val cs = chunkWords
     val ws = TextAnalysis.words(col("text"))
@@ -467,8 +468,7 @@ object TextQuality {
       .otherwise(array().cast("array<string>"))
     docs
       .withColumn("__chunks", chunks)
-      .withColumn("__kept",
-        filter(col("__chunks"), (c, i) => array_position(col("__chunks"), c) === i + lit(1)))
+      .withColumn("__kept", array_distinct(col("__chunks")))
       .select(col("doc_id"),
         concat_ws(" ", col("__kept")).as("text"),
         size(col("__chunks")).cast("long").as("n_chunks"),
