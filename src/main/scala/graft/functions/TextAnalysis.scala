@@ -15,13 +15,14 @@ object TextAnalysis {
   def words(text: Column): Column = split(text, " ")
 
   /** Word k-shingles: ["a b c", "b c d", ...]; empty array when the
-    * document has fewer than k words (guards `sequence`'s descending
-    * behaviour on an empty range). */
-  def wordShingles(ws: Column, k: Int): Column =
-    when(size(ws) >= k,
-      transform(sequence(lit(1), size(ws) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + lit(o))): _*)))
-      .otherwise(array().cast("array<string>"))
+    * document has fewer than k words. Backed by the codegen
+    * [[WordGrams]] expression (the HOF spelling evaluates a lambda +
+    * k boxed element_at calls per gram — interpreted, on the ingest
+    * hot path). */
+  def wordShingles(ws: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(WordGrams(Bridge.expression(ws), k))
+  }
 
   /** Character k-grams as an array, in document order. */
   def charShingles(text: Column, k: Int): Column =

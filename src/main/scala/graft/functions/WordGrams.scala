@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word k-grams of an `array<string>` column as a native codegen
+  * expression — the ARRAY-form shingler for plans that cannot use the
+  * relational posexplode+lead form (streaming projections like
+  * [[graft.streaming.EventStream.decontaminateStream]], where a
+  * per-doc window is not streamable).
+  *
+  * Why not `transform(sequence(...), i -> concat_ws(...))`: that
+  * spelling evaluates interpreted — a lambda invocation plus k boxed
+  * `element_at` calls PER GRAM, on what is the per-row hot path of
+  * ingest-time shingling. This stays inside whole-stage codegen: one
+  * static call per row, a tight loop with `UTF8String.concatWs` per
+  * gram, no per-element dispatch.
+  *
+  * Semantics match the HOF form exactly: `n - k + 1` grams in
+  * document order, empty array when the document has fewer than `k`
+  * words (FunctionsSpec pins the equivalence).
+  */
+case class WordGrams(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "WordGrams needs k >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordGrams.grams(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordGrams$$.MODULE$$.grams($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_grams"
+}
+
+object WordGrams {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def grams(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        parts(j) = words.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -53,6 +53,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq("abcde", "bcdef"))
   }
 
+  test("codegen WordGrams equals the HOF spelling on the corpus") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ws = TextAnalysis.words(col("text"))
+    def hof(k: Int) = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+    Seq(2, 3, 8).foreach { k =>
+      val diff = docs.select(
+        TextAnalysis.wordShingles(ws, k).as("fast"), hof(k).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(diff == 0, s"k=$k: codegen grams diverge from the HOF form")
+    }
+  }
+
   test("marker count") {
     val df = Seq("the cat the dog").toDF("text")
     val got = df.select(TextAnalysis.markerCount(
