@@ -460,12 +460,12 @@ object TextQuality {
     * width is the policy knob: production paragraph-sized, the gate
     * uses the corpus-calibrated width that actually exercises drops. */
   def scrubRepeats(docs: DataFrame, chunkWords: Int = 2): DataFrame = {
-    val cs = chunkWords
     val ws = TextAnalysis.words(col("text"))
-    val chunks = when(size(ws) >= 1,
-      transform(sequence(lit(1), (size(ws) + lit(cs - 1)).divide(lit(cs)).cast("int")),
-        i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(cs) + lit(1), lit(cs)))))
-      .otherwise(array().cast("array<string>"))
+    // codegen chunker, shared with Dedup.chunkDedup
+    val chunks = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(WordChunks(Bridge.expression(ws), chunkWords))
+    }
     docs
       .withColumn("__chunks", chunks)
       .withColumn("__kept", array_distinct(col("__chunks")))

@@ -64,4 +64,52 @@ object WordGrams {
     }
     new GenericArrayData(out)
   }
+
+  /** Disjoint chunk helper for [[WordChunks]]: ceil(n/cs) chunks of
+    * `cs` words (last one shorter), document order. */
+  def chunks(words: ArrayData, cs: Int): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val m = (n + cs - 1) / cs
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val from = c * cs
+      val len = math.min(cs, n - from)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        parts(j) = words.getUTF8String(from + j)
+        j += 1
+      }
+      out(c) = UTF8String.concatWs(Space, parts: _*)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Disjoint word chunks of an `array<string>` column — the codegen
+  * chunker behind [[graft.operators.Dedup.chunkDedup]] (the CCNet
+  * paragraph-hash stage, a corpus-scale hot path) and
+  * [[TextQuality.scrubRepeats]]. Same motivation as [[WordGrams]]:
+  * the `transform(sequence, i -> concat_ws(slice(...)))` spelling is
+  * an interpreted lambda + a materialized slice per CHUNK. */
+case class WordChunks(child: Expression, chunkWords: Int) extends UnaryExpression {
+
+  require(chunkWords >= 1, "WordChunks needs chunkWords >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordGrams.chunks(a.asInstanceOf[ArrayData], chunkWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordGrams$$.MODULE$$.chunks($a, $chunkWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_chunks"
 }

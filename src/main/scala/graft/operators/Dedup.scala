@@ -198,9 +198,13 @@ object Dedup {
     * groupBy on doc_id. No pairwise work anywhere. */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
     val ws = TextAnalysis.words(col("text"))
-    val nChunks = floor((size(ws) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    // codegen chunker (WordChunks) — the transform(sequence, slice)
+    // spelling pays an interpreted lambda + a materialized slice per
+    // chunk on what is a full-corpus projection
+    val chunks = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.WordChunks(Bridge.expression(ws), chunkWords))
+    }
     val exploded = docs
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .withColumn("h", md5(col("chunk")))
