@@ -158,8 +158,11 @@ object Ann {
     val qside = qz.filter(queryPred)
       .select(col("vec_id").as("qid"), col("scale").as("qscale"),
         col("q").as("qq"))
-    val dotq = aggregate(
-      zip_with(col("qq"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    // codegen DotProduct, not aggregate(zip_with(...)): the per-PAIR
+    // integer dot is the quadratic hot path, and the codes are
+    // integer-valued doubles whose sequential sum is exact — same
+    // bits, no interpreted lambda per element per pair
+    val dotq = graft.functions.Similarity.dot(col("qq"), col("q"))
     val cand = broadcast(qside).join(qz, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         round(dotq.cast("double") * col("qscale") * col("scale"), 6).as("qcos_r"))
