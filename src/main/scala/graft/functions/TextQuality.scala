@@ -419,17 +419,18 @@ object TextQuality {
   def slidingChunks(docs: DataFrame, window: Int = 32,
                     stride: Int = 24): DataFrame = {
     val ws = TextAnalysis.words(col("text"))
-    val n = size(ws)
-    // chunks = 1 for n <= window, else 1 + ceil((n - window) / stride)
-    val nChunks = when(n <= window, lit(1)).otherwise(
-      lit(2) + floor((n - lit(window + 1)) / lit(stride)).cast("int"))
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => slice(ws, i * stride + 1, lit(window)))
+    // codegen WordWindows: chunk join + token count emitted together
+    // (the transform(sequence, slice) spelling paid an interpreted
+    // lambda + materialized slice per chunk, then re-joined downstream)
+    val chunks = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(WordWindows(Bridge.expression(ws), window, stride))
+    }
     docs
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "cw")))
       .select(col("doc_id"), col("chunk_idx"),
-        size(col("cw")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+        col("cw.n_tokens").as("n_tokens"),
+        md5(col("cw.chunk")).as("chunk_md5"))
   }
 
   /** T6: the quality FILTER gate — the training-pipeline stage that

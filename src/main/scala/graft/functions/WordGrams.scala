@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word k-grams of an `array<string>` column as a native codegen
@@ -87,6 +88,60 @@ object WordGrams {
     }
     new GenericArrayData(out)
   }
+
+  /** Sliding-window helper for [[WordWindows]]: 1 chunk for n <=
+    * window, else 2 + (n - window - 1) / stride, each a
+    * (n_tokens, joined chunk) struct. */
+  def windows(words: ArrayData, window: Int, stride: Int): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val m = if (n <= window) 1 else 2 + (n - window - 1) / stride
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val from = c * stride
+      val len = math.min(window, n - from)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        parts(j) = words.getUTF8String(from + j)
+        j += 1
+      }
+      out(c) = InternalRow(len.toLong, UTF8String.concatWs(Space, parts: _*))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Sliding word windows of an `array<string>` column for
+  * [[TextQuality.slidingChunks]] (RAG/embedding chunking — the shape
+  * that feeds a corpus into an embedding model): `window`-token chunks
+  * every `stride` tokens, emitted as `array<struct<n_tokens, chunk>>`
+  * so the per-chunk join and size never re-run downstream. A doc
+  * shorter than `window` yields exactly one chunk. */
+case class WordWindows(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+
+  require(window >= 1 && stride >= 1, "WordWindows needs window, stride >= 1")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("chunk", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordGrams.windows(a.asInstanceOf[ArrayData], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordGrams$$.MODULE$$.windows($a, $window, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindows =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_windows"
 }
 
 /** Disjoint word chunks of an `array<string>` column — the codegen
