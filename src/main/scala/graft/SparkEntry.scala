@@ -95,9 +95,20 @@ object SparkEntry {
     pairsCache.getOrElseUpdate((s, dir),
       Dedup.lshPairs(minhashSignatures(s, dir)).persist())
 
+  // e6/e8 both consume the VERIFIED pair set (exact Jaccard >= 0.35 on
+  // the LSH candidates) — memoized like the signature/pair indexes
+  // (at 100 TB: a persisted table the chain writes once)
+  private val verifiedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =
+    verifiedCache.getOrElseUpdate((s, dir),
+      Dedup.ngramJaccard(t(s, dir, "documents"), lshPairsCached(s, dir))
+        .filter(col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b").persist())
+
   /** Unpersist + drop every materialized index owned by `s`. */
   def clearCaches(s: SparkSession): Unit = {
-    Seq(sigCache, pairsCache).foreach { cache =>
+    Seq(sigCache, pairsCache, verifiedCache).foreach { cache =>
       cache.toSeq.filter(_._1._1 eq s).foreach { case (k, df) =>
         df.unpersist(blocking = false)
         cache.remove(k)
@@ -2467,10 +2478,7 @@ object SparkEntry {
     // canonicals, survivors as the final corpus.
     ("e6_dedup_pipeline", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val verified = Dedup.ngramJaccard(docs, lshPairsCached(s, dir))
-        .filter(col("jaccard") >= 0.35)
-        .select("doc_a", "doc_b")
-      Dedup.keepList(s, docs, verified)
+      Dedup.keepList(s, docs, verifiedPairsCached(s, dir))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     },
@@ -2550,10 +2558,7 @@ object SparkEntry {
     // members present in val AND test (proving clusters ride the key).
     ("e8_cluster_split", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val verified = Dedup.ngramJaccard(docs, lshPairsCached(s, dir))
-        .filter(col("jaccard") >= 0.35)
-        .select("doc_a", "doc_b")
-      val cl = Dedup.clusters(s, verified)
+      val cl = Dedup.clusters(s, verifiedPairsCached(s, dir))
       val keyed = docs.join(broadcast(cl), Seq("doc_id"), "left")
         .withColumn("split_key", coalesce(col("cluster"), col("doc_id")))
       operators.Sampling.groupSplit(keyed, "split_key")
