@@ -140,12 +140,12 @@ object Ann {
     * Returns (vec_id, scale, q). */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val ue = Similarity.unit(col("embedding"))
+    // one codegen pass per vector (functions.Int8Quantize); the HOF
+    // spelling walked the vector twice through interpreted lambdas on
+    // the full-corpus ingest projection
     embeddings
-      .select(col("vec_id"), ue.as("ue"))
-      .withColumn("scale",
-        array_max(transform(col("ue"), x => abs(x))) / lit(127.0))
-      .select(col("vec_id"), col("scale"),
-        transform(col("ue"), x => floor(x / col("scale"))).as("q"))
+      .select(col("vec_id"), graft.functions.Int8Quantize.quantizeCol(ue).as("sq"))
+      .select(col("vec_id"), col("sq.scale").as("scale"), col("sq.q").as("q"))
   }
 
   /** Brute-force top-k over QUANTIZED embeddings: exact integer dot of
