@@ -3707,6 +3707,40 @@ object SparkEntry {
     // to this column twin by MultimodalSpec): 16-cell aHash over the
     // payload bytes, integer threshold (16*cell >= sum — no division),
     // groupBy phash. 41 multi-doc groups on the sf0.01 corpus.
+    // Multimodal FEATURE-EXTRACT -> similarity (m5): the missing
+    // stage between the decode seam (m1-m3) and the ANN family — a
+    // deterministic stub extractor (8 sampled payload cells, the m4
+    // text-as-payload discipline; a real deployment binds a CLIP-style
+    // encoder at the same seam) produces an embedding column that
+    // flows through the REAL similarity machinery: UnitVector +
+    // codegen DotProduct + hotspot-free top-k. Proves the multimodal
+    // payloads reach the n-family unchanged.
+    ("m5_media_embed", (s, dir) => {
+      val cells = (0 until 8).map(i =>
+        expr(s"ascii(substr(text, CAST((length(text) * $i) div 8 AS INT) + 1, 1))")
+          .cast("double"))
+      val feats = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), array(cells: _*).as("embedding"))
+      Ann.bruteForceTopK(feats, col("vec_id") < 5, 3).orderBy("qid", "rnk")
+    },
+      Some {
+        val cells = (0 until 8).map(i =>
+          s"CAST(ascii(substr(text, CAST((len(text) * $i) // 8 AS INT) + 1, 1)) AS DOUBLE)")
+          .mkString(", ")
+        s"""WITH f AS (SELECT doc_id vec_id, [$cells] e FROM documents),
+           u AS (SELECT vec_id,
+                 list_transform(e, x -> x / sqrt(list_dot_product(e, e))) ue FROM f),
+           q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           s AS (SELECT qid, u.vec_id neighbor_id,
+                 ROUND(list_dot_product(qu, u.ue), 6) cos_r
+                 FROM q, u WHERE u.vec_id <> qid),
+           r AS (SELECT qid, neighbor_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                 FROM s)
+           SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 3
+           ORDER BY qid, rnk"""
+      }),
+
     ("m4_perceptual_dup", (s, dir) => {
       val cells = (0 until 16).map(i =>
         expr(s"ascii(substr(text, CAST((length(text) * $i) div 16 AS INT) + 1, 1))")
@@ -3951,5 +3985,10 @@ object SparkEntry {
     "q01_pricing_summary", "s3_watermark", "r3_spine_join", "r4_interpolate",
     "a3_rolling_triang", "r6_nest_series", "j1_join_revenue", "j4_asof_join",
     "w1_sessionize", "d2_minhash_sig", "d3_lsh_pairs", "n1_ann_topk",
-    "t1_text_stats", "t4_fingerprint")
+    "t1_text_stats", "t4_fingerprint",
+    // round-5 representatives: the composed dedup job, the broadcast-
+    // sketch prefilter, the mergeable-sketch family, and the
+    // custom-physical top-k
+    "e6_dedup_pipeline", "d17_bloom_decontaminate", "g15_cms_counts",
+    "n9_ann_topk_local")
 }
