@@ -47,7 +47,7 @@ object HeavyData {
       (0 until copies).map(i => perturb(df, i)).reduce(_ unionByName _)
 
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1
+      df.agg(max(col(key))).head().getLong(0) + 1
 
     val orders = Tables.load(spark, baseDir, "orders")
     val lineitem = Tables.load(spark, baseDir, "lineitem")

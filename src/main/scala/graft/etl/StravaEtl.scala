@@ -46,7 +46,7 @@ object StravaEtl {
       }
 
     // S4: incremental scan — only activities past each user's watermark
-    val acts = StravaJsonSource.activities(spark, activitiesPath, nowEpoch)
+    val acts = StravaJsonSource.activities(spark, activitiesPath, nowEpoch.toDouble)
       .join(broadcast(watermarks), Seq("username"), "left")
       .filter(col("epoch") > coalesce(col("__wm"), lit(0L)))
       .drop("__wm")
@@ -60,7 +60,7 @@ object StravaEtl {
                    activitiesPath: String, streamsPath: String,
                    sinkPath: String, nowEpoch: Long,
                    legacyCompat: Boolean = false): DataFrame = {
-    val acts = StravaJsonSource.activity(spark, activitiesPath, nowEpoch, activityId)
+    val acts = StravaJsonSource.activity(spark, activitiesPath, nowEpoch.toDouble, activityId)
     appendForActivities(spark, acts, streamsPath, sinkPath, nowEpoch, legacyCompat)
   }
 

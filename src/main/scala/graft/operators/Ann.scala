@@ -107,7 +107,7 @@ object Ann {
     val em = embeddings
       .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
     val sig = planes.zipWithIndex.map { case (p, j) =>
-      when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
+      when(Similarity.dot(col("ue"), array(p.toIndexedSeq.map(lit): _*)) >= 0,
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     val withSig = em.select(col("vec_id"), col("ue"), sig.as("bucket"))
