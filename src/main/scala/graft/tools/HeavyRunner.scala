@@ -78,6 +78,25 @@ object HeavyRunner {
           em, graft.operators.Ann.kmeansCentroids(sample, 25, 2), 0.4)
           .orderBy("drop_id")
       }
+      case "d17_bloom_decontaminate" => (s, dir) => {
+        // production configuration, not the gate's: bloom bits scale
+        // with the BENCHMARK gram count (the whole point of the
+        // operator — bits stay broadcastable when grams don't). The
+        // gate's 2^17 bits fit its ~30k-gram benchmark; the x10
+        // corpus's ~240k grams SATURATE that filter (FP -> 1), which
+        // times a degenerate configuration no deployment would run.
+        // 2^22 bits (512 KB) puts FP back at ~0.1% here. Note the x10
+        // key-offset corpus is contamination-saturated regardless
+        // (98% of train grams genuinely hit the benchmark), so heavy
+        // d17 measures the verify join's worst case — see BENCH_NOTES.
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.contaminationBloom(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), 6,
+          numBits = 1 << 22)
+          .orderBy("doc_id")
+      }
       case _ => SparkEntry.queries(name)
     }
   }
@@ -130,6 +149,14 @@ object HeavyRunner {
     for (q <- queries) {
       val fn = resolve(q)
       val runs = (1 to n).map { _ =>
+        // BETWEEN runs (untimed): trigger reference processing so the
+        // ContextCleaner can drop the previous run's shuffle/broadcast
+        // state. With a 48g heap a fork may never GC on its own, the
+        // weak references never enqueue, and accumulated state was
+        // measured to progressively multiply the CPU of consecutive
+        // heavy runs (d17: 9 -> 17 -> 158 s same-code same-data).
+        System.gc()
+        Thread.sleep(200)
         val g0 = gcMillis
         val c0 = cpuSeconds
         val t0 = System.nanoTime()
