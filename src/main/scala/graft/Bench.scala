@@ -147,6 +147,11 @@ object Bench {
           // d16 config) — SparkEntry.queries here would time DIFFERENT
           // work under the same JSON key
           def one(): Option[Double] = {
+            // untimed, BETWEEN runs: let the ContextCleaner drop dead
+            // shuffle/broadcast state (the cleaner-starvation effect
+            // HeavyRunner documents — big heaps may never GC on their
+            // own and consecutive big-shuffle runs multiply in cost)
+            System.gc()
             val t0 = System.nanoTime()
             try {
               tools.HeavyRunner.resolve(n)(spark, heavyDir)
