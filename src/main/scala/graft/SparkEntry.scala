@@ -867,8 +867,10 @@ object SparkEntry {
              bb AS (SELECT p.r,
                ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 128 AS bucket,
                COUNT(*) c FROM eb e CROSS JOIN params p GROUP BY 1, 2),
-             ip AS (SELECT ba.r, SUM(ba.c * bb.c) s FROM ba JOIN bb USING (r, bucket)
-                    GROUP BY 1),
+             prod AS (SELECT ba.r, SUM(ba.c * bb.c) s FROM ba JOIN bb USING (r, bucket)
+                      GROUP BY 1),
+             ip AS (SELECT p.r, COALESCE(prod.s, 0) s
+                    FROM params p LEFT JOIN prod ON prod.r = p.r),
              ex AS (SELECT CAST(SUM(a.n * b.n) AS BIGINT) exact_pairs FROM
                     (SELECT user_id, COUNT(*) n FROM ea GROUP BY 1) a
                     JOIN (SELECT user_id, COUNT(*) n FROM eb GROUP BY 1) b
@@ -2303,32 +2305,36 @@ object SparkEntry {
              ORDER BY s_suppkey""")),
 
     // TPC-H Q21-shaped waiting suppliers: the EXISTS / NOT EXISTS pair
-    // over sibling lines collapses into ONE per-order aggregate —
-    // n_supp distinct suppliers and n_late distinct LATE suppliers
-    // (late = shipped >60 days after order date). A late line of a
+    // over sibling lines collapses into per-order aggregates — n_supp
+    // distinct suppliers and n_late distinct LATE suppliers (late =
+    // shipped >60 days after order date). A late line of a
     // multi-supplier order where n_late = 1 is exactly a line whose
     // supplier kept everyone waiting: some other supplier exists, and
-    // no OTHER supplier was late. One fact-fact join feeds both the
-    // aggregate and the kept lines; no per-order re-scan, no
-    // correlated self-joins.
+    // no OTHER supplier was late. The fact-fact join runs ONCE:
+    // n_supp/n_late are WINDOW aggregates partitioned by l_orderkey
+    // over the joined frame (count_distinct isn't a window function,
+    // so each is size(collect_set(...)) — the per-order supplier sets
+    // are bounded by order width, ~7 lines), so the per-order
+    // qualification and the kept lines share one exchange instead of
+    // re-joining lineitem to orders a second time. At sf0.1 the
+    // two-pass spelling is invisible; at 100 TB it doubles the
+    // largest fact-fact shuffle in the query.
     ("q21_waiting_suppliers", (s, dir) => {
       val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
       val lo = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-      val qualOrders = lo.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(late, col("l_suppkey"))).as("n_late"))
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
-        .select(col("l_orderkey").as("ok"))
+      val w = Window.partitionBy("l_orderkey")
       val suppN = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(
           "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      lo.filter(late)
-        .join(qualOrders, col("l_orderkey") === col("ok"), "left_semi")
+      lo.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late",
+          size(collect_set(when(late, col("l_suppkey"))).over(w)))
+        .filter(late && col("n_supp") > 1 && col("n_late") === 1)
         .join(suppN, col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
@@ -2853,13 +2859,15 @@ object SparkEntry {
 
     // Bloom-PREFILTERED decontamination (Dedup.contaminationBloom):
     // same audit table as d13 but the benchmark side ships as BITS
-    // (native BloomBuild aggregate -> 1-row broadcast -> codegen
-    // might_contain at scan speed) with exact verification after —
-    // the shape that still works when the benchmark gram set outgrows
-    // a broadcast join hash map. Exact output = exact oracle; the
-    // sketch only moves the work, never the answer. Different split
-    // (every 7th doc) and gram width (6) from d13 so the two gates
-    // exercise independent configurations.
+    // (native BloomBuild aggregate -> plan-constant binary literal ->
+    // codegen might_contain at scan speed) with exact verification
+    // after — the shape that still works when the benchmark gram set
+    // outgrows a broadcast join hash map. The filter is auto-sized
+    // from the benchmark gram count (~16 bits/gram), so the gate and
+    // the heavy tier run the same production sizing rule. Exact
+    // output = exact oracle; the sketch only moves the work, never
+    // the answer. Different split (every 7th doc) and gram width (6)
+    // from d13 so the two gates exercise independent configurations.
     ("d17_bloom_decontaminate", (s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.contaminationBloom(

@@ -52,8 +52,11 @@ object Int8Quantize {
     val scale = maxAbs / 127.0
     val q = new Array[Any](n)
     i = 0
+    // all-zero vector: scale is 0 and v/scale would be 0.0/0.0 = NaN —
+    // emit zero codes instead (dot products with the zero vector stay
+    // 0 rather than silently poisoning downstream sums with NaN)
     while (i < n) {
-      q(i) = math.floor(arr.getDouble(i) / scale)
+      q(i) = if (scale == 0.0) 0.0 else math.floor(arr.getDouble(i) / scale)
       i += 1
     }
     InternalRow(scale, new GenericArrayData(q))

@@ -58,12 +58,14 @@ case class MisraGries(
         case None if buf.size < k => buf.update(item, 1L)
         case None =>
           // classic MG step: full summary + unseen item decrements
-          // every counter; zeroed counters vacate their slots
-          val keys = buf.keys.toArray
-          keys.foreach { key =>
-            val c = buf(key) - 1
-            if (c == 0L) buf.remove(key) else buf.update(key, c)
-          }
+          // every counter; zeroed counters vacate their slots.
+          // In-place walk of the table (mapValuesInPlace +
+          // filterInPlace) — no per-row key-array allocation and no
+          // per-key rehash, which an adversarial high-cardinality
+          // stream would otherwise pay on EVERY row once the summary
+          // fills
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c > 0L)
       }
     }
     buf

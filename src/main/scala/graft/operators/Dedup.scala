@@ -93,9 +93,17 @@ object Dedup {
     *
     *  1. build the filter over the benchmark grams (one native
     *     [[graft.functions.BloomBuild]] aggregate, OR-merged),
-    *  2. ship the single binary to every executor (1-row broadcast
-    *     nested-loop join — the documented way to attach a scalar
-    *     sketch to a scan without a collect),
+    *  2. collect the single binary to the driver (a BOUNDED scalar —
+    *     the aggregate has already reduced the benchmark side to one
+    *     row of `numBits/8` bytes) and embed it as a plan-level
+    *     constant, exactly like Spark's own injected runtime bloom
+    *     filters and our streaming twin
+    *     ([[graft.streaming.EventStream.decontaminateStream]]). NOT a
+    *     1-row broadcast join: a joined COLUMN value is re-read per
+    *     probe row, and `UnsafeRow.getBinary` copies the whole filter
+    *     each time — O(rows x filterBytes) memcpy, measured 478 s for
+    *     2.75M grams x 512 KB where the literal spelling is ~2 s. A
+    *     reference-array literal is materialized once per task,
     *  3. probe every training gram inside whole-stage codegen
     *     ([[graft.functions.BloomMightContain]]) BEFORE the gram
     *     dedup — the only exchanges that see full gram volume are the
@@ -109,17 +117,33 @@ object Dedup {
     *
     * False positives only ever cost a row through step 4; the output
     * is EXACTLY [[contamination]]'s audit table, which is what makes
-    * the operator hash-gateable against the exact oracle. */
+    * the operator hash-gateable against the exact oracle.
+    *
+    * `numBits <= 0` (the default) SIZES THE FILTER FROM THE DATA:
+    * ~16 bits per distinct benchmark gram (FP ~0.1% at 5 hashes),
+    * power-of-two-rounded, clamped to [2^17, 2^27]. A fixed default
+    * silently saturates when the benchmark grows — the round-5 bench
+    * measured a 2^17 filter at FP -> 1 against 240k grams, which
+    * degrades the prefilter to a full cross-probe (correct, 10x the
+    * cost). The count costs one extra pass over the benchmark side
+    * only, which is the small side by construction. */
   def contaminationBloom(train: DataFrame, benchmark: DataFrame, k: Int = 8,
-                         numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+                         numBits: Int = -1, numHashes: Int = 5): DataFrame = {
     import graft.functions.Bloom
     val bGrams = wordShingles(benchmark, k)
       .select(col("sh"), col("doc_id").as("bench_doc_id")).distinct()
-    val bloom = bGrams.agg(Bloom.build(col("sh"), numBits, numHashes).as("bf"))
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val n = bGrams.count()
+        val target = math.min(math.max(16L * n, 1L << 17), 1L << 27)
+        java.lang.Long.highestOneBit(target - 1) << 1 // next power of two
+      }
+    val bloomBytes: Array[Byte] = bGrams
+      .agg(Bloom.build(col("sh"), bits.toInt, numHashes).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     val survivors = wordShingles(train, k)
-      .join(broadcast(bloom))
-      .filter(Bloom.mightContainCol(col("bf"), col("sh"), numHashes))
-      .drop("bf")
+      .filter(Bloom.mightContainCol(lit(bloomBytes), col("sh"), numHashes))
       .distinct()
     survivors.join(bGrams, Seq("sh"))
       .groupBy("doc_id").agg(

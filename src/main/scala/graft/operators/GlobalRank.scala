@@ -42,12 +42,18 @@ object GlobalRank {
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
 
   /** Memoized ranked results, keyed by (session, canonicalized input
-    * plan + sort + partitioning + column name) — repeated identical
-    * calls (a bench best-of-3, a retried job) reuse ONE pinned sorted
-    * copy instead of accumulating duplicates, the same contract as the
-    * dedup signature index. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * PLAN OBJECT, sort + partitioning + column name) — repeated
+    * identical calls (a bench best-of-3, a retried job) reuse ONE
+    * pinned sorted copy instead of accumulating duplicates, the same
+    * contract as the dedup signature index. The plan object itself is
+    * the key (Catalyst plans are case classes — deep structural
+    * equality, LocalRelation data included), NOT its toString/hashCode:
+    * toString elides large local data and a hashCode composite can
+    * collide, either of which would hand a cached ranking to a
+    * DIFFERENT input. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), DataFrame]
 
   /** Unpersist every sorted input pinned on behalf of `s`. */
   def clear(s: SparkSession): Unit = {
@@ -70,13 +76,12 @@ object GlobalRank {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    // the canonicalized plan's toString can elide LocalRelation DATA,
-    // so the key also carries its hashCode (which covers the data) —
-    // two different inputs must never share a memo entry
+    // keyed on the canonicalized plan OBJECT (structural case-class
+    // equality — covers LocalRelation data exactly); only the sort
+    // expressions ride along as strings, and those print fully
     val canon = df.queryExecution.logical.canonicalized
-    val memoKey = (spark,
-      canon.toString + "#" + canon.hashCode +
-        "|" + sortCols.mkString(",") + "|" + parts + "|" + rankCol)
+    val memoKey = (spark, canon,
+      sortCols.mkString(",") + "|" + parts + "|" + rankCol)
     memo.getOrElseUpdate(memoKey, computeRank(df, rankCol, sortCols, parts))
   }
 
