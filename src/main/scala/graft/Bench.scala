@@ -68,10 +68,13 @@ object Bench {
     * contamination-saturated bloom decontamination (d17). Real
     * worst-case measurements, but the first to be shed under budget
     * pressure — a missing worst case is recoverable, a missing canary
-    * tier is round 5's artifact hole. */
+    * tier is round 5's artifact hole. CHEAPEST FIRST (quiet-load
+    * receipts in BENCH_NOTES round 6: d17 ~16/9 s, d16 ~11/8, e6
+    * ~21/1.5, d5 ~74/20, d12 ~113/147) so a budget cut drops the
+    * single most expensive measurement, not four cheap ones. */
   private val heavyWorstCases = Seq(
-    "d5_ngram_jaccard", "d12_substring_runs", "d16_semantic_dedup",
-    "e6_dedup_pipeline", "d17_bloom_decontaminate")
+    "d17_bloom_decontaminate", "d16_semantic_dedup", "e6_dedup_pipeline",
+    "d5_ngram_jaccard", "d12_substring_runs")
 
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()

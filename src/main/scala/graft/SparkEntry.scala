@@ -2913,6 +2913,54 @@ object SparkEntry {
                MIN(index_doc) AS first_index_doc
              FROM hits GROUP BY new_doc ORDER BY new_doc""")),
 
+    // D18: PERSISTED incremental cluster index (ConnectedComponents
+    // .incremental + Dedup.incrementalEdges): the recurring dedup
+    // job's cluster maintenance — batch 1 (doc_id % 4 != 0) stands in
+    // for the STORED label table (components over its own LSH pairs),
+    // batch 2 arrives as an ingest and contributes batch-internal +
+    // batch-to-index edges; only clusters TOUCHED by a new edge are
+    // re-derived (star-edge collapse), untouched labels pass through
+    // via a broadcast anti-join — the stored table is never
+    // re-shuffled. The oracle rebuilds components over ALL edges from
+    // scratch (recursive min-label closure), so the hash gate IS the
+    // incremental-equals-rebuild equivalence, including label
+    // stability (min-reachable ids). 6 of the 26 sf0.01 clusters mix
+    // batches — the extension path is non-vacuous.
+    ("d18_incremental_clusters", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigH = Dedup.minhashSignatures(docs.filter(col("doc_id") % 4 =!= 0))
+      val stored = operators.ConnectedComponents.components(
+        s, Dedup.lshPairs(sigH), "doc_a", "doc_b")
+      val sigB = Dedup.minhashSignatures(docs.filter(col("doc_id") % 4 === 0))
+      operators.ConnectedComponents.incremental(
+        s, stored, Dedup.incrementalEdges(sigH, sigB))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes,
+             allbands AS (SELECT doc_id, UNNEST([md5('b0|' || sig0 || sig1),
+               md5('b1|' || sig2 || sig3), md5('b2|' || sig4 || sig5),
+               md5('b3|' || sig6 || sig7)]) bkey FROM sig),
+             kh AS (SELECT doc_id, bkey FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY bkey) bn
+                FROM allbands WHERE doc_id % 4 <> 0) WHERE bn <= 100),
+             kb AS (SELECT doc_id, bkey FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY bkey) bn
+                FROM allbands WHERE doc_id % 4 = 0) WHERE bn <= 100),
+             ph AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+               FROM kh a JOIN kh b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             pb AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+               FROM kb a JOIN kb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             px AS (SELECT DISTINCT b.doc_id doc_a, h.doc_id doc_b
+               FROM kb b JOIN kh h ON b.bkey = h.bkey),
+             alle AS (SELECT doc_a, doc_b FROM ph UNION
+               SELECT doc_a, doc_b FROM pb UNION SELECT doc_a, doc_b FROM px),
+             edges AS (SELECT doc_a src, doc_b dst FROM alle
+               UNION SELECT doc_b, doc_a FROM alle),
+             reach(doc_id, lbl) AS (SELECT DISTINCT src, src FROM edges
+               UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+             SELECT doc_id, MIN(lbl) AS cluster FROM reach
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // Chunk-level (paragraph) dedup (Dedup.chunkDedup): the CCNet
     // paragraph-hash stage — 10-word chunks, the first corpus-wide
     // occurrence survives (ordered by doc_id, chunk_idx), documents

@@ -88,6 +88,19 @@ object StravaSchemas {
   val numericChannels: Seq[String] = Seq("distance", "altitude",
     "velocity_smooth", "heartrate", "cadence", "watts", "temp", "grade_smooth")
 
+  /** Wide channel-dict document (one per activity, parallel arrays —
+    * the shape strava_sdk.py:129-181 assembles and main.py:50 pivots):
+    * `time` plus one array per [[streamSample]] channel. Shared by the
+    * file-backed reader ([[graft.sources.StravaJsonSource.streams]])
+    * and the REST fetch bridge ([[graft.sources.StravaClient]]), so
+    * both paths parse identically. */
+  val streamDictSchema: StructType = StructType(
+    StructField("activity_id", LongType) +:
+      StructField("time", ArrayType(LongType)) +:
+      streamSample.fields.toSeq
+        .filterNot(f => f.name == "activity_id" || f.name == "time")
+        .map(f => StructField(f.name, ArrayType(f.dataType))))
+
   /** Sink `streams` element — the include-list at main.py:71. */
   val includeList: Seq[String] = Seq("watts", "cadence", "heartrate",
     "altitude", "temp", "velocity_smooth", "grade_smooth", "distance",

@@ -50,6 +50,55 @@ object ConnectedComponents {
     out
   }
 
+  /** INCREMENTAL update of a persisted cluster-label table: union a
+    * new batch's edges into stored `(doc_id, cluster)` labels without
+    * re-deriving components for the whole corpus — the recurring
+    * 100 TB dedup job's shape, where the label table is an INDEX
+    * maintained next to the signature index ([[graft.operators.Dedup
+    * .incrementalDedup]] probes signatures; this maintains clusters).
+    *
+    * Only components actually TOUCHED by a new edge are re-derived:
+    *
+    *  1. endpoints of `newEdges` -> their stored cluster ids (semi
+    *     join; the affected-cluster set is collision-rate-sized, so it
+    *     broadcasts),
+    *  2. affected label rows become STAR EDGES `(doc_id, cluster)` —
+    *     each stored component collapses to a star, which preserves
+    *     its connectivity exactly,
+    *  3. [[components]] runs over `newEdges` + stars only,
+    *  4. untouched label rows pass through unchanged (broadcast
+    *     anti-join on cluster id — map-side pruning, no shuffle of the
+    *     stored table).
+    *
+    * Label stability: labels are min-reachable ids, so a component
+    * untouched by new edges keeps its id bit-for-bit, and two old
+    * clusters bridged by a new doc adopt min(old ids) — the result
+    * equals a from-scratch [[components]] over the union of all edges
+    * (pinned by ConnectedComponentsSpec).
+    *
+    * @param stored   persisted labels `(doc_id, cluster)` — the output
+    *                 of a previous [[components]]/[[incremental]] run
+    * @param newEdges new undirected edges `(srcCol, dstCol)`; may
+    *                 reference both new and already-indexed docs
+    * @return the full updated label table `(doc_id, cluster)` */
+  def incremental(spark: SparkSession, stored: DataFrame, newEdges: DataFrame,
+                  srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val touched = newEdges.select(col(srcCol).cast("long").as("doc_id"))
+      .union(newEdges.select(col(dstCol).cast("long").as("doc_id"))).distinct()
+    val affectedClusters = stored.join(touched, Seq("doc_id"))
+      .select("cluster").distinct()
+    val affected = stored.join(broadcast(affectedClusters), Seq("cluster"))
+    val stars = affected.select(col("doc_id").cast("long").as(srcCol),
+      col("cluster").cast("long").as(dstCol))
+    val rederived = components(spark,
+      newEdges.select(col(srcCol).cast("long").as(srcCol),
+        col(dstCol).cast("long").as(dstCol)).unionByName(stars),
+      srcCol, dstCol)
+    stored.join(broadcast(affectedClusters), Seq("cluster"), "left_anti")
+      .select(col("doc_id").cast("long"), col("cluster").cast("long"))
+      .unionByName(rederived)
+  }
+
   /** Driver-side union-find (path halving, union by min root), so the
     * root of every tree is the minimum id of its component. */
   def unionFindLocal(edges: Array[(Long, Long)]): Array[(Long, Long)] = {

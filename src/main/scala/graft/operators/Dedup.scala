@@ -322,6 +322,36 @@ object Dedup {
         min(col("index_doc")).as("first_index_doc"))
   }
 
+  /** D18 (edge stage): ALL new LSH candidate edges an ingest batch
+    * contributes — batch-internal pairs plus batch-to-index
+    * collisions — for [[graft.operators.ConnectedComponents
+    * .incremental]] to union into the persisted cluster index. Each
+    * side carries its own degenerate-bucket guard over its OWN band
+    * population (the index's boilerplate buckets are capped against
+    * fan-out exactly as in [[lshPairs]]; a boilerplate-heavy BATCH is
+    * capped symmetrically). Like [[incrementalDedup]], the historical
+    * corpus is never re-shingled: the index side arrives as its
+    * persisted signature table. */
+  def incrementalEdges(indexSig: DataFrame, newSig: DataFrame,
+                       maxBucket: Int = 100): DataFrame = {
+    def bands(sig: DataFrame) = {
+      val bandCols = (0 until 4).map(b =>
+        md5(concat(lit(s"b$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("bkey")))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    }
+    val idx = bands(indexSig)
+    val nw = bands(newSig)
+    val cross = nw.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
+      .select("doc_a", "doc_b")
+    val internal = nw.as("a").join(nw.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    cross.union(internal).distinct()
+  }
+
   /** D4: 16-bit SimHash fingerprints from token hashes — linear
     * bit-sum aggregation, no pairwise work. */
   def simhash16(docs: DataFrame): DataFrame = {
@@ -419,7 +449,7 @@ object Dedup {
     val em = embeddings.select(col("vec_id"),
       Similarity.unit(col("embedding")).as("ue"))
     val sig = planes.zipWithIndex.map { case (p, j) =>
-      when(Similarity.dot(col("ue"), array(p.map(lit): _*)) >= 0,
+      when(Similarity.dot(col("ue"), array(p.toIndexedSeq.map(lit): _*)) >= 0,
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     val b = em.select(col("vec_id"), col("ue"), sig.as("bucket"))

@@ -19,7 +19,7 @@ object SkewSalt {
                      salts: Int = 32): DataFrame = {
     require(salts > 0)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -39,22 +39,8 @@ object StravaJsonSource {
     * reference pivots at main.py:50). Missing channels null-pad to the
     * common length (strava_sdk.py:154-156) — here: arrays_zip aligns on
     * index and absent channels are null columns. */
-  def streams(spark: SparkSession, path: String): DataFrame = {
-    val channelArrays = StravaSchemas.streamSample.fields
-      .filterNot(f => f.name == "activity_id" || f.name == "time")
-      .map(_.name)
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("activity_id",
-        org.apache.spark.sql.types.LongType) +:
-        org.apache.spark.sql.types.StructField("time",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)) +:
-        channelArrays.map { n =>
-          val elem = StravaSchemas.streamSample(n).dataType
-          org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.ArrayType(elem))
-        }.toSeq)
-    pivotStreams(spark.read.schema(schema).json(path))
-  }
+  def streams(spark: SparkSession, path: String): DataFrame =
+    pivotStreams(spark.read.schema(StravaSchemas.streamDictSchema).json(path))
 
   /** The S6 pivot itself, on an already-parsed channel-dict frame
     * (one row per activity: `activity_id`, `time` array, one array per
@@ -67,7 +53,7 @@ object StravaJsonSource {
     // R1 pivot: parallel channel arrays -> one row per sample.
     val zipped = parsed.select(col("activity_id"),
       posexplode(col("time")).as(Seq("idx", "time")),
-      struct(channelArrays.map(col): _*).as("ch"))
+      struct(channelArrays.toIndexedSeq.map(col): _*).as("ch"))
     zipped.select(
       Seq(col("activity_id"), col("time")) ++
         channelArrays.map(n => element_at(col(s"ch.$n"), col("idx") + 1).as(n)): _*)

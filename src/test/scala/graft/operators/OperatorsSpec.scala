@@ -241,6 +241,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       ConnectedComponents.labelPropagate(edges, maxIters = 2)
     }
   }
+
+  test("incremental label update equals a from-scratch rebuild") {
+    // deterministic pseudo-random split: batch-1 edges build the
+    // stored index, batch-2 edges arrive incrementally. Mix of cases:
+    // edges inside old clusters, bridges BETWEEN two old clusters
+    // (min-id adoption), brand-new vertices, and untouched clusters
+    // that must pass through bit-for-bit.
+    val all = (0 until 80).map { i =>
+      val a = (i * 7919 % 60).toLong; val b = (i * 104729 % 60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val (oldE, newE) = all.partition(e => (e._1 + e._2) % 3 != 0)
+    val oldDf = oldE.toDF("doc_a", "doc_b")
+    val newDf = newE.toDF("doc_a", "doc_b")
+    val stored = ConnectedComponents.components(spark, oldDf, "doc_a", "doc_b")
+    val inc = asMap(ConnectedComponents.incremental(spark, stored, newDf))
+    val full = asMap(ConnectedComponents.components(
+      spark, oldDf.unionByName(newDf), "doc_a", "doc_b"))
+    assert(inc == full)
+    // an untouched cluster keeps its stored labels object-identically:
+    // re-check against stored for vertices in no new edge's component
+    val touched = newE.flatMap(e => Seq(e._1, e._2)).toSet
+    val touchedClusters = full.filter { case (v, _) => touched(v) }.values.toSet
+    val untouchedStored = asMap(stored.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster").cast("long").as("cluster")))
+      .filter { case (_, c) => !touchedClusters(c) }
+    assert(untouchedStored.forall { case (v, c) => inc(v) == c })
+    assert(untouchedStored.nonEmpty, "fixture must leave some cluster untouched")
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {
