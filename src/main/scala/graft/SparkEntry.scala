@@ -883,11 +883,14 @@ object SparkEntry {
     ("o1_topk", (s, dir) => {
       // limit-first so the plan is TakeOrderedAndProject (per-partition
       // top-k + driver merge — no global sort); the row_number window
-      // then ranks only the 10 survivors.
+      // then ranks only the 10 survivors. The constant partition key
+      // marks the post-limit boundedness and silences WindowExec's
+      // single-partition warning.
       val top = t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
       top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
         .select(col("rnk"), col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
         .orderBy("rnk")
     },
@@ -1221,7 +1224,7 @@ object SparkEntry {
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
                          FROM events),
              f AS (SELECT user_id,
-                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
                         THEN 1 ELSE 0 END is_new, ts FROM l),
              sid AS (SELECT user_id,
                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -1387,7 +1390,7 @@ object SparkEntry {
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
                          FROM events),
              f AS (SELECT user_id, ts,
-                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
                         THEN 1 ELSE 0 END is_new FROM l),
              sid AS (SELECT user_id, ts,
                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -1441,7 +1444,7 @@ object SparkEntry {
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
                          FROM events),
              f AS (SELECT user_id, ts,
-                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                   CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
                         THEN 1 ELSE 0 END is_new FROM l),
              sid AS (SELECT user_id, ts,
                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -2833,6 +2836,36 @@ object SparkEntry {
              SELECT doc_a, doc_b, CAST(MAX(run_len) AS BIGINT) AS max_run
              FROM runs GROUP BY doc_a, doc_b HAVING MAX(run_len) >= 12
              ORDER BY doc_a, doc_b""")),
+
+    // D19: SUFFIX-ARRAY exact substring dedup (Dedup.suffixDupSpans):
+    // prefix doubling to depth log2(12) over doc-local positions —
+    // integer rank-pair exchanges, dense ranks via GlobalRank over
+    // distinct keys (range-partitioned, never a single-partition
+    // window) — then a position starts a duplicate iff its exact
+    // 12-token-window rank repeats corpus-wide; consecutive starts
+    // collapse to per-doc maximal spans. No anchor buckets, no pair
+    // enumeration: finds what d12's df-capped anchors structurally
+    // miss (SuffixDupSpec pins such a corpus), and emits the
+    // scrubber's per-doc removal-span table instead of pair scores.
+    // Oracle: the rank-repeat criterion is EXACTLY "the 12-gram at
+    // this position occurs >= 2 times", so DuckDB rebuilds it from
+    // gram strings — the hash gate proves the suffix-array ranks
+    // equal direct substring identity.
+    ("d19_suffix_dedup", (s, dir) =>
+      Dedup.suffixDupSpans(t(s, dir, "documents"), 12).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             g AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1,
+                 gr := array_to_string(w[i : i+11], ' '))
+                 for i in generate_series(1, len(w) - 11)]) s FROM w),
+             e AS (SELECT doc_id, s.p pos, s.gr gram FROM g),
+             f AS (SELECT gram FROM e GROUP BY gram HAVING COUNT(*) >= 2),
+             d AS (SELECT doc_id, pos FROM e JOIN f USING (gram)),
+             i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY pos) grp FROM d),
+             isl AS (SELECT doc_id, grp, COUNT(*) n FROM i GROUP BY 1, 2)
+             SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_dup_starts,
+               CAST(MAX(n) + 11 AS BIGINT) AS max_dup_span
+             FROM isl GROUP BY doc_id ORDER BY doc_id""")),
 
     // Benchmark DECONTAMINATION (Dedup.contamination): flag training
     // docs sharing any word-8-gram with a held-out benchmark slice

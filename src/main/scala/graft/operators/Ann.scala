@@ -192,10 +192,13 @@ object Ann {
     // seed codebook: the k lowest vec_ids BY RANK (deterministic,
     // data-derived, and correct on any id space — filtering vec_id < k
     // silently under-seeds a corpus whose ids don't start at 0). The
-    // rank window runs over k rows post-limit, not the corpus.
+    // rank window runs over k rows post-limit, not the corpus; the
+    // constant partition key marks that boundedness and keeps
+    // WindowExec's single-partition warning out of the logs.
     val seedIds = embeddings.select(col("vec_id")).orderBy("vec_id").limit(k)
       .withColumn("cluster",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        (row_number().over(Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
+          .cast("int"))
     var cent = dims.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("pos"), round(col("v"), 6).as("c"))
     for (_ <- 0 until iters) {

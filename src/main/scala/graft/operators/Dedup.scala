@@ -204,6 +204,86 @@ object Dedup {
       .filter(col("max_run") >= minRun)
   }
 
+  /** D19: SUFFIX-ARRAY exact substring dedup over the whole corpus —
+    * the Lee et al. (arXiv:2107.06499) shape at full generality, the
+    * upgrade [[longestCommonRuns]]'s own scaladoc promises: no anchor
+    * buckets, no pair enumeration, so it finds the duplicates d12
+    * structurally misses (runs whose every anchor gram is df-capped,
+    * and sub-anchor-length runs down to `minRun`), and its output is
+    * what the scrubber actually consumes — PER-DOC duplicated spans,
+    * not per-pair scores.
+    *
+    * Machinery: prefix doubling (Manber-Myers), run to depth
+    * log2(minRun) instead of log2(corpus) — enough to rank every
+    * length-`minRun` window exactly, which is all the >= minRun
+    * duplicate criterion needs (a full suffix array is the same loop
+    * continued; each extra round is one more rank-pair exchange).
+    * Every round keys on INTEGER rank pairs, never on L-token
+    * strings, so exchange width stays fixed as minRun grows:
+    *
+    *  1. tokens -> dense rank of the token value,
+    *  2. log2(minRun) doubling rounds: rank of block i = dense rank of
+    *     (rank(i), rank(i + b)) — doc-local positions, inner joins
+    *     enforce block-fits-in-doc eligibility (Lee et al. concatenate
+    *     with separators; same semantics, no global concat needed),
+    *  3. exact length-minRun rank from two OVERLAPPING power-of-two
+    *     blocks: (rank_B(i), rank_B(i + minRun - B)) — the standard
+    *     O(1) substring-rank composition,
+    *  4. position i starts a duplicate iff its length-minRun rank
+    *     occurs >= 2 times corpus-wide (within-doc repeats count, as
+    *     in Lee et al.), one count-over-rank exchange,
+    *  5. consecutive duplicate starts collapse to maximal spans per
+    *     doc (gaps-and-islands): a run of m consecutive starts is a
+    *     duplicated substring of m + minRun - 1 tokens.
+    *
+    * Block labels are EQUALITY labels, not ordered ranks: the
+    * duplicate criterion only ever asks "are two blocks equal", so
+    * each round labels its distinct key table with
+    * `monotonically_increasing_id` (unique by construction — no
+    * collision risk, unlike hashing) and joins back — two exchanges
+    * per round, no total order anywhere. A full LEXICOGRAPHIC suffix
+    * array is the same loop with the distinct keys ranked through
+    * [[GlobalRank.withGlobalRank]] instead (range-partitioned order;
+    * measured ~2x the round cost) — ordered ranks buy nothing here.
+    * Returns one row per doc containing at least one duplicated span:
+    * (doc_id, n_dup_starts, max_dup_span). Clean docs pay no output
+    * row. */
+  def suffixDupSpans(docs: DataFrame, minRun: Int = 12): DataFrame = {
+    require(minRun >= 2, "minRun must be at least 2 tokens")
+    def dense(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+      df.join(df.select(keys.map(col): _*).distinct()
+        .withColumn(out, monotonically_increasing_id()), keys)
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .withColumnRenamed("col", "w")
+    var b = 1
+    // each round's frame references the previous round ~3x (self-join
+    // + distinct + rank join-back), so an unbroken lineage grows as
+    // 3^rounds and Catalyst ANALYSIS time — not data — dominates;
+    // localCheckpoint truncates per round, the labelPropagate rule
+    var r = dense(toks, Seq("w"), "__r")
+      .select(col("doc_id"), col("pos"), col("__r").as("r"))
+      .localCheckpoint()
+    def compose(cur: DataFrame, step: Int): DataFrame = {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - step).as("pos"), col("r").as("r2"))
+      dense(cur.join(shifted, Seq("doc_id", "pos")), Seq("r", "r2"), "__rr")
+        .select(col("doc_id"), col("pos"), col("__rr").as("r"))
+        .localCheckpoint()
+    }
+    while (b * 2 <= minRun) { r = compose(r, b); b *= 2 }
+    val fin = if (b == minRun) r else compose(r, minRun - b)
+    val dup = fin
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("r")))
+      .filter(col("__n") >= 2)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup.withColumn("__grp", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "__grp").agg(count(lit(1)).as("__island"))
+      .groupBy("doc_id").agg(
+        sum(col("__island")).as("n_dup_starts"),
+        (max(col("__island")) + lit(minRun - 1)).as("max_dup_span"))
+  }
+
   /** D14: CHUNK-level dedup — the CCNet/FineWeb paragraph-dedup stage
     * (reference pipeline shape: hash every paragraph, keep the first
     * corpus-wide occurrence, reassemble documents from the survivors).

@@ -4,11 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Gap-based sessionization: a new session starts when the time since the
-  * previous event (same keys) is >= `gapSeconds`. The batch analogue of
-  * Structured Streaming's `session_window` (gap semantics align with its
-  * exclusive session end: an event exactly `gap` after the previous one
-  * opens a new session).
+/** Gap-based sessionization: a new session starts when the time since
+  * the previous event (same keys) EXCEEDS `gapSeconds`. The batch
+  * analogue of `session_window`, boundary included: Spark merges
+  * sessions whose windows TOUCH, so an event exactly `gap` after the
+  * previous one CONTINUES the session — verified empirically against
+  * `session_window` by the SessionizeSpec equivalence property (the
+  * previous `>=` spelling diverged from the built-in at exactly-gap
+  * spacing; the w1/w4/w6 oracles carry the same strict inequality).
   *
   * One shuffle on the keys; session ids are a running sum of
   * "new session" flags over the sorted partition — linear, no state
@@ -23,7 +26,7 @@ object Sessionize {
     val prev = lag(col(tsCol), 1).over(w)
     val isNew = when(
       prev.isNull ||
-        unix_millis(col(tsCol)) - unix_millis(prev) >= gapSeconds * 1000L,
+        unix_millis(col(tsCol)) - unix_millis(prev) > gapSeconds * 1000L,
       1L).otherwise(0L)
     df.withColumn("__is_new", isNew)
       .withColumn("session_id",

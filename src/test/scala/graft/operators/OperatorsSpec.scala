@@ -278,13 +278,46 @@ class SessionizeSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
-  test("a gap of exactly the threshold starts a new session") {
-    val df = Seq((1L, ts(0)), (1L, ts(100)), (1L, ts(1900)), (1L, ts(3699)), (1L, ts(5499)))
-      .toDF("user_id", "ts")
-    // gaps: 100 (same), 1800 (NEW: >= gap), 1799 (same), 1800 (NEW)
+  test("a gap of exactly the threshold CONTINUES the session (session_window parity)") {
+    val df = Seq((1L, ts(0)), (1L, ts(100)), (1L, ts(1900)), (1L, ts(3699)),
+      (1L, ts(5500))).toDF("user_id", "ts")
+    // gaps: 100 (same), 1800 (same: touch merges, as session_window),
+    // 1799 (same), 1801 (NEW: strictly exceeds the gap)
     val got = Sessionize.withSessionId(df, Seq("user_id"), "ts", 1800)
       .orderBy("ts").select("session_id").as[Long].collect().toSeq
-    assert(got == Seq(1L, 1L, 2L, 2L, 3L))
+    assert(got == Seq(1L, 1L, 1L, 1L, 2L))
+  }
+
+  test("equivalent to Spark's session_window on the same events (property)") {
+    // deterministic pseudo-random event set over 5 users, gap 60 s,
+    // INCLUDING exact-gap adjacencies (i % 7 == 0 lands events exactly
+    // 60 s apart) — the boundary that CAUGHT the original `>=`
+    // divergence: session_window merges touching windows, so
+    // exactly-gap events continue the session. Same session
+    // partitioning = same (user, first-event, count) triples.
+    val events = (0 until 200).map { i =>
+      val user = (i * 7919 % 5).toLong
+      val base = (i * 104729 % 40).toLong * 17
+      val t = if (i % 7 == 0) base + 60 else base
+      (user, ts(t))
+    }.distinct
+    val df = events.toDF("user_id", "ts")
+    val viaOp = Sessionize.withSessionId(df, Seq("user_id"), "ts", 60)
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_seconds(col("ts"))).as("start"), count(lit(1)).as("n"))
+      .select("user_id", "start", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaSw = df
+      .groupBy(col("user_id"), session_window(col("ts"), "60 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_seconds(col("sw.start")).as("start"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaOp == viaSw)
+    // merge-on-touch chains many exact-gap events together: still
+    // expect a non-trivial session structure (neither one blob nor
+    // one session per event)
+    assert(viaOp.size >= 10 && viaOp.size < events.size,
+      s"degenerate fixture: ${viaOp.size} sessions from ${events.size} events")
   }
 }
 

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Suffix-array substring dedup (d19) against its bucketed-pair
+  * predecessor (d12): agreement where both apply, and the corpora
+  * where d12's anchor df-cap PROVABLY misses what the suffix machinery
+  * finds. */
+class SuffixDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int) =
+    (1 to n).map(i => s"${prefix}$i").mkString(" ")
+
+  test("agrees with d12 on a pair both can see") {
+    // docs 1,2 share a unique 14-token run; 10 filler docs of unique
+    // tokens keep every anchor bucket tiny
+    val run = words("shared", 14)
+    val docs = (Seq(
+      (1L, s"${words("apre", 3)} $run ${words("apost", 3)}"),
+      (2L, s"${words("bpre", 5)} $run")) ++
+      (3 to 12).map(i => (i.toLong, words(s"fill${i}_", 25)))).toDF("doc_id", "text")
+    val d12 = Dedup.longestCommonRuns(docs, 8, 12, 100).collect()
+    assert(d12.length == 1 && d12.head.getAs[Long]("doc_a") == 1L
+      && d12.head.getAs[Long]("max_run") == 14L)
+    val d19 = Dedup.suffixDupSpans(docs, 12).orderBy("doc_id").collect()
+    assert(d19.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // a 14-token shared run = 3 duplicate 12-window starts, span 14
+    assert(d19.forall(_.getAs[Long]("max_dup_span") == 14L))
+    assert(d19.forall(_.getAs[Long]("n_dup_starts") == 3L))
+  }
+
+  test("finds boilerplate runs d12's anchor df-cap structurally drops") {
+    // 120 docs all carry the same 12-token boilerplate: every anchor
+    // 8-gram inside it has df 120 > maxBucket 100, so d12 sees ZERO
+    // candidate pairs; the suffix path has no buckets to saturate
+    val boiler = words("boiler", 12)
+    val docs = (1 to 120).map(i =>
+      (i.toLong, s"${words(s"u${i}_", 4)} $boiler ${words(s"v${i}_", 4)}"))
+      .toDF("doc_id", "text")
+    assert(Dedup.longestCommonRuns(docs, 8, 12, 100).isEmpty)
+    val d19 = Dedup.suffixDupSpans(docs, 12).collect()
+    assert(d19.length == 120)
+    assert(d19.forall(_.getAs[Long]("max_dup_span") == 12L))
+  }
+
+  test("within-doc repeats count (Lee et al. semantics) and span length is exact") {
+    // one doc repeats a 13-token phrase twice with unique tokens
+    // between: both occurrences' windows collide, span = 13
+    val phrase = words("rep", 13)
+    val docs = Seq(
+      (1L, s"$phrase ${words("mid", 9)} $phrase"),
+      (2L, words("other", 30))).toDF("doc_id", "text")
+    val got = Dedup.suffixDupSpans(docs, 12).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+    assert(got.head.getAs[Long]("max_dup_span") == 13L)
+    // two occurrences x two 12-window starts each
+    assert(got.head.getAs[Long]("n_dup_starts") == 4L)
+  }
+
+  test("power-of-two minRun takes the tail-free compose path") {
+    val run = words("p2", 16)
+    val docs = Seq(
+      (1L, s"$run ${words("x", 3)}"),
+      (2L, s"${words("y", 3)} $run"),
+      (3L, words("z", 20))).toDF("doc_id", "text")
+    val got = Dedup.suffixDupSpans(docs, 16).orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getAs[Long]("max_dup_span") == 16L))
+    assert(got.forall(_.getAs[Long]("n_dup_starts") == 1L))
+  }
+}
