@@ -61,7 +61,11 @@ object Bench {
     "q02_min_cost_supplier", "q03_shipping", "q07_volume_shipping",
     "q18_large_orders", "w4_session_window", "d2_minhash_sig",
     "d3_lsh_pairs", "d14_chunk_dedup", "n1_ann_topk", "n9_ann_topk_local",
-    "n5_ann_kmeans", "n8_ann_pq", "t17_bigram_familiarity")
+    "n5_ann_kmeans", "n8_ann_pq", "t17_bigram_familiarity",
+    // round 6: the de-doubled fact-fact join (single lineitem-orders
+    // exchange + window aggregates) — 2.5 s warm at 10x; tracked so a
+    // regression back to the two-pass shape is visible
+    "q21_waiting_suppliers")
 
   /** The deliberately-nasty tier: near-duplicate-saturated corpus
     * pairwise dedup (d5/d12/d16), the composed FineWeb chain (e6), and
@@ -74,7 +78,11 @@ object Bench {
     * single most expensive measurement, not four cheap ones. */
   private val heavyWorstCases = Seq(
     "d17_bloom_decontaminate", "d16_semantic_dedup", "e6_dedup_pipeline",
-    "d5_ngram_jaccard", "d12_substring_runs")
+    "d5_ngram_jaccard",
+    // round 6: the corpus-wide suffix-array build (79/37 s at 10x —
+    // log2(minRun) integer-rank exchanges over 27.5M positions)
+    "d19_suffix_dedup",
+    "d12_substring_runs")
 
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()

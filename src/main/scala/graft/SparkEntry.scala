@@ -115,6 +115,7 @@ object SparkEntry {
       }
     }
     GlobalRank.clear(s)
+    operators.Checkpoints.clear(s)
   }
 
 

@@ -147,13 +147,14 @@ object ConnectedComponents {
       // pointer jump: my label's own label is also reachable from me.
       // localCheckpoint truncates the lineage, which otherwise DOUBLES
       // per round (minLabels appears twice in the jump join) — plan
-      // growth, not data, is what kills long iterative loops.
-      val next = minLabels
+      // growth, not data, is what kills long iterative loops. Pinned
+      // via Checkpoints: Dataset.unpersist would be a silent no-op on
+      // a checkpoint RDD, so release goes through clearCaches.
+      val next = Checkpoints.pin(minLabels
         .join(minLabels.select(col("doc_id").as("__c"), col("cluster").as("__cc")),
           col("cluster") === col("__c"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("__cc"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+          least(col("cluster"), coalesce(col("__cc"), col("cluster"))).as("cluster")))
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
       labels.unpersist()

@@ -261,15 +261,14 @@ object Dedup {
     // + distinct + rank join-back), so an unbroken lineage grows as
     // 3^rounds and Catalyst ANALYSIS time — not data — dominates;
     // localCheckpoint truncates per round, the labelPropagate rule
-    var r = dense(toks, Seq("w"), "__r")
-      .select(col("doc_id"), col("pos"), col("__r").as("r"))
-      .localCheckpoint()
+    var r = Checkpoints.pin(dense(toks, Seq("w"), "__r")
+      .select(col("doc_id"), col("pos"), col("__r").as("r")))
     def compose(cur: DataFrame, step: Int): DataFrame = {
       val shifted = cur.select(col("doc_id"),
         (col("pos") - step).as("pos"), col("r").as("r2"))
-      dense(cur.join(shifted, Seq("doc_id", "pos")), Seq("r", "r2"), "__rr")
-        .select(col("doc_id"), col("pos"), col("__rr").as("r"))
-        .localCheckpoint()
+      Checkpoints.pin(
+        dense(cur.join(shifted, Seq("doc_id", "pos")), Seq("r", "r2"), "__rr")
+          .select(col("doc_id"), col("pos"), col("__rr").as("r")))
     }
     while (b * 2 <= minRun) { r = compose(r, b); b *= 2 }
     val fin = if (b == minRun) r else compose(r, minRun - b)

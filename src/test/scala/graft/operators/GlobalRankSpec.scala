@@ -45,7 +45,11 @@ class GlobalRankSpec extends AnyFunSuite {
     val other = (1 to 60).map(i => (i % 5, i.toLong)).toDF("score", "id")
     assert(GlobalRank.withGlobalRank(other, "rk",
       Seq(col("score"), col("id"))).count() == 60)
+    // earlier suites may hold registered checkpoint RDDs (strong refs
+    // the ContextCleaner can never collect) — release both registries
+    // before asserting global emptiness
     GlobalRank.clear(spark)
+    Checkpoints.clear(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
@@ -57,6 +61,7 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(ranked.count() == 100)
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     GlobalRank.clear(spark)
+    Checkpoints.clear(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "clear() must unpin the sorted input")
   }
