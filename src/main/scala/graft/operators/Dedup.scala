@@ -162,20 +162,35 @@ object Dedup {
     *     all-pairs). Any common run of length >= anchorK contains an
     *     anchor gram, so no pair at or above a `minRun` >= anchorK
     *     threshold can be missed.
-    *  2. token positions of both docs joined on token VALUE per pair —
-    *     each equal-token match point (i, j) lies on alignment diagonal
-    *     i - j; a common substring is a set of consecutive match points
-    *     on one diagonal.
-    *  3. longest run per diagonal by gaps-and-islands (i minus
-    *     row_number is constant within a consecutive island), then the
-    *     per-pair max.
+    *  2. positional `anchorK`-gram starts of both docs joined on gram
+    *     VALUE per pair — each equal-gram match point (i, j) lies on
+    *     alignment diagonal i - j. Matching GRAMS, not single tokens,
+    *     is what bounds the match-point volume: a common token like
+    *     "the" contributes freq_a × freq_b token-level points but zero
+    *     gram-level ones unless a whole k-window matches.
+    *  3. an island of m CONSECUTIVE gram starts on one diagonal (i
+    *     minus row_number is constant within an island) is exactly a
+    *     common token run of m + anchorK - 1: start i matching means
+    *     tokens i..i+k-1 all match, so consecutive starts chain into a
+    *     contiguous token run, and a maximal run of length L >= k has
+    *     exactly L - k + 1 starts (one more would need a token beyond
+    *     either maximal end). Runs shorter than anchorK yield no match
+    *     points at all — invisible, but below `minRun >= anchorK`
+    *     they were filtered anyway, so the output is unchanged.
     *
-    * At 100 TB the full-corpus answer is a suffix-array/automaton build
-    * over the concatenated corpus; this is its bucketed pair-verify
-    * form — pairwise work only on anchor-sharing docs, match points
-    * bounded per pair by the token-frequency products. */
+    * The full-corpus form at any scale is [[suffixDupSpans]] (d19);
+    * this is its bucketed pair-verify shape — pairwise work only on
+    * anchor-sharing docs, match points bounded per pair by common-gram
+    * frequency products (orders of magnitude below token-frequency
+    * products on near-dup-saturated corpora: fresh-fork walls on the
+    * 10x heavy corpus dropped 112.8/147.3 s -> 18.6/16.1 s, receipts
+    * in BENCH_NOTES round 6). */
   def longestCommonRuns(docs: DataFrame, anchorK: Int = 8, minRun: Int = 12,
                         maxBucket: Int = 100): DataFrame = {
+    require(minRun >= anchorK,
+      s"minRun ($minRun) must be >= anchorK ($anchorK): both the anchor " +
+        "candidate completeness proof and the gram-island run recovery " +
+        "only cover runs of at least anchorK tokens")
     val anchors = wordShingles(docs, anchorK).distinct()
     val kept = anchors
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("sh")))
@@ -186,21 +201,23 @@ object Dedup {
       .distinct()
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val toks = docs.join(broadcast(candDocs), Seq("doc_id"))
-      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
-      .withColumnRenamed("col", "w")
+    val grams = docs.join(broadcast(candDocs), Seq("doc_id"))
+      .select(col("doc_id"), posexplode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), anchorK)))
+      .withColumnRenamed("col", "g")
     val m = pairs
-      .join(toks.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("w")),
+      .join(grams.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("g")),
         Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("w")),
-        Seq("doc_b", "w"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("g")),
+        Seq("doc_b", "g"))
       .select(col("doc_a"), col("doc_b"), col("i"),
         (col("i") - col("j")).as("diag"))
     val wRun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
     m.withColumn("__grp", col("i") - row_number().over(wRun))
       .groupBy("doc_a", "doc_b", "diag", "__grp")
-      .agg(count(lit(1)).as("run_len"))
-      .groupBy("doc_a", "doc_b").agg(max(col("run_len")).as("max_run"))
+      .agg(count(lit(1)).as("starts"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("starts")) + lit(anchorK - 1)).as("max_run"))
       .filter(col("max_run") >= minRun)
   }
 
