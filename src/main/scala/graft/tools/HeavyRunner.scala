@@ -161,6 +161,63 @@ object HeavyRunner {
     (bytes, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Per-stage receipt collector, installed only when
+    * `SPARK_GRAFT_STAGE_METRICS=1`: accumulates each completed stage's
+    * aggregate task metrics and prints the top stages by run time
+    * after every measured run. This is the receipt that separates the
+    * three ways a run can inflate — spill (execution-memory pressure:
+    * `spill` MB > 0), shuffle volume growth (`shR`/`shW` MB), and GC
+    * drag (`cpu` ≪ `run`) — without attaching a profiler to a fork.
+    * Stderr, never stdout: Bench parses stdout lines. */
+  private final class StageReceipts extends org.apache.spark.scheduler.SparkListener {
+    case class S(id: Int, name: String, runMs: Long, cpuMs: Long,
+                 spillMb: Long, shReadMb: Long, shWriteMb: Long, tasks: Int,
+                 maxTaskMs: Long)
+    private val buf = new scala.collection.mutable.ArrayBuffer[S]
+    // per-stage max single-task run time: an inflated stage with
+    // maxTask ~= stageRun/1 is one pathological task (skew / stuck
+    // thread); maxTask ~= stageRun/tasks is uniform slowdown (JIT,
+    // memory contention). stageInfo.taskMetrics only aggregates.
+    private val maxTask = new scala.collection.mutable.HashMap[Int, Long]
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskMetrics != null) maxTask.synchronized {
+        val r = te.taskMetrics.executorRunTime
+        if (r > maxTask.getOrElse(te.stageId, 0L)) maxTask(te.stageId) = r
+      }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val m = i.taskMetrics
+      val mx = maxTask.synchronized(maxTask.getOrElse(i.stageId, 0L))
+      buf.synchronized { buf += S(i.stageId,
+        i.name.takeWhile(_ != '\n').take(60),
+        m.executorRunTime, m.executorCpuTime / 1000000L,
+        (m.memoryBytesSpilled + m.diskBytesSpilled) >> 20,
+        m.shuffleReadMetrics.totalBytesRead >> 20,
+        m.shuffleWriteMetrics.bytesWritten >> 20, i.numTasks, mx) }
+    }
+    /** Discard stages accumulated outside a timed run (warmup,
+      * clearCaches) so each drain covers exactly one run. Listener-bus
+      * delivery is async, so this is a receipt, not an audit. */
+    def reset(): Unit = {
+      buf.synchronized(buf.clear())
+      maxTask.synchronized(maxTask.clear())
+    }
+
+    /** Print top stages since the last drain, then reset. */
+    def drain(tag: String, top: Int = 6): Unit = buf.synchronized {
+      buf.sortBy(-_.runMs).take(top).foreach { s =>
+        System.err.println(f"[stages $tag] id=${s.id}%-4d run=${s.runMs / 1e3}%7.1fs " +
+          f"cpu=${s.cpuMs / 1e3}%7.1fs spill=${s.spillMb}%5d MB " +
+          f"shR=${s.shReadMb}%5d MB shW=${s.shWriteMb}%5d MB " +
+          f"tasks=${s.tasks}%3d maxTask=${s.maxTaskMs / 1e3}%6.1fs ${s.name}")
+      }
+      buf.clear()
+      maxTask.synchronized(maxTask.clear())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: HeavyRunner <dir> <n> <query>...")
     val dir = args(0)
@@ -184,6 +241,13 @@ object HeavyRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val receipts =
+      if (sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1")) {
+        val r = new StageReceipts
+        spark.sparkContext.addSparkListener(r)
+        Some(r)
+      } else None
+
     val (touchedBytes, touchSec) = firstTouch(dir) // page cache, untimed
     Tables.load(spark, dir, "lineitem").count()    // footers/codegen warm
     System.err.println(f"[heavy] first-touch ${touchedBytes / 1e6}%.0f MB " +
@@ -206,12 +270,14 @@ object HeavyRunner {
             // heavy runs (d17: 9 -> 17 -> 158 s same-code same-data).
             System.gc()
             Thread.sleep(200)
+            receipts.foreach(_.reset())
             val g0 = gcMillis
             val c0 = cpuSeconds
             val i0 = diskReadBytes
             val t0 = System.nanoTime()
             fn(spark, dir).write.format("noop").mode("overwrite").save()
             val wall = (System.nanoTime() - t0) / 1e9
+            receipts.foreach(_.drain(s"$q run$i"))
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
               (diskReadBytes - i0) / 1e6))
           }
