@@ -165,6 +165,11 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_HEAVY_DEADLINE_MS", deadlineMs.toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
+      // Distinguishes OUR deadline kill (budget exhaustion -> skipped,
+      // rc 0) from a fork that died on its own (genuine failure). The
+      // "explicit partial beats nothing" contract requires budget shed
+      // to never flip the exit code (round 6: rc 1 for exactly this).
+      @volatile var killedByWatchdog = false
       val killer = new Thread(() => {
         try {
           val graceMs = deadlineMs + (graceSec * 1000).toLong -
@@ -172,6 +177,7 @@ object Bench {
           if (!proc.waitFor(math.max(graceMs, 1000),
               java.util.concurrent.TimeUnit.MILLISECONDS)) {
             System.err.println("[bench] heavy fork overran deadline+grace; killing")
+            killedByWatchdog = true
             proc.destroyForcibly()
           }
         } catch { case _: InterruptedException => }
@@ -190,6 +196,15 @@ object Bench {
             seen += q; skipped += q
             println(s"""{"q":"$q","heavy_skipped":true}""")
             Console.out.flush()
+          } else if (line.startsWith("HEAVYFAIL\t")) {
+            // the fork survived but the query threw — a genuine failure
+            // with a name and an error, visible in the artifact
+            val f = line.split("\t")
+            val q = f(1)
+            seen += q; failed += q
+            val msg = f.lift(2).getOrElse("").replace("\\", "\\\\").replace("\"", "'")
+            println(s"""{"q":"$q","heavy_failed":"$msg"}""")
+            Console.out.flush()
           } else if (line.startsWith("HEAVY\t")) {
             val f = line.split("\t")
             def series(i: Int) = f.lift(i)
@@ -206,16 +221,18 @@ object Bench {
       } finally reader.close()
       val code = proc.waitFor()
       killer.interrupt()
-      queries.filterNot(seen) .foreach { q =>
-        // never started (fork died or was killed mid-earlier-query):
-        // a skip record, plus a failure record when the fork crashed
-        // rather than ran out of budget
+      queries.filterNot(seen).foreach { q =>
+        // never started: budget exhaustion (our watchdog kill, or the
+        // fork's own deadline shedding) is a SKIP — only an unexplained
+        // fork death (crash/OOM before the query's HEAVY/HEAVYFAIL line)
+        // records a failure
         skipped += q
-        if (code != 0) failed += q
+        if (code != 0 && !killedByWatchdog) failed += q
       }
       if (code != 0)
-        System.err.println(s"[bench] heavy fork exit $code " +
-          s"(completed ${out.size}/${queries.size})")
+        System.err.println(s"[bench] heavy fork exit $code" +
+          (if (killedByWatchdog) " (deadline kill -> skipped)" else "") +
+          s" (completed ${out.size}/${queries.size})")
       out.toSeq
     }
 
@@ -289,6 +306,13 @@ object Bench {
     val heavyMin = heavy.map(h => h.name -> h.walls.min)
     val heavyGc = heavy.collect { case h if h.gcs.nonEmpty =>
       h.name -> h.gcs(h.walls.indexOf(h.walls.min)) }
+    // Clean up BEFORE printing: the final JSON must be the LAST thing
+    // on stdout/stderr, because the driver captures a bounded tail.
+    // Round 6's artifact was unparseable solely because clearCaches ran
+    // after the print and its localCheckpoint-unpersist WARNs (one per
+    // pinned RDD) flooded the tail. log4j2.properties additionally
+    // silences that logger, but ordering must not depend on it.
+    SparkEntry.clearCaches(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${obj(results)},"heavy":${obj(heavyMin)},""" +
       s""""heavy_gc":${obj(heavyGc)},""" +
@@ -302,8 +326,10 @@ object Bench {
       f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
       s""""skipped":${strArr(skipped.toSeq)},""" +
       s""""failed":${strArr(failed.toSeq)},"sf":"$sfDir"}""")
-    SparkEntry.clearCaches(spark)
+    Console.out.flush()
     spark.stop()
+    // nonzero exit is reserved for GENUINE query failures; budget-shed
+    // work exits 0 with a "skipped" record (explicit partial > nothing)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

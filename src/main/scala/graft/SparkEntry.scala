@@ -1268,11 +1268,7 @@ object SparkEntry {
       val stream0 = s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-      val stream = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
+      val stream = Tables.normalizeTs(stream0)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
@@ -1349,11 +1345,7 @@ object SparkEntry {
         val st = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => st
-        }
+        Tables.normalizeTs(st)
       }
       val clicks = reader().filter(col("event_type") === "click")
       val purchases = reader().filter(col("event_type") === "purchase")
@@ -1416,11 +1408,7 @@ object SparkEntry {
       val stream0 = s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-      val stream = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
+      val stream = Tables.normalizeTs(stream0)
       val agg = stream
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -1524,11 +1512,7 @@ object SparkEntry {
       val stream0 = s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-      val stream = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
+      val stream = Tables.normalizeTs(stream0)
       val agg = stream.groupBy(to_date(col("ts")).as("day"))
         .agg(graft.functions.CountMin.build(col("user_id"), 4, 64).as("sk"))
       val name = s"w10_sink_${streamGateSeq.incrementAndGet()}"

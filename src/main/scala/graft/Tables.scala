@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md): one parquet
   * file per table under a scale-factor directory. Reads are plain
@@ -15,22 +17,40 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // The driver's events.ts is parquet TIMESTAMP(NANOS), which
-      // Spark's vectorized reader rejects. Read nanos as long and
-      // truncate to a micros timestamp — the same ns -> us truncation
-      // DuckDB applies, so oracle comparisons agree. Re-written copies
-      // (e.g. the heavy bench tier) come back as a plain micros
-      // timestamp already, so only convert when the column reads long.
+      // The driver has shipped events.ts under several parquet encodings
+      // across regenerations; normalize them all (see normalizeTs).
+      // nanosAsLong must be set BEFORE the read for the NANOS encoding.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-        case _ => df
-      }
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Normalize the `ts` column to a session-local `TimestampType`
+    * regardless of which parquet encoding the test-data generator used:
+    *
+    *  - `TIMESTAMP(NANOS)` + nanosAsLong=true reads as `LongType` nanos →
+    *    truncate to micros (same truncation DuckDB applies, so oracle
+    *    comparisons agree);
+    *  - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` reads as
+    *    `TimestampNTZType` → cast to `TimestampType`. The session timezone
+    *    is pinned to UTC (SparkSession builder), so the cast is exact —
+    *    the wall-clock fields are reinterpreted as UTC instants, which is
+    *    what DuckDB does with the same file;
+    *  - already-`TimestampType` (e.g. rewritten heavy-tier copies) passes
+    *    through.
+    *
+    * Works on batch AND streaming DataFrames (pure projection). Every
+    * reader of `events` — `Tables.load` and the gate-local `readStream`
+    * paths — must go through this single choke point so a testdata
+    * regeneration can only break one named place.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 }
