@@ -77,11 +77,12 @@ object Bench {
     * ~21/1.5, d5 ~74/20, d12 ~113/147) so a budget cut drops the
     * single most expensive measurement, not four cheap ones. */
   private val heavyWorstCases = Seq(
+    // round 7: d19 re-expressed as gram-count (2 exchanges, no
+    // prefix-doubling rounds): 79/37 s -> 6.4/2.2 s at 10x, so it
+    // moves up the cheapest-first order
+    "d19_suffix_dedup",
     "d17_bloom_decontaminate", "d16_semantic_dedup", "e6_dedup_pipeline",
     "d5_ngram_jaccard",
-    // round 6: the corpus-wide suffix-array build (79/37 s at 10x —
-    // log2(minRun) integer-rank exchanges over 27.5M positions)
-    "d19_suffix_dedup",
     "d12_substring_runs")
 
   def main(args: Array[String]): Unit = {

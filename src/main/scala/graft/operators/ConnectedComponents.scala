@@ -83,17 +83,28 @@ object ConnectedComponents {
     * @return the full updated label table `(doc_id, cluster)` */
   def incremental(spark: SparkSession, stored: DataFrame, newEdges: DataFrame,
                   srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
-    val touched = newEdges.select(col(srcCol).cast("long").as("doc_id"))
-      .union(newEdges.select(col(dstCol).cast("long").as("doc_id"))).distinct()
-    val affectedClusters = stored.join(touched, Seq("doc_id"))
-      .select("cluster").distinct()
+    // Both multiply-referenced inputs are pinned once (localCheckpoint
+    // via the Checkpoints registry): `newEdges` feeds the touched-set
+    // AND the re-derivation union, and `affectedClusters` feeds the
+    // affected-rows join AND the final anti-join — without pinning,
+    // each reference re-evaluates the caller's edge-derivation lineage
+    // (at 100 TB: a full signature-probe pass per reference; in the
+    // gate: the whole minhash->LSH chain). Both frames are
+    // collision-rate-sized — batch edges and touched cluster ids — not
+    // corpus-sized, so pinning is cheap. `stored` is deliberately NOT
+    // pinned: it is corpus-sized and in production is a persisted
+    // label-table read, which the block manager must not duplicate.
+    val edges = Checkpoints.pin(
+      newEdges.select(col(srcCol).cast("long").as(srcCol),
+        col(dstCol).cast("long").as(dstCol)))
+    val touched = edges.select(col(srcCol).as("doc_id"))
+      .union(edges.select(col(dstCol).as("doc_id"))).distinct()
+    val affectedClusters = Checkpoints.pin(
+      stored.join(touched, Seq("doc_id")).select("cluster").distinct())
     val affected = stored.join(broadcast(affectedClusters), Seq("cluster"))
     val stars = affected.select(col("doc_id").cast("long").as(srcCol),
       col("cluster").cast("long").as(dstCol))
-    val rederived = components(spark,
-      newEdges.select(col(srcCol).cast("long").as(srcCol),
-        col(dstCol).cast("long").as(dstCol)).unionByName(stars),
-      srcCol, dstCol)
+    val rederived = components(spark, edges.unionByName(stars), srcCol, dstCol)
     stored.join(broadcast(affectedClusters), Seq("cluster"), "left_anti")
       .select(col("doc_id").cast("long"), col("cluster").cast("long"))
       .unionByName(rederived)

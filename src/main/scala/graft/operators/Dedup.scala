@@ -221,8 +221,8 @@ object Dedup {
       .filter(col("max_run") >= minRun)
   }
 
-  /** D19: SUFFIX-ARRAY exact substring dedup over the whole corpus —
-    * the Lee et al. (arXiv:2107.06499) shape at full generality, the
+  /** D19: exact substring dedup over the whole corpus — the Lee et al.
+    * (arXiv:2107.06499) DEDUPLICATION semantics at full generality, the
     * upgrade [[longestCommonRuns]]'s own scaladoc promises: no anchor
     * buckets, no pair enumeration, so it finds the duplicates d12
     * structurally misses (runs whose every anchor gram is df-capped,
@@ -230,67 +230,52 @@ object Dedup {
     * what the scrubber actually consumes — PER-DOC duplicated spans,
     * not per-pair scores.
     *
-    * Machinery: prefix doubling (Manber-Myers), run to depth
-    * log2(minRun) instead of log2(corpus) — enough to rank every
-    * length-`minRun` window exactly, which is all the >= minRun
-    * duplicate criterion needs (a full suffix array is the same loop
-    * continued; each extra round is one more rank-pair exchange).
-    * Every round keys on INTEGER rank pairs, never on L-token
-    * strings, so exchange width stays fixed as minRun grows:
+    * Lee et al. build a suffix array because they answer
+    * arbitrary-length longest-match queries. THIS operator's contract
+    * is narrower — "which positions start a duplicated substring of at
+    * least `minRun` tokens" — and for a FIXED minRun that criterion is
+    * exactly "this position's minRun-token gram occurs >= 2 times
+    * corpus-wide" (within-doc repeats count, as in Lee et al.):
     *
-    *  1. tokens -> dense rank of the token value,
-    *  2. log2(minRun) doubling rounds: rank of block i = dense rank of
-    *     (rank(i), rank(i + b)) — doc-local positions, inner joins
-    *     enforce block-fits-in-doc eligibility (Lee et al. concatenate
-    *     with separators; same semantics, no global concat needed),
-    *  3. exact length-minRun rank from two OVERLAPPING power-of-two
-    *     blocks: (rank_B(i), rank_B(i + minRun - B)) — the standard
-    *     O(1) substring-rank composition,
-    *  4. position i starts a duplicate iff its length-minRun rank
-    *     occurs >= 2 times corpus-wide (within-doc repeats count, as
-    *     in Lee et al.), one count-over-rank exchange,
-    *  5. consecutive duplicate starts collapse to maximal spans per
-    *     doc (gaps-and-islands): a run of m consecutive starts is a
-    *     duplicated substring of m + minRun - 1 tokens.
+    *  1. per-doc codegen projection emits every minRun-token shingle
+    *     with its start position ([[TextAnalysis.wordShingles]] — no
+    *     shuffle, no join, the same kernel the decontamination ops
+    *     use; shingle strings are space-joined space-free tokens, so
+    *     gram equality IS window equality, no hash collisions),
+    *  2. position i starts a duplicate iff its gram occurs >= 2 times —
+    *     ONE exchange, on the gram,
+    *  3. consecutive duplicate starts collapse to maximal spans per doc
+    *     (gaps-and-islands, one exchange on doc_id): a run of m
+    *     consecutive starts is a duplicated substring of m+minRun-1
+    *     tokens — so spans LONGER than minRun are still reported at
+    *     full length, which is where the arbitrary-length power
+    *     actually matters for scrubbing.
     *
-    * Block labels are EQUALITY labels, not ordered ranks: the
-    * duplicate criterion only ever asks "are two blocks equal", so
-    * each round labels its distinct key table with
-    * `monotonically_increasing_id` (unique by construction — no
-    * collision risk, unlike hashing) and joins back — two exchanges
-    * per round, no total order anywhere. A full LEXICOGRAPHIC suffix
-    * array is the same loop with the distinct keys ranked through
-    * [[GlobalRank.withGlobalRank]] instead (range-partitioned order;
-    * measured ~2x the round cost) — ordered ranks buy nothing here.
+    * Two corpus-sized exchanges total. The previous implementation ran
+    * Manber-Myers prefix doubling to depth log2(minRun) — 3 exchanges
+    * per round plus a localCheckpoint pin per round to stop 3^rounds
+    * lineage growth (~16 exchanges and 5 block-manager materializations
+    * at minRun=12; 79/37 s warm at the 10x heavy tier with ~10 s GC).
+    * Doubling keeps per-round exchange width constant (integer rank
+    * pairs vs minRun-token grams), but the byte VOLUME crossover favors
+    * the gram form for every practical minRun (at Lee et al.'s
+    * minRun=50: ~3 wide exchanges vs ~18 narrow ones — a wash on bytes,
+    * and the doubling form still pays its joins, sorts and pins on
+    * top). Prefix doubling only wins when minRun is unbounded — i.e.
+    * when the contract needs true suffix ranks, which this one never
+    * asks for.
+    *
     * Returns one row per doc containing at least one duplicated span:
     * (doc_id, n_dup_starts, max_dup_span). Clean docs pay no output
     * row. */
   def suffixDupSpans(docs: DataFrame, minRun: Int = 12): DataFrame = {
     require(minRun >= 2, "minRun must be at least 2 tokens")
-    def dense(df: DataFrame, keys: Seq[String], out: String): DataFrame =
-      df.join(df.select(keys.map(col): _*).distinct()
-        .withColumn(out, monotonically_increasing_id()), keys)
-    val toks = docs
-      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
-      .withColumnRenamed("col", "w")
-    var b = 1
-    // each round's frame references the previous round ~3x (self-join
-    // + distinct + rank join-back), so an unbroken lineage grows as
-    // 3^rounds and Catalyst ANALYSIS time — not data — dominates;
-    // localCheckpoint truncates per round, the labelPropagate rule
-    var r = Checkpoints.pin(dense(toks, Seq("w"), "__r")
-      .select(col("doc_id"), col("pos"), col("__r").as("r")))
-    def compose(cur: DataFrame, step: Int): DataFrame = {
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - step).as("pos"), col("r").as("r2"))
-      Checkpoints.pin(
-        dense(cur.join(shifted, Seq("doc_id", "pos")), Seq("r", "r2"), "__rr")
-          .select(col("doc_id"), col("pos"), col("__rr").as("r")))
-    }
-    while (b * 2 <= minRun) { r = compose(r, b); b *= 2 }
-    val fin = if (b == minRun) r else compose(r, minRun - b)
-    val dup = fin
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("r")))
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), minRun)))
+      .withColumnRenamed("col", "gram")
+    val dup = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("__n") >= 2)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     dup.withColumn("__grp", col("pos") - row_number().over(wDoc))

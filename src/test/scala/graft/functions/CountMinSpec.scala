@@ -71,6 +71,23 @@ class CountMinSpec extends AnyFunSuite {
     assert(CountMin.innerProduct(skb, ska, Depth, Width) == est)
   }
 
+  test("inner product of bucket-disjoint streams is 0 (g16 oracle edge)") {
+    // Two singleton streams whose keys land in different buckets on
+    // every hash row: the estimate must be exactly 0 — and the g16
+    // DuckDB oracle's per-row LEFT JOIN + COALESCE(s, 0) yields the
+    // same 0 where a plain inner join on (r, bucket) would drop the
+    // depth rows entirely (verified by hand on the same fixture).
+    val ka = 1L
+    val kb = (2L to 1000L).find { cand =>
+      (0 until Depth).forall { r =>
+        CountMin.bucket(r, ka, Width) != CountMin.bucket(r, cand, Width)
+      }
+    }.get
+    val ska = sketchOf(Seq(ka), 1)
+    val skb = sketchOf(Seq(kb), 1)
+    assert(CountMin.innerProduct(ska, skb, Depth, Width) == 0L)
+  }
+
   test("probe expression matches the helper through codegen") {
     val rows = (1 to 1000).map(i => (i % 50).toLong)
     val skDf = rows.toDF("x").agg(CountMin.build(col("x"), Depth, Width).as("sk"))
