@@ -2852,6 +2852,41 @@ object SparkEntry {
                CAST(MAX(n) + 11 AS BIGINT) AS max_dup_span
              FROM isl GROUP BY doc_id ORDER BY doc_id""")),
 
+    // EXACT SUBSTRING SCRUB (Dedup.substringScrub): the consuming half
+    // of the Lee-et-al recipe d19 reports — rewrite every doc with its
+    // duplicated >= 12-token spans removed, corpus-first occurrence
+    // kept. The gate hashes the reassembled text (full text stays in
+    // the operator's output for real pipelines).
+    ("d20_substring_scrub", (s, dir) =>
+      Dedup.substringScrub(t(s, dir, "documents"), 12)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             t0 AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1, t := w[i])
+                 for i in generate_series(1, len(w))]) s FROM w),
+             tk AS (SELECT doc_id, s.p pos, s.t w FROM t0),
+             g AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1,
+                 gr := array_to_string(w[i : i+11], ' '))
+                 for i in generate_series(1, len(w) - 11)]) s FROM w),
+             e AS (SELECT doc_id, s.p pos, s.gr gram FROM g),
+             r AS (SELECT doc_id, pos, ROW_NUMBER() OVER
+               (PARTITION BY gram ORDER BY doc_id, pos) rk FROM e),
+             rem AS (SELECT doc_id, pos FROM r WHERE rk >= 2),
+             i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY pos) grp FROM rem),
+             isl AS (SELECT doc_id, MIN(pos) st, COUNT(*) + 11 len
+               FROM i GROUP BY doc_id, grp),
+             cov AS (SELECT DISTINCT doc_id,
+               UNNEST(generate_series(st, st + len - 1)) pos FROM isl),
+             j AS (SELECT tk.doc_id, tk.pos, tk.w, cov.pos IS NOT NULL rm
+               FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos)
+             SELECT doc_id,
+               CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' '
+                 ORDER BY pos), '')) AS cleaned_md5
+             FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // Benchmark DECONTAMINATION (Dedup.contamination): flag training
     // docs sharing any word-8-gram with a held-out benchmark slice
     // (every 5th doc here). Benchmark grams broadcast — no corpus

@@ -285,6 +285,73 @@ object Dedup {
         (max(col("__island")) + lit(minRun - 1)).as("max_dup_span"))
   }
 
+  /** D20: EXACT SUBSTRING SCRUB — the consuming half of the Lee et al.
+    * (arXiv:2107.06499) ExactSubstr recipe that [[suffixDupSpans]]
+    * (d19) only REPORTS: rewrite every document with its duplicated
+    * spans removed, keeping the corpus-FIRST occurrence of each
+    * duplicated gram (single pass — removal can create new adjacencies,
+    * which are deliberately not re-scanned, same as the reference
+    * recipe).
+    *
+    * Semantics, all deterministic:
+    *  1. a position is REMOVABLE iff its minRun-token gram has an
+    *     earlier occurrence corpus-wide (row_number over the gram
+    *     partition ordered by (doc_id, pos) — rank >= 2 implies
+    *     duplicated, so no separate count pass),
+    *  2. removable starts collapse to maximal per-doc islands; an
+    *     island of m starts covers m+minRun-1 tokens,
+    *  3. covered token positions are dropped (union over islands — a
+    *     token covered by ANY removable island goes, even where another
+    *     island's canonical occurrence overlaps it: single-pass union,
+    *     as in the reference recipe),
+    *  4. survivors reassemble in document order; docs scrubbed to
+    *     nothing keep their row with empty text.
+    *
+    * Scale: gram projection and island expansion are per-doc codegen
+    * projections; the exchanges are one on the gram (first-occurrence
+    * election — same shape as [[chunkDedup]]'s digest election), one
+    * on (doc_id, pos) for the coverage join, and the final doc_id
+    * partial-agg. No pairwise work, no driver state.
+    *
+    * Returns one row per doc that has at least one token:
+    * (doc_id, n_removed, cleaned_text). */
+  def substringScrub(docs: DataFrame, minRun: Int = 12): DataFrame = {
+    require(minRun >= 2, "minRun must be at least 2 tokens")
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .withColumnRenamed("col", "w")
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), minRun)))
+      .withColumnRenamed("col", "gram")
+    val wFirst = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val removable = grams
+      .withColumn("__rk", row_number().over(wFirst))
+      .filter(col("__rk") >= 2)
+      .select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = removable
+      .withColumn("__grp", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "__grp")
+      .agg(min(col("pos")).as("start"),
+        (count(lit(1)) + lit(minRun - 1)).as("len"))
+    val covered = islands
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + col("len") - 1)).as("pos"))
+      .distinct()
+    toks
+      .join(covered.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rm").isNull,
+              struct(col("pos"), col("w"))))),
+            s => s.getField("w")),
+          " ").as("cleaned_text"))
+  }
+
   /** D14: CHUNK-level dedup — the CCNet/FineWeb paragraph-dedup stage
     * (reference pipeline shape: hash every paragraph, keep the first
     * corpus-wide occurrence, reassemble documents from the survivors).

@@ -62,7 +62,7 @@ class SuffixDupSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("n_dup_starts") == 4L)
   }
 
-  test("power-of-two minRun takes the tail-free compose path") {
+  test("non-default minRun (16) reports exactly-minRun spans once per doc") {
     val run = words("p2", 16)
     val docs = Seq(
       (1L, s"$run ${words("x", 3)}"),
@@ -72,5 +72,43 @@ class SuffixDupSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
     assert(got.forall(_.getAs[Long]("max_dup_span") == 16L))
     assert(got.forall(_.getAs[Long]("n_dup_starts") == 1L))
+  }
+
+  test("substringScrub keeps the corpus-first occurrence and rewrites the rest") {
+    val span = words("s", 15) // 15-token duplicated span
+    val docA = s"${words("x", 5)} $span ${words("y", 5)}"
+    val docB = s"${words("z", 5)} $span ${words("q", 5)}"
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(docs, 12).orderBy("doc_id").collect()
+    assert(got.length == 2)
+    // doc 1 is canonical: untouched
+    assert(got(0).getAs[Long]("n_removed") == 0L)
+    assert(got(0).getAs[String]("cleaned_text") == docA)
+    // doc 2 loses exactly the 15 span tokens (island of 4 starts + 11)
+    assert(got(1).getAs[Long]("n_removed") == 15L)
+    assert(got(1).getAs[String]("cleaned_text") ==
+      s"${words("z", 5)} ${words("q", 5)}")
+  }
+
+  test("substringScrub removes the second within-doc occurrence only") {
+    val t13 = words("t", 13)
+    val doc = s"${words("u", 3)} $t13 ${words("v", 2)} $t13 ${words("w", 2)}"
+    val docs = Seq((1L, doc)).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(docs, 12).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_removed") == 13L)
+    assert(got.head.getAs[String]("cleaned_text") ==
+      s"${words("u", 3)} $t13 ${words("v", 2)} ${words("w", 2)}")
+  }
+
+  test("substringScrub scrubs an exact-duplicate doc to empty text") {
+    val body = words("d", 25)
+    val docs = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(docs, 12).orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_removed") == 0L)
+    assert(got(0).getAs[String]("cleaned_text") == body)
+    assert(got(1).getAs[Long]("n_removed") == 25L)
+    assert(got(1).getAs[String]("cleaned_text") == "")
   }
 }
