@@ -39,12 +39,23 @@ object HeavyData {
              copies: Int): Unit = {
     // v2: also persists the e3/e4 fixture corpora (marker rename
     // forces a one-time rebuild of dirs created by older rounds)
-    val marker = new java.io.File(s"$outDir/_HEAVY_OK_${copies}_v2")
+    val marker = new java.io.File(s"$outDir/_HEAVY_OK_${copies}_v3")
     if (marker.exists()) return
     val t0 = System.nanoTime()
 
+    // v3: fact tables are written in one file per core, not one per
+    // input partition. The union of K mono-file copies otherwise lands
+    // as K small files (~1-2 MB compressed, one row group each — below
+    // openCostInBytes, and a single row group cannot split), capping
+    // every scan-side stage of the heavy tier at K-way parallelism on a
+    // 32-thread session. d5's receipts showed its dominant
+    // minhash/shingle stages running 10 tasks with 22 cores idle.
+    // Production data at this scale arrives in many splits; the fixture
+    // should too.
+    val outFiles = spark.sparkContext.defaultParallelism
     def copiesOf(df: DataFrame)(perturb: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => perturb(df, i)).reduce(_ unionByName _)
+        .repartition(outFiles)
 
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1

@@ -525,6 +525,12 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // NOT pinned, by measurement: the gram-set frame feeds both sides
+    // of the verify join, but the two evaluations run in parallel
+    // broadcast/subquery futures on cores the single chain leaves idle
+    // — pinning it (tried round 7) cost MORE wall (9.4 vs 7.3 s warm at
+    // 10x) because the materialization serializes what the recompute
+    // overlaps.
     val grams = docs.join(broadcast(candDocs), Seq("doc_id"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.charShingles(col("text"), n)).as("grams"))
