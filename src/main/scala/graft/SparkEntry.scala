@@ -2887,6 +2887,53 @@ object SparkEntry {
                  ORDER BY pos), '')) AS cleaned_md5
              FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // INCREMENTAL substring scrub (Dedup.incrementalScrub): the
+    // recurring-ingest form — the accepted corpus (doc_id % 4 != 0)
+    // participates only through its gram index; the arriving batch
+    // (doc_id % 4 == 0) is scrubbed against that index plus itself.
+    // Same d15/d18 fixture split, so the three incremental-index ops
+    // gate on the same corpus partition.
+    ("d21_scrub_incremental", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalScrub(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0), 12)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             bw AS (SELECT * FROM w WHERE doc_id % 4 = 0),
+             iw AS (SELECT * FROM w WHERE doc_id % 4 <> 0),
+             gi AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1,
+                 gr := array_to_string(w[i : i+11], ' '))
+                 for i in generate_series(1, len(w) - 11)]) s FROM iw),
+             ig AS (SELECT DISTINCT s.gr gram FROM gi),
+             gb AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1,
+                 gr := array_to_string(w[i : i+11], ' '))
+                 for i in generate_series(1, len(w) - 11)]) s FROM bw),
+             e AS (SELECT doc_id, s.p pos, s.gr gram FROM gb),
+             r AS (SELECT e.doc_id, e.pos, ig.gram IS NOT NULL hit,
+               ROW_NUMBER() OVER (PARTITION BY e.gram ORDER BY e.doc_id, e.pos) rk
+               FROM e LEFT JOIN ig ON e.gram = ig.gram),
+             rem AS (SELECT doc_id, pos FROM r WHERE hit OR rk >= 2),
+             i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY pos) grp FROM rem),
+             isl AS (SELECT doc_id, MIN(pos) st, COUNT(*) + 11 len
+               FROM i GROUP BY doc_id, grp),
+             cov AS (SELECT DISTINCT doc_id,
+               UNNEST(generate_series(st, st + len - 1)) pos FROM isl),
+             t0 AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1, t := w[i])
+                 for i in generate_series(1, len(w))]) s FROM bw),
+             tk AS (SELECT doc_id, s.p pos, s.t w FROM t0),
+             j AS (SELECT tk.doc_id, tk.pos, tk.w, cov.pos IS NOT NULL rm
+               FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos)
+             SELECT doc_id,
+               CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' '
+                 ORDER BY pos), '')) AS cleaned_md5
+             FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // Benchmark DECONTAMINATION (Dedup.contamination): flag training
     // docs sharing any word-8-gram with a held-out benchmark slice
     // (every 5th doc here). Benchmark grams broadcast — no corpus

@@ -317,9 +317,6 @@ object Dedup {
     * (doc_id, n_removed, cleaned_text). */
   def substringScrub(docs: DataFrame, minRun: Int = 12): DataFrame = {
     require(minRun >= 2, "minRun must be at least 2 tokens")
-    val toks = docs
-      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
-      .withColumnRenamed("col", "w")
     val grams = docs
       .select(col("doc_id"), posexplode(
         TextAnalysis.wordShingles(TextAnalysis.words(col("text")), minRun)))
@@ -329,6 +326,66 @@ object Dedup {
       .withColumn("__rk", row_number().over(wFirst))
       .filter(col("__rk") >= 2)
       .select("doc_id", "pos")
+    scrubRemovableStarts(docs, removable, minRun)
+  }
+
+  /** D21: INCREMENTAL substring scrub — the recurring-ingest form of
+    * [[substringScrub]], completing the incremental triad next to d15
+    * (signature-index probe) and d18 (cluster-index maintenance): the
+    * accepted corpus exists only as its PERSISTED GRAM INDEX; an
+    * arriving batch is scrubbed against that index plus itself, and
+    * the historical corpus is never re-read, re-shingled, or
+    * re-scrubbed.
+    *
+    * A batch position is removable iff its gram is IN THE INDEX (an
+    * accepted doc said it first — the accepted corpus always wins the
+    * canonical election, which is exactly ingest semantics) OR an
+    * earlier batch occurrence exists (d20's row_number election,
+    * within the batch). When every index doc_id precedes every batch
+    * doc_id, the result equals [[substringScrub]] of the union
+    * restricted to batch docs (pinned by SuffixDupSpec).
+    *
+    * Scale: the index probe (left join on the gram) and the
+    * batch-internal election (window over the gram) SHARE one
+    * exchange — the window runs on the join output, which is already
+    * gram-partitioned. Batch-side cost is O(batch grams); at 100 TB
+    * the index is gram-partitioned persisted storage the probe
+    * bucket-joins, the same access pattern as d15's signature index.
+    *
+    * @param indexDocs the accepted corpus (only its grams are used —
+    *                  pass the persisted gram index directly in
+    *                  production via a pre-shingled table)
+    * @param batch     arriving docs to scrub */
+  def incrementalScrub(indexDocs: DataFrame, batch: DataFrame,
+                       minRun: Int = 12): DataFrame = {
+    require(minRun >= 2, "minRun must be at least 2 tokens")
+    val idx = indexDocs
+      .select(explode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), minRun))
+        .as("gram"))
+      .distinct()
+    val bGrams = batch
+      .select(col("doc_id"), posexplode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), minRun)))
+      .withColumnRenamed("col", "gram")
+    val wFirst = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val removable = bGrams
+      .join(idx.withColumn("__hit", lit(true)), Seq("gram"), "left")
+      .withColumn("__rk", row_number().over(wFirst))
+      .filter(col("__hit").isNotNull || col("__rk") >= 2)
+      .select("doc_id", "pos")
+    scrubRemovableStarts(batch, removable, minRun)
+  }
+
+  /** Shared d20/d21 tail: collapse removable gram starts to maximal
+    * per-doc islands, expand to covered token positions, drop them,
+    * reassemble survivors in document order. One row per doc with at
+    * least one token: (doc_id, n_removed, cleaned_text). */
+  private def scrubRemovableStarts(docs: DataFrame, removable: DataFrame,
+                                   minRun: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .withColumnRenamed("col", "w")
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = removable
       .withColumn("__grp", col("pos") - row_number().over(wDoc))

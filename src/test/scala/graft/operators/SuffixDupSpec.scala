@@ -101,6 +101,53 @@ class SuffixDupSpec extends AnyFunSuite {
       s"${words("u", 3)} $t13 ${words("v", 2)} ${words("w", 2)}")
   }
 
+  test("incrementalScrub: index grams win, batch-internal repeats elect first") {
+    val span = words("s", 15)  // present in the accepted corpus
+    val t13 = words("t", 13)   // novel, repeated within the batch
+    val index = Seq((1L, s"${words("a", 4)} $span")).toDF("doc_id", "text")
+    val batch = Seq(
+      // copies an indexed span -> removed entirely
+      (4L, s"${words("z", 5)} $span ${words("q", 5)}"),
+      // novel repeated span -> first occurrence kept, second removed
+      (8L, s"${words("u", 3)} $t13 ${words("v", 2)} $t13 ${words("w", 2)}"),
+      // fully novel -> untouched
+      (12L, words("n", 30))).toDF("doc_id", "text")
+    val got = Dedup.incrementalScrub(index, batch, 12)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 8L, 12L))
+    assert(got(0).getAs[Long]("n_removed") == 15L)
+    assert(got(0).getAs[String]("cleaned_text") ==
+      s"${words("z", 5)} ${words("q", 5)}")
+    assert(got(1).getAs[Long]("n_removed") == 13L)
+    assert(got(1).getAs[String]("cleaned_text") ==
+      s"${words("u", 3)} $t13 ${words("v", 2)} ${words("w", 2)}")
+    assert(got(2).getAs[Long]("n_removed") == 0L)
+    assert(got(2).getAs[String]("cleaned_text") == words("n", 30))
+  }
+
+  test("incrementalScrub == substringScrub of the union when index ids precede") {
+    // when every index doc_id < every batch doc_id, the from-scratch
+    // scrub's canonical election agrees with "the index always wins",
+    // so the incremental result must equal the union scrub restricted
+    // to batch docs — the same stability contract d18 pins for the
+    // cluster index
+    val span = words("s", 14)
+    val boiler = words("b", 12)
+    val index = Seq(
+      (1L, s"${words("a", 4)} $span $boiler"),
+      (2L, s"$boiler ${words("c", 6)}")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"${words("x", 3)} $span"),
+      (11L, s"$boiler $boiler"),
+      (12L, words("y", 20))).toDF("doc_id", "text")
+    val inc = Dedup.incrementalScrub(index, batch, 12)
+      .orderBy("doc_id").collect()
+    val full = Dedup.substringScrub(index.unionByName(batch), 12)
+      .filter(col("doc_id") >= 10L).orderBy("doc_id").collect()
+    assert(inc.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      full.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+  }
+
   test("substringScrub scrubs an exact-duplicate doc to empty text") {
     val body = words("d", 25)
     val docs = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
