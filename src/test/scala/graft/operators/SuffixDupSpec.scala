@@ -158,4 +158,17 @@ class SuffixDupSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_removed") == 25L)
     assert(got(1).getAs[String]("cleaned_text") == "")
   }
+
+  test("d19 plan: exactly two corpus hash exchanges (gram count + doc islands)") {
+    // the round-7 rewrite's whole point: the fixed-minRun criterion is
+    // one count-over-gram exchange + one doc_id islands exchange — a
+    // regression back to any join/doubling form shows up here first
+    val docs = Seq((1L, words("a", 30)), (2L, words("b", 30)))
+      .toDF("doc_id", "text")
+    val plan = Dedup.suffixDupSpans(docs, 12)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2, s"d19 grew to $n hash exchanges:\n$plan")
+    assert(!plan.contains("Join"), "d19 should be join-free")
+  }
 }
