@@ -1369,6 +1369,60 @@ object SparkEntry {
                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
              ORDER BY c.user_id, click_id, buy_id""")),
 
+    // STREAM-STREAM LEFT OUTER interval join (EventStream
+    // .clickPurchaseLeftJoin): the state-EVICTION path w7's inner join
+    // never exercises — an unmatched click's null-extension is only
+    // emitted once the global watermark proves no matching purchase
+    // can still arrive, which requires the AvailableNow finalize
+    // batches to advance the watermark and flush evicted state. The
+    // gate restricts output to clicks at least 2 h older than the
+    // final watermark floor (min of the two streams' max ts), 50 min
+    // past the 1 h delay + 10 min window, so boundary eviction
+    // semantics cannot flake the hash. The two max-ts scalars are
+    // bounded driver values (documented-scalar family).
+    ("w11_stream_outer_join", (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      def reader() = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val batch = Tables.normalizeTs(raw)
+      def maxTs(tpe: String) = batch.filter(col("event_type") === tpe)
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val floor = Seq(maxTs("click"), maxTs("purchase")).min
+      val cutoff = new java.sql.Timestamp(floor.getTime - 2L * 3600 * 1000)
+      val clicks = reader().filter(col("event_type") === "click")
+      val purchases = reader().filter(col("event_type") === "purchase")
+      val name = s"w11_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.clickPurchaseLeftJoin(clicks, purchases)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name)
+        .filter(col("click_ts") <= lit(cutoff))
+        .select(col("user_id"), col("click_id"), col("buy_id"))
+        .orderBy("user_id", "click_id", "buy_id")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+             p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+             old AS (SELECT * FROM c WHERE ts <=
+               LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                 - INTERVAL 2 HOUR)
+             SELECT o.user_id, o.event_id AS click_id, p.event_id AS buy_id
+             FROM old o LEFT JOIN p
+               ON p.user_id = o.user_id
+               AND p.ts > o.ts AND p.ts <= o.ts + INTERVAL 10 MINUTE
+             ORDER BY o.user_id, click_id, buy_id""")),
+
     // built-in session_window in BATCH mode (built-in-first counterpart
     // of the custom Sessionize operator behind w1): same 30-minute gap
     // semantics, session identified by its start time.

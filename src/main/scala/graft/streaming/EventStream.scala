@@ -98,6 +98,27 @@ object EventStream {
       .select(col("user_id"), col("click_id"), col("buy_id"))
   }
 
+  /** LEFT OUTER variant of [[clickPurchaseJoin]]: unmatched clicks emit
+    * (click_id, null buy_id) once the global watermark passes their
+    * join window — the state-EVICTION path an inner join never
+    * exercises (inner results emit on match; outer null-extensions are
+    * withheld until the watermark proves no match can still arrive).
+    * `click_ts` stays in the output so callers can restrict to the
+    * clearly-past region when comparing against batch truth. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("buy_ts") > col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 10 minutes"),
+      "leftOuter")
+      .select(col("user_id"), col("click_ts"), col("click_id"), col("buy_id"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, value_sum: Double)
 

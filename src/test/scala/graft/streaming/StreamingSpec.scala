@@ -65,6 +65,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join evicts and emits unmatched clicks") {
+    val (dir, batch) = stagedEvents()
+    val clicks = spark.readStream.schema(batch.schema).parquet(dir)
+      .filter(col("event_type") === "click")
+    val purchases = spark.readStream.schema(batch.schema).parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val q = EventStream.clickPurchaseLeftJoin(clicks, purchases).writeStream
+      .format("memory").queryName("ssleft").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val bc = batch.filter(col("event_type") === "click")
+      val bp = batch.filter(col("event_type") === "purchase")
+      def ts(df: org.apache.spark.sql.DataFrame) =
+        df.agg(max(col("ts"))).head().getTimestamp(0)
+      val floor = Seq(ts(bc), ts(bp)).min
+      val cutoff = new java.sql.Timestamp(floor.getTime - 2L * 3600 * 1000)
+      val got = spark.table("ssleft")
+        .filter(col("click_ts") <= lit(cutoff))
+        .select("user_id", "click_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val expected = bc.as("c").filter(col("c.ts") <= lit(cutoff))
+        .join(bp.as("p"),
+          col("p.user_id") === col("c.user_id") &&
+            col("p.ts") > col("c.ts") &&
+            col("p.ts") <= col("c.ts") + expr("interval 10 minutes"),
+          "left")
+        .select(col("c.user_id"), col("c.event_id"), col("p.event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got.nonEmpty)
+      // the null-extended (unmatched) rows are the eviction path
+      assert(got.exists(_._3 == -1L),
+        "no unmatched clicks emitted — outer eviction path not exercised")
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val (dir, batch) = stagedEvents()
     val clicks = spark.readStream.schema(batch.schema).parquet(dir)
