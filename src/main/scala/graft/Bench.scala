@@ -81,7 +81,7 @@ object Bench {
     // prefix-doubling rounds): 79/37 s -> 6.4/2.2 s at 10x, so it
     // moves up the cheapest-first order; d20 (its scrub consumer) is
     // 11.8/4.8 s fresh-fork on the same saturated corpus
-    "d19_suffix_dedup", "d20_substring_scrub",
+    "d19_suffix_dedup", "d20_substring_scrub", "d21_scrub_incremental",
     "d17_bloom_decontaminate", "d16_semantic_dedup", "e6_dedup_pipeline",
     "d5_ngram_jaccard",
     "d12_substring_runs")
