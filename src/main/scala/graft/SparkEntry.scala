@@ -2876,20 +2876,15 @@ object SparkEntry {
              FROM runs GROUP BY doc_a, doc_b HAVING MAX(run_len) >= 12
              ORDER BY doc_a, doc_b""")),
 
-    // D19: SUFFIX-ARRAY exact substring dedup (Dedup.suffixDupSpans):
-    // prefix doubling to depth log2(12) over doc-local positions —
-    // integer rank-pair exchanges, dense ranks via GlobalRank over
-    // distinct keys (range-partitioned, never a single-partition
-    // window) — then a position starts a duplicate iff its exact
-    // 12-token-window rank repeats corpus-wide; consecutive starts
-    // collapse to per-doc maximal spans. No anchor buckets, no pair
-    // enumeration: finds what d12's df-capped anchors structurally
-    // miss (SuffixDupSpec pins such a corpus), and emits the
-    // scrubber's per-doc removal-span table instead of pair scores.
-    // Oracle: the rank-repeat criterion is EXACTLY "the 12-gram at
-    // this position occurs >= 2 times", so DuckDB rebuilds it from
-    // gram strings — the hash gate proves the suffix-array ranks
-    // equal direct substring identity.
+    // D19: exact substring dedup, full corpus (Dedup.suffixDupSpans):
+    // a position starts a duplicate iff its exact 12-token gram occurs
+    // >= 2 times corpus-wide (one count-over-gram exchange on the
+    // codegen shingle projection); consecutive starts collapse to
+    // per-doc maximal spans. No anchor buckets, no pair enumeration:
+    // finds what d12's df-capped anchors structurally miss
+    // (SuffixDupSpec pins such a corpus), and emits the scrubber's
+    // per-doc removal-span table instead of pair scores. The oracle is
+    // the same gram-count formulation.
     ("d19_suffix_dedup", (s, dir) =>
       Dedup.suffixDupSpans(t(s, dir, "documents"), 12).orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
