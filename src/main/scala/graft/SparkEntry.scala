@@ -1667,6 +1667,53 @@ object SparkEntry {
                  'filter','window','group','query','batch'], x))) AS BIGINT) AS n_markers
              FROM documents ORDER BY doc_id""")),
 
+    // X5: TEXT-FORMAT ROUND-TRIP fidelity — the corpus re-serialized
+    // through the two text formats a production document ingest
+    // actually receives (JSON lines, RFC-4180 CSV with doubled-quote
+    // escaping) and read back. The synthetic corpus contains no
+    // quotes/commas/backslashes, so a plain round-trip would prove
+    // only plumbing; a deterministic adversarial suffix (quote, comma,
+    // backslash, tab, non-ASCII) is appended first so the gate proves
+    // ESCAPING — the md5s only match the oracle if every writer
+    // escape survives its reader exactly. Temp files are removed
+    // before return (output materialized first — bounded: one row of
+    // two md5s per doc, the documented-scalar family).
+    ("x5_format_roundtrip", (s, dir) => {
+      val gnarly = " q\"x, y\\z\té€"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(gnarly)).as("text"),
+          col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft_fmt").toFile
+      try {
+        val jdir = new java.io.File(base, "j").getPath
+        val cdir = new java.io.File(base, "c").getPath
+        docs.write.mode("overwrite").json(jdir)
+        docs.write.mode("overwrite").option("header", "true")
+          .option("escape", "\"").csv(cdir)
+        val j = s.read.schema(docs.schema).json(jdir)
+        val c = s.read.schema(docs.schema).option("header", "true")
+          .option("escape", "\"").csv(cdir)
+        val out = j.select(col("doc_id"), md5(col("text")).as("j_md5"),
+            col("lang").as("j_lang"))
+          .join(c.select(col("doc_id"), md5(col("text")).as("c_md5"),
+            col("lang").as("c_lang")), Seq("doc_id"))
+          .orderBy("doc_id")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(base)
+      }
+    },
+      Some("""SELECT doc_id,
+             md5(text || ' q"x, y\z' || chr(9) || 'é€') AS j_md5,
+             lang AS j_lang,
+             md5(text || ' q"x, y\z' || chr(9) || 'é€') AS c_md5,
+             lang AS c_lang
+             FROM documents ORDER BY doc_id""")),
+
     ("x1_json_extract", (s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
