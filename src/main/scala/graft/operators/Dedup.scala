@@ -195,6 +195,15 @@ object Dedup {
     val kept = anchors
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("__n") <= maxBucket).drop("__n")
+    // NOT pinned, by measurement: the pair set feeds both the
+    // candidate-doc projection and the match-point join, but both
+    // references live in ONE plan, where ReusedExchange already
+    // de-duplicates the anchor chain's identical shuffle subtrees —
+    // pinning (tried round 7) left CPU unchanged and added a
+    // materialization job. Pinning pays only when a re-reference
+    // crosses an ACTION boundary (e.g. d18's driver-side union-find
+    // inside the stored-label lineage), which exchange reuse cannot
+    // span.
     val pairs = kept.as("a").join(kept.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
