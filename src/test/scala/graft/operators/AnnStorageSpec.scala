@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The IVF STORAGE claim made concrete: SCALE.md says "embeddings at
+  * 100 TB should be stored partitioned by centroid id so probes prune
+  * at the file level" — this spec writes the inverted file that way and
+  * proves a probe's scan actually prunes (PartitionFilters in the scan,
+  * non-probed partitions never read) while returning exactly the
+  * in-memory probe's rows. */
+class AnnStorageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("centroid-partitioned embedding store prunes probe scans at the file level") {
+    val em = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Ann.kmeansCentroids(em, 4, 2)
+    val assigned = em.join(
+      Ann.clusterAssignment(em, centroids), Seq("vec_id"))
+    val store = Files.createTempDirectory("graft-ivf").toString
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(store)
+
+    // the inverted file landed as one directory per centroid cell
+    val cells = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(cells.length >= 2, s"expected >=2 centroid partitions, got ${cells.toSeq}")
+
+    // a probe of one cell must reach the scan as a PARTITION filter —
+    // file-level pruning, not a post-scan filter of all rows
+    val probed = spark.read.parquet(store).filter(col("cluster") === 1)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"probe filter did not reach the scan as a partition filter:\n$scan")
+    assert(probed.queryExecution.executedPlan.collectLeaves().forall {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.partitionFilters.nonEmpty
+      case _ => true
+    }, "scan has no partition filters")
+
+    // and the pruned read returns exactly the in-memory assignment's cell
+    val expected = assigned.filter(col("cluster") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = probed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}
