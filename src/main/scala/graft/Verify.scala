@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave NAMED evidence in the output dir,
+    // not just a stderr line: round 6's testdata drift made 6 queries
+    // throw and the round's correctness artifact silently shrank
+    // 158 -> 152 — the absence was only diagnosable by re-running by
+    // hand. _failed.json sits next to the results so a shrunk artifact
+    // carries its own explanation.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -25,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +51,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }
