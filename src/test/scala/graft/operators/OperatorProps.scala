@@ -169,6 +169,62 @@ object OperatorProps extends Properties("operators") {
       }
     }
 
+  // ---- substring scrub (d20) vs an independent plain-Scala reference ----
+  // random small corpora over a tiny vocabulary (so duplicated grams and
+  // overlapping islands actually occur), compared against a brute-force
+  // reimplementation of the contract: corpus-first gram election,
+  // removable-start islands, covered-position union, ordered reassembly.
+  private val genCorpus: Gen[List[(Long, String)]] =
+    Gen.chooseNum(2, 5).flatMap { nDocs =>
+      Gen.sequence[List[(Long, String)], (Long, String)](
+        (1 to nDocs).map { id =>
+          Gen.chooseNum(0, 14).flatMap { n =>
+            Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(ws =>
+              (id.toLong, ws.mkString(" ")))
+          }
+        }.toList)
+    }
+
+  private def refScrub(docs: List[(Long, String)], minRun: Int): Map[Long, (Long, String)] = {
+    def toks(t: String) = if (t.isEmpty) List("") else t.split(" ", -1).toList
+    val grams = for {
+      (id, t) <- docs
+      ws = toks(t)
+      i <- 0 to ws.length - minRun
+    } yield ((id, i), ws.slice(i, i + minRun).mkString(" "))
+    val firstOf = grams.groupBy(_._2)
+      .map { case (g, occ) => g -> occ.map(_._1).minBy(identity) }
+    val removable = grams.collect {
+      case ((id, i), g) if firstOf(g) != ((id, i)) => (id, i)
+    }
+    val covered = removable.groupBy(_._1).view.mapValues { starts =>
+      // islands of consecutive starts -> cover [start, last + minRun - 1]
+      val ss = starts.map(_._2).sorted
+      val islands = ss.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      islands.flatMap { case (s, e) => s to (e + minRun - 1) }.toSet
+    }.toMap
+    docs.map { case (id, t) =>
+      val ws = toks(t)
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = ws.zipWithIndex.collect { case (w, i) if !cov(i) => w }
+      id -> ((ws.length - kept.length).toLong, kept.mkString(" "))
+    }.toMap
+  }
+
+  property("substringScrub == brute-force reference on random corpora") =
+    forAll(genCorpus) { docs =>
+      val nonEmpty = docs.filter(_._2.nonEmpty)
+      val minRun = 3
+      val got = Dedup.substringScrub(nonEmpty.toDF("doc_id", "text"), minRun)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val want = refScrub(nonEmpty, minRun)
+      // operator emits one row per doc with >= 1 token; all nonEmpty qualify
+      got == want
+    }
+
   property("weightedMix: per-doc copies within [floor, ceil] of its weight") =
     forAll(genDocs) { docs =>
       val mw = Map("a" -> 2500L, "b" -> 700L, "c" -> 0L)
