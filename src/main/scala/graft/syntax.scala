@@ -73,6 +73,21 @@ object syntax {
                           maxBucket: Int = 100): DataFrame =
       Dedup.longestCommonRuns(df, anchorK, minRun, maxBucket)
 
+    /** Per-doc duplicated-substring spans, full corpus; see
+      * [[Dedup.suffixDupSpans]]. */
+    def duplicatedSpans(minRun: Int = 12): DataFrame =
+      Dedup.suffixDupSpans(df, minRun)
+
+    /** Rewrite docs with duplicated spans removed (corpus-first
+      * occurrence kept); see [[Dedup.substringScrub]]. */
+    def scrubbed(minRun: Int = 12): DataFrame =
+      Dedup.substringScrub(df, minRun)
+
+    /** Scrub this batch against an accepted corpus's gram index; see
+      * [[Dedup.incrementalScrub]]. */
+    def scrubbedAgainst(indexDocs: DataFrame, minRun: Int = 12): DataFrame =
+      Dedup.incrementalScrub(indexDocs, df, minRun)
+
     /** Benchmark-overlap audit (decontamination); see
       * [[Dedup.contamination]]. */
     def contaminationAudit(benchmark: DataFrame, k: Int = 8): DataFrame =

@@ -41,6 +41,17 @@ class SyntaxSpec extends AnyFunSuite {
         Seq(("cos_r", true), ("neighbor_id", false)), 4, "rnk").collect().toSet)
   }
 
+  test("round-7 scrub façades match direct calls") {
+    assert(docs.duplicatedSpans().collect().toSet ==
+      Dedup.suffixDupSpans(docs).collect().toSet)
+    assert(docs.scrubbed().collect().toSet ==
+      Dedup.substringScrub(docs).collect().toSet)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val index = docs.filter(col("doc_id") % 4 =!= 0)
+    assert(batch.scrubbedAgainst(index).collect().toSet ==
+      Dedup.incrementalScrub(index, batch).collect().toSet)
+  }
+
   test("sessionized façade matches Sessionize") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select("user_id", "ts")
