@@ -156,9 +156,18 @@ object Bench {
     val heavyN = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "2").toInt
     val graceSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRACE", "150").toDouble
 
+    // The grace period and the final print are RESERVED INSIDE the
+    // budget: forks get budget - grace - 15 s, the watchdog kills at
+    // fork-deadline + grace = budget - 15 s, and the last ~15 s belong
+    // to cleanup + the final JSON. Round 7 elapsed 917.1 s against a
+    // 900 s budget because grace was added AFTER the deadline — one
+    // driver-side timeout away from truncating the artifact.
+    def remainingForkSec: Double = remainingSec - graceSec - 15.0
+
     def runHeavyFork(heavyDir: String, cp: String, javaBin: String,
                      queries: Seq[String]): Seq[HeavyResult] = {
-      val deadlineMs = System.currentTimeMillis() + (remainingSec * 1000).toLong
+      val deadlineMs = System.currentTimeMillis() +
+        (math.max(remainingForkSec, 1.0) * 1000).toLong
       val cmd = Seq(javaBin) ++ tools.HeavyRunner.jdk17AddOpens ++ Seq(
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
         "-cp", cp, "graft.tools.HeavyRunner",
@@ -223,17 +232,27 @@ object Bench {
       } finally reader.close()
       val code = proc.waitFor()
       killer.interrupt()
+      // killedByWatchdog alone can mask a crash: destroyForcibly racing
+      // a natural exit leaves the NATURAL exit code in `code`. A true
+      // deadline kill satisfies all three of: watchdog fired, deadline
+      // actually elapsed by exit time, and the code is the SIGKILL/
+      // SIGTERM signal code — anything else is the fork's own death.
+      val deadlineKill = killedByWatchdog &&
+        System.currentTimeMillis() >= deadlineMs &&
+        (code == 137 || code == 143)
       queries.filterNot(seen).foreach { q =>
         // never started: budget exhaustion (our watchdog kill, or the
         // fork's own deadline shedding) is a SKIP — only an unexplained
         // fork death (crash/OOM before the query's HEAVY/HEAVYFAIL line)
         // records a failure
         skipped += q
-        if (code != 0 && !killedByWatchdog) failed += q
+        if (code != 0 && !deadlineKill) failed += q
       }
       if (code != 0)
         System.err.println(s"[bench] heavy fork exit $code" +
-          (if (killedByWatchdog) " (deadline kill -> skipped)" else "") +
+          (if (deadlineKill) " (deadline kill -> skipped)"
+           else if (killedByWatchdog) " (watchdog fired but exit code is not a kill signal -> failure)"
+           else "") +
           s" (completed ${out.size}/${queries.size})")
       out.toSeq
     }
@@ -248,7 +267,7 @@ object Bench {
           new java.io.File(sys.props("java.home"), "bin"), "java").getPath
         val cp = classes.getPath + java.io.File.pathSeparator + "/opt/spark/jars/*"
         Seq(heavyCanaries, heavyWorstCases).flatMap { group =>
-          if (remainingSec < 60) { skipped ++= group; Seq.empty }
+          if (remainingForkSec < 60) { skipped ++= group; Seq.empty }
           else runHeavyFork(heavyDir, cp, javaBin, group)
         }
       } else {
@@ -295,6 +314,8 @@ object Bench {
 
     def obj(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def obj1(kv: Seq[(String, Double)]) =
+      kv.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     def arrObj(kv: Seq[(String, Seq[Double])]) =
       kv.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
@@ -315,16 +336,31 @@ object Bench {
     // pinned RDD) flooded the tail. log4j2.properties additionally
     // silences that logger, but ordering must not depend on it.
     SparkEntry.clearCaches(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${obj(results)},"heavy":${obj(heavyMin)},""" +
+    // PENULTIMATE line: the full evidence — every light timing and all
+    // five heavy per-run series. Bulky (>5 KB) and therefore NOT the
+    // line the driver parses.
+    println(s"""{"metric":"detail","queries":${obj(results)},""" +
       s""""heavy_gc":${obj(heavyGc)},""" +
       s""""heavy_runs":${arrObj(heavy.map(h => h.name -> h.walls))},""" +
       s""""heavy_gc_runs":${arrObj(heavy.map(h => h.name -> h.gcs))},""" +
       s""""heavy_load_runs":${arrObj(heavy.map(h => h.name -> h.loads))},""" +
       s""""heavy_cpu_runs":${arrObj(heavy.map(h => h.name -> h.cpus))},""" +
-      s""""heavy_io_runs":${arrObj(heavy.map(h => h.name -> h.ios))},""" +
-      s""""heavy_n":$heavyN,""" +
-      s""""heavy_copies":$heavyCopies,""" +
+      s""""heavy_io_runs":${arrObj(heavy.map(h => h.name -> h.ios))}}""")
+    // FINAL line: a compact summary that must fit the driver's bounded
+    // stdout tail window (~2.2 KB observed, which also has to hold
+    // sbt's trailing "[success]" line) — rounds 1-7 all produced
+    // `parsed: null` and the only remaining cause in round 7 was this
+    // line's size (five full series maps put it past the window, which
+    // then clipped the line's FRONT). Budget: "queries" carries only
+    // the 10 slowest light queries (the full map is on the detail line
+    // and in the per-query incremental lines), heavy carries min walls
+    // at 1 decimal. Target ≤ ~1 KB.
+    val slowest = results.sortBy(-_._2).take(10)
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      s""""light_n":${results.size},""" +
+      s""""queries":${obj1(slowest)},""" +
+      s""""heavy":${obj1(heavyMin)},""" +
+      s""""heavy_n":$heavyN,"heavy_copies":$heavyCopies,""" +
       f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
       s""""skipped":${strArr(skipped.toSeq)},""" +
       s""""failed":${strArr(failed.toSeq)},"sf":"$sfDir"}""")

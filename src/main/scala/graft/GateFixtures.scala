@@ -40,6 +40,46 @@ object GateFixtures {
        GROUP BY t.event_id, t.rn ORDER BY t.event_id"""
   }
 
+  /** Tiny REAL PNG, rendered deterministically from a doc id: an 8-bit
+    * grayscale image of (8 + id%5) × (8 + id%3) pixels with pixel
+    * (x, y) = (id + 11·x + 17·y) mod 256. PNG is lossless and
+    * grayscale luma is integer-exact through [[graft.multimodal
+    * .Multimodal.ImageIoDecoder]] ((r+g+b)/3.0 == v for r=g=b=v), so
+    * the m6/m7 gates can compare real encode→decode round-trips
+    * against a closed-form DuckDB oracle that never decodes anything —
+    * it just re-evaluates the pixel formula. Encoded BYTES are
+    * encoder-version-dependent and deliberately never gated. */
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (8 + id % 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id + 11L * x + 17L * y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The documents table as real-PNG media rows (doc_id, payload) —
+    * input of the m6/m7 real-codec gates. The render runs inside
+    * mapPartitions (per-partition batching, no driver work), exactly
+    * where a production pipeline's fetch-or-transcode stage sits. */
+  private[graft] def pngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "payload")
+  }
+
   /** Cleaned activities for the e3/e4 pipeline gates: a 1-in-20 orders
     * slice as Strava-shaped JSON through the real clean; elapsed_time
     * splits the corpus across the R5 branch. */

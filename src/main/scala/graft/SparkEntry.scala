@@ -1391,7 +1391,13 @@ object SparkEntry {
       def maxTs(tpe: String) = batch.filter(col("event_type") === tpe)
         .agg(max(col("ts"))).head().getTimestamp(0)
       val floor = Seq(maxTs("click"), maxTs("purchase")).min
-      val cutoff = new java.sql.Timestamp(floor.getTime - 2L * 3600 * 1000)
+      // Full-microsecond precision: getTime arithmetic truncates to
+      // millis, making the Spark cutoff up to ~999 us EARLIER than the
+      // oracle's LEAST(max,max) - INTERVAL 2 HOUR — a click landing in
+      // that sub-millisecond window after a testdata regeneration would
+      // flip the gate. Timestamp.from/toInstant round-trip the micros.
+      val cutoff = java.sql.Timestamp.from(
+        floor.toInstant.minus(java.time.Duration.ofHours(2)))
       val clicks = reader().filter(col("event_type") === "click")
       val purchases = reader().filter(col("event_type") === "purchase")
       val name = s"w11_sink_${streamGateSeq.incrementAndGet()}"
@@ -1422,6 +1428,57 @@ object SparkEntry {
                ON p.user_id = o.user_id
                AND p.ts > o.ts AND p.ts <= o.ts + INTERVAL 10 MINUTE
              ORDER BY o.user_id, click_id, buy_id""")),
+
+    // STREAMING substring scrub at ingest (EventStream.scrubPlanStream)
+    // — the streaming twin of d21's index probe, completing the scrub
+    // triad's streaming story: arriving docs (doc_id % 4 == 0, the d21
+    // batch split) are shingled per-row, bloom-prefiltered against the
+    // accepted corpus's gram set (plan-constant literal, the w9
+    // discipline), and index hits emit (doc_id, pos) removable-start
+    // rows — the scrub PLAN, stateless and arrival-order independent.
+    // No batch-internal election by design: ingest scrubs against the
+    // ACCEPTED corpus; batch-vs-batch dups are compaction's business
+    // (d20/d21). StreamingSpec pins stream==batch on the same split.
+    ("w12_stream_scrub", (s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val gramIndex = operators.Dedup
+        .wordShingles(raw.filter(col("doc_id") % 4 =!= 0), 12)
+        .select(col("sh").as("gram")).distinct().cache()
+      try {
+        val bloomBytes = gramIndex
+          .agg(graft.functions.Bloom.build(col("gram"), 1 << 17, 5).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") % 4 === 0)
+        val name = s"w12_sink_${streamGateSeq.incrementAndGet()}"
+        val q = graft.streaming.EventStream
+          .scrubPlanStream(stream, gramIndex, 12, Some(bloomBytes))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val resolved = s.table(name).orderBy("doc_id", "pos")
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally gramIndex.unpersist()
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             iw AS (SELECT * FROM w WHERE doc_id % 4 <> 0),
+             bw AS (SELECT * FROM w WHERE doc_id % 4 = 0),
+             g0 AS (SELECT doc_id, UNNEST([array_to_string(w[i : i+11], ' ')
+                 for i in generate_series(1, len(w) - 11)]) g FROM iw),
+             gi AS (SELECT DISTINCT g gram FROM g0),
+             gb AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1,
+                 gr := array_to_string(w[i : i+11], ' '))
+                 for i in generate_series(1, len(w) - 11)]) s FROM bw),
+             e AS (SELECT doc_id, CAST(s.p AS INT) pos, s.gr gram FROM gb)
+             SELECT e.doc_id, e.pos FROM e JOIN gi USING (gram)
+             ORDER BY doc_id, pos""")),
 
     // built-in session_window in BATCH mode (built-in-first counterpart
     // of the custom Sessionize operator behind w1): same 30-minute gap
@@ -4032,6 +4089,60 @@ object SparkEntry {
            SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
            FROM p GROUP BY phash ORDER BY phash"""
       }),
+
+    // REAL image decode through the multimodal seam: the fixture
+    // renders a deterministic tiny grayscale PNG per doc
+    // (GateFixtures.syntheticPng), Multimodal.ImageIoDecoder
+    // (javax.imageio — JDK-only, headless-safe) decodes the actual
+    // PNG bytes inside mapPartitions, and the oracle re-evaluates the
+    // pixel formula (id + 11x + 17y mod 256) in closed form — a real
+    // encode->decode round-trip gated without DuckDB ever touching an
+    // image. luma_sum is the exact integer pixel total (avg*w*h
+    // rounds back to it), so the gate is FP-summation-order-proof.
+    ("m6_image_decode", (s, dir) => {
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
+        GateFixtures.pngMedia(s, dir), graft.multimodal.Multimodal.ImageIoDecoder)
+      feats.toDF().select(col("doc_id"), col("width"), col("height"),
+        round(col("avg_luma") * col("width") * col("height"))
+          .cast("long").as("luma_sum"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) w,
+               CAST(8 + doc_id % 3 AS INT) h FROM documents),
+             px AS (SELECT doc_id, w, h,
+               UNNEST([i for i in generate_series(0, w*h - 1)]) i FROM g)
+             SELECT doc_id, w AS width, h AS height,
+               CAST(SUM((doc_id + 11*(i % w) + 17*(i // w)) % 256) AS BIGINT)
+                 AS luma_sum
+             FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // Decoded-PIXEL perceptual dup groups (the real-codec twin of m4's
+    // byte-grid aHash): decode the PNG, resample the row-major luma
+    // sequence to 16 cells (cell i = pixel n*i/16), integer threshold,
+    // pack, groupBy phash. The oracle samples the same positions from
+    // the pixel formula. Raw raster samples keep the values
+    // integer-exact (see ImageIoDecoder — getRGB would gamma-shift).
+    ("m7_image_phash_dup", (s, dir) =>
+      graft.multimodal.Multimodal.imagePerceptualHashes(
+        GateFixtures.pngMedia(s, dir))
+        .toDF().groupBy("phash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("phash"),
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) w,
+               CAST(8 + doc_id % 3 AS INT) h FROM documents),
+             c AS (SELECT doc_id, w, h,
+               UNNEST([i for i in generate_series(0, 15)]) i FROM g),
+             v AS (SELECT doc_id, i,
+               (doc_id + 11*(((w*h)*i//16) % w) + 17*(((w*h)*i//16) // w)) % 256 cell
+               FROM c),
+             sm AS (SELECT doc_id, SUM(cell) st FROM v GROUP BY doc_id),
+             b AS (SELECT v.doc_id,
+               CAST(SUM(CASE WHEN 16*cell >= st
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) phash
+               FROM v JOIN sm ON v.doc_id = sm.doc_id GROUP BY v.doc_id)
+             SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+             FROM b GROUP BY phash ORDER BY phash""")),
 
     // correlated scalar subqueries through the SQL parser path (the
     // predicate is exact-integer so both engines decide identically:

@@ -33,6 +33,17 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        // A failed query must be LOUD in the correctness artifact
+        // itself, not just absent from it: an absent result dir makes
+        // the artifact silently shrink (round 6: 158 -> 152 and nobody
+        // noticed until a hand re-run), while a one-row __error frame
+        // guarantees a schema/hash MISMATCH against the oracle under
+        // the same query name.
+        try {
+          import spark.implicits._
+          Seq(failed(name)).toDF("__error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

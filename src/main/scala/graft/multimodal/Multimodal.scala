@@ -44,6 +44,96 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec bound at the same seam: `javax.imageio` (JDK
+    * built-in, headless-safe — no dependency beyond the JDK) decodes
+    * JPEG/PNG/GIF/BMP payloads. Luma of a pixel is (r+g+b)/3.0 —
+    * integer-exact for grayscale sources (r=g=b=v gives 3v/3.0 == v in
+    * IEEE double), which is what lets the m6/m7 gates compare decoded
+    * values against a closed-form DuckDB oracle. An undecodable
+    * payload returns the EXPLICIT failure marker (-1, -1, -1.0) — the
+    * C4 discipline: corrupt media must be visible downstream, never a
+    * silent zero. ImageIO.read allocates per call; one reader instance
+    * per partition is the mapPartitions seam's job, and payload bytes
+    * never leave the task. */
+  object ImageIoDecoder extends Decoder {
+    override def decode(b: Array[Byte]): (Int, Int, Double) =
+      decodeImage(b) match {
+        case Some((w, h, luma)) =>
+          (w, h, if (luma.isEmpty) 0.0 else luma.map(_.toDouble).sum / luma.length)
+        case None => (-1, -1, -1.0)
+      }
+
+    /** Full decode: (width, height, row-major per-pixel integer luma).
+      * Reads RAW raster samples, not `getRGB` — getRGB routes every
+      * pixel through a colorspace transform to sRGB, which
+      * gamma-shifts grayscale values (128 -> ~186) and would silently
+      * break value-exact comparisons; raster samples are the decoded
+      * bytes as stored. 1-band images yield the sample itself; 3+
+      * bands yield (r+g+b)/3 integer luma. None if the payload is not
+      * a decodable image. */
+    def decodeImage(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val luma = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              luma(y * w + x) =
+                if (bands == 1) raster.getSample(x, y, 0)
+                else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                  raster.getSample(x, y, 2)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, luma))
+        }
+      } catch { case _: Throwable => None }
+  }
+
+  /** Decoded-pixel perceptual hash (the REAL-codec twin of
+    * [[perceptualHashes]]): decode the payload with `ImageIoDecoder`,
+    * resample the row-major luma sequence to a 16-cell grid (cell i =
+    * luma at position n·i/16), threshold against the integer grid sum
+    * (16·cell >= sum — no division), pack 16 bits. Same blocking-key
+    * semantics as the byte-grid aHash, but over actual decoded pixels,
+    * so re-encoded copies of the same image land on the same hash.
+    * Undecodable payloads hash to -1 (the explicit-failure group). */
+  def imagePerceptualHashes(media: DataFrame): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val b = if (payload == null) Array.emptyByteArray else payload
+          ImageIoDecoder.decodeImage(b) match {
+            case Some((w, h, luma)) =>
+              val n = w * h
+              val cells = Array.tabulate(16) { i =>
+                if (n == 0) 0 else luma(n * i / 16)
+              }
+              val s = cells.sum
+              var hsh = 0L
+              var i = 0
+              while (i < 16) {
+                if (16 * cells(i) >= s) hsh |= (1L << i)
+                i += 1
+              }
+              PerceptualHash(id, hsh)
+            case None => PerceptualHash(id, -1L)
+          }
+        }
+      }
+  }
+
   /** Wrap a text/binary corpus as media rows: (doc_id, payload, meta). */
   def toMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -22,21 +22,43 @@ import org.apache.spark.sql.execution.LogicalRDD
   * a localCheckpoint is non-replayable by design, so re-collecting a
   * stale handle after `clear` fails — callers rebuild through the
   * operator instead, the same contract the materialized signature
-  * index documents. */
+  * index documents.
+  *
+  * FAULT TOLERANCE: a localCheckpoint block lives only in executor
+  * storage — lose the executor (preemption, decommission, OOM kill)
+  * and the block is gone WITH its lineage, so the job fails instead of
+  * recomputing. That trade (cheap pin, non-recoverable state) is right
+  * for the bench/gate paths this library runs here, but a 1000-executor
+  * production run should set `spark.graft.checkpoint.reliable=true`
+  * AND a `sparkContext.setCheckpointDir` — [[pin]] then uses a
+  * RELIABLE checkpoint (replayable from the checkpoint store after
+  * executor loss) at the cost of a distributed-FS write per pin. The
+  * pinned frames are collision-rate-sized by design, so that write is
+  * small. */
 object Checkpoints {
 
   private val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, RDD[_])]()
 
   /** Checkpoint `df` (eager) and register the backing RDD for
-    * [[clear]]. */
+    * [[clear]]. With `spark.graft.checkpoint.reliable=true` and a
+    * checkpoint dir set, uses a reliable (replayable) checkpoint
+    * instead — those blocks live in the checkpoint store, not executor
+    * storage, so there is nothing to register. */
   def pin(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint()
-    c.queryExecution.logical match {
-      case lr: LogicalRDD => pinned.add((c.sparkSession, lr.rdd))
-      case _ => // unexpected plan shape: nothing to track, GC reclaims
+    val s = df.sparkSession
+    val reliable =
+      s.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean &&
+        s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint()
+    else {
+      val c = df.localCheckpoint()
+      c.queryExecution.logical match {
+        case lr: LogicalRDD => pinned.add((c.sparkSession, lr.rdd))
+        case _ => // unexpected plan shape: nothing to track, GC reclaims
+      }
+      c
     }
-    c
   }
 
   /** Unpersist every checkpoint RDD registered on behalf of `s`. */

@@ -79,6 +79,44 @@ object EventStream {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Streaming SUBSTRING SCRUB at ingest (streaming twin of d21's
+    * index-probe scrub, completing the streaming story for the scrub
+    * family d19/d20/d21): each arriving document is shingled as a
+    * per-row projection, its minRun-token grams optionally prefiltered
+    * through the accepted corpus's Bloom filter (a plan-constant
+    * binary literal — no join, no state, same trick as
+    * [[decontaminateStream]]), and the survivors probed against the
+    * PERSISTED GRAM INDEX via a stream-static join. Emits one
+    * `(doc_id, pos)` REMOVABLE-START row per index hit — the scrub
+    * PLAN. Bloom false positives die in the join, so the appended set
+    * is exact and arrival-order independent — gateable against the
+    * batch oracle.
+    *
+    * Statelessness is the design, not a shortcut: an ingest stream
+    * scrubs against the ACCEPTED corpus, so there is no batch-internal
+    * first-occurrence election (that is the compaction job's business
+    * — [[graft.operators.Dedup.incrementalScrub]] runs it when batches
+    * are folded into the index), no watermark, and no streaming
+    * aggregation. The per-doc splice (islands -> coverage ->
+    * reassembly) is a deterministic pure function of the plan rows and
+    * runs at the sink/compaction where the doc's rows are co-located.
+    * At 100 TB the bloom cuts each micro-batch's join input to
+    * ~true-hit volume and the index side is gram-partitioned persisted
+    * storage — the same access pattern as d15's signature probe. */
+  def scrubPlanStream(docs: DataFrame, gramIndex: DataFrame,
+      minRun: Int = 12, bloom: Option[Array[Byte]] = None,
+      numHashes: Int = 5): DataFrame = {
+    import graft.functions.{Bloom, TextAnalysis}
+    val grams = docs.select(col("doc_id"), posexplode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), minRun)))
+      .withColumnRenamed("col", "gram")
+    val prefiltered = bloom match {
+      case Some(b) => grams.filter(Bloom.mightContainCol(lit(b), col("gram"), numHashes))
+      case None => grams
+    }
+    prefiltered.join(gramIndex, Seq("gram")).select(col("doc_id"), col("pos"))
+  }
+
   /** Stream-stream interval join (streaming twin of the j5 range join):
     * purchases within 10 minutes after a click by the same user. Both
     * sides are watermarked and the join condition bounds the event-time

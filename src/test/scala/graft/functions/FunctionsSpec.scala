@@ -138,6 +138,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).avg_luma > 0.0)
   }
 
+  test("ImageIO decoder: PNG round-trip is value-exact, failure is explicit") {
+    import graft.multimodal.Multimodal
+    val id = 7L
+    val png = graft.GateFixtures.syntheticPng(id)
+    val dec = Multimodal.ImageIoDecoder.decodeImage(png)
+    assert(dec.isDefined)
+    val (w, h, luma) = dec.get
+    assert(w == (8 + id % 5).toInt && h == (8 + id % 3).toInt)
+    // raw raster samples equal the render formula bit-for-bit — the
+    // getRGB path would gamma-shift grayscale (128 -> ~186) and fail
+    for (y <- 0 until h; x <- 0 until w)
+      assert(luma(y * w + x) == ((id + 11 * x + 17 * y) % 256).toInt)
+    val (dw, dh, avg) = Multimodal.ImageIoDecoder.decode(png)
+    assert(dw == w && dh == h)
+    assert(math.abs(avg - luma.map(_.toDouble).sum / luma.length) < 1e-12)
+    // undecodable payload -> the explicit failure marker, never a
+    // silent zero (C4 discipline)
+    assert(Multimodal.ImageIoDecoder.decode("not an image".getBytes) == ((-1, -1, -1.0)))
+  }
+
+  test("decoded-pixel perceptual hashes are formula-exact; corrupt groups at -1") {
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, graft.GateFixtures.syntheticPng(1L)),
+      (16L, graft.GateFixtures.syntheticPng(16L)),
+      (99L, "corrupt bytes".getBytes))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imagePerceptualHashes(media).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    assert(hashes(99L) == -1L)
+    def phashOf(id: Long): Long = {
+      val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt; val n = w * h
+      val cells = Array.tabulate(16) { i =>
+        val p = n * i / 16
+        ((id + 11 * (p % w) + 17 * (p / w)) % 256).toInt
+      }
+      val s = cells.sum
+      (0 until 16).map(i => if (16 * cells(i) >= s) 1L << i else 0L).sum
+    }
+    assert(hashes(1L) == phashOf(1L))
+    assert(hashes(16L) == phashOf(16L))
+  }
+
   test("resize stage bounds payload size and keeps every factor-th byte") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "abcdefghij", "s"), (2L, "xy", "s"), (3L, "", "s"))

@@ -104,6 +104,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming scrub plan matches the batch index probe (w12)") {
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft-scrub").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val gramIndex = graft.operators.Dedup
+      .wordShingles(batch.filter(col("doc_id") % 4 =!= 0), 12)
+      .select(col("sh").as("gram")).distinct().cache()
+    try {
+      val bloomBytes = gramIndex
+        .agg(graft.functions.Bloom.build(col("gram"), 1 << 17, 5).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val stream = spark.readStream.schema(batch.schema).parquet(dir)
+        .filter(col("doc_id") % 4 === 0)
+      val q = EventStream.scrubPlanStream(stream, gramIndex, 12, Some(bloomBytes))
+        .writeStream.format("memory").queryName("scrubplan")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("scrubplan").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        // batch truth: the same probe WITHOUT the bloom prefilter — the
+        // bloom must be a pure optimization (false positives die in the
+        // join), so presence/absence cannot change the result set
+        val expected = EventStream.scrubPlanStream(
+          batch.filter(col("doc_id") % 4 === 0), gramIndex, 12, None)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(expected.nonEmpty)
+        assert(got == expected)
+        // negative control: docs in the index split contribute no plan
+        // rows (the stream side filters to the batch split)
+        val indexIds = batch.filter(col("doc_id") % 4 =!= 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(got.forall { case (id, _) => !indexIds.contains(id) })
+      } finally q.stop()
+    } finally gramIndex.unpersist()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val (dir, batch) = stagedEvents()
     val clicks = spark.readStream.schema(batch.schema).parquet(dir)
