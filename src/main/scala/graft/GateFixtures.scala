@@ -376,22 +376,33 @@ object GateFixtures {
     * (probes = top-nprobe of rk) and d16 (cluster-scoped pair dedup) —
     * both oracles must run the IDENTICAL training rounds or the
     * codebooks diverge. */
-  private[graft] val kmeansMemberCtes: String = {
+  private[graft] val kmeansMemberCtes: String = kmeansMemberCtesTrainedOn("TRUE")
+
+  /** [[kmeansMemberCtes]] generalized with a TRAINING-SET predicate:
+    * seeds and every Lloyd round see only `dimsT` (rows satisfying
+    * `trainPred`), while the final scoring/membership (`sf`/`rk`/
+    * `member`) covers ALL vectors — the oracle twin of "train the
+    * codebook on the stored corpus, assign everyone". With TRUE the
+    * chain degenerates to the shared n5/d16 oracle exactly; n10 passes
+    * the stored-corpus split to gate frozen-codebook incremental
+    * maintenance. */
+  private[graft] def kmeansMemberCtesTrainedOn(trainPred: String): String = {
     def lloyd(centIn: String, n: Int): String =
       s"""s$n AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
-            FROM dims d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
+            FROM dimsT d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
          a$n AS (SELECT vec_id, cluster FROM
             (SELECT vec_id, cluster,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
              FROM s$n) WHERE r = 1),
          c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
-            FROM dims d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
+            FROM dimsT d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
     s"""$oracleUnitCte,
        dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u),
+       dimsT AS (SELECT * FROM dims WHERE $trainPred),
        seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
-                 FROM (SELECT DISTINCT vec_id FROM dims) ORDER BY vec_id LIMIT 5),
+                 FROM (SELECT DISTINCT vec_id FROM dimsT) ORDER BY vec_id LIMIT 5),
        c0 AS (SELECT s.cluster, d.i, ROUND(d.v, 6) c
-              FROM dims d JOIN seeds s USING (vec_id)),
+              FROM dimsT d JOIN seeds s USING (vec_id)),
        ${lloyd("c0", 1)},
        ${lloyd("c1", 2)},
        sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score

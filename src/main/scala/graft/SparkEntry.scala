@@ -3563,6 +3563,25 @@ object SparkEntry {
            FROM pairs WHERE cos_r >= 0.4
            GROUP BY drop_id, cluster ORDER BY drop_id""")),
 
+    // INCREMENTAL inverted-file maintenance (Ann.incrementalMembers) —
+    // the ANN member of the incremental-index family (d15 signatures,
+    // d18 clusters, d21 grams): codebook trained on the STORED corpus
+    // only (vec_id % 4 != 0, the family's fixture split) and FROZEN;
+    // the batch folds in via one broadcast-codebook scoring pass;
+    // stored membership passes through untouched. The oracle trains
+    // its Lloyd rounds on the same stored split (dimsT) and assigns
+    // everyone — equality proves frozen-codebook ingest == rebuild.
+    ("n10_ann_incremental", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val stored = em.filter(col("vec_id") % 4 =!= 0)
+      val batch = em.filter(col("vec_id") % 4 === 0)
+      val cb = Ann.kmeansCentroids(stored, 5, 2)
+      Ann.incrementalMembers(Ann.clusterAssignment(stored, cb), cb, batch)
+        .orderBy("vec_id")
+    },
+      Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")}
+           SELECT vec_id, cluster FROM member ORDER BY vec_id""")),
+
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small
     // codes per vector, scores are 2 LUT lookups summed. The memory
@@ -4143,6 +4162,31 @@ object SparkEntry {
              SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(doc_id) AS keep_doc_id
              FROM b GROUP BY phash ORDER BY phash""")),
+
+    // REAL image resize chain: decode -> nearest-neighbor downsample
+    // by 2 -> re-encode PNG -> decode AGAIN (Multimodal.resizeImages +
+    // ImageIoDecoder). Every output sample is an input sample
+    // (no interpolation), so the oracle re-evaluates the pixel formula
+    // at the even coordinates — the gate pins the full
+    // decode/transform/encode/decode loop, not just one decode.
+    ("m8_image_resize", (s, dir) => {
+      val resized = graft.multimodal.Multimodal.resizeImages(
+        GateFixtures.pngMedia(s, dir), 2)
+      graft.multimodal.Multimodal.decodeFeatures(
+        resized.toDF(), graft.multimodal.Multimodal.ImageIoDecoder)
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          round(col("avg_luma") * col("width") * col("height"))
+            .cast("long").as("luma_sum"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH g AS (SELECT doc_id, CAST((8 + doc_id % 5) // 2 AS INT) w,
+               CAST((8 + doc_id % 3) // 2 AS INT) h FROM documents),
+             px AS (SELECT doc_id, w, h,
+               UNNEST([i for i in generate_series(0, w*h - 1)]) i FROM g)
+             SELECT doc_id, w AS width, h AS height,
+               CAST(SUM((doc_id + 11*(2*(i % w)) + 17*(2*(i // w))) % 256) AS BIGINT)
+                 AS luma_sum
+             FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
     // correlated scalar subqueries through the SQL parser path (the
     // predicate is exact-integer so both engines decide identically:

@@ -134,6 +134,56 @@ object Multimodal {
       }
   }
 
+  /** Resized REAL image row: re-encoded PNG payload + output dims;
+    * (-1, -1, empty payload) is the explicit undecodable marker. */
+  case class ResizedImage(doc_id: Long, payload: Array[Byte], width: Int,
+                          height: Int)
+
+  /** REAL image resize through the codec (the m3 stub's codec-backed
+    * twin): decode via [[ImageIoDecoder]], NEAREST-NEIGHBOR downsample
+    * by `factor` (output pixel (x, y) = source luma at
+    * (factor·x, factor·y) — no interpolation, so every output sample
+    * is an input sample and the whole chain stays integer-exact and
+    * engine-reproducible), re-encode as 8-bit grayscale PNG. The m8
+    * gate decodes the re-encoded payload AGAIN and compares against a
+    * closed-form oracle — pinning decode -> transform -> encode ->
+    * decode end to end. Runs in the same mapPartitions seam as every
+    * codec stage; output payloads shrink ~factor², so downstream
+    * stages can size partitions by row count again. */
+  def resizeImages(media: DataFrame, factor: Int): Dataset[ResizedImage] = {
+    require(factor >= 1, "factor must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val b = if (payload == null) Array.emptyByteArray else payload
+          ImageIoDecoder.decodeImage(b) match {
+            case Some((w, h, luma)) =>
+              val nw = math.max(1, w / factor)
+              val nh = math.max(1, h / factor)
+              val img = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) {
+                  raster.setSample(x, y, 0, luma(y * factor * w + x * factor))
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              ResizedImage(id, out.toByteArray, nw, nh)
+            case None => ResizedImage(id, Array.emptyByteArray, -1, -1)
+          }
+        }
+      }
+  }
+
   /** Wrap a text/binary corpus as media rows: (doc_id, payload, meta). */
   def toMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -234,6 +234,27 @@ object Ann {
       .filter(col("__r") === 1).select("vec_id", "cluster")
   }
 
+  /** N10: INCREMENTAL inverted-file maintenance — the ANN member of
+    * the incremental-index family (d15 signatures, d18 clusters, d21
+    * grams): the recurring-ingest job keeps the IVF membership table
+    * (vec_id, cluster) as a persisted index, and an arriving batch is
+    * folded in WITHOUT touching history. The codebook is FROZEN at
+    * ingest (retraining/rebalancing is the compaction job's business —
+    * the same contract that keeps d21's gram index append-only), so
+    * stored membership rows pass through unchanged by construction and
+    * the batch pays exactly one broadcast-codebook scoring pass
+    * ([[clusterAssignment]]: one dim-explode partial agg + one argmax
+    * window over batch rows only). At 100 TB the stored side is the
+    * bucketed-by-centroid persisted storage [[ivfTopK]] probes — it is
+    * never re-scored, re-shuffled, or even read beyond the union.
+    * Result provably equals a from-scratch assignment of the union
+    * under the same codebook (membership is a pure per-vector function
+    * of the frozen codebook — AnnStorageSpec pins both halves). */
+  def incrementalMembers(storedMembers: DataFrame, centroids: DataFrame,
+                         batch: DataFrame): DataFrame =
+    storedMembers.select(col("vec_id"), col("cluster"))
+      .unionByName(clusterAssignment(batch, centroids))
+
   /** IVF-style ANN against a long-form (cluster, pos, c) codebook:
     * rank centroids per query by cosine, probe the top `nprobe`, exact
     * cosine re-rank only inside the probed partitions. Membership =

@@ -181,6 +181,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes(16L) == phashOf(16L))
   }
 
+  test("real image resize: nearest-neighbor samples survive the re-encode") {
+    import graft.multimodal.Multimodal
+    val id = 13L
+    val media = Seq((id, graft.GateFixtures.syntheticPng(id)),
+      (99L, "corrupt".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(media, 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    // corrupt payload -> explicit marker row
+    assert(out(99L).width == -1 && out(99L).payload.isEmpty)
+    val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt
+    assert(out(id).width == w / 2 && out(id).height == h / 2)
+    // the re-encoded payload decodes back to exactly the even-coordinate
+    // source samples — decode -> transform -> encode -> decode is exact
+    val dec = Multimodal.ImageIoDecoder.decodeImage(out(id).payload)
+    assert(dec.isDefined)
+    val (rw, rh, luma) = dec.get
+    assert(rw == w / 2 && rh == h / 2)
+    for (y <- 0 until rh; x <- 0 until rw)
+      assert(luma(y * rw + x) == ((id + 11 * (2 * x) + 17 * (2 * y)) % 256).toInt)
+  }
+
   test("resize stage bounds payload size and keeps every factor-th byte") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "abcdefghij", "s"), (2L, "xy", "s"), (3L, "", "s"))

@@ -47,4 +47,26 @@ class AnnStorageSpec extends AnyFunSuite {
     val got = probed.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got == expected && got.nonEmpty)
   }
+
+  test("incremental membership: history bit-stable, batch == frozen-codebook assignment") {
+    val em = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val stored = em.filter(col("vec_id") % 4 =!= 0)
+    val batch = em.filter(col("vec_id") % 4 === 0)
+    val cb = Ann.kmeansCentroids(stored, 5, 2)
+    val storedMembers = Ann.clusterAssignment(stored, cb)
+    val merged = Ann.incrementalMembers(storedMembers, cb, batch)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // stored rows pass through UNTOUCHED (the frozen-codebook contract)
+    val storedMap = storedMembers.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(storedMap.forall { case (id, c) => merged.get(id).contains(c) })
+    // batch rows equal a direct assignment under the same codebook —
+    // so the merged index equals a from-scratch rebuild
+    val batchMap = Ann.clusterAssignment(batch, cb).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batchMap.nonEmpty)
+    assert(batchMap.forall { case (id, c) => merged.get(id).contains(c) })
+    assert(merged.keySet == storedMap.keySet ++ batchMap.keySet)
+  }
 }
