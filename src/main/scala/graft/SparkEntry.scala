@@ -4281,7 +4281,183 @@ object SparkEntry {
                '2002-01-01 00:00:00' AS timenow,
                mt AS duration, dist AS distance,
                CAST(0 AS BIGINT) AS n_streams
-             FROM a ORDER BY id"""))
+             FROM a ORDER BY id""")),
+
+    // Runtime bloom-filter join pruning (RuntimeFilter.bloomPrunedJoin):
+    // the selective dim predicate (one brand) ships to the FACT SCAN
+    // as a bloom over the filtered dim's keys — fact rows that cannot
+    // join die before the exchange, the exact join runs on survivors
+    // only, so false positives cost work, never rows. The oracle is
+    // the plain join: the bloom must be invisible in the answer.
+    ("j8_bloom_join", (s, dir) => {
+      val dim = t(s, dir, "part").filter(col("p_brand") === "Brand#17")
+        .select(col("p_partkey"), col("p_name"))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      operators.RuntimeFilter.bloomPrunedJoin(fact, dim, "l_partkey", "p_partkey")
+        .groupBy("l_partkey", "p_name")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast("long")).as("revenue_e4"))
+        .select(col("l_partkey").as("partkey"), col("p_name"),
+          col("n_lines"), col("revenue_e4"))
+        .orderBy("partkey")
+    },
+      Some("""SELECT l_partkey AS partkey, p_name, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT)
+               AS revenue_e4
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_brand = 'Brand#17'
+             GROUP BY l_partkey, p_name ORDER BY partkey""")),
+
+    // Blocked fuzzy (edit-distance) self-linkage (FuzzyJoin
+    // .selfLinkage): candidate pairs from equality on the name's noun
+    // token, verification by codegen levenshtein — record linkage's
+    // block-then-verify shape at attribute granularity (the LSH chain's
+    // discipline with a phonetic-style key instead of hashed bands).
+    ("d22_fuzzy_join", (s, dir) => {
+      val recs = t(s, dir, "part").select(col("p_name").as("key"),
+        split(col("p_name"), " ").getItem(1).as("blockKey"))
+      operators.FuzzyJoin.selfLinkage(recs, 3)
+        .orderBy("key_a", "key_b")
+    },
+      Some("""WITH u AS (SELECT DISTINCT p_name nm, split_part(p_name, ' ', 2) bk
+                         FROM part)
+             SELECT a.nm AS key_a, b.nm AS key_b,
+               CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+             FROM u a JOIN u b ON a.bk = b.bk AND a.nm < b.nm
+             WHERE levenshtein(a.nm, b.nm) <= 3
+             ORDER BY key_a, key_b""")),
+
+    // PageRank (operators.PageRank): 3 damped rounds over the
+    // bidirectional customer<->supplier trade graph, EXACT INTEGER
+    // micro-unit ranks (floor division at both the contribution and
+    // damping steps) so any engine and any summation order produces
+    // bit-identical ranks. Customers take even node ids, suppliers odd.
+    ("g17_pagerank", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      operators.PageRank.ranks(edges, 3)
+        .select(col("id").as("node_id"), col("rank_micros"))
+        .orderBy("node_id")
+    },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (SELECT e.dst, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) s
+                FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+                GROUP BY e.dst),
+             r$i AS (SELECT id, CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) r
+                FROM n LEFT JOIN c$i ON c$i.dst = n.id)"""
+        s"""WITH cs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT c src, p dst FROM cs UNION ALL SELECT p src, c dst FROM cs),
+           n AS (SELECT DISTINCT src id FROM e),
+           deg AS (SELECT src, COUNT(*) d FROM e GROUP BY src),
+           r0 AS (SELECT id, CAST(1000000 AS BIGINT) r FROM n),
+           ${round(1)}, ${round(2)}, ${round(3)}
+           SELECT id AS node_id, r AS rank_micros FROM r3 ORDER BY node_id"""
+      }),
+
+    // Z-order data layout (functions.Morton, custom codegen
+    // expression): Morton-interleave two bucketed dimensions, then
+    // report each z-range bucket's bounding box — the per-bucket
+    // min/max the parquet footers would carry after a
+    // repartitionByRange(z) write, i.e. the two-dimensional
+    // file-skipping story made visible in the answer (ZOrderSpec
+    // measures the tightening vs a one-dimensional sort).
+    ("o14_zorder_layout", (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+      li.withColumn("z", graft.functions.Morton.zorder(col("x"), col("y"), 10))
+        .withColumn("bucket", expr("z div 4096"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"), sum("z").as("z_sum"))
+        .orderBy("bucket")
+    },
+      Some("""WITH z AS (SELECT x, y,
+               CAST(list_sum([((x >> i) & 1) * (1::BIGINT << (2*i))
+                              + ((y >> i) & 1) * (1::BIGINT << (2*i + 1))
+                              for i in generate_series(0, 9)]) AS BIGINT) z
+               FROM (SELECT l_partkey % 1024 x, l_suppkey % 1024 y FROM lineitem))
+             SELECT z // 4096 AS bucket, COUNT(*) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               CAST(SUM(z) AS BIGINT) AS z_sum
+             FROM z GROUP BY bucket ORDER BY bucket""")),
+
+    // Two-stage retrieval (Ann.pqRerankTopK): n8's PQ index PROPOSES
+    // 20 candidates per query from compressed codes; true cosine over
+    // the candidates' full-precision vectors decides the final top-5.
+    // The oracle replays the PQ chain for the candidate set, then
+    // re-ranks exactly — so the gate pins BOTH stages.
+    ("n11_ann_rerank", (s, dir) =>
+      Ann.pqRerankTopK(t(s, dir, "embeddings"), m = 2, subDim = 32, k = 16,
+        iters = 1, queryPred = annQueryPred, coarseK = 20, topK = 5)
+        .orderBy("qid", "rnk"),
+      Some(s"""WITH ${pqSubspaceCtes(0, 32, 16)},
+           ${pqSubspaceCtes(1, 32, 16)},
+           parts AS (
+             SELECT l.qid, m.vec_id, l.part
+             FROM member0 m JOIN lut0 l ON l.cluster = m.cluster
+             UNION ALL
+             SELECT l.qid, m.vec_id, l.part
+             FROM member1 m JOIN lut1 l ON l.cluster = m.cluster),
+           scq AS (SELECT qid, vec_id neighbor_id, ROUND(SUM(part), 6) score_r
+                  FROM parts WHERE vec_id <> qid GROUP BY 1, 2),
+           cand AS (SELECT qid, neighbor_id FROM
+                  (SELECT qid, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_r DESC, neighbor_id) crnk
+                   FROM scq) WHERE crnk <= 20),
+           $oracleUnitCte,
+           q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           ex AS (SELECT c.qid, c.neighbor_id,
+                  ROUND(list_dot_product(q.qu, u.ue), 6) cos_r
+                  FROM cand c JOIN q ON q.qid = c.qid
+                  JOIN u ON u.vec_id = c.neighbor_id),
+           r AS (SELECT qid, neighbor_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                 FROM ex)
+           SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+           ORDER BY qid, rnk""")),
+
+    // Streaming CDC latest-per-key (EventStream.latestPerUser): the
+    // read-side compaction view (g10's shape) maintained by a
+    // STREAMING aggregation — complete mode re-emits the full state
+    // each trigger, so the sink's final table IS the current
+    // latest-per-key snapshot. max_by with a (ts, event_id) struct key
+    // makes the tiebreak deterministic under any arrival order.
+    ("w13_stream_latest", (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val name = s"w13_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.latestPerUser(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name).orderBy("user_id")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""SELECT user_id, event_id AS last_event_id,
+             event_type AS last_type,
+             CAST(ROUND(value*100) AS BIGINT) AS last_value_c
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn FROM events)
+             WHERE rn = 1 ORDER BY user_id"""))
   )
 
   // ---------- driver contract ----------

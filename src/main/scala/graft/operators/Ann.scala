@@ -334,6 +334,40 @@ object Ann {
       .select("qid", "rnk", "neighbor_id", "score_r")
   }
 
+  /** Two-stage retrieval: PQ coarse candidate generation → EXACT
+    * re-rank — the production ANN serving shape (FAISS-style
+    * "search_and_reconstruct"): the approximate index only PROPOSES
+    * (`coarseK` candidates per query from compressed codes), the final
+    * order is decided by true cosine over the full-precision vectors
+    * of the candidates alone.
+    *
+    * Scale: the exact scoring that would cost queries × corpus dot
+    * products runs over queries × coarseK rows — the corpus-sized scan
+    * happens once, in code space (m bytes/vector), and the
+    * full-precision gather touches only candidate ids. The candidate
+    * frame is queries × coarseK (tiny) and broadcasts to the corpus
+    * scan for the gather join, so the corpus never shuffles. Recall is
+    * bounded by the coarse stage (re-ranking cannot resurrect a
+    * neighbor PQ never proposed) — `coarseK` ≫ `topK` is the recall
+    * lever, priced in candidate count, not corpus scans. */
+  def pqRerankTopK(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
+                   iters: Int, queryPred: Column, coarseK: Int,
+                   topK: Int): DataFrame = {
+    val cand = pqTopK(embeddings, m, subDim, k, iters, queryPred, coarseK)
+      .select(col("qid"), col("neighbor_id"))
+    val units = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val q = units.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"))
+    val exact = broadcast(cand.join(broadcast(q), Seq("qid")))
+      .join(units, col("vec_id") === col("neighbor_id"))
+      .select(col("qid"), col("neighbor_id"),
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+    topKPerGroup(exact, Seq("qid"),
+      Seq(col("cos_r").desc, col("neighbor_id")), topK, "rnk")
+      .select("qid", "rnk", "neighbor_id", "cos_r")
+  }
+
   /** Embedding OUTLIER detection — the centroid-distance filter a
     * curation pipeline runs after clustering/labeling: cosine of every
     * unit vector against its own group's mean vector; rows far from

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank as a fixed-iteration relational dataflow — the iterative
+  * graph-analytics shape ([[ConnectedComponents]] covers the other one)
+  * expressed as unrolled join+aggregate rounds so Catalyst sees ONE
+  * declarative plan per run: no driver-side mutation, no RDD loop
+  * state, every iteration a (join → groupBy → left-join) stanza over
+  * the same edge relation.
+  *
+  * EXACT INTEGER arithmetic for engine-portable determinism: ranks are
+  * BIGINT micro-units (1.0 == 1,000,000), each edge carries
+  * `floor(rank / outdeg)` and the damping step is
+  * `150_000 + (85 * inbound) div 100` — floor division both times, so
+  * any engine (and any summation order) produces bit-identical ranks.
+  * Doubles would differ in ulps across engines/partitionings; integers
+  * cannot.
+  *
+  * 100 TB: each iteration is one shuffle on `dst` (the contribution
+  * aggregation) plus one shuffle-free broadcast-or-colocated join back
+  * to the node list; the edge relation is iteration-invariant, so a
+  * production run persists/buckets it by `src` once and every round's
+  * `edges ⋈ ranks` is co-located. Rank skew (celebrity nodes) is
+  * absorbed by the partial aggregation: contributions combine map-side
+  * before the `dst` exchange. Fixed iteration count keeps the plan
+  * finite; convergence-driven loops belong in the driver with a
+  * per-round action, which is exactly what this shape avoids for small
+  * fixed budgets (3-10 rounds is the common production setting).
+  */
+object PageRank {
+
+  /** `edges`: two BIGINT columns `src`, `dst` (pre-deduplicated;
+    * multi-edges count multiple times, callers wanting simple graphs
+    * distinct() first). Returns (node_id, rank_micros) after
+    * `iterations` damped rounds from a uniform 1.0 start. */
+  def ranks(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edge list annotated with its source's out-degree: iteration-
+    // invariant, computed once in the plan (ReusedExchange picks the
+    // aggregation up across rounds; a production run would persist it)
+    val withDeg = edges.join(deg, "src")
+    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micros"))
+    for (_ <- 1 to iterations) {
+      val inbound = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank_micros div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inbound"))
+      ranks = nodes
+        .join(inbound, nodes("id") === inbound("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(85 * coalesce(inbound, 0L)) div 100"))
+            .as("rank_micros"))
+    }
+    ranks
+  }
+}

@@ -52,6 +52,30 @@ object EventStream {
     docs.select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
 
+  /** Streaming CDC latest-per-key view (the streaming read side of the
+    * K2 upsert; batch twin: g10's row_number compaction): a streaming
+    * aggregation holds one `max_by` row per key, complete mode
+    * re-emits the full state each trigger, so the sink's final table
+    * IS the current snapshot. The ordering key is a (ts, event_id)
+    * struct — struct comparison is lexicographic, so ties on ts break
+    * deterministically on event_id under ANY arrival order.
+    *
+    * Scale: state is one row per key (bounded by key cardinality, not
+    * stream length) and the aggregation partial-merges map-side, so a
+    * hot key combines before the exchange. Complete-mode re-emission
+    * prices the snapshot write at |keys| per trigger; an update-mode
+    * sink (e.g. foreachBatch MERGE into [[graft.sources
+    * .VersionedParquetStore]]) pays only changed keys instead. */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value") * 100, 0).cast("long").as("last_value_c"))
+
   /** Streaming DECONTAMINATION at ingest (streaming twin of d17's
     * bloom-prefiltered batch audit): every arriving document is
     * shingled as a per-row array projection (no window — the batch

@@ -152,6 +152,37 @@ class AnnRecallSpec extends AnyFunSuite {
     val recall = (km & truth).size.toDouble / truth.size
     assert(recall >= 0.3, s"kmeans IVF recall $recall < 0.3")
   }
+
+  test("exact re-rank (n11) only reorders PQ candidates and never hurts decision quality") {
+    import graft.operators.Ann
+    val dir = "/root/testdata/sf0.001"
+    val em = Tables.load(spark, dir, "embeddings")
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = pairs("n11_ann_rerank")
+    assert(reranked.size == 25, "rerank must fill every top-k slot")
+    // re-ranking can only choose among what PQ proposed: every pick is
+    // inside the coarse candidate set
+    val coarse = Ann.pqTopK(em, m = 2, subDim = 32, k = 16, iters = 1,
+      queryPred = col("vec_id") < 5, topK = 20)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reranked.subsetOf(coarse), "rerank invented a non-candidate neighbor")
+    // decision quality: the TRUE mean cosine of reranked picks must be
+    // at least PQ-only's (exact scoring of the same candidate pool
+    // cannot do worse than approximate scoring of it)
+    val truth = Ann.bruteForceScores(em, col("vec_id") < 5)
+    def meanCos(picks: Set[(Long, Long)]): Double = {
+      import spark.implicits._
+      val p = picks.toSeq.toDF("qid", "neighbor_id")
+      truth.join(p, Seq("qid", "neighbor_id"))
+        .agg(avg("cos_r")).collect()(0).getDouble(0)
+    }
+    val pqOnly = pairs("n8_ann_pq")
+    assert(meanCos(reranked) >= meanCos(pqOnly) - 1e-9,
+      "exact re-rank scored below PQ-only on true cosine")
+  }
 }
 
 class CacheLifecycleSpec extends AnyFunSuite {

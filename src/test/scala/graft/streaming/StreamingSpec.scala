@@ -141,6 +141,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally gramIndex.unpersist()
   }
 
+  test("streaming latest-per-key snapshot matches batch compaction (w13)") {
+    val (dir, batch) = stagedEvents()
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStream.latestPerUser(stream).writeStream
+      .format("memory").queryName("latestkeys").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("latestkeys").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+      // batch truth: g10's row_number compaction shape
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val expected = batch.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          col("event_type"), round(col("value") * 100, 0).cast("long"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val (dir, batch) = stagedEvents()
     val clicks = spark.readStream.schema(batch.schema).parquet(dir)
