@@ -4457,7 +4457,86 @@ object SparkEntry {
              CAST(ROUND(value*100) AS BIGINT) AS last_value_c
              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                    ORDER BY ts DESC, event_id DESC) rn FROM events)
-             WHERE rn = 1 ORDER BY user_id"""))
+             WHERE rn = 1 ORDER BY user_id""")),
+
+    // Incremental materialized-aggregate maintenance (operators
+    // .IncrementalAgg): the aggregation member of the incremental-index
+    // family (d15/d18/d21/n10) — a stored per-key (count,sum,min,max)
+    // snapshot folds a delta batch forward via broadcast semi/anti key
+    // splits; the history rows are never re-read and the stored table
+    // never re-shuffled. The oracle is the FULL REBUILD over all
+    // events, so the hash gate IS the incremental == rebuild
+    // equivalence (integer cents keep the merge bit-deterministic).
+    ("g18_incremental_agg", (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        cents(col("value")).as("v_c"))
+      val stored = operators.IncrementalAgg.snapshot(
+        ev.filter(col("event_id") % 4 =!= 0), "user_id", "v_c")
+      operators.IncrementalAgg.merge(stored,
+        ev.filter(col("event_id") % 4 === 0), "user_id", "v_c")
+        .orderBy("user_id")
+    },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+             CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+             CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS max_c
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Triangle counting by degree orientation (operators.Triangles):
+    // the bounded-wedge graph-analytics shape — each edge oriented
+    // from its (degree, id)-smaller endpoint, so wedge generation is
+    // Σ outdeg² ≤ O(m^1.5) no matter how skewed the hubs. Graph:
+    // suppliers co-shipping in one order (quantity ≥ 45 thins the
+    // graph to non-complete at the gate sf). The oracle enumerates
+    // canonical a<b<c triangles by brute-force three-way join —
+    // orientation must be invisible in the triangle SET.
+    ("g19_triangles", (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      operators.Triangles.perNode(edges).orderBy("node_id")
+    },
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+               WHERE l_quantity >= 45),
+             e AS (SELECT DISTINCT a.l_suppkey lo, b.l_suppkey hi
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey),
+             tr AS (SELECT e1.lo a, e1.hi b, e2.hi c
+               FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+               JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+             x AS (SELECT UNNEST([a, b, c]) node_id FROM tr)
+             SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             FROM x GROUP BY node_id ORDER BY node_id""")),
+
+    // EXACT set-similarity self-join by prefix filtering (operators
+    // .SetSimJoin, All-Pairs/PPJoin): the recall-1.0 counterpart to
+    // the LSH chain — candidates only where rare-token prefixes
+    // collide, exact integer Jaccard accept (inter*2 >= union, tau =
+    // 1/2). The oracle brute-forces ALL overlapping pairs, so hash
+    // equality proves the prefix filter's completeness, not just the
+    // survivors' scores.
+    ("d23_setsim_join", (s, dir) =>
+      operators.SetSimJoin.jaccardSelfJoin(t(s, dir, "documents"), 3, 1, 2)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             g AS (SELECT doc_id, list_distinct([array_to_string(w[i : i+2], ' ')
+                   for i in generate_series(1, len(w) - 2)]) gs
+                   FROM w WHERE len(w) >= 3),
+             tk AS (SELECT doc_id, UNNEST(gs) sh FROM g),
+             sz AS (SELECT doc_id, len(gs) n FROM g),
+             ins AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                     FROM tk a JOIN tk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+             j AS (SELECT da doc_a, db doc_b, CAST(i AS BIGINT) inter_n,
+                   CAST(sa.n + sb.n - i AS BIGINT) union_n
+                   FROM ins JOIN sz sa ON sa.doc_id = ins.da
+                            JOIN sz sb ON sb.doc_id = ins.db)
+             SELECT doc_a, doc_b, inter_n, union_n,
+               ROUND(inter_n * 1.0 / union_n, 6) AS jaccard_r
+             FROM j WHERE inter_n * 2 >= union_n ORDER BY doc_a, doc_b"""))
   )
 
   // ---------- driver contract ----------

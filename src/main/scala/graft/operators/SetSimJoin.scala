@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join by PREFIX FILTERING (Bayardo,
+  * Ma & Srikant's All-Pairs, WWW'07; Xiao et al.'s PPJoin) — the
+  * EXACT, recall-1.0 counterpart to the MinHash/LSH chain (d2/d3/d5):
+  * LSH trades recall for candidate volume; prefix filtering keeps
+  * recall exact and still never compares all pairs.
+  *
+  * The pruning identity: order every set by one GLOBAL token order
+  * (rarest first — ascending document frequency, ties by token). If
+  * two sets have Jaccard >= tau, their overlap must be at least
+  * ceil(tau/(1+tau) * (|a|+|b|)) >= ceil(tau*|a|), so each set's first
+  * `|s| - ceil(tau*|s|) + 1` tokens (its PREFIX) must hit the other
+  * set — a pair sharing NO prefix token cannot reach tau, and the
+  * candidate join runs on prefix tokens only. Rarest-first ordering
+  * makes prefixes the low-frequency tail of the vocabulary, so the
+  * token-key join explodes least where df is highest.
+  *
+  * Every threshold decision is EXACT INTEGER arithmetic: tau is the
+  * rational tauNum/tauDen, prefix length uses integer ceil division,
+  * and the accept test is `inter * tauDen >= tauNum * union` — no
+  * float cut to disagree across engines (the gate's oracle is a
+  * brute-force all-overlapping-pairs join, so hash equality IS the
+  * completeness proof for the prefix filter).
+  *
+  * 100 TB: the df table is one gram-key exchange with map-side
+  * combine; per-doc ordering is one groupBy on doc_id; the candidate
+  * join shuffles PREFIX tokens only (a tau-controlled fraction of the
+  * corpus gram volume, biased to rare tokens by construction); exact
+  * verification touches candidates only, reading the two token arrays
+  * carried on the pair row — no second corpus scan, no all-pairs
+  * stage anywhere.
+  */
+object SetSimJoin {
+
+  /** `docs`: (doc_id BIGINT, text STRING). Word-`k`-shingle sets,
+    * Jaccard >= tauNum/tauDen, pairs doc_a < doc_b with exact
+    * intersection/union sizes and the rounded ratio. */
+  def jaccardSelfJoin(docs: DataFrame, k: Int, tauNum: Int,
+                      tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "tau must be a rational in (0, 1]")
+    val sh = Dedup.wordShingles(docs, k).distinct()
+    val dfT = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc shingle list in the global (df asc, token asc) order;
+    // array_sort on (df, sh) structs IS that order, no window needed
+    val ordered = sh.join(dfT, "sh")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("doc_id"),
+        transform(col("arr"), e => e.getField("sh")).as("toks"),
+        size(col("arr")).as("n"))
+    // prefix length n - ceil(tau*n) + 1, integer ceil division
+    // (`div`, not `/` — Column./ is floating division)
+    val plen =
+      col("n") - expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + 1
+    val prefix = ordered.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), plen.cast("int"))).as("ptok"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("ptok"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("ptok")), "ptok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      col("n").as("na"))
+    val b = ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+      col("n").as("nb"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter_n",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("union_n",
+        (col("na") + col("nb")).cast("long") - col("inter_n"))
+      .filter(col("inter_n") * tauDen >= col("union_n") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"),
+        round(col("inter_n").cast("double") / col("union_n"), 6)
+          .as("jaccard_r"))
+  }
+}
