@@ -4536,7 +4536,124 @@ object SparkEntry {
                             JOIN sz sb ON sb.doc_id = ins.db)
              SELECT doc_a, doc_b, inter_n, union_n,
                ROUND(inter_n * 1.0 / union_n, 6) AS jaccard_r
-             FROM j WHERE inter_n * 2 >= union_n ORDER BY doc_a, doc_b"""))
+             FROM j WHERE inter_n * 2 >= union_n ORDER BY doc_a, doc_b""")),
+
+    // Snapshot diff / CDC derivation (operators.SnapshotDiff): two
+    // versions of the keyed orders table (deterministic carve-up:
+    // deletes = keys leaving, inserts = keys arriving, updates = a
+    // price bump on every 7th surviving key) → the insert/delete/
+    // update change feed. NOT a full-outer join: tag + union + ONE
+    // hash aggregation on the key (same bytes shuffled once, no sort,
+    // map-side partials) — the ORACLE is the full-outer-join
+    // formulation, so the gate proves the agg form computes exactly
+    // the join's answer. Unchanged keys emit nothing.
+    ("g20_snapshot_diff", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("price_c"))
+      val old = o.filter(col("k") % 5 =!= 0)
+      val neu = o.filter(col("k") % 3 =!= 0)
+        .select(col("k"), (col("price_c") +
+          when(col("k") % 7 === 0, 100L).otherwise(0L)).as("price_c"))
+      operators.SnapshotDiff.diff(old, neu, "k", "price_c")
+        .select(col("k").as("order_key"), col("change"),
+          col("old_v").as("old_price_c"), col("new_v").as("new_price_c"))
+        .orderBy("order_key")
+    },
+      Some("""WITH o AS (SELECT o_orderkey k,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) p FROM orders),
+             old AS (SELECT * FROM o WHERE k % 5 <> 0),
+             neu AS (SELECT k, p + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END p
+                     FROM o WHERE k % 3 <> 0),
+             d AS (SELECT COALESCE(old.k, neu.k) k, old.p op, neu.p np,
+                   old.k IS NOT NULL ho, neu.k IS NOT NULL hn
+                   FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+             SELECT k AS order_key,
+               CASE WHEN NOT ho THEN 'insert' WHEN NOT hn THEN 'delete'
+                    ELSE 'update' END AS change,
+               op AS old_price_c, np AS new_price_c
+             FROM d WHERE NOT ho OR NOT hn OR op <> np
+             ORDER BY order_key""")),
+
+    // Single-pass data profiling (the ANALYZE/data-quality shape):
+    // per-column non-null count, EXACT distinct count, min and max —
+    // five columns of lineitem in ONE scan (Spark plans the mixed
+    // distinct aggregates via one Expand + one exchange; five separate
+    // per-column jobs would scan the fact table five times, which is
+    // the difference that matters when the scan is 100 TB). At real
+    // scale the exact distinct swaps for g4's HLL sketch — same plan,
+    // no Expand blowup; the gate pins the exact form. Values render as
+    // strings (integer cents / ISO dates), so min/max formatting
+    // cannot drift between engines.
+    ("x6_profile", (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        cents(col("l_quantity")).as("quantity_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("discount_c"),
+        col("l_returnflag").as("returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      val cols = Seq("quantity_c", "price_c", "discount_c", "returnflag",
+        "ship_day")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        count_distinct(col(c)).as(s"${c}__d"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx")))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}__n, ${c}__d, ${c}__mn, ${c}__mx").mkString(", ")
+      one.select(expr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_nonnull, n_distinct, min_s, max_s)"))
+        .orderBy("column_name")
+    },
+      Some {
+        val defs = Seq(
+          "quantity_c" -> "CAST(ROUND(l_quantity*100) AS BIGINT)",
+          "price_c" -> "CAST(ROUND(l_extendedprice*100) AS BIGINT)",
+          "discount_c" -> "CAST(ROUND(l_discount*100) AS BIGINT)",
+          "returnflag" -> "l_returnflag",
+          "ship_day" -> "strftime(l_shipdate, '%Y-%m-%d')")
+        defs.map { case (name, e) =>
+          s"""SELECT '$name' AS column_name,
+             CAST(COUNT(x) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct,
+             CAST(MIN(x) AS VARCHAR) AS min_s,
+             CAST(MAX(x) AS VARCHAR) AS max_s
+             FROM (SELECT $e x FROM lineitem)"""
+        }.mkString("", " UNION ALL ", " ORDER BY column_name")
+      }),
+
+    // Streaming maintenance of the g18 aggregate snapshot (EventStream
+    // .maintainAggSnapshot) — the streaming twin of g18 exactly as w12
+    // is d21's: the events table arrives as FOUR micro-batches
+    // (maxFilesPerTrigger=1 over a 4-file staging dir), each partially
+    // aggregated on the executors, each folded into a
+    // VersionedParquetStore snapshot by IncrementalAgg.mergeSnapshots
+    // under an atomic pointer swap. The query itself is STATELESS (the
+    // state lives in the store, not the state store). The oracle is
+    // g18's full rebuild, so the gate proves any micro-batch carve-up
+    // commits the same snapshot as one batch.
+    ("w14_stream_agg_maintenance", (s, dir) => {
+      val raw = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        cents(col("value")).as("v_c"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w14").toString
+      (0 to 3).foreach(i => raw.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainAggSnapshot(
+        stream, s"$tmp/store", s"$tmp/ckpt", "user_id", "v_c")
+      q.awaitTermination()
+      graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+        .orderBy("user_id")
+    },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+             CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+             CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS max_c
+             FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 
   // ---------- driver contract ----------

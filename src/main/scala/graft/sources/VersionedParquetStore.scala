@@ -58,15 +58,20 @@ object VersionedParquetStore {
 
   /** Last-write-wins merge of `updates` into the store (UserStore
     * semantics on `keyCol`), committed as a new snapshot.
+    * `combine` is the merge seam: default last-write-wins upsert;
+    * pass e.g. `IncrementalAgg.mergeSnapshots(_, _, key)` to commit
+    * aggregate state instead of whole rows (the w14 maintenance path).
     * @return the merged snapshot as committed */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCol: String = "username",
-            beforeCommit: () => Unit = () => ()): DataFrame = {
+            beforeCommit: () => Unit = () => (),
+            combine: (DataFrame, DataFrame) => DataFrame =
+              UserStore.upsert): DataFrame = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val before = readPointer(f, root)
     val merged = read(spark, root) match {
-      case Some(cur) => UserStore.upsert(cur, updates)
+      case Some(cur) => combine(cur, updates)
       case None      => updates
     }
     // monotonic version for humans + uuid so two racing writers never

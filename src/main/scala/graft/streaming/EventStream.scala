@@ -204,6 +204,40 @@ object EventStream {
       }
   }
 
+  /** Streaming maintenance of [[graft.operators.IncrementalAgg]]'s
+    * snapshot — the streaming twin of the g18 batch merge, exactly as
+    * w12 is d21's: each micro-batch partially aggregates ON THE
+    * EXECUTORS (one delta-sized exchange), and only its per-key state
+    * reaches the store, where `IncrementalAgg.mergeSnapshots` folds it
+    * into the current [[graft.sources.VersionedParquetStore]] snapshot
+    * under an atomic pointer swap — readers always resolve a complete
+    * snapshot, never a half-merged one. State lives in the STORE, not
+    * the state store: the streaming query itself is stateless, so
+    * there is no per-key watermark state to size or evict, and a
+    * restart resumes from the checkpoint + last committed snapshot.
+    *
+    * Batch-order independence: the merge algebra is associative and
+    * commutative (IncrementalAggSpec), so any micro-batch carve-up of
+    * the input commits the same final snapshot as one batch — which
+    * is what the w14 gate's full-rebuild oracle checks. */
+  def maintainAggSnapshot(stream: DataFrame, storeRoot: String,
+                          checkpoint: String, key: String,
+                          valueCol: String)
+                         : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = graft.operators.IncrementalAgg
+          .snapshot(batch.toDF(), key, valueCol)
+        graft.sources.VersionedParquetStore.merge(
+          batch.sparkSession, storeRoot, delta, key,
+          combine = (cur: DataFrame, d: DataFrame) =>
+            graft.operators.IncrementalAgg.mergeSnapshots(cur, d, key))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Milestone(user_id: Long, milestone: Long)
 
   /** flatMapGroupsWithState: emit 0..n rows per group per batch — here,
