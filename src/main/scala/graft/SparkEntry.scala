@@ -4653,7 +4653,168 @@ object SparkEntry {
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
              CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS min_c,
              CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS max_c
-             FROM events GROUP BY user_id ORDER BY user_id"""))
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // KMV distinct sketch (functions.KmvSketch, native
+    // TypedImperativeAggregate): the k smallest md5 digests per group
+    // — a deterministic total order any engine reproduces, so the gate
+    // pins the sketch CONTENT (whole-sketch md5 + the k-th digest),
+    // not just its estimate; the estimate itself is integer floor
+    // division over the digest's first 56 bits, bit-exact in both
+    // engines. sf0.001 has < k distinct users (exact path), sf0.01 has
+    // more (saturated estimator path) — both branches gate.
+    ("g21_kmv_distinct", (s, dir) => {
+      val k = 64
+      t(s, dir, "events").groupBy("event_type")
+        .agg(functions.KmvSketch.kmv(col("user_id").cast("string"), k).as("sk"),
+          count_distinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          functions.KmvSketch.estimate(col("sk"), k).as("kmv_est"),
+          size(col("sk")).cast("long").as("sk_size"),
+          md5(concat_ws("", col("sk"))).as("sk_md5"))
+        .orderBy("event_type")
+    },
+      Some("""WITH nd AS (SELECT event_type,
+               COUNT(DISTINCT user_id) n_exact FROM events GROUP BY 1),
+             h AS (SELECT DISTINCT event_type,
+               md5(CAST(user_id AS VARCHAR)) h FROM events),
+             r AS (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) rn
+               FROM h),
+             sk AS (SELECT event_type, COUNT(*) ssize,
+               string_agg(h, '' ORDER BY h) cat,
+               MAX(CASE WHEN rn = 64 THEN h END) h64
+               FROM r WHERE rn <= 64 GROUP BY event_type)
+             SELECT sk.event_type, CAST(nd.n_exact AS BIGINT) AS n_exact,
+               CAST(CASE WHEN ssize < 64 THEN ssize
+                 ELSE (63::BIGINT * (1::BIGINT << 56))
+                      // (('0x' || substr(h64, 1, 14))::BIGINT)
+                 END AS BIGINT) AS kmv_est,
+               CAST(ssize AS BIGINT) AS sk_size, md5(cat) AS sk_md5
+             FROM sk JOIN nd USING (event_type)
+             ORDER BY event_type""")),
+
+    // KMV SET OPERATIONS (the capability no other sketch in the engine
+    // has): distinct-user union AND INTERSECTION of the click and
+    // purchase streams estimated from two 2 KB sketches with no join
+    // between the fact scans — union = k smallest of the merged digest
+    // sets, intersection = Beyer et al.'s combined-window Jaccard
+    // scaled by the union estimate, all integer arithmetic. Exact
+    // counts sit alongside in the same row, so the artifact shows the
+    // estimate AND its truth.
+    ("g22_kmv_setops", (s, dir) => {
+      val k = 64
+      val ev = t(s, dir, "events")
+      val sk = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(functions.KmvSketch.kmv(col("user_id").cast("string"), k).as("sk"))
+      val a = sk.filter(col("event_type") === "click")
+        .select(col("sk").as("ska"))
+      val b = sk.filter(col("event_type") === "purchase")
+        .select(col("sk").as("skb"))
+      val ex = ev.agg(
+        count_distinct(when(col("event_type") === "click", col("user_id")))
+          .as("exact_click"),
+        count_distinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("exact_purchase"),
+        count_distinct(when(col("event_type").isin("click", "purchase"),
+          col("user_id"))).as("exact_union"))
+      a.crossJoin(b).crossJoin(ex)
+        .select(
+          functions.KmvSketch.estimate(col("ska"), k).as("est_click"),
+          functions.KmvSketch.estimate(col("skb"), k).as("est_purchase"),
+          functions.KmvSketch.estimate(
+            functions.KmvSketch.unionSketch(col("ska"), col("skb"), k), k)
+            .as("est_union"),
+          functions.KmvSketch.intersectionEstimate(col("ska"), col("skb"), k)
+            .as("est_inter"),
+          col("exact_click"), col("exact_purchase"), col("exact_union"),
+          (col("exact_click") + col("exact_purchase") - col("exact_union"))
+            .as("exact_inter"))
+    },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+               md5(CAST(user_id AS VARCHAR)) h FROM events
+               WHERE event_type IN ('click', 'purchase')),
+             r AS (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) rn
+               FROM h),
+             ska AS (SELECT list(h ORDER BY h) sk FROM r
+               WHERE event_type = 'click' AND rn <= 64),
+             skb AS (SELECT list(h ORDER BY h) sk FROM r
+               WHERE event_type = 'purchase' AND rn <= 64),
+             comb AS (SELECT list(h ORDER BY h) sk FROM (
+               SELECT h, ROW_NUMBER() OVER (ORDER BY h) crn FROM
+                 (SELECT DISTINCT h FROM r WHERE rn <= 64))
+               WHERE crn <= 64),
+             est AS (SELECT
+               CASE WHEN len(ska.sk) < 64 THEN len(ska.sk)
+                 ELSE (63::BIGINT * (1::BIGINT << 56))
+                      // (('0x' || substr(ska.sk[64], 1, 14))::BIGINT)
+                 END ea,
+               CASE WHEN len(skb.sk) < 64 THEN len(skb.sk)
+                 ELSE (63::BIGINT * (1::BIGINT << 56))
+                      // (('0x' || substr(skb.sk[64], 1, 14))::BIGINT)
+                 END eb,
+               CASE WHEN len(comb.sk) < 64 THEN len(comb.sk)
+                 ELSE (63::BIGINT * (1::BIGINT << 56))
+                      // (('0x' || substr(comb.sk[64], 1, 14))::BIGINT)
+                 END eu,
+               len(list_filter(comb.sk,
+                 x -> list_contains(ska.sk, x)
+                      AND list_contains(skb.sk, x))) rho,
+               LEAST(len(comb.sk), 64) denom
+               FROM ska, skb, comb),
+             ex AS (SELECT
+               COUNT(DISTINCT CASE WHEN event_type = 'click'
+                 THEN user_id END) exact_click,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                 THEN user_id END) exact_purchase,
+               COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                 THEN user_id END) exact_union
+               FROM events)
+             SELECT CAST(ea AS BIGINT) AS est_click,
+               CAST(eb AS BIGINT) AS est_purchase,
+               CAST(eu AS BIGINT) AS est_union,
+               CAST((rho * eu) // denom AS BIGINT) AS est_inter,
+               CAST(exact_click AS BIGINT) AS exact_click,
+               CAST(exact_purchase AS BIGINT) AS exact_purchase,
+               CAST(exact_union AS BIGINT) AS exact_union,
+               CAST(exact_click + exact_purchase - exact_union AS BIGINT)
+                 AS exact_inter
+             FROM est, ex""")),
+
+    // Text normalization scrub (TextQuality.cleanText): the C4/CCNet
+    // ingest pre-pass — control chars → spaces, space runs collapsed,
+    // edges trimmed — as a zero-shuffle codegen projection. The corpus
+    // is deterministically DIRTIED first (t13's injection discipline:
+    // tabs, doubled spaces, a BEL terminator), because a gate over
+    // already-clean text would be vacuous.
+    ("t23_text_clean", (s, dir) => {
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("\t "),
+          regexp_replace(col("text"), " and ", "  and\t"),
+          lit("  \u0007")).as("dirty"))
+      dirty.select(col("doc_id"),
+        length(col("dirty")).cast("long").as("len_dirty"),
+        TextQuality.cleanText(col("dirty")).as("clean"))
+        .select(col("doc_id"), col("len_dirty"),
+          length(col("clean")).cast("long").as("len_clean"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH d AS (SELECT doc_id,
+               chr(9) || ' ' ||
+               regexp_replace(text, ' and ', '  and' || chr(9), 'g') ||
+               '  ' || chr(7) AS dirty
+               FROM documents),
+             c AS (SELECT doc_id, dirty,
+               trim(regexp_replace(regexp_replace(dirty,
+                 '[\x00-\x1f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS clean
+               FROM d)
+             SELECT doc_id, CAST(LENGTH(dirty) AS BIGINT) AS len_dirty,
+               CAST(LENGTH(clean) AS BIGINT) AS len_clean,
+               md5(clean) AS clean_md5
+             FROM c ORDER BY doc_id"""))
   )
 
   // ---------- driver contract ----------

@@ -506,4 +506,16 @@ object TextQuality {
     val ttr = size(array_distinct(ws)).cast("double") / nWords
     nWords >= minWords && ttr >= minTtr
   }
+
+  /** Text NORMALIZATION scrub (the C4/CCNet ingest pre-pass that runs
+    * before any tokenize/shingle stage): ASCII control characters
+    * become spaces, space runs collapse to one, edges trim. Pure
+    * per-row projection — zero shuffle, streamable, codegen'd
+    * regexp_replace — and the regexes are RE2-compatible so the same
+    * normalization replays in any engine. A corpus where "a\t b" and
+    * "a b" shingle differently silently halves every dedup operator's
+    * recall; this is the choke point that prevents it. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(c, "[\\x00-\\x1f]", " "), " {2,}", " "))
 }
