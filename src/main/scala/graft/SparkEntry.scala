@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Dedup, Ewma, GlobalRank, Interpolation, Sessionize, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, Dedup, Ewma, GlobalRank, Interpolation, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -4814,7 +4814,114 @@ object SparkEntry {
              SELECT doc_id, CAST(LENGTH(dirty) AS BIGINT) AS len_dirty,
                CAST(LENGTH(clean) AS BIGINT) AS len_clean,
                md5(clean) AS clean_md5
-             FROM c ORDER BY doc_id"""))
+             FROM c ORDER BY doc_id""")),
+
+    // Ordered funnel conversion (Behavior.funnel): first view, first
+    // click AFTER it, first purchase after THAT, per user — three
+    // conditional window mins over ONE user exchange (no per-stage
+    // self-join). Nullable per-stage millis are the gate surface: a
+    // user stuck at stage i hashes as nulls from i+1 on.
+    ("g23_funnel", (s, dir) =>
+      Behavior.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_millis(col("stage_0_ts")).as("view_ms"),
+          unix_millis(col("stage_1_ts")).as("click_ms"),
+          unix_millis(col("stage_2_ts")).as("purchase_ms"))
+        .orderBy("user_id"),
+      Some("""WITH v AS (SELECT user_id, MIN(ts) s0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+             c AS (SELECT e.user_id, MIN(e.ts) s1 FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.s0 GROUP BY 1),
+             p AS (SELECT e.user_id, MIN(e.ts) s2 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.s1 GROUP BY 1)
+             SELECT u.user_id, epoch_ms(v.s0) AS view_ms,
+               epoch_ms(c.s1) AS click_ms, epoch_ms(p.s2) AS purchase_ms
+             FROM (SELECT DISTINCT user_id FROM events) u
+             LEFT JOIN v ON u.user_id = v.user_id
+             LEFT JOIN c ON u.user_id = c.user_id
+             LEFT JOIN p ON u.user_id = p.user_id
+             ORDER BY u.user_id""")),
+
+    // Weekly cohort retention triangle (Behavior.weeklyRetention):
+    // cohort = ISO week of the user's first event; distinct users per
+    // (cohort, week offset). One user exchange + one tiny pair
+    // aggregation.
+    ("g24_retention", (s, dir) =>
+      Behavior.weeklyRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (SELECT user_id, MIN(ts) first_ts FROM events GROUP BY 1),
+             a AS (SELECT e.user_id,
+               date_trunc('week', f.first_ts) cw,
+               date_trunc('week', e.ts) aw
+               FROM events e JOIN f ON e.user_id = f.user_id)
+             SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // Event-transition matrix (Behavior.transitionMatrix): per-user
+    // Markov bigrams over the time-ordered stream, with row-normalized
+    // probabilities — lag window on the user exchange, then a
+    // |types|^2-row aggregation. event_id tie-breaks identical
+    // timestamps so both engines see one deterministic sequence.
+    ("g25_transitions", (s, dir) =>
+      Behavior.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+        .orderBy("prev_type", "next_type"),
+      Some("""WITH l AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 prev_type FROM events),
+             m AS (SELECT prev_type, event_type AS next_type, COUNT(*) n
+               FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+               ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+             FROM m ORDER BY prev_type, next_type""")),
+
+    // Skew-salted equi-join (SkewSalt.saltedEquiJoin): events'
+    // event_type is the canonical pathological key (5 values over
+    // ~every row — an unsalted shuffle join pins 5 of 32 reducers).
+    // The salt spreads each hot key over 16 sub-keys; the oracle is
+    // the PLAIN join — salting must be invisible in the answer.
+    ("j9_salted_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.select("event_type").distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      SkewSalt.saltedEquiJoin(ev, dim, Seq("event_type"), 16)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value")) * col("w")).as("weighted_c"))
+        .orderBy("event_type")
+    },
+      Some("""WITH d AS (SELECT DISTINCT event_type,
+               CAST(LENGTH(event_type) AS BIGINT) w FROM events)
+             SELECT e.event_type AS event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT) * w) AS BIGINT)
+                 AS weighted_c
+             FROM events e JOIN d ON e.event_type = d.event_type
+             GROUP BY 1 ORDER BY 1""")),
+
+    // FILTERED vector search (Ann.filteredTopK): top-k cosine among
+    // only odd-label corpus vectors — the metadata-filter + similarity
+    // shape every vector store exposes. Pre-filter semantics: the
+    // predicate cuts the corpus BEFORE scoring (k results guaranteed
+    // from the eligible set), and the label filter reaches the scan.
+    ("n12_ann_filtered", (s, dir) =>
+      Ann.filteredTopK(t(s, dir, "embeddings"), annQueryPred,
+        col("label") % 2 === 1, 5)
+        .orderBy("qid", "rnk"),
+      Some(s"""WITH $oracleUnitCte,
+             q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+             s AS (SELECT qid, u.vec_id neighbor_id, u.label,
+                   ROUND(list_dot_product(qu, u.ue), 6) cos_r
+                   FROM q, u WHERE u.vec_id <> qid AND u.label % 2 = 1),
+             r AS (SELECT qid, neighbor_id, label, cos_r,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                   FROM s)
+             SELECT qid, rnk, neighbor_id, label, cos_r FROM r WHERE rnk <= 5
+             ORDER BY qid, rnk"""))
   )
 
   // ---------- driver contract ----------

@@ -75,6 +75,32 @@ object Ann {
         round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
   }
 
+  /** FILTERED vector search: top-k among only the corpus vectors
+    * satisfying `corpusPred` (metadata filter + similarity, the
+    * "filtered ANN" shape every vector store exposes). This is the
+    * pre-filter strategy — the predicate cuts the corpus BEFORE any
+    * scoring, so the filter reaches the parquet scan (pushdown on the
+    * metadata column) and the scored row count shrinks by the
+    * selectivity; post-filtering a top-k would instead return < k
+    * rows whenever the filter removes ranked survivors. Queries still
+    * come from the unfiltered corpus: filtering is about what may be
+    * RETURNED, not who may ask. */
+  def filteredTopK(embeddings: DataFrame, queryPred: Column,
+                   corpusPred: Column, k: Int): DataFrame = {
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"),
+        col("label"))
+    val q = em.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"))
+    val corpus = em.filter(corpusPred)
+    val scores = broadcast(q).join(corpus, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("label"),
+        round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+    topKPerGroup(scores, Seq("qid"),
+      Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
+      .select("qid", "rnk", "neighbor_id", "label", "cos_r")
+  }
+
   /** Brute-force cosine top-k per query (the ANN baseline). */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame =
     topKPerGroup(bruteForceScores(embeddings, queryPred), Seq("qid"),

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over an event stream table: ordered funnel
+  * conversion, cohort retention, and event-transition (Markov bigram)
+  * matrices. These are the classic product-analytics operators a
+  * reference ETL feeds downstream (the reference's activity tables are
+  * exactly such an event log — reference `main.py:47-74` builds the
+  * per-activity history this family aggregates).
+  *
+  * Scale design: every operator here shuffles ONCE on the entity key
+  * (user) and computes per-entity state with unbounded-frame window
+  * aggregates over that single exchange — no self-joins, no iteration,
+  * no driver-side state. At 100 TB the exchange is the unavoidable
+  * cost of "per-user history"; everything downstream of it is
+  * map-side.
+  */
+object Behavior {
+
+  /** Strictly-ordered funnel: for each user, the first `stages(0)`
+    * event, then the first `stages(1)` event AFTER that, then the
+    * first `stages(2)` after THAT, etc. Returns one row per user with
+    * one nullable timestamp column per stage (`stage_0_ts …`) — a user
+    * that never progresses past stage i has nulls from i+1 on.
+    *
+    * Each stage is one conditional `min` over the same user-partitioned
+    * unbounded window, referencing the previous stage's materialized
+    * column — N stages = N WindowExecs over ONE exchange (the windows
+    * share partitioning and need no ordering), not N self-joins. This
+    * is the shape that survives 100×: a billion users cost one shuffle
+    * of the event log, and no per-stage join re-shuffles it.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(userCol)
+    val withStages = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage && col(tsCol) > col(s"stage_${i - 1}_ts")
+        df.withColumn(s"stage_${i}_ts", min(when(cond, col(tsCol))).over(w))
+    }
+    withStages
+      .select(col(userCol) +: stages.indices.map(i => col(s"stage_${i}_ts")): _*)
+      .distinct()
+  }
+
+  /** Weekly cohort retention: users bucketed by the ISO week of their
+    * first event (the cohort), counted distinct in every later week
+    * they reappear, keyed by (cohort_week, week_offset). The classic
+    * retention triangle.
+    *
+    * One exchange on user for the first-event window, one aggregation
+    * exchange on the (cohort, offset) pair — the minimum for this
+    * result. `countDistinct` on the second exchange is exact; at
+    * 100 TB swap in HLL ([[graft.functions.KmvSketch]] / Spark's
+    * `approx_count_distinct`) per the documented sketch family.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    events
+      .withColumn("__first_ts", min(col(tsCol)).over(w))
+      .select(col(userCol),
+        date_trunc("week", col("__first_ts")).as("__cw"),
+        date_trunc("week", col(tsCol)).as("__aw"))
+      .select(col(userCol), col("__cw"),
+        (datediff(col("__aw"), col("__cw")) / 7).cast("long").as("week_offset"))
+      .groupBy(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
+  /** Per-user event-type transition matrix (first-order Markov
+    * bigrams): counts and row-normalized probabilities of
+    * `prev_type → event_type` steps in each user's time-ordered
+    * stream. Ordering ties break on `tieCol` so results are exact and
+    * reproducible. Transition structure is the standard behavioral
+    * fingerprint (bot detection, path analysis) and the same lag-shape
+    * powers n-gram language modeling over token streams.
+    *
+    * One exchange on user (the lag window), one tiny aggregation on
+    * the (prev, curr) pair — at most |types|² groups, so the second
+    * exchange is negligible at any scale. The probability denominator
+    * is a window over the aggregated matrix, not a re-scan.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val steps = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val denom = Window.partitionBy("prev_type")
+    steps.withColumn("p",
+      round(col("n") / sum(col("n")).over(denom), 6))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavior-analytics operators against brute-force references on
+  * hand-built event streams, including the edge the declarative shape
+  * must not fumble: a funnel stage event at EXACTLY the previous
+  * stage's timestamp does not count (strict `>`), and a user whose
+  * stages arrive out of order never converts. */
+class BehaviorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // u1: clean view -> click -> purchase
+  // u2: click BEFORE the first view -> funnel stalls at view
+  // u3: click at the exact view timestamp -> strict > rejects it, but a
+  //     later click counts; no purchase
+  // u4: purchase only -> all stages null except none (no view)
+  private val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 10L, "view"),
+    (2L, ts("2024-01-01 10:05:00"), 10L, "click"),
+    (3L, ts("2024-01-01 10:06:00"), 10L, "purchase"),
+    (4L, ts("2024-01-01 09:00:00"), 20L, "click"),
+    (5L, ts("2024-01-01 09:30:00"), 20L, "view"),
+    (6L, ts("2024-01-02 08:00:00"), 30L, "view"),
+    (7L, ts("2024-01-02 08:00:00"), 30L, "click"),
+    (8L, ts("2024-01-02 09:00:00"), 30L, "click"),
+    (9L, ts("2024-01-03 12:00:00"), 40L, "purchase"))
+
+  private def eventsDf = events.toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnel: strict ordering, equal-timestamp rejection, stalled users") {
+    val got = Behavior.funnel(eventsDf, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))))).toMap
+
+    assert(got.keySet == Set(10L, 20L, 30L, 40L))
+    assert(got(10L) == (Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:06:00"))))
+    // u2's click precedes its view: stage 2 never fires
+    assert(got(20L) == (Some(ts("2024-01-01 09:30:00")), None, None))
+    // u3's same-instant click is rejected (strict >); the later one counts
+    assert(got(30L) == (Some(ts("2024-01-02 08:00:00")),
+      Some(ts("2024-01-02 09:00:00")), None))
+    // u4 never viewed: everything null
+    assert(got(40L) == (None, None, None))
+  }
+
+  test("funnel matches a brute-force per-user scan on random streams") {
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "error")
+    val rows = (1 to 400).map { i =>
+      (i.toLong, new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+        (rnd.nextInt(25) + 1).toLong, types(rnd.nextInt(types.size)))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val stages = Seq("view", "click", "purchase")
+
+    val got = Behavior.funnel(df, "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => Option(r.getTimestamp(i)).map(_.getTime))).toMap
+
+    // reference: literal sequential scan per user
+    val ref = rows.groupBy(_._3).map { case (u, evs) =>
+      var floor = Long.MinValue
+      val hits = stages.map { st =>
+        val hit = evs.filter(e => e._4 == st && e._2.getTime > floor)
+          .map(_._2.getTime).minOption
+        floor = hit.getOrElse(Long.MaxValue)
+        hit
+      }
+      u -> hits
+    }
+    assert(got == ref)
+  }
+
+  test("weeklyRetention: cohorts anchor on the first event's week") {
+    val got = Behavior.weeklyRetention(eventsDf, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // all sample events fall in the week of Mon 2024-01-01
+    assert(got == Map(("2024-01-01", 0L) -> 4L))
+
+    // u10 reappearing two weeks later lands in offset 2, not 1
+    val later = eventsDf.union(
+      Seq((99L, ts("2024-01-16 10:00:00"), 10L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type"))
+    val got2 = Behavior.weeklyRetention(later, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == Map(("2024-01-01", 0L) -> 4L, ("2024-01-01", 2L) -> 1L))
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val got = Behavior.transitionMatrix(eventsDf, "user_id", "ts",
+      "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+
+    // u1: view->click->purchase; u2: click->view; u3: view->click (the
+    // same-ts pair orders by event_id), click->click; u4: no steps
+    assert(got(("view", "click")) == (2L, 1.0))
+    assert(got(("click", "purchase")) == (1L, 0.333333))
+    assert(got(("click", "view")) == (1L, 0.333333))
+    assert(got(("click", "click")) == (1L, 0.333333))
+    assert(got.size == 4)
+    // probabilities per prev row sum to ~1 (each rounded to 6 places)
+    val rowSums = got.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._2).sum).toMap
+    rowSums.values.foreach(s => assert(math.abs(s - 1.0) < 1e-5))
+  }
+}
