@@ -80,6 +80,35 @@ object GateFixtures {
       .toDF("doc_id", "payload")
   }
 
+  /** Deterministic s16le PCM payload for the m9 audio gate:
+    * 256·(2 + id%3) samples, sample(i) = ((id·7 + i·13) mod 2048) −
+    * 1024 — a pseudo-sawtooth sweeping the full signed range with
+    * frequent sign flips, closed-form so the DuckDB oracle regenerates
+    * the WAVEFORM (generate_series + the same arithmetic) and never
+    * parses a byte. Integer features stay bit-exact end to end. */
+  private[graft] def pcmAudio(id: Long): Array[Byte] = {
+    val n = (256 * (2 + id % 3)).toInt
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 7 + i.toLong * 13) % 2048) - 1024).toInt
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The documents table as raw-PCM audio rows (doc_id, payload) —
+    * input of the m9 audio-framing gate; synthesis runs inside
+    * mapPartitions like [[pngMedia]]'s render. */
+  private[graft] def pcmMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pcmAudio(id))))
+      .toDF("doc_id", "payload")
+  }
+
   /** Cleaned activities for the e3/e4 pipeline gates: a 1-in-20 orders
     * slice as Strava-shaped JSON through the real clean; elapsed_time
     * splits the corpus across the R5 branch. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, Dedup, Ewma, GlobalRank, Interpolation, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, Dedup, IntervalJoin, Ewma, GlobalRank, Interpolation, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -4188,6 +4188,33 @@ object SparkEntry {
                  AS luma_sum
              FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // AUDIO framing at the media seam (Multimodal.audioFrameFeatures):
+    // s16le PCM -> 256-sample frames -> per-frame energy/peak/zero
+    // crossings, all integer-exact. The fixture waveform is closed-form
+    // (GateFixtures.pcmAudio), so the oracle regenerates the SAMPLES
+    // (generate_series + the same mod arithmetic) and never parses a
+    // byte — the m6 discipline applied to a second modality. The tail
+    // frame is partial by design (never padded: padding invents
+    // energy).
+    ("m9_audio_frames", (s, dir) =>
+      graft.multimodal.Multimodal.audioFrameFeatures(
+        GateFixtures.pcmMedia(s, dir), 256)
+        .toDF().orderBy("doc_id", "frame_idx"),
+      Some("""WITH d AS (SELECT doc_id, 256*(2 + doc_id % 3) n FROM documents),
+             s AS (SELECT doc_id,
+               UNNEST([i for i in generate_series(0, n::INT - 1)]) i FROM d),
+             v AS (SELECT doc_id, i, i // 256 f,
+               ((doc_id*7 + i*13) % 2048) - 1024 v FROM s),
+             c AS (SELECT doc_id, f, i, v,
+               lag(v) OVER (PARTITION BY doc_id, f ORDER BY i) pv FROM v)
+             SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+               CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             FROM c GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
+
     // correlated scalar subqueries through the SQL parser path (the
     // predicate is exact-integer so both engines decide identically:
     // price_c * n > 2 * sum_c instead of price > 2*avg over doubles).
@@ -4902,6 +4929,102 @@ object SparkEntry {
                  AS weighted_c
              FROM events e JOIN d ON e.event_type = d.event_type
              GROUP BY 1 ORDER BY 1""")),
+
+    // Duration-capped sessionization (Sessionize.withCappedSessionId):
+    // gap cap OR max-duration split — the recurrence window functions
+    // cannot express (each split depends on the previous split), run
+    // as the secondary-sort mapPartitions fold. The oracle is a
+    // genuine RECURSIVE CTE replaying the same state machine. 24 h
+    // gap / 48 h cap both bind on this corpus (median uncapped
+    // session ~37 h, gap p90 ~25 h) — neither predicate is vacuous.
+    ("g26_capped_sessions", (s, dir) =>
+      Sessionize.withCappedSessionId(t(s, dir, "events"), Seq("user_id"),
+        "ts", Seq("event_id"), 86400, 172800)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("len"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("max_len"),
+          sum(col("len")).as("total_events"),
+          max(col("dur_us")).as("max_dur_us"))
+        .orderBy("user_id"),
+      Some("""WITH RECURSIVE o AS (SELECT user_id, epoch_us(ts) us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+               FROM events),
+             r AS (
+               SELECT user_id, rn, us, CAST(1 AS BIGINT) sid, us sstart
+               FROM o WHERE rn = 1
+               UNION ALL
+               SELECT o.user_id, o.rn, o.us,
+                 CASE WHEN o.us - r.us > 86400000000
+                        OR o.us - r.sstart > 172800000000
+                      THEN r.sid + 1 ELSE r.sid END,
+                 CASE WHEN o.us - r.us > 86400000000
+                        OR o.us - r.sstart > 172800000000
+                      THEN o.us ELSE r.sstart END
+               FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+             sl AS (SELECT user_id, sid, COUNT(*) len, MAX(us) - MIN(us) dur_us
+               FROM r GROUP BY 1, 2)
+             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(len) AS BIGINT) AS max_len,
+               CAST(SUM(len) AS BIGINT) AS total_events,
+               CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+             FROM sl GROUP BY 1 ORDER BY user_id""")),
+
+    // Deterministic corpus shuffle (training-order randomization):
+    // every epoch of LLM training consumes the corpus in a fresh
+    // pseudo-random order — md5(seed | doc_id) is that order, seeded
+    // per epoch, identical on every engine and every retry (no
+    // rand()). The ordinal comes from GlobalRank's range-partitioned
+    // formulation, NEVER row_number-over-everything (one-partition
+    // funnel at corpus scale); downstream readers consume shuffled
+    // shards in parallel by rank range.
+    ("o15_corpus_shuffle", (s, dir) => {
+      val skey = md5(concat(lit("ep42|"), col("doc_id").cast("string")))
+      GlobalRank.withGlobalRank(
+        t(s, dir, "documents").select(col("doc_id"), skey.as("shuffle_key")),
+        "rn", Seq(col("shuffle_key"), col("doc_id")))
+        .orderBy("rn")
+    },
+      Some("""SELECT doc_id, md5('ep42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             ROW_NUMBER() OVER (ORDER BY md5('ep42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents ORDER BY rn""")),
+
+    // Interval-overlap join (IntervalJoin.overlapJoin): which user
+    // pairs had concurrently-open sessions, and how often — gridded
+    // equi-join + responsibility-bucket dedup, NEVER the cartesian
+    // inequality join (the oracle IS that naive formulation: the grid
+    // must be invisible in the answer). Half-open [first, last+1ms)
+    // session intervals from w1's gap sessionization.
+    ("j10_interval_join", (s, dir) => {
+      val sess = Sessionize.withSessionId(t(s, dir, "events"),
+        Seq("user_id"), "ts", 1800)
+        .groupBy("user_id", "session_id")
+        .agg(unix_millis(min(col("ts"))).as("s"),
+          (unix_millis(max(col("ts"))) + 1L).as("e"))
+        .select(col("user_id").as("u"), col("s"), col("e"))
+      IntervalJoin.overlapJoin(sess, sess, "s", "e", 3600)
+        .filter(col("a_u") < col("b_u"))
+        .groupBy(col("a_u").as("user_a"), col("b_u").as("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    },
+      Some("""WITH l AS (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),
+             f AS (SELECT user_id, ts, CASE WHEN prev IS NULL
+               OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END is_new
+               FROM l),
+             sid AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+               FROM f),
+             s AS (SELECT user_id, session_id, MIN(epoch_ms(ts)) s,
+               MAX(epoch_ms(ts)) + 1 e FROM sid GROUP BY 1, 2)
+             SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps
+             FROM s a JOIN s b
+               ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+             GROUP BY 1, 2 ORDER BY user_a, user_b""")),
 
     // FILTERED vector search (Ann.filteredTopK): top-k cosine among
     // only odd-label corpus vectors — the metadata-filter + similarity

@@ -275,4 +275,69 @@ object Multimodal {
         }
       }
   }
+
+  /** Per-frame audio features. All-integer so any engine replaying the
+    * waveform formula agrees bit-for-bit. */
+  case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
+                        sum_abs: Long, peak: Long, zero_crossings: Long)
+
+  /** AUDIO at the media seam: decode signed-16-bit little-endian PCM
+    * payloads, window into `frameSize`-sample frames (the STFT/VAD
+    * framing every audio pipeline starts with), and emit per-frame
+    * energy (sum |s|), peak (max |s|) and zero-crossing counts — the
+    * classic silence/voicing features, all integer-exact. The tail
+    * frame is partial (`n_samples < frameSize`), never padded: padding
+    * invents energy.
+    *
+    * A payload of odd byte length is not valid s16le — it emits the
+    * EXPLICIT failure marker row (frame_idx = -1, all features -1),
+    * m6's corrupt-media discipline. Zero crossings count sign flips
+    * between CONSECUTIVE samples within a frame (sample >= 0 is
+    * "positive"); frames never see their neighbor's last sample, so
+    * frames are independently recomputable — what makes this
+    * embarrassingly parallel at the seam.
+    *
+    * This is the "decode" tier a real codec replaces (MP3/OGG →
+    * ffmpeg/JNI); raw-PCM framing itself is pure JVM arithmetic, so
+    * unlike images no codec seam stub is needed — the gate runs the
+    * REAL transform. */
+  def audioFrameFeatures(media: DataFrame, frameSize: Int = 256): Dataset[AudioFrame] = {
+    require(frameSize > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val b = if (payload == null) Array.emptyByteArray else payload
+          if (b.length % 2 != 0) {
+            Iterator.single(AudioFrame(id, -1L, -1L, -1L, -1L, -1L))
+          } else {
+            val n = b.length / 2
+            val nFrames = (n + frameSize - 1) / frameSize
+            (0 until nFrames).iterator.map { f =>
+              val start = f * frameSize
+              val end = math.min(start + frameSize, n)
+              var sumAbs = 0L
+              var peak = 0L
+              var zc = 0L
+              var prevNeg = false
+              var i = start
+              while (i < end) {
+                // s16le: low byte unsigned, high byte carries the sign
+                val v = ((b(2 * i + 1) << 8) | (b(2 * i) & 0xff))
+                val a = math.abs(v).toLong
+                sumAbs += a
+                if (a > peak) peak = a
+                val neg = v < 0
+                if (i > start && neg != prevNeg) zc += 1
+                prevNeg = neg
+                i += 1
+              }
+              AudioFrame(id, f.toLong, (end - start).toLong, sumAbs, peak, zc)
+            }
+          }
+        }
+      }
+  }
 }

@@ -33,4 +33,61 @@ object Sessionize {
         sum(col("__is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__is_new")
   }
+
+  /** Sessionization with BOTH a gap cap and a maximum session
+    * DURATION: a new session starts when the gap since the previous
+    * event exceeds `gapSeconds` (strict, as [[withSessionId]]) OR when
+    * this event would stretch the current session past
+    * `maxDurationSeconds` from its first event. The duration-capped
+    * variant is what billing/attribution pipelines actually run — and
+    * it is NOT expressible as window functions: each session's start
+    * depends on where the previous split landed, a sequential
+    * recurrence (the declarative running-sum trick only handles the
+    * gap predicate, whose trigger is a per-row lag).
+    *
+    * Implementation is the secondary-sort pattern: one hash exchange
+    * on the keys, an in-partition sort by (keys, ts, tie), then a
+    * single-pass `mapPartitions` fold carrying O(1) state (current
+    * key, previous ts, session start) — no per-group
+    * materialization, no driver state, arbitrarily hot keys stream
+    * through one task in sorted order exactly like any per-key
+    * window would. Timestamp arithmetic runs at full MICROsecond
+    * precision (epoch micros, not Timestamp.getTime millis — the
+    * truncation class of bug).
+    *
+    * `session_id` is 1-based per key; `tieCols` must make the sort
+    * total or splits at identical timestamps are nondeterministic.
+    */
+  def withCappedSessionId(df: DataFrame, keys: Seq[String], tsCol: String,
+                          tieCols: Seq[String], gapSeconds: Long,
+                          maxDurationSeconds: Long): DataFrame = {
+    require(gapSeconds > 0 && maxDurationSeconds > 0)
+    val gapUs = gapSeconds * 1000000L
+    val capUs = maxDurationSeconds * 1000000L
+    val schema = df.schema
+    val outSchema = schema.add("session_id", org.apache.spark.sql.types.LongType)
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val sorted = df
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys ++ Seq(tsCol) ++ tieCols).map(col): _*)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var sid = 0L
+      var startUs = 0L
+      var prevUs = 0L
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        val inst = r.getAs[java.sql.Timestamp](tsIdx).toInstant
+        val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        if (curKey == null || k != curKey) {
+          curKey = k; sid = 1L; startUs = us
+        } else if (us - prevUs > gapUs || us - startUs > capUs) {
+          sid += 1L; startUs = us
+        }
+        prevUs = us
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sid)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -202,6 +202,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(luma(y * rw + x) == ((id + 11 * (2 * x) + 17 * (2 * y)) % 256).toInt)
   }
 
+  test("audio framing: s16le decode exact, partial tail, corrupt marker") {
+    import graft.multimodal.Multimodal
+    // 5 samples: +300, -300, 0, -1, +1 — zero counts as non-negative,
+    // so the sign sequence is +,-,+,-,+ = 4 crossings
+    def s16le(vs: Seq[Int]): Array[Byte] = vs.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val media = Seq(
+      (1L, s16le(Seq(300, -300, 0, -1, 1))),
+      (2L, s16le((1 to 300).map(i => if (i % 2 == 0) i else -i))),
+      (3L, Array[Byte](1, 2, 3))) // odd length: not s16le
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioFrameFeatures(media, 256).collect()
+      .groupBy(_.doc_id)
+
+    val f1 = out(1L).head
+    assert(out(1L).length == 1)
+    assert((f1.n_samples, f1.sum_abs, f1.peak, f1.zero_crossings) ==
+      ((5L, 602L, 300L, 4L)))
+
+    // 300 samples at frame 256 -> full frame + 44-sample tail; the
+    // alternating signs cross at every step WITHIN each frame
+    val Seq(a, b) = out(2L).sortBy(_.frame_idx).toSeq
+    assert(a.n_samples == 256L && b.n_samples == 44L)
+    assert(a.zero_crossings == 255L && b.zero_crossings == 43L)
+    assert(b.peak == 300L)
+    // frames partition the energy: no sample counted twice or dropped
+    assert(a.sum_abs + b.sum_abs == (1 to 300).map(_.toLong).sum)
+
+    // corrupt (odd bytes) -> the explicit marker row, never silence
+    assert(out(3L).toSeq == Seq(
+      Multimodal.AudioFrame(3L, -1L, -1L, -1L, -1L, -1L)))
+  }
+
   test("resize stage bounds payload size and keeps every factor-th byte") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "abcdefghij", "s"), (2L, "xy", "s"), (3L, "", "s"))
