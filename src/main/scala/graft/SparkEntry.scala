@@ -460,6 +460,34 @@ object SparkEntry {
                FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
              SELECT event_id, ew FROM r ORDER BY event_id""")),
 
+    // Holt linear-trend smoothing (Ewma.holt): the level+trend
+    // recurrence with one-step forecast level+trend — a6's seam with
+    // two carried doubles. alpha=beta=0.5 are exact binary fractions,
+    // so the recursive-CTE oracle replays the identical IEEE sequence
+    // bitwise.
+    ("a7_holt", (s, dir) =>
+      Ewma.holt(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.5, 0.5,
+        "level", "trend")
+        .select(col("event_id"), col("level"), col("trend"),
+          (col("level") + col("trend")).as("forecast"))
+        .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT event_id, user_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+                FROM events),
+             r(user_id, rn, event_id, l, b) AS (
+               SELECT user_id, rn, event_id, value, CAST(0 AS DOUBLE)
+               FROM e WHERE rn = 1
+               UNION ALL
+               SELECT e.user_id, e.rn, e.event_id,
+                 0.5 * e.value + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * e.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+               FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             SELECT event_id, l AS level, b AS trend, l + b AS forecast
+             FROM r ORDER BY event_id""")),
+
     // R6/R7: rows -> ordered series per key (nested array analogue,
     // serialized as a string for engine-portable comparison).
     ("r6_nest_series", (s, dir) =>
@@ -4929,6 +4957,128 @@ object SparkEntry {
                  AS weighted_c
              FROM events e JOIN d ON e.event_type = d.event_type
              GROUP BY 1 ORDER BY 1""")),
+
+    // Bounded-hop BFS (operators.Bfs): minimum hop distance from the
+    // two lowest supplier nodes over g17's undirected trade graph,
+    // radius 3 — frontier expansion with an anti-join against the seen
+    // set (first discovery IS the minimum at unit weights), lineage
+    // cut per round. Oracle: recursive CTE whose UNION dedup bounds
+    // the walk states to nodes × hops.
+    ("g27_bfs_hops", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      val sources = t(s, dir, "supplier").filter(col("s_suppkey") <= 2)
+        .select((col("s_suppkey") * 2 + 1).as("id"))
+      operators.Bfs.hopDistances(edges, sources, 3)
+        .select(col("id").as("node_id"), col("dist"))
+        .orderBy("node_id")
+    },
+      Some("""WITH RECURSIVE cs AS (SELECT DISTINCT o_custkey*2 AS c,
+               l_suppkey*2+1 AS p
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             e AS (SELECT c src, p dst FROM cs
+                   UNION ALL SELECT p src, c dst FROM cs),
+             w(id, d) AS (
+               SELECT s_suppkey*2+1, 0 FROM supplier WHERE s_suppkey <= 2
+               UNION
+               SELECT e.dst, w.d + 1 FROM w JOIN e ON e.src = w.id
+               WHERE w.d < 3)
+             SELECT id AS node_id, CAST(MIN(d) AS BIGINT) AS dist
+             FROM w GROUP BY 1 ORDER BY node_id""")),
+
+    // Multi-pattern blocklist scan (functions.AhoCorasick): every
+    // pattern found in every document in ONE linear pass — the
+    // broadcast-automaton alternative to |patterns| regex passes. The
+    // dictionary holds borderless patterns only (no proper prefix =
+    // suffix), so all-occurrence counts equal the oracle's
+    // non-overlapping replace() arithmetic; 'zebra quartz' proves the
+    // miss case hashes too (absent rows, not zero rows).
+    ("t25_blocklist_scan", (s, dir) =>
+      functions.AhoCorasick.matchCounts(t(s, dir, "documents"),
+        Seq("table", "value", "fast", "spark a", "zebra quartz"))
+        .orderBy("doc_id", "pat"),
+      Some("""WITH p AS (SELECT UNNEST(['table', 'value', 'fast', 'spark a',
+               'zebra quartz']) pat),
+             c AS (SELECT d.doc_id, p.pat,
+               (LENGTH(d.text) - LENGTH(REPLACE(d.text, p.pat, '')))
+                 // LENGTH(p.pat) n
+               FROM documents d, p)
+             SELECT doc_id, pat, CAST(n AS BIGINT) AS n FROM c
+             WHERE n > 0 ORDER BY doc_id, pat""")),
+
+    // CONTAINMENT self-join (SetSimJoin.containmentSelfJoin): Broder's
+    // asymmetric measure — |A∩B|/|A| ≥ 0.6 over 3-gram shingle sets
+    // catches quote/boilerplate/superset inclusions that Jaccard
+    // dilutes away. Only the contained side prunes to a prefix; the
+    // container side indexes all tokens. Oracle = brute-force
+    // all-overlapping-ordered-pairs join (completeness proof for the
+    // asymmetric prefix filter).
+    ("d24_containment_join", (s, dir) =>
+      operators.SetSimJoin.containmentSelfJoin(t(s, dir, "documents"), 3, 6, 10)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             g AS (SELECT doc_id, list_distinct([array_to_string(w[i : i+2], ' ')
+                   for i in generate_series(1, len(w) - 2)]) gs
+                   FROM w WHERE len(w) >= 3),
+             tk AS (SELECT doc_id, UNNEST(gs) sh FROM g),
+             sz AS (SELECT doc_id, len(gs) n FROM g),
+             ins AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                     FROM tk a JOIN tk b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                     GROUP BY 1, 2)
+             SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter_n,
+               CAST(sa.n AS BIGINT) AS na,
+               ROUND(i * 1.0 / sa.n, 6) AS containment_r
+             FROM ins JOIN sz sa ON sa.doc_id = ins.da
+             WHERE i * 10 >= sa.n * 6
+             ORDER BY doc_a, doc_b""")),
+
+    // STREAMING transition extraction (EventStream.transitionSteps):
+    // g25's lag recurrence as flatMapGroupsWithState custom state —
+    // one tuple per user carries the last event across micro-batches,
+    // steps aggregate to the identical matrix (the oracle is g25's).
+    ("w15_stream_transitions", (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val typed = stream.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+        .as[graft.streaming.EventStream.TypedEvent]
+      val name = s"w15_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.transitionSteps(typed)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val steps = s.table(name)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val denom = Window.partitionBy("prev_type")
+      val resolved = steps
+        .withColumn("p", round(col("n") / sum(col("n")).over(denom), 6))
+        .orderBy("prev_type", "next_type")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH l AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 prev_type FROM events),
+             m AS (SELECT prev_type, event_type AS next_type, COUNT(*) n
+               FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+               ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+             FROM m ORDER BY prev_type, next_type""")),
 
     // Duration-capped sessionization (Sessionize.withCappedSessionId):
     // gap cap OR max-duration split — the recurrence window functions

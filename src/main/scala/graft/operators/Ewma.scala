@@ -60,4 +60,52 @@ object Ewma {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Holt linear-trend (double exponential) smoothing per key — the
+    * level+trend recurrence:
+    * `l_1 = v_1, b_1 = 0;`
+    * `l_n = alpha*v_n + (1-alpha)*(l_{n-1} + b_{n-1});`
+    * `b_n = beta*(l_n - l_{n-1}) + (1-beta)*b_{n-1}`
+    * — the standard short-horizon forecaster (the one-step forecast is
+    * `l + b`). Like EWMA this is a sequential recurrence no window
+    * frame expresses; same secondary-sort single-pass seam, now with
+    * TWO carried doubles. With alpha/beta exactly-representable binary
+    * fractions the oracle's recursive CTE replays the identical IEEE
+    * op sequence — bitwise parity, no rounding hedge needed.
+    *
+    * Nulls: emit the carried (level, trend) without advancing (null
+    * before the first valid value), matching [[ewma]]'s ignore_na. */
+  def holt(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+           valueCol: String, alpha: Double, beta: Double,
+           levelCol: String, trendCol: String): DataFrame = {
+    val outSchema = df.schema.add(levelCol, DoubleType).add(trendCol, DoubleType)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    val parted = df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var level = 0.0
+      var trend = 0.0
+      var seeded = false
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; seeded = false }
+        val out: Seq[Any] =
+          if (r.isNullAt(valIdx)) {
+            if (seeded) Seq(level, trend) else Seq(null, null)
+          } else {
+            val v = r.getAs[Number](valIdx).doubleValue()
+            if (!seeded) { seeded = true; level = v; trend = 0.0 }
+            else {
+              val prev = level
+              level = alpha * v + (1 - alpha) * (level + trend)
+              trend = beta * (level - prev) + (1 - beta) * trend
+            }
+            Seq(level, trend)
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -77,4 +77,56 @@ object SetSimJoin {
         round(col("inter_n").cast("double") / col("union_n"), 6)
           .as("jaccard_r"))
   }
+
+  /** CONTAINMENT self-join: pairs (a, b), a ≠ b, with
+    * `|A ∩ B| / |A| >= tau` — Broder's second measure. Resemblance
+    * (Jaccard) misses the quote/excerpt case: a 50-shingle doc fully
+    * embedded in a 5000-shingle doc has Jaccard ~0.01 but containment
+    * 1.0, and "is this document swallowed by another" is exactly the
+    * near-dup question for quotations, boilerplate inclusions and
+    * version supersets in a training corpus.
+    *
+    * Containment is asymmetric, so the prefix filter is too: the
+    * overlap bound is `ceil(tau·|A|)` (only A's size matters), hence
+    * only the CONTAINED side prunes to a prefix — the container side
+    * must index ALL its tokens (any of B's tokens might be the one
+    * A's prefix hits). Candidate join: A-prefix tokens × B-full
+    * tokens; verification is the same exact integer test
+    * (`inter · tauDen >= tauNum · |A|`). The full-side index is
+    * corpus-token-sized — d11's gram-index scale bound, one exchange
+    * with map-side distinct — while the prefix side keeps the
+    * rare-token bias that makes All-Pairs work.
+    */
+  def containmentSelfJoin(docs: DataFrame, k: Int, tauNum: Int,
+                          tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "tau must be a rational in (0, 1]")
+    val sh = Dedup.wordShingles(docs, k).distinct()
+    val dfT = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfT, "sh")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("doc_id"),
+        transform(col("arr"), e => e.getField("sh")).as("toks"),
+        size(col("arr")).as("n"))
+    val plen =
+      col("n") - expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + 1
+    val prefix = ordered.select(col("doc_id").as("doc_a"),
+      explode(slice(col("toks"), lit(1), plen.cast("int"))).as("tok"))
+    val full = sh.select(col("doc_id").as("doc_b"), col("sh").as("tok"))
+    val cands = prefix.join(full, "tok")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      col("n").as("na"))
+    val b = ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter_n",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter_n") * tauDen >= col("na").cast("long") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        col("na").cast("long").as("na"),
+        round(col("inter_n").cast("double") / col("na"), 6)
+          .as("containment_r"))
+  }
 }

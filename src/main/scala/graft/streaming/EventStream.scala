@@ -238,6 +238,46 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  case class TypedEvent(user_id: Long, us: Long, event_id: Long,
+                        event_type: String)
+  case class TransitionStep(user_id: Long, prev_type: String,
+                            next_type: String)
+
+  /** Streaming event-transition extraction (the streaming twin of
+    * [[graft.operators.Behavior.transitionMatrix]]): per-user custom
+    * state via flatMapGroupsWithState carrying ONE tuple — the last
+    * (event-time, id, type) seen — so the step that straddles a
+    * micro-batch boundary is still emitted. Events are sorted by
+    * (time, id) WITHIN each batch before folding (the group iterator
+    * carries no order guarantee); across batches the operator assumes
+    * event-time-ordered ingest per key, the same contract as every
+    * lag-shaped streaming computation — out-of-order arrival needs a
+    * watermark buffer in front (w7's interval-join discipline), which
+    * is deliberately not fused in here.
+    *
+    * Scale: state is O(1) per key (one tuple), emission is linear in
+    * batch size, and the exchange is the same per-key hash any
+    * stateful operator pays — no growth with stream length. */
+  def transitionSteps(events: Dataset[TypedEvent]): Dataset[TransitionStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), TransitionStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = batch.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          var prev = state.getOption
+          val steps = IndexedSeq.newBuilder[TransitionStep]
+          sorted.foreach { e =>
+            prev.foreach(p => steps += TransitionStep(uid, p._3, e.event_type))
+            prev = Some((e.us, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          steps.result().iterator
+      }
+  }
+
   case class Milestone(user_id: Long, milestone: Long)
 
   /** flatMapGroupsWithState: emit 0..n rows per group per batch — here,

@@ -195,6 +195,63 @@ class EwmaSpec extends AnyFunSuite {
   }
 }
 
+class HoltSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("level+trend recurrence: hand values, key reset, trend direction") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (2L, 1L, 5.0), (2L, 2L, 5.0))
+      .toDF("k", "t", "v")
+    val got = Ewma.holt(df, Seq("k"), Seq("t"), "v", 0.5, 0.5, "l", "b")
+      .select("k", "t", "l", "b").as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // k=1: l1=10,b1=0; l2=.5*20+.5*10=15, b2=.5*5+0=2.5;
+    //      l3=.5*30+.5*17.5=23.75, b3=.5*8.75+.5*2.5=5.625
+    assert(got((1L, 1L)) == ((10.0, 0.0)))
+    assert(got((1L, 2L)) == ((15.0, 2.5)))
+    assert(got((1L, 3L)) == ((23.75, 5.625)))
+    // flat series: trend stays 0, level stays put; key 2 reseeded
+    assert(got((2L, 1L)) == ((5.0, 0.0)))
+    assert(got((2L, 2L)) == ((5.0, 0.0)))
+  }
+
+  test("matches a sequential reference on many keys across partitions") {
+    val rows = for (k <- 0L until 5L; t <- 1L to 30L)
+      yield (k, t, ((k * 31 + t * 13) % 50).toDouble)
+    val got = Ewma.holt(rows.toDF("k", "t", "v"), Seq("k"), Seq("t"), "v",
+      0.25, 0.5, "l", "b")
+      .select("k", "t", "l", "b").as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var l = 0.0; var b = 0.0; var seeded = false
+      rs.sortBy(_._2).map { case (_, t, v) =>
+        if (!seeded) { seeded = true; l = v; b = 0.0 }
+        else {
+          val prev = l
+          l = 0.25 * v + 0.75 * (l + b)
+          b = 0.5 * (l - prev) + 0.5 * b
+        }
+        (k, t) -> ((l, b))
+      }
+    }
+    assert(got == expected)
+  }
+
+  test("nulls carry (level, trend) without advancing; leading nulls emit null") {
+    val df = Seq((1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, Some(20.0)),
+      (2L, 1L, None))
+      .toDF("k", "t", "v")
+    val got = Ewma.holt(df, Seq("k"), Seq("t"), "v", 0.5, 0.5, "l", "b")
+      .select("k", "t", "l").as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 1L)) == Some(10.0))
+    assert(got((1L, 2L)) == Some(10.0))
+    assert(got((1L, 3L)) == Some(15.0)) // gap invisible to the weights
+    assert(got((2L, 1L)) == None)
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

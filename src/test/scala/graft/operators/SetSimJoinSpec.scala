@@ -79,4 +79,50 @@ class SetSimJoinSpec extends AnyFunSuite {
       assert(run(docs, 2, tn, td) === brute(docs, 2, tn, td),
         s"tau=$tn/$td")
   }
+
+  // ---- containment (the asymmetric measure) ----
+
+  private def bruteContain(docs: Seq[(Long, String)], k: Int, tauNum: Int,
+                           tauDen: Int): Set[(Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) => id -> sh(t, k) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size.toLong
+      if inter * tauDen >= sa.size.toLong * tauNum
+    } yield (a, b, inter, sa.size.toLong)).toSet
+  }
+
+  private def runContain(docs: Seq[(Long, String)], k: Int, tauNum: Int,
+                         tauDen: Int): Set[(Long, Long, Long, Long)] =
+    SetSimJoin.containmentSelfJoin(docs.toDF("doc_id", "text"), k, tauNum, tauDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("containment is asymmetric: the excerpt hits, the container doesn't") {
+    // doc 11 is a verbatim excerpt of doc 10 (full containment) but a
+    // tiny Jaccard fraction of it — the case resemblance misses
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(10L -> big,
+      11L -> (5 to 12).map(i => s"w$i").mkString(" "),
+      12L -> "x1 x2 x3 x4 x5")
+    val got = runContain(docs, 2, 9, 10)
+    assert(got.map(t => (t._1, t._2)) == Set((11L, 10L)))
+    // and the symmetric Jaccard join at any meaningful tau finds nothing
+    assert(run(docs, 2, 3, 10).isEmpty)
+    assert(got == bruteContain(docs, 2, 9, 10))
+  }
+
+  test("containment completeness vs brute force, heavy-sharing corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 35L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    for ((tn, td) <- Seq((1, 2), (8, 10), (1, 1)))
+      assert(runContain(docs, 2, tn, td) === bruteContain(docs, 2, tn, td),
+        s"tau=$tn/$td")
+  }
 }

@@ -191,6 +191,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions == batch lag across micro-batches (w15)") {
+    import spark.implicits._
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val tmp = Files.createTempDirectory("graft-w15-spec").toString
+    // TIME-ordered carve-up (day terciles): per-user order is
+    // preserved across batches — the operator's ordered-ingest
+    // contract — while most users straddle all three batches, so the
+    // boundary step (last-of-batch-i -> first-of-batch-i+1) only
+    // appears if state genuinely carries across micro-batches
+    Seq((1, 10), (11, 20), (21, 31)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      batch.filter(dayofmonth(timestamp_micros(col("us"))).between(lo, hi))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i")
+    }
+    val schema = spark.read.parquet(s"$tmp/in/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$tmp/in/*")
+      .as[EventStream.TypedEvent]
+    val q = EventStream.transitionSteps(stream).writeStream
+      .format("memory").queryName("w15steps").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("w15steps")
+        .groupBy("prev_type", "next_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = batch
+        .withColumn("prev_type", lag(col("event_type"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("us", "event_id")))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+      // every non-first event produced a step — cross-batch boundaries
+      // included (drops would show as a shortfall here)
+      val total = batch.count()
+      val users = batch.select("user_id").distinct().count()
+      assert(got.values.sum == total - users)
+    } finally q.stop()
+  }
+
   test("streaming agg-snapshot maintenance == batch rebuild across micro-batches (w14)") {
     val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("user_id"), col("event_id"),
