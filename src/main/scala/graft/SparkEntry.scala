@@ -4958,6 +4958,135 @@ object SparkEntry {
              FROM events e JOIN d ON e.event_type = d.event_type
              GROUP BY 1 ORDER BY 1""")),
 
+    // Point-in-time (PIT) join against the SCD2 state dimension — the
+    // feature-store correctness op: each purchase reads the account
+    // state (signup/error toggles, consecutive dups compressed) that
+    // was valid AT ITS TIMESTAMP, never a later one (no feature
+    // leakage). Composition: g12's interval derivation + j4's as-of
+    // machinery, left form (pre-first-change purchases keep nulls).
+    ("j11_pit_join", (s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = e.filter(col("event_type").isin("signup", "error"))
+        .withColumn("__prev", lag("event_type", 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .withColumn("__vt", lead("ts", 1).over(w))
+        .select(col("user_id"), col("ts"), col("event_type").as("state"),
+          hourStr(col("ts")).as("since"), hourStr(col("__vt")).as("until"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.asof(facts, changes, Seq("user_id"), "ts", "ts",
+        Seq("state" -> "state", "since" -> "state_since",
+          "until" -> "state_until"), inner = false)
+        .select(col("event_id"), col("user_id"), hourStr(col("ts")).as("p_hour"),
+          col("state"), col("state_since"), col("state_until"))
+        .orderBy("event_id")
+    },
+      Some("""WITH se AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE event_type IN ('signup', 'error')),
+             c AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) prev FROM se),
+             ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+             iv AS (SELECT user_id, ts, event_type state,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) vt
+               FROM ch),
+             f AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+             SELECT f.event_id, f.user_id,
+               strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS p_hour, iv.state,
+               strftime(iv.ts, '%Y-%m-%d %H:%M:%S') AS state_since,
+               strftime(iv.vt, '%Y-%m-%d %H:%M:%S') AS state_until
+             FROM f ASOF LEFT JOIN iv
+               ON f.user_id = iv.user_id AND f.ts >= iv.ts
+             ORDER BY f.event_id""")),
+
+    // CDC closure: applyDiff(old, diff(old, neu)) must BE neu —
+    // SnapshotDiff's consumer half (MERGE semantics: delete/update
+    // remove, insert/update add) hash-gated against the direct
+    // construction of the new snapshot. A wrong op split, a dropped
+    // unchanged row, or a double-applied update all flip the hash.
+    ("x8_merge_apply", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("price_c"))
+      val old = o.filter(col("k") % 5 =!= 0)
+      val neu = o.filter(col("k") % 3 =!= 0)
+        .select(col("k"), (col("price_c") +
+          when(col("k") % 7 === 0, 100L).otherwise(0L)).as("price_c"))
+      val changes = operators.SnapshotDiff.diff(old, neu, "k", "price_c")
+      operators.SnapshotDiff.applyDiff(old, changes, "k", "price_c")
+        .select(col("k").as("order_key"), col("price_c"))
+        .orderBy("order_key")
+    },
+      Some("""SELECT o_orderkey AS order_key,
+             CAST(ROUND(o_totalprice*100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price_c
+             FROM orders WHERE o_orderkey % 3 <> 0
+             ORDER BY order_key""")),
+
+    // FILTERED IVF search (the n2 probe with a metadata predicate):
+    // the SCALE.md claim made executable — with a bucketed index the
+    // filter applies AT THE BUCKET PROBE (candidates within the 2
+    // probed cells, then vec_id odd), so filtered search costs probe
+    // volume × selectivity, not a corpus scan. The predicate is
+    // deliberately UNCORRELATED with the bucketing key (vec_id parity
+    // vs label cells) — a label-parity filter would degenerate to
+    // bucket dropping.
+    ("n13_ann_ivf_filtered", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val dims = em.select(col("label"), col("vec_id"),
+        posexplode(Similarity.toDoubleArray(col("embedding"))))
+        .withColumnRenamed("col", "v")
+      val cent = dims.groupBy("label", "pos").agg(round(avg(col("v")), 6).as("c"))
+      val qdims = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("pos"), col("v"))
+      val qcent = qdims.join(cent, Seq("pos"))
+        .groupBy("qid", "label")
+        .agg(round(sum(col("v") * col("c")) /
+          (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("c") * col("c")))), 6).as("ccos"))
+      val wl = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))
+      val probed = qcent.withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= 2)
+        .select("qid", "label")
+      val emU = em.select(col("label"), col("vec_id"),
+        Similarity.unit(col("embedding")).as("ue"))
+      val q = emU.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ue").as("qu"))
+      val cand = broadcast(probed.join(q, "qid"))
+        .join(emU, Seq("label"))
+        .filter(col("vec_id") =!= col("qid") && col("vec_id") % 2 === 1)
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
+      Ann.topKPerGroup(cand, Seq("qid"),
+        Seq(col("cos_r").desc, col("neighbor_id")), 5, "rnk")
+        .select("qid", "rnk", "neighbor_id", "cos_r")
+        .orderBy("qid", "rnk")
+    },
+      Some("""WITH dims AS (SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) v,
+                            generate_subscripts(embedding, 1) i FROM embeddings),
+             cent AS (SELECT label, i, ROUND(AVG(v), 6) c FROM dims GROUP BY 1, 2),
+             qdims AS (SELECT vec_id qid, i, v FROM dims WHERE vec_id < 5),
+             qcent AS (SELECT qid, label,
+                       ROUND(SUM(v * c) / (sqrt(SUM(v * v)) * sqrt(SUM(c * c))), 6) ccos
+                       FROM qdims JOIN cent ON qdims.i = cent.i GROUP BY 1, 2),
+             probed AS (SELECT qid, label FROM
+                        (SELECT qid, label,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) lrnk
+                         FROM qcent) WHERE lrnk <= 2),
+             u AS (SELECT vec_id, label,
+                   list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
+                   FROM embeddings),
+             q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+             cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                      ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                      FROM probed p JOIN q ON p.qid = q.qid
+                      JOIN u e ON e.label = p.label AND e.vec_id <> p.qid
+                        AND e.vec_id % 2 = 1),
+             r AS (SELECT qid, neighbor_id, cos_r,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
+                   FROM cand)
+             SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+             ORDER BY qid, rnk""")),
+
     // Bounded-hop BFS (operators.Bfs): minimum hop distance from the
     // two lowest supplier nodes over g17's undirected trade graph,
     // radius 3 — frontier expansion with an anti-join against the seen
@@ -5079,6 +5208,67 @@ object SparkEntry {
              SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
                ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
              FROM m ORDER BY prev_type, next_type""")),
+
+    // STREAMING duration-capped sessionization (EventStream
+    // .cappedSessionStream): g26's recurrence as flatMapGroupsWithState
+    // with three scalars of state per user; the per-user summary hashes
+    // against g26's recursive-CTE oracle — stream == batch for the
+    // operator the declarative layer can't express at all.
+    ("w16_stream_capped_sessions", (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val typed = stream.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+        .as[graft.streaming.EventStream.TypedEvent]
+      val name = s"w16_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .cappedSessionStream(typed, 86400, 172800)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("len"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("max_len"),
+          sum(col("len")).as("total_events"),
+          max(col("dur_us")).as("max_dur_us"))
+        .orderBy("user_id")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH RECURSIVE o AS (SELECT user_id, epoch_us(ts) us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+               FROM events),
+             r AS (
+               SELECT user_id, rn, us, CAST(1 AS BIGINT) sid, us sstart
+               FROM o WHERE rn = 1
+               UNION ALL
+               SELECT o.user_id, o.rn, o.us,
+                 CASE WHEN o.us - r.us > 86400000000
+                        OR o.us - r.sstart > 172800000000
+                      THEN r.sid + 1 ELSE r.sid END,
+                 CASE WHEN o.us - r.us > 86400000000
+                        OR o.us - r.sstart > 172800000000
+                      THEN o.us ELSE r.sstart END
+               FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+             sl AS (SELECT user_id, sid, COUNT(*) len, MAX(us) - MIN(us) dur_us
+               FROM r GROUP BY 1, 2)
+             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(len) AS BIGINT) AS max_len,
+               CAST(SUM(len) AS BIGINT) AS total_events,
+               CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+             FROM sl GROUP BY 1 ORDER BY user_id""")),
 
     // Duration-capped sessionization (Sessionize.withCappedSessionId):
     // gap cap OR max-duration split — the recurrence window functions

@@ -43,4 +43,23 @@ object SnapshotDiff {
       .select(col(key), col("change"), col("o.v").as("old_v"),
         col("n.v").as("new_v"))
   }
+
+  /** MERGE-apply the change feed [[diff]] emits: deletes and updates
+    * remove the old row, inserts and updates add the new value — the
+    * CDC consumer half of the protocol, closing the loop
+    * `applyDiff(old, diff(old, neu)) == neu` (the x8 gate hashes
+    * exactly that equality). The touched-key set is diff-sized, so the
+    * anti-join broadcasts in the common small-delta case and untouched
+    * rows stream through with no comparison work — the same
+    * touched/untouched split as IncrementalAgg.merge. */
+  def applyDiff(old: DataFrame, changes: DataFrame, key: String,
+                value: String): DataFrame = {
+    val removed = changes.filter(col("change").isin("delete", "update"))
+      .select(col(key).as("__k"))
+    val added = changes.filter(col("change").isin("insert", "update"))
+      .select(col(key), col("new_v").as(value))
+    old.join(removed, old(key) === col("__k"), "left_anti")
+      .select(col(key), col(value))
+      .unionByName(added)
+  }
 }

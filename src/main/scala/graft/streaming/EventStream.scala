@@ -278,6 +278,44 @@ object EventStream {
       }
   }
 
+  case class SessionedEvent(user_id: Long, event_id: Long, us: Long,
+                            session_id: Long)
+
+  /** Streaming duration-capped sessionization (the streaming twin of
+    * [[graft.operators.Sessionize.withCappedSessionId]]): the same
+    * gap-OR-duration recurrence, with the three-scalar state
+    * (session id, session start, previous ts) carried per user across
+    * micro-batches — the batch operator's secondary-sort fold becomes
+    * flatMapGroupsWithState + in-batch sort. Same ordered-ingest
+    * contract as [[transitionSteps]]; same microsecond arithmetic as
+    * the batch twin (w16 hashes against g26's oracle, so a millis
+    * truncation here would flip the gate). */
+  def cappedSessionStream(events: Dataset[TypedEvent], gapSeconds: Long,
+                          capSeconds: Long): Dataset[SessionedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val capUs = capSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent],
+         state: GroupState[(Long, Long, Long)]) =>
+          val sorted = batch.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          var (sid, startUs, prevUs) = state.getOption.getOrElse((0L, 0L, 0L))
+          val outB = IndexedSeq.newBuilder[SessionedEvent]
+          sorted.foreach { e =>
+            if (sid == 0L || e.us - prevUs > gapUs || e.us - startUs > capUs) {
+              sid += 1L; startUs = e.us
+            }
+            prevUs = e.us
+            outB += SessionedEvent(uid, e.event_id, e.us, sid)
+          }
+          if (sorted.nonEmpty) state.update((sid, startUs, prevUs))
+          outB.result().iterator
+      }
+  }
+
   case class Milestone(user_id: Long, milestone: Long)
 
   /** flatMapGroupsWithState: emit 0..n rows per group per batch — here,

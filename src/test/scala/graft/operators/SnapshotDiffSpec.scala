@@ -63,4 +63,28 @@ class SnapshotDiffSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 1, s"diff should shuffle exactly once, saw $n:\n$plan")
   }
+
+  test("closure: applyDiff(old, diff(old, neu)) == neu, random snapshots") {
+    val rnd = new scala.util.Random(29)
+    def snap(): Seq[(Long, java.lang.Long)] =
+      (1L to 60L).filter(_ => rnd.nextBoolean())
+        .map(k => k -> java.lang.Long.valueOf(rnd.nextInt(5).toLong))
+    (1 to 5).foreach { _ =>
+      val old = snap(); val neu = snap()
+      val changes = SnapshotDiff.diff(df(old: _*), df(neu: _*), "k", "v")
+      val applied = SnapshotDiff.applyDiff(df(old: _*), changes, "k", "v")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).sortBy(_._1).toSeq
+      val want = neu.map { case (k, v) => k -> Option[Any](v) }.sortBy(_._1)
+      assert(applied == want)
+    }
+    // null payloads survive the round trip (null→v update, v→null update)
+    val old = Seq(1L -> java.lang.Long.valueOf(7L),
+      2L -> null.asInstanceOf[java.lang.Long])
+    val neu = Seq(1L -> null.asInstanceOf[java.lang.Long],
+      2L -> java.lang.Long.valueOf(9L))
+    val applied = SnapshotDiff.applyDiff(df(old: _*),
+      SnapshotDiff.diff(df(old: _*), df(neu: _*), "k", "v"), "k", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).sortBy(_._1).toSeq
+    assert(applied == Seq(1L -> None, 2L -> Some(9L)))
+  }
 }

@@ -235,6 +235,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming capped sessions == batch fold across micro-batches (w16)") {
+    import spark.implicits._
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val tmp = Files.createTempDirectory("graft-w16-spec").toString
+    Seq((1, 10), (11, 20), (21, 31)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      batch.filter(dayofmonth(timestamp_micros(col("us"))).between(lo, hi))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i")
+    }
+    val schema = spark.read.parquet(s"$tmp/in/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$tmp/in/*")
+      .as[EventStream.TypedEvent]
+    // tight caps (2 h gap / 6 h duration) so many sessions straddle the
+    // tercile boundaries — the state carry is what's under test
+    val q = EventStream.cappedSessionStream(stream, 7200, 21600)
+      .writeStream.format("memory").queryName("w16sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("w16sess")
+        .select("user_id", "event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = graft.operators.Sessionize.withCappedSessionId(
+        batch.withColumn("ts", timestamp_micros(col("us"))),
+        Seq("user_id"), "ts", Seq("event_id"), 7200, 21600)
+        .select("user_id", "event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+      assert(got.values.max > 1)
+    } finally q.stop()
+  }
+
   test("streaming agg-snapshot maintenance == batch rebuild across micro-batches (w14)") {
     val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("user_id"), col("event_id"),
