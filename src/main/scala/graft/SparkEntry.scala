@@ -4958,6 +4958,134 @@ object SparkEntry {
              FROM events e JOIN d ON e.event_type = d.event_type
              GROUP BY 1 ORDER BY 1""")),
 
+    // THE COMPOSED CURATION PIPELINE (e9): the FineWeb-shaped chain a
+    // pretraining data job actually runs, end to end in ONE dataflow —
+    // exact dedup (content-hash keep-first) → benchmark
+    // decontamination (8-gram overlap, d13's split) → quality filter
+    // (length + type-token ratio) → per-source token-budget admission
+    // → deterministic epoch shuffle with a range-partitioned ordinal.
+    // Every stage is an already-gated operator; the value of the gate
+    // is the COMPOSITION: stage boundaries (which docs survive into
+    // the next stage) are where hand-rolled pipelines silently drift,
+    // and the final manifest hash pins all of them at once.
+    ("e9_training_manifest", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // the corpus carries no EXACT dups (the d-family hunts near-dups),
+      // so the ingest is deliberately dirtied first — every 11th train
+      // doc arrives twice under a new id (a crawler re-fetch), t13's
+      // injection discipline: a vacuous stage gates nothing
+      val train0 = docs.filter(col("doc_id") % 5 =!= 0)
+      val train = train0.unionByName(
+        train0.filter(col("doc_id") % 11 === 1)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val keep = train.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = train.join(keep, Seq("doc_id"))
+      val contaminated = Dedup.contamination(deduped, bench, 8).select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val qualified = clean.join(
+        TextQuality.qualityFilter(clean, 40L, 0.5).select("doc_id"),
+        Seq("doc_id"))
+      // 150 tokens/source: tight enough that hot sources get CUT
+      val admitted = operators.Sampling.tokenBudget(qualified, 150L)
+      GlobalRank.withGlobalRank(
+        admitted.select(col("doc_id"), col("source"), col("n_tok"),
+          md5(concat(lit("ep42|"), col("doc_id").cast("string"))).as("sk")),
+        "rn", Seq(col("sk"), col("doc_id")))
+        .select("rn", "doc_id", "source", "n_tok")
+        .orderBy("rn")
+    },
+      Some("""WITH tr0 AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+             tr AS (SELECT * FROM tr0 UNION ALL
+               SELECT doc_id + 100000, text, lang, source, n_chars
+               FROM tr0 WHERE doc_id % 11 = 1),
+             keep AS (SELECT MIN(doc_id) doc_id FROM tr GROUP BY md5(text)),
+             dd AS (SELECT tr.* FROM tr JOIN keep USING (doc_id)),
+             w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             shAll AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])
+                       for i in generate_series(1, len(w) - 7)]) sh
+               FROM w),
+             bsh AS (SELECT DISTINCT sh FROM shAll WHERE doc_id % 5 = 0),
+             cont AS (SELECT DISTINCT s.doc_id FROM shAll s JOIN bsh USING (sh)
+               WHERE s.doc_id % 5 <> 0),
+             cl AS (SELECT dd.* FROM dd
+               WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+             qf AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok
+               FROM cl
+               WHERE len(string_split(text, ' ')) >= 40
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.5),
+             tb AS (SELECT doc_id, source, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY md5('tb|' || CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+               FROM qf),
+             adm AS (SELECT doc_id, source, n_tok FROM tb WHERE tok_before < 150)
+             SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5('ep42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               doc_id, source, n_tok
+             FROM adm ORDER BY rn""")),
+
+    // Sliding-window DISTINCT users (24 h windows every 6 h): the
+    // built-in sliding `window()` IS the explode-to-windows form —
+    // each event emits its 4 covering windows, then one (window, user)
+    // aggregation. The scale-correct shape for sliding distinct
+    // (a window self-join would rescan the fact 4×); countDistinct
+    // swaps for HLL/KMV at 100 TB per the sketch family.
+    ("g28_sliding_distinct", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(hourStr(col("w.start")).as("w_start"), col("n_users"),
+          col("n_events"))
+        .orderBy("w_start"),
+      Some("""WITH e AS (SELECT user_id, ts,
+               to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) slot
+               FROM events),
+             x AS (SELECT user_id, ts, slot - INTERVAL (k*6) HOUR w_start
+               FROM e, (SELECT UNNEST([0,1,2,3]) k)
+               WHERE ts >= slot - INTERVAL (k*6) HOUR
+                 AND ts < slot - INTERVAL (k*6) HOUR + INTERVAL 24 HOUR)
+             SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM x GROUP BY 1 ORDER BY w_start""")),
+
+    // Equi-depth decile binning (feature discretization): EXACT
+    // interpolated decile boundaries from ONE aggregation, broadcast
+    // into a per-row bucket projection — never ntile-over-everything
+    // (a global window funnels the corpus into one task). bucket =
+    // 1 + |boundaries <= v|; both engines evaluate the same
+    // interpolation (Spark percentile == DuckDB quantile_cont).
+    ("o16_quantile_binning", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"))
+      val bounds = li.agg(expr(
+        "percentile(price_c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("l_orderkey"), col("l_linenumber"), col("price_c"),
+          (size(filter(col("bs"), b => b <= col("price_c"))) + 1)
+            .cast("long").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), min(col("price_c")).as("min_c"),
+          max(col("price_c")).as("max_c"))
+        .orderBy("decile")
+    },
+      Some("""WITH li AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) price_c
+               FROM lineitem),
+             b AS (SELECT quantile_cont(price_c,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) bs FROM li)
+             SELECT CAST(len(list_filter(b.bs, x -> x <= li.price_c)) + 1
+               AS BIGINT) AS decile,
+               COUNT(*) AS n, MIN(price_c) AS min_c, MAX(price_c) AS max_c
+             FROM li, b GROUP BY 1 ORDER BY decile""")),
+
     // Point-in-time (PIT) join against the SCD2 state dimension — the
     // feature-store correctness op: each purchase reads the account
     // state (signup/error toggles, consecutive dups compressed) that
