@@ -377,6 +377,23 @@ object GateFixtures {
        ${(1 to rounds).map(round).mkString(",\n")}"""
   }
 
+  /** Shared oracle CTEs producing the 16-bit simhash fingerprint table
+    * `fp(doc_id, h)` — the oracle twin of [[graft.operators.Dedup.simhash16]]:
+    * per-token md5, hex-digit bit extraction, +-1 bit sums, sign bits
+    * packed little-endian. Used by d4 (fingerprints) and d25 (the
+    * Hamming-banded join, verified all-pairs on the oracle side). */
+  private[graft] val oracleSimhashCte: String = {
+    val sums = (0 until 16).map { j =>
+      val ci = j / 4 + 1; val bi = 1 << (j % 4)
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $ci, 1)) - 1) // $bi) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS (SELECT doc_id, md5(UNNEST(string_split(text, ' '))) h FROM documents),
+       sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+       fp AS (SELECT doc_id, CAST($bits AS BIGINT) h FROM sums)"""
+  }
+
   /** Oracle twin of [[Dedup.lshPairs]] (appends to [[oracleSigCtes]]):
     * CTEs `bands`, `kept`, `pairs(doc_a, doc_b)`. */
   private[graft] val oraclePairCtes: String = {

@@ -32,7 +32,8 @@ object SparkEntry {
 
   import GateFixtures.{a5OracleSql, annLshOracleSql, bpeOracleCtes,
     e3Activities, e3OracleSql, e3Streams, e4OracleSql, kmeansMemberCtes,
-    oraclePairCtes, oracleSigCtes, oracleUnitCte, pqSubspaceCtes, rpPlanes}
+    oraclePairCtes, oracleSigCtes, oracleSimhashCte, oracleUnitCte,
+    pqSubspaceCtes, rpPlanes}
 
   // ---------- shared helpers ----------
 
@@ -2893,16 +2894,24 @@ object SparkEntry {
     // SimHash (16-bit) fingerprints from token hashes (Dedup.simhash16).
     ("d4_simhash", (s, dir) =>
       Dedup.simhash16(t(s, dir, "documents")).orderBy("doc_id"),
-      Some {
-        val sums = (0 until 16).map { j =>
-          val ci = j / 4 + 1; val bi = 1 << (j % 4)
-          s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $ci, 1)) - 1) // $bi) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
-        }.mkString(", ")
-        val bits = (0 until 16).map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, md5(UNNEST(string_split(text, ' '))) h FROM documents),
-           sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
-           SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM sums ORDER BY doc_id"""
-      }),
+      Some(s"""WITH $oracleSimhashCte
+             SELECT doc_id, h AS simhash16 FROM fp ORDER BY doc_id""")),
+
+    // SimHash Hamming JOIN (Dedup.simhashHammingJoin): all doc pairs
+    // within Hamming distance 3 of each other via pigeonhole banding —
+    // 4x4-bit bands, >=1 band must agree at distance <=3, so the
+    // popcount verify runs only on banded candidates. The oracle IS
+    // the naive all-pairs popcount scan the banding must reproduce
+    // exactly (perfect recall is the pigeonhole claim, gated).
+    ("d25_simhash_join", (s, dir) =>
+      Dedup.simhashHammingJoin(t(s, dir, "documents"), 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $oracleSimhashCte
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.h, b.h)) <= 3
+             ORDER BY doc_a, doc_b""")),
 
     // exact n-gram Jaccard VERIFICATION over the LSH candidate pairs —
     // the scale-correct composition: quadratic set comparison runs only
@@ -5512,7 +5521,144 @@ object SparkEntry {
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
                    FROM s)
              SELECT qid, rnk, neighbor_id, label, cos_r FROM r WHERE rnk <= 5
-             ORDER BY qid, rnk"""))
+             ORDER BY qid, rnk""")),
+
+    // Grid-blocked fixed-radius spatial self-join (SpatialJoin
+    // .radiusJoin): per-part near-neighbor counts in a 2D feature
+    // space (size x price-derived grid units), radius 5. The operator
+    // replicates the build side into its 3x3 cell neighborhood and
+    // equi-joins on the cell key — the oracle IS the naive cartesian
+    // inequality join the blocking must reproduce exactly. Integral
+    // coordinates make the radius cut exact int64 math.
+    ("j12_spatial_join", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("x"),
+        (round(col("p_retailprice"), 0).cast("long") % 100).as("y"))
+      operators.SpatialJoin.radiusJoin(p, "k", "x", "y", 5L)
+        .groupBy(col("key_a").as("p_partkey"))
+        .agg(count(lit(1)).as("n_neighbors"), min(col("d2")).as("min_d2"))
+        .orderBy("p_partkey")
+    },
+      Some("""WITH p AS (SELECT p_partkey k, CAST(p_size AS BIGINT) x,
+               CAST(ROUND(p_retailprice) AS BIGINT) % 100 y FROM part)
+             SELECT a.k AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(MIN((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT)
+                 AS min_d2
+             FROM p a JOIN p b ON a.k <> b.k
+               AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25
+             GROUP BY 1 ORDER BY p_partkey""")),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING non-purchase event type (the marketing-channel
+    // question every event warehouse answers). One user-partitioned
+    // window — last(ignoreNulls) over rows(-inf, -1) — then a tiny
+    // channel aggregation; no self-join, no per-purchase subquery
+    // (the naive LATERAL "latest touch before ts" rescans the fact
+    // per purchase — quadratic per user at corpus scale).
+    ("g29_attribution", (s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch"), lit("direct")).as("channel"),
+          cents(col("value")).as("v_c"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("revenue_c"))
+        .orderBy("channel")
+    },
+      Some("""WITH w AS (SELECT event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) touch
+               FROM events)
+             SELECT COALESCE(touch, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS revenue_c
+             FROM w WHERE event_type = 'purchase'
+             GROUP BY 1 ORDER BY channel""")),
+
+    // Robust outlier detection (median/MAD, the quality-filter form
+    // that survives heavy tails where mean/stddev z-scores saturate):
+    // per-type exact median, then median absolute deviation, then a
+    // 3xMAD cut. Two aggregations + one BROADCAST of the per-type
+    // stats back onto the fact — the group cardinality (event types)
+    // is tiny, so the fact is scanned twice and shuffled never.
+    // At 100 TB swap percentile -> approx_percentile (t-digest); the
+    // gate pins the exact path so the swap stays a one-line choice.
+    ("g30_mad_outliers", (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(v_c, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("v_c"), col("med"),
+          abs(col("v_c") - col("med")).as("adev"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+          round(first(col("med")), 2).as("med_c"),
+          round(first(col("mad")), 2).as("mad_c"))
+        .orderBy("event_type")
+    },
+      Some("""WITH v AS (SELECT event_type,
+               CAST(ROUND(value*100) AS BIGINT) v_c FROM events),
+             m AS (SELECT event_type, quantile_cont(v_c, 0.5) med
+               FROM v GROUP BY 1),
+             d AS (SELECT v.event_type, v.v_c, m.med, ABS(v.v_c - m.med) adev
+               FROM v JOIN m USING (event_type)),
+             md AS (SELECT event_type, quantile_cont(adev, 0.5) mad
+               FROM d GROUP BY 1)
+             SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN d.adev > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               ROUND(ANY_VALUE(d.med), 2) AS med_c,
+               ROUND(ANY_VALUE(md.mad), 2) AS mad_c
+             FROM d JOIN md USING (event_type)
+             GROUP BY 1 ORDER BY event_type""")),
+
+    // Percentile winsorization (tail clamping before statistics /
+    // training-signal extraction): per-type exact p05/p95 bounds
+    // rounded to integer cents, every value clamped into [lo, hi].
+    // Same broadcast-stats-onto-fact shape as g30 — the clamp is a
+    // projection, so the whole query is two scans + zero fact
+    // shuffles; post-clamp sums stay in exact integer cents (no
+    // float accumulation-order hazard in the gate hash).
+    ("o17_winsorize", (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"))
+      val bounds = e.groupBy("event_type").agg(
+        round(expr("percentile(v_c, 0.05)"), 0).cast("long").as("lo_c"),
+        round(expr("percentile(v_c, 0.95)"), 0).cast("long").as("hi_c"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("lo_c"), col("hi_c"),
+          least(greatest(col("v_c"), col("lo_c")), col("hi_c")).as("wv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), first(col("lo_c")).as("lo_c"),
+          first(col("hi_c")).as("hi_c"), sum(col("wv")).as("sum_w_c"),
+          min(col("wv")).as("min_w_c"), max(col("wv")).as("max_w_c"))
+        .orderBy("event_type")
+    },
+      Some("""WITH v AS (SELECT event_type,
+               CAST(ROUND(value*100) AS BIGINT) v_c FROM events),
+             b AS (SELECT event_type,
+               CAST(ROUND(quantile_cont(v_c, 0.05)) AS BIGINT) lo_c,
+               CAST(ROUND(quantile_cont(v_c, 0.95)) AS BIGINT) hi_c
+               FROM v GROUP BY 1),
+             c AS (SELECT v.event_type, b.lo_c, b.hi_c,
+               LEAST(GREATEST(v.v_c, b.lo_c), b.hi_c) wv
+               FROM v JOIN b USING (event_type))
+             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               ANY_VALUE(lo_c) AS lo_c, ANY_VALUE(hi_c) AS hi_c,
+               CAST(SUM(wv) AS BIGINT) AS sum_w_c,
+               CAST(MIN(wv) AS BIGINT) AS min_w_c,
+               CAST(MAX(wv) AS BIGINT) AS max_w_c
+             FROM c GROUP BY 1 ORDER BY event_type"""))
   )
 
   // ---------- driver contract ----------

@@ -584,6 +584,46 @@ object Dedup {
         .reduce(_ + _).as("simhash16"))
   }
 
+  /** D25: SimHash near-dup JOIN — all doc pairs within a Hamming
+    * distance budget of each other, found by pigeonhole banding, never
+    * by the all-pairs popcount scan. The 16-bit fingerprint splits
+    * into 4 disjoint 4-bit bands; two fingerprints within Hamming
+    * distance 3 differ in at most 3 bit positions, which can touch at
+    * most 3 of the 4 bands — so at least one band is IDENTICAL and an
+    * equi-join on (band index, band value) has perfect recall for
+    * maxHamming <= 3. The exact `bit_count(xor)` verify then runs only
+    * on banded candidates. Candidates surfaced by several agreeing
+    * bands are deduplicated BEFORE the verify (distinct on the pair
+    * key) so the popcount runs once per pair.
+    *
+    * At 100 TB this is the d3 LSH shape with a bitwise verifier: one
+    * explode (4x), one shuffle on the band key, no quadratic stage.
+    * (A 64-bit production fingerprint bands as 8x8 bits for the same
+    * guarantee at maxHamming <= 7 — the banding arithmetic below only
+    * assumes bandBits * nBands = fingerprint width.) */
+  def simhashHammingJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x4-bit banding guarantees recall only for maxHamming <= 3")
+    val fp = simhash16(docs)
+    val bands = fp.select(col("doc_id"), col("simhash16"), posexplode(
+        array((0 until 4).map(b =>
+          shiftright(col("simhash16"), b * 4).bitwiseAND(lit(15L))): _*)))
+      .select(col("doc_id"), col("simhash16"), col("pos").as("band"),
+        col("col").as("bv"))
+    val a = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+      col("simhash16").as("__ha"))
+    val b = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+      col("simhash16").as("__hb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** D5: exact char-n-gram Jaccard VERIFICATION over candidate pairs —
     * the scale-correct composition: the quadratic set comparison runs
     * only on pairs surfaced by banding, never all-pairs, and gram sets
