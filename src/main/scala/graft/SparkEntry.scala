@@ -5658,7 +5658,129 @@ object SparkEntry {
                CAST(SUM(wv) AS BIGINT) AS sum_w_c,
                CAST(MIN(wv) AS BIGINT) AS min_w_c,
                CAST(MAX(wv) AS BIGINT) AS max_w_c
-             FROM c GROUP BY 1 ORDER BY event_type"""))
+             FROM c GROUP BY 1 ORDER BY event_type""")),
+
+    // Embedding covariance (the PCA/whitening precursor): cov(i,j)
+    // over the first 8 dims from ONE projection per row — every row
+    // emits its 36 upper-triangle products via a nested-transform
+    // lambda, then a 36-group aggregation. No self-join of the
+    // exploded dim table (that shape shuffles the corpus d^2/2 times);
+    // the means join touches 36 + 8 rows, broadcast. Centering happens
+    // once per GROUP (m2 - mi*mj) on exact per-group scalars, not per
+    // row, so both engines run the identical final float ops.
+    ("n14_embed_cov", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("e"))
+      val pairs = em.select(explode(expr(
+          """flatten(transform(sequence(0, 7), i ->
+               transform(sequence(i, 7), j ->
+                 named_struct('i', i, 'j', j, 'p', e[i] * e[j]))))""")).as("x"))
+        .select(col("x.i").cast("long").as("i"),
+          col("x.j").cast("long").as("j"), col("x.p").as("p"))
+      val m2 = pairs.groupBy("i", "j").agg(avg(col("p")).as("m2"))
+      val means = em.select(posexplode(col("e")))
+        .filter(col("pos") < 8)
+        .groupBy(col("pos").cast("long").as("pos")).agg(avg(col("col")).as("m"))
+      m2.join(broadcast(means.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
+        .join(broadcast(means.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
+        .select(col("i"), col("j"),
+          round(col("m2") - col("mi") * col("mj"), 6).as("cov"))
+        .orderBy("i", "j")
+    },
+      Some("""WITH d AS (SELECT e.vec_id, s.i, t.j,
+               CAST(e.embedding[s.i + 1] AS DOUBLE)
+                 * CAST(e.embedding[t.j + 1] AS DOUBLE) p
+               FROM embeddings e, generate_series(0, 7) s(i),
+                    generate_series(0, 7) t(j)
+               WHERE t.j >= s.i),
+             m2 AS (SELECT i, j, AVG(p) m2 FROM d GROUP BY 1, 2),
+             mm AS (SELECT s.i AS pos,
+               AVG(CAST(e.embedding[s.i + 1] AS DOUBLE)) m
+               FROM embeddings e, generate_series(0, 7) s(i) GROUP BY 1)
+             SELECT m2.i, m2.j, ROUND(m2.m2 - a.m * b.m, 6) AS cov
+             FROM m2 JOIN mm a ON m2.i = a.pos JOIN mm b ON m2.j = b.pos
+             ORDER BY i, j""")),
+
+    // Dataset card (the corpus-release summary every training-data
+    // drop ships with): one row of exact corpus-level facts from one
+    // aggregation pass. The three COUNT(DISTINCT)s expand the scan
+    // 3x at gate scale for exact answers; at 100 TB each swaps for
+    // its sketch twin (g4 HLL / g21 KMV) — the card's schema is the
+    // contract, the estimator is a per-column choice.
+    ("e10_dataset_card", (s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(size(TextAnalysis.words(col("text")))).cast("long").as("total_tok"),
+        (count(lit(1)) - count_distinct(md5(col("text")))).as("n_dup_docs"),
+        sum(when(size(TextAnalysis.words(col("text"))) < 40, 1L)
+          .otherwise(0L)).as("n_short"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok,
+             CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+             CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 40
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+             FROM documents""")),
+
+    // STREAMING running-statistics anomaly detection (EventStream
+    // .anomalySteps): each event judged against the exact integer
+    // (n, sum, sum-of-squares) state of all preceding same-type
+    // events — the 3-sigma cut as pure int64 comparison, so the
+    // stream fold is bit-identical to the oracle's cumulative-window
+    // formulation no matter where micro-batch boundaries fall.
+    ("w17_stream_anomaly", (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val typed = stream.select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        cents(col("value")).as("v_c"))
+        .as[graft.streaming.EventStream.ValuedEvent]
+      val name = s"w17_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.anomalySteps(typed)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("event_type")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH v AS (SELECT event_type, event_id, ts,
+               CAST(ROUND(value*100) AS BIGINT) v_c FROM events),
+             c AS (SELECT event_type, event_id, v_c,
+               COUNT(*) OVER wpre n,
+               CAST(COALESCE(SUM(v_c) OVER wpre, 0) AS BIGINT) s,
+               CAST(COALESCE(SUM(v_c*v_c) OVER wpre, 0) AS BIGINT) ss
+               FROM v WINDOW wpre AS (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             f AS (SELECT event_type,
+               CASE WHEN n >= 30
+                 AND (v_c*n - s)*(v_c*n - s) > 9*(n*ss - s*s)
+                 THEN 1 ELSE 0 END flag
+               FROM c)
+             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(flag) AS BIGINT) AS n_anomalies
+             FROM f GROUP BY 1 ORDER BY event_type"""))
   )
 
   // ---------- driver contract ----------
