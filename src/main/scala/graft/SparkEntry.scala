@@ -32,8 +32,8 @@ object SparkEntry {
 
   import GateFixtures.{a5OracleSql, annLshOracleSql, bpeOracleCtes,
     e3Activities, e3OracleSql, e3Streams, e4OracleSql, kmeansMemberCtes,
-    oraclePairCtes, oracleSigCtes, oracleSimhashCte, oracleUnitCte,
-    pqSubspaceCtes, rpPlanes}
+    oraclePairCtes, oracleSigCtes, oracleSimhash60Cte, oracleSimhashCte,
+    oracleUnitCte, pqSubspaceCtes, rpPlanes}
 
   // ---------- shared helpers ----------
 
@@ -2899,14 +2899,17 @@ object SparkEntry {
 
     // SimHash Hamming JOIN (Dedup.simhashHammingJoin): all doc pairs
     // within Hamming distance 3 of each other via pigeonhole banding —
-    // 4x4-bit bands, >=1 band must agree at distance <=3, so the
-    // popcount verify runs only on banded candidates. The oracle IS
-    // the naive all-pairs popcount scan the banding must reproduce
-    // exactly (perfect recall is the pigeonhole claim, gated).
+    // 4x15-bit bands over the 60-bit fingerprint, >=1 band must agree
+    // at distance <=3, so the popcount verify runs only on banded
+    // candidates. The oracle IS the naive all-pairs popcount scan the
+    // banding must reproduce exactly (perfect recall is the pigeonhole
+    // claim, gated). 60 bits, not d4's 16: the narrow space saturates
+    // beyond a few hundred docs and floods the join with collision
+    // pairs (see Dedup.simhash60).
     ("d25_simhash_join", (s, dir) =>
       Dedup.simhashHammingJoin(t(s, dir, "documents"), 3)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $oracleSimhashCte
+      Some(s"""WITH $oracleSimhash60Cte
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
              FROM fp a JOIN fp b ON a.doc_id < b.doc_id

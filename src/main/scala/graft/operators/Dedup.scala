@@ -584,10 +584,37 @@ object Dedup {
         .reduce(_ + _).as("simhash16"))
   }
 
+  /** 60-bit SimHash fingerprints — [[simhash16]] widened to 15 md5 hex
+    * digits (60 +-1 bit votes per token). 16 bits is the right size
+    * for a FINGERPRINT column (d4's compact per-doc signature) but far
+    * too coarse for a Hamming JOIN: with corpora beyond a few hundred
+    * docs the 2^16 hash space saturates and random pairs land within
+    * small Hamming distances (measured: 5k docs -> 1.7M "near" pairs
+    * at distance <= 3, ~13% of ALL pairs — collision noise, not
+    * near-dup structure). At 60 bits a distance-3 ball covers ~3*10^4
+    * of 10^18 values, so only genuinely similar token multisets
+    * collide. 60 = 4 x 15 keeps the positive-long range (no sign-bit
+    * special case) and bands evenly. */
+  def simhash60(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 60).map { j =>
+      val ci = j / 4 + 1; val bi = j % 4
+      val v = (expr(s"instr('0123456789abcdef', substr(h, $ci, 1))") - 1).cast("int")
+      val bit = (floor(v / lit(1 << bi)).cast("long") % 2).cast("int")
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 60).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash60"))
+  }
+
   /** D25: SimHash near-dup JOIN — all doc pairs within a Hamming
     * distance budget of each other, found by pigeonhole banding, never
-    * by the all-pairs popcount scan. The 16-bit fingerprint splits
-    * into 4 disjoint 4-bit bands; two fingerprints within Hamming
+    * by the all-pairs popcount scan. The 60-bit fingerprint splits
+    * into 4 disjoint 15-bit bands; two fingerprints within Hamming
     * distance 3 differ in at most 3 bit positions, which can touch at
     * most 3 of the 4 bands — so at least one band is IDENTICAL and an
     * equi-join on (band index, band value) has perfect recall for
@@ -597,23 +624,23 @@ object Dedup {
     * key) so the popcount runs once per pair.
     *
     * At 100 TB this is the d3 LSH shape with a bitwise verifier: one
-    * explode (4x), one shuffle on the band key, no quadratic stage.
-    * (A 64-bit production fingerprint bands as 8x8 bits for the same
-    * guarantee at maxHamming <= 7 — the banding arithmetic below only
-    * assumes bandBits * nBands = fingerprint width.) */
+    * explode (4x), one shuffle on the band key, no quadratic stage —
+    * and the 60-bit space keeps banded buckets sparse (see
+    * [[simhash60]]) so candidate volume tracks true near-dup density,
+    * not corpus size squared. */
   def simhashHammingJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
-      "4x4-bit banding guarantees recall only for maxHamming <= 3")
-    val fp = simhash16(docs)
-    val bands = fp.select(col("doc_id"), col("simhash16"), posexplode(
+      "4x15-bit banding guarantees recall only for maxHamming <= 3")
+    val fp = simhash60(docs)
+    val bands = fp.select(col("doc_id"), col("simhash60"), posexplode(
         array((0 until 4).map(b =>
-          shiftright(col("simhash16"), b * 4).bitwiseAND(lit(15L))): _*)))
-      .select(col("doc_id"), col("simhash16"), col("pos").as("band"),
+          shiftright(col("simhash60"), b * 15).bitwiseAND(lit(32767L))): _*)))
+      .select(col("doc_id"), col("simhash60"), col("pos").as("band"),
         col("col").as("bv"))
     val a = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
-      col("simhash16").as("__ha"))
+      col("simhash60").as("__ha"))
     val b = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
-      col("simhash16").as("__hb"))
+      col("simhash60").as("__hb"))
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("__ha"), col("__hb"))

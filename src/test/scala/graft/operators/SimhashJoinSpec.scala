@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Dedup.simhashHammingJoin pinned on the pigeonhole claim: banding on
-  * 4x4-bit bands has PERFECT recall at Hamming distance <= 3, so the
+  * 4x15-bit bands has PERFECT recall at Hamming distance <= 3, so the
   * operator must equal the brute-force all-pairs popcount join over
   * the same fingerprints — no near pair may be lost to banding, and
   * multi-band agreement must not double-emit a pair. */
@@ -24,7 +24,7 @@ class SimhashJoinSpec extends AnyFunSuite {
     6L -> "alpha beta gamma delta epsilon zeta kappa lambda")
 
   private def fingerprints: Map[Long, Long] =
-    Dedup.simhash16(corpus.toDF("doc_id", "text")).collect()
+    Dedup.simhash60(corpus.toDF("doc_id", "text")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def brute(maxHam: Int): Set[(Long, Long, Int)] = {
