@@ -5671,25 +5671,10 @@ object SparkEntry {
     // the means join touches 36 + 8 rows, broadcast. Centering happens
     // once per GROUP (m2 - mi*mj) on exact per-group scalars, not per
     // row, so both engines run the identical final float ops.
-    ("n14_embed_cov", (s, dir) => {
-      val em = t(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("e"))
-      val pairs = em.select(explode(expr(
-          """flatten(transform(sequence(0, 7), i ->
-               transform(sequence(i, 7), j ->
-                 named_struct('i', i, 'j', j, 'p', e[i] * e[j]))))""")).as("x"))
-        .select(col("x.i").cast("long").as("i"),
-          col("x.j").cast("long").as("j"), col("x.p").as("p"))
-      val m2 = pairs.groupBy("i", "j").agg(avg(col("p")).as("m2"))
-      val means = em.select(posexplode(col("e")))
-        .filter(col("pos") < 8)
-        .groupBy(col("pos").cast("long").as("pos")).agg(avg(col("col")).as("m"))
-      m2.join(broadcast(means.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
-        .join(broadcast(means.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
-        .select(col("i"), col("j"),
-          round(col("m2") - col("mi") * col("mj"), 6).as("cov"))
-        .orderBy("i", "j")
-    },
+    ("n14_embed_cov", (s, dir) =>
+      operators.Pca.covariance(t(s, dir, "embeddings"), "embedding", 8)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j"),
       Some("""WITH d AS (SELECT e.vec_id, s.i, t.j,
                CAST(e.embedding[s.i + 1] AS DOUBLE)
                  * CAST(e.embedding[t.j + 1] AS DOUBLE) p
@@ -5783,7 +5768,151 @@ object SparkEntry {
                FROM c)
              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(flag) AS BIGINT) AS n_anomalies
-             FROM f GROUP BY 1 ORDER BY event_type"""))
+             FROM f GROUP BY 1 ORDER BY event_type""")),
+
+    // RFM segmentation (recency / frequency / monetary quintiles — the
+    // classic customer-value cube): per-user purchase stats, each
+    // metric ranked by GlobalRank's RANGE-PARTITIONED global ordinal
+    // (never row_number-over-everything: one-partition funnel at user-
+    // dimension scale), quintile = exact integer ((rank-1)*5)/n + 1.
+    // Ties break on user_id so the cube is deterministic, not
+    // partition-dependent.
+    ("g31_rfm", (s, dir) => {
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val maxTs = p.agg(max(col("ts")).as("corpus_max"))
+      val rfm = p.groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("f"),
+          sum(cents(col("value"))).as("m_c"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"),
+          datediff(to_date(col("corpus_max")), to_date(col("last_ts")))
+            .cast("long").as("r_days"),
+          col("f"), col("m_c"))
+      val n = rfm.agg(count(lit(1)).as("n_users"))
+      val ranked = Seq(
+        ("r_rank", Seq(col("r_days"), col("user_id"))),
+        ("f_rank", Seq(col("f").desc, col("user_id"))),
+        ("m_rank", Seq(col("m_c").desc, col("user_id"))))
+        .foldLeft(rfm) { case (df, (rc, order)) =>
+          GlobalRank.withGlobalRank(df, rc, order)
+        }
+      def quint(rank: Column, nU: Column): Column =
+        ((rank - 1) * 5 / nU).cast("long") + 1
+      ranked.crossJoin(broadcast(n))
+        .select(quint(col("r_rank"), col("n_users")).as("r_q"),
+          quint(col("f_rank"), col("n_users")).as("f_q"),
+          quint(col("m_rank"), col("n_users")).as("m_q"),
+          col("m_c"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"), sum(col("m_c")).as("sum_m_c"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+      Some("""WITH p AS (SELECT user_id, ts,
+               CAST(ROUND(value*100) AS BIGINT) v_c FROM events
+               WHERE event_type = 'purchase'),
+             u AS (SELECT user_id,
+               date_diff('day', CAST(MAX(ts) AS DATE),
+                 (SELECT CAST(MAX(ts) AS DATE) FROM p)) r_days,
+               COUNT(*) f, SUM(v_c) m_c FROM p GROUP BY 1),
+             r AS (SELECT *,
+               ROW_NUMBER() OVER (ORDER BY r_days, user_id) r_rank,
+               ROW_NUMBER() OVER (ORDER BY f DESC, user_id) f_rank,
+               ROW_NUMBER() OVER (ORDER BY m_c DESC, user_id) m_rank,
+               COUNT(*) OVER () n_users FROM u),
+             q AS (SELECT m_c,
+               (r_rank - 1) * 5 // n_users + 1 r_q,
+               (f_rank - 1) * 5 // n_users + 1 f_q,
+               (m_rank - 1) * 5 // n_users + 1 m_q FROM r)
+             SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(m_c) AS BIGINT) AS sum_m_c
+             FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""")),
+
+    // Temperature-scaled source mixing (the multilingual/multi-source
+    // sampling-weight computation: weight ~ tokens^alpha, alpha = 0.5,
+    // expressed RELATIVE TO THE LARGEST SOURCE — sqrt(n/n_max) — so
+    // the only float ops are one division and one sqrt, identical
+    // IEEE sequence in both engines; a normalized weight would sum
+    // five irrational terms in engine-dependent order). Exact token
+    // counts; one tiny aggregation + a broadcast scalar.
+    ("o18_temperature_mix", (s, dir) => {
+      val src = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.words(col("text")))).cast("long").as("n_tok"))
+      val mx = src.agg(max(col("n_tok")).as("n_max"))
+      src.crossJoin(broadcast(mx))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          round(sqrt(col("n_tok") / col("n_max")), 6).as("w_rel"))
+        .orderBy("source")
+    },
+      Some("""WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) n_tok
+               FROM documents GROUP BY 1),
+             m AS (SELECT MAX(n_tok) n_max FROM s)
+             SELECT source, n_docs, n_tok,
+               ROUND(SQRT(n_tok / n_max), 6) AS w_rel
+             FROM s, m ORDER BY source""")),
+
+    // Collocation extraction (PMI-family): adjacent word pairs scored
+    // by lift = p(ab) / (p(a)p(b)) — the association measure PMI is
+    // the log of. All counts exact; the lift is ONE left-associated
+    // double chain (n_ab/B * N / n_a * N / n_b) so both engines run
+    // the identical IEEE sequence — no ln (t17's discipline: libm
+    // log implementations differ in the last ulp across engines).
+    // Support floor n_ab >= 5 is an exact integer cut.
+    ("t24_collocations", (s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(explode(TextAnalysis.wordShingles(
+          TextAnalysis.words(col("text")), 2)).as("sh"))
+        .select(split(col("sh"), " ").getItem(0).as("lhs"),
+          split(col("sh"), " ").getItem(1).as("rhs"))
+      val uni = t(s, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+      val nTot = uni.agg(sum(col("n_w")).as("n_total"))
+      val biC = bi.groupBy("lhs", "rhs").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val bTot = bi.agg(count(lit(1)).as("b_total"))
+      // vocab joins stay UNHINTED: at gate scale AQE broadcasts them,
+      // at corpus scale a 10^7-row vocabulary must shuffle-join — a
+      // broadcast hint here would be a wrong-by-design pin
+      biC
+        .join(uni.select(col("w").as("lhs"), col("n_w").as("n_a")), Seq("lhs"))
+        .join(uni.select(col("w").as("rhs"), col("n_w").as("n_b")), Seq("rhs"))
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+        .select(col("lhs"), col("rhs"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("b_total") * col("n_total")
+            / col("n_a") * col("n_total") / col("n_b"), 6).as("lift"))
+        .orderBy("lhs", "rhs")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             bi AS (SELECT w[i] lhs, w[i+1] rhs
+               FROM w, UNNEST([i for i in generate_series(1, len(w) - 1)]) t(i)),
+             uni AS (SELECT UNNEST(string_split(text, ' ')) w FROM documents),
+             uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) n_w FROM uni GROUP BY 1),
+             nt AS (SELECT CAST(SUM(n_w) AS BIGINT) n_total FROM uc),
+             bt AS (SELECT CAST(COUNT(*) AS BIGINT) b_total FROM bi),
+             bc AS (SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) n_ab
+               FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             SELECT bc.lhs, bc.rhs, bc.n_ab,
+               ROUND(CAST(bc.n_ab AS DOUBLE) / bt.b_total * nt.n_total
+                 / a.n_w * nt.n_total / b.n_w, 6) AS lift
+             FROM bc JOIN uc a ON bc.lhs = a.w
+                     JOIN uc b ON bc.rhs = b.w, nt, bt
+             ORDER BY lhs, rhs""")),
+
+    // Top-principal-component projection (Pca.project): the 1-D
+    // semantic-axis reduction — distributed covariance pass (n14's),
+    // driver-side power iteration over the tiny d x d matrix, then a
+    // plan-literal dot product per row. Rows-only gate: eigenvectors
+    // are not SQL-expressible; the operator is pinned by PcaSpec
+    // (known-direction recovery, eigen residual, textbook-covariance
+    // equality).
+    ("n15_embed_pca", (s, dir) =>
+      operators.Pca.project(t(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy("vec_id"),
+      None)
   )
 
   // ---------- driver contract ----------

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pca pinned on three claims: the distributed covariance pass equals
+  * the textbook E[(x-m)(y-m)] computed locally; power iteration
+  * recovers a KNOWN dominant direction; and the eigenpair actually
+  * satisfies Cv = lambda*v (a residual check, so a subtly wrong
+  * covariance or a transposed index cannot pass by luck). */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Points stretched along (0.6, 0.8) with small off-axis jitter: the
+  // top PC is the stretch direction. Deterministic corpus (no RNG).
+  private val pts: Seq[Array[Float]] = (0 until 200).map { i =>
+    val t = (i - 100) / 10.0        // big spread along the axis
+    val s = ((i % 7) - 3) / 40.0    // small spread across it
+    Array((0.6 * t - 0.8 * s).toFloat, (0.8 * t + 0.6 * s).toFloat, 0.0f)
+  }
+
+  private def df = pts.zipWithIndex
+    .map { case (e, i) => (i.toLong, e) }.toDF("vec_id", "embedding")
+
+  test("covariance matches the local textbook computation") {
+    val d = 3
+    val got = Pca.covariance(df, "embedding", d).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    val n = pts.size
+    val means = Array.tabulate(d)(k => pts.map(_(k).toDouble).sum / n)
+    for (i <- 0 until d; j <- i until d) {
+      val exp = pts.map(p => (p(i) - means(i)) * (p(j) - means(j))).sum / n
+      assert(math.abs(got((i, j)) - exp) < 1e-9, s"cov($i,$j)")
+    }
+    assert(got.size === d * (d + 1) / 2)
+  }
+
+  test("power iteration recovers the known dominant direction, sign-normalized") {
+    val v = Pca.topComponent(df, "embedding", 3)
+    assert(math.abs(v(0) - 0.6) < 1e-3, v.mkString(","))
+    assert(math.abs(v(1) - 0.8) < 1e-3, v.mkString(","))
+    assert(math.abs(v(2)) < 1e-6)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, "not unit length")
+    assert(v(1) > 0, "sign convention: largest-|coord| entry positive")
+  }
+
+  test("eigen residual: C v ~= lambda v") {
+    val d = 3
+    val entries = Pca.covariance(df, "embedding", d).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val m = Array.ofDim[Double](d, d)
+    entries.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    val v = Pca.topComponent(df, "embedding", d)
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => v(i) * cv(i)).sum // Rayleigh quotient
+    val residual = math.sqrt(
+      (0 until d).map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+    assert(residual < 1e-9 * math.max(1.0, math.abs(lambda)), s"residual $residual")
+  }
+
+  test("projection scores order points along the axis") {
+    val scores = Pca.project(df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // axis position grows with i, so scores must be strictly increasing
+    // up to the tiny jitter; check the endpoints dominate
+    assert(scores(199L) > scores(100L) && scores(100L) > scores(0L))
+    val sorted = (0L until 200L).sortBy(scores)
+    assert(math.abs(sorted.head.toInt - 0) <= 1 &&
+      math.abs(sorted.last.toInt - 199) <= 1)
+  }
+}
