@@ -5912,7 +5912,130 @@ object SparkEntry {
       operators.Pca.project(t(s, dir, "embeddings"), "vec_id", "embedding", 8)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy("vec_id"),
-      None)
+      None),
+
+    // Sorted-neighborhood dedup (Dedup.sortedNeighborPairs + the d5
+    // verifier): block by text prefix, compare each doc only against
+    // its 3 ordered neighbors, verify candidates with exact 5-gram
+    // Jaccard — the ER blocking strategy that catches prefix-shaped
+    // near-dups hash banding can miss. Range-partitioned rank, equi-
+    // join on rank offsets; the oracle replays rank + BETWEEN.
+    ("d26_sorted_neighborhood", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.sortedNeighborPairs(docs,
+        substring(col("text"), 1, 16), 4)
+      Dedup.ngramJaccard(docs, pairs)
+        .filter(col("jaccard") >= 0.35)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH r AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY substr(text, 1, 16), doc_id) rn
+               FROM documents),
+             cand AS (SELECT LEAST(a.doc_id, b.doc_id) doc_a,
+               GREATEST(a.doc_id, b.doc_id) doc_b
+               FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+             g AS (SELECT doc_id,
+               list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
+               FROM documents)
+             SELECT c.doc_a, c.doc_b
+             FROM cand c JOIN g ga ON c.doc_a = ga.doc_id
+                         JOIN g gb ON c.doc_b = gb.doc_id
+             WHERE CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE)
+               / (len(ga.grams) + len(gb.grams)
+                  - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) >= 0.35
+             ORDER BY doc_a, doc_b""")),
+
+    // URL canonicalization (TextQuality.canonicalUrl): the web-corpus
+    // dedup pre-pass — fragment stripped, scheme/host lowercased,
+    // default port dropped, query params sorted, trailing slash
+    // removed. The gate dirties deterministic URL pairs (same resource
+    // under two spellings per doc-id pair) and asserts the collapse:
+    // every canonical URL carries exactly its 2 variants.
+    ("d27_url_canonical", (s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/Docs/D"),
+            (col("doc_id") / 2).cast("long"), lit("?b=2&a=1")))
+        .otherwise(
+          concat(lit("http://www.example.com/Docs/D"),
+            (col("doc_id") / 2).cast("long"), lit("/?a=1&b=2#sec")))
+        .as("url"))
+      urls.select(col("doc_id"),
+          TextQuality.canonicalUrl(col("url")).as("clean"))
+        .groupBy("clean")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("clean")
+    },
+      Some("""WITH u AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+               THEN 'HTTP://WWW.Example.COM:80/Docs/D' || CAST(doc_id // 2 AS VARCHAR) || '?b=2&a=1'
+               ELSE 'http://www.example.com/Docs/D' || CAST(doc_id // 2 AS VARCHAR) || '/?a=1&b=2#sec'
+               END url FROM documents),
+             p AS (SELECT doc_id, split_part(url, '#', 1) nofrag FROM u),
+             q AS (SELECT doc_id,
+               lower(split_part(nofrag, '://', 1)) scheme,
+               split_part(nofrag, '://', 2) hier FROM p),
+             r AS (SELECT doc_id, scheme,
+               CASE WHEN instr(hier, '?') > 0
+                 THEN split_part(hier, '?', 1) ELSE hier END prepath,
+               CASE WHEN instr(hier, '?') > 0
+                 THEN split_part(hier, '?', 2) ELSE '' END query,
+               instr(hier, '?') > 0 hasq FROM q),
+             s AS (SELECT doc_id, scheme, query, hasq,
+               lower(split_part(prepath, '/', 1)) hostport,
+               substr(prepath, len(split_part(prepath, '/', 1)) + 1) path
+               FROM r),
+             t AS (SELECT doc_id, scheme, query, hasq, path,
+               CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END host FROM s),
+             v AS (SELECT doc_id,
+               scheme || '://' || host ||
+               (CASE WHEN len(path) > 1 THEN regexp_replace(path, '/$', '')
+                     ELSE path END) ||
+               (CASE WHEN hasq THEN '?' ||
+                  array_to_string(list_sort(string_split(query, '&')), '&')
+                ELSE '' END) clean FROM t)
+             SELECT clean, CAST(COUNT(*) AS BIGINT) AS n_variants,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+             FROM v GROUP BY 1 ORDER BY clean""")),
+
+    // Order-independent table checksum (the content-integrity /
+    // migration-validation primitive): per-row md5 over a
+    // deterministic rendering, first 8 hex digits as int64, SUMMED —
+    // commutative, so the digest needs no global sort and no
+    // single-task concat; one scan, one tiny aggregation. Grouped by
+    // returnflag so a localized corruption names its partition.
+    ("x7_table_checksum", (s, dir) => {
+      val rowStr = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_quantity")), cents(col("l_extendedprice")),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      val h = md5(rowStr)
+      val hex32 = (0 until 8).map(c =>
+        (expr(s"instr('0123456789abcdef', substr(__h, ${c + 1}, 1))").cast("long")
+          - 1L) * lit(1L << (4 * (7 - c)))).reduce(_ + _)
+      t(s, dir, "lineitem")
+        .withColumn("__h", h)
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(hex32).as("checksum"))
+        .orderBy("returnflag")
+    },
+      Some {
+        val hex32 = (0 until 8).map(c =>
+          s"(strpos('0123456789abcdef', substr(h, ${c + 1}, 1)) - 1) * ${1L << (4 * (7 - c))}")
+          .mkString(" + ")
+        s"""WITH r AS (SELECT l_returnflag,
+             md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+               || '|' || CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS VARCHAR)
+               || '|' || CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS VARCHAR)
+               || '|' || l_returnflag || '|' || l_linestatus
+               || '|' || strftime(l_shipdate, '%Y-%m-%d')) h
+             FROM lineitem)
+           SELECT l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM($hex32) AS BIGINT) AS checksum
+           FROM r GROUP BY 1 ORDER BY returnflag"""
+      })
   )
 
   // ---------- driver contract ----------

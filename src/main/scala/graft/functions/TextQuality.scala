@@ -518,4 +518,36 @@ object TextQuality {
   def cleanText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(c, "[\\x00-\\x1f]", " "), " {2,}", " "))
+
+  /** URL canonicalization — the web-corpus dedup pre-pass: two fetches
+    * of the same resource must hash equal before any URL-keyed dedup
+    * or frontier dedup works. Rules (the conservative, always-safe
+    * subset): strip the fragment; lowercase scheme and host:port;
+    * drop the scheme's default port (:80 http, :443 https); sort
+    * query parameters (order is almost never significant; sorting is
+    * what makes ?a=1&b=2 and ?b=2&a=1 collide); strip one trailing
+    * slash from a non-root path. Path case and param values are
+    * PRESERVED (case-sensitive on most servers). Pure per-row
+    * projection of builtin string functions — zero shuffle, and every
+    * rule replays as the same SQL in any engine. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    // hier = everything after "://" (inputs are absolute URLs)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val hier = substring_index(noFrag, "://", -1)
+    val hasQ = instr(hier, "?") > 0
+    val prePath = when(hasQ, substring_index(hier, "?", 1)).otherwise(hier)
+    val query = when(hasQ, substring_index(hier, "?", -1)).otherwise(lit(""))
+    val hostPort = lower(substring_index(prePath, "/", 1))
+    val path = prePath.substr(length(hostPort) + 1, length(prePath))
+    val hostClean = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathClean = when(length(path) > 1,
+      regexp_replace(path, "/$", "")).otherwise(path)
+    val sortedQ = array_join(array_sort(split(query, "&")), "&")
+    concat(scheme, lit("://"), hostClean, pathClean,
+      when(hasQ, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
 }

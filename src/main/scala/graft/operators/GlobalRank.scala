@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
@@ -106,13 +105,23 @@ object GlobalRank {
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
     val outSchema = sorted.schema.add(rankCol, LongType, nullable = false)
-    sorted.mapPartitions { it =>
-      val off = bcOffsets.value(TaskContext.getPartitionId())
+    // mapPartitionsWithIndex, NOT Dataset.mapPartitions +
+    // TaskContext.getPartitionId(): the task's partition id is a STAGE
+    // index, and when a downstream plan fuses this pipeline into a
+    // union (or coalesce) without an intervening exchange, the second
+    // union leg's tasks carry ids offset by the first leg's partition
+    // count — the offset lookup then reads past the array (observed:
+    // a no-shuffle broadcast-join output unioned doc_a/doc_b legs;
+    // ids parts..2*parts-1 inside THIS lambda). The RDD partition
+    // index is stable under any downstream composition.
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOffsets.value(pid)
       var i = 0L
       it.map { r =>
         i += 1
         Row.fromSeq(r.toSeq :+ (off + i))
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataFrame(ranked, outSchema)
   }
 }

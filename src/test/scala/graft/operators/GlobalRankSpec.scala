@@ -23,6 +23,28 @@ class GlobalRankSpec extends AnyFunSuite {
     GlobalRank.clear(spark)
   }
 
+  test("ranks survive a downstream no-shuffle union (stage-id vs rdd-id regression)") {
+    // A union of two projections of the ranked frame fuses both legs
+    // into one stage when nothing forces an exchange; the second leg's
+    // TASK partition ids are offset by the first leg's partition count.
+    // The original TaskContext-based offset lookup read past the
+    // offsets array here (observed via Dedup.sortedNeighborPairs ->
+    // ngramJaccard's doc_a/doc_b union); the rdd-partition-index
+    // formulation must keep every rank correct on BOTH legs.
+    val df = (1 to 400).map(i => ((i * 31) % 97, i.toLong)).toDF("score", "id")
+    val ranked = GlobalRank.withGlobalRank(
+      df, "rk", Seq(col("score"), col("id")), numPartitions = Some(7))
+    val unioned = ranked.select(col("id"), col("rk"))
+      .union(ranked.select(col("id"), (col("rk") + 1000000L).as("rk")))
+    val got = unioned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df.select(col("id"),
+        row_number().over(Window.orderBy(col("score"), col("id"))).cast("long").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantSet = want.toSet ++ want.map { case (id, rk) => (id, rk + 1000000L) }
+    assert(got === wantSet)
+    GlobalRank.clear(spark)
+  }
+
   test("more partitions than rows: empty ranges contribute zero offsets") {
     val df = Seq((3, 30L), (1, 10L), (2, 20L)).toDF("score", "id")
     val got = GlobalRank.withGlobalRank(df, "rk", Seq(col("score")),
