@@ -6035,7 +6035,141 @@ object SparkEntry {
            SELECT l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM($hex32) AS BIGINT) AS checksum
            FROM r GROUP BY 1 ORDER BY returnflag"""
-      })
+      }),
+
+    // CUSUM drift / changepoint detection: per type, the cumulative
+    // deviation from the corpus-level mean, kept EXACT by clearing the
+    // denominator — dev_k = N*prefix_k - k*S is int64, so the peak and
+    // its position are bit-stable in any engine (a float CUSUM drifts
+    // with accumulation order). One cumulative window + one broadcast
+    // of per-type totals; the peak election is g11's argmax pattern.
+    ("g32_cusum_drift", (s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"),
+          cents(col("value")).as("v_c"))
+      val wc = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val c = v.withColumn("k", row_number().over(wc).cast("long"))
+        .withColumn("pfx", sum(col("v_c")).over(wc))
+      val tot = v.groupBy("event_type")
+        .agg(count(lit(1)).as("n_tot"), sum(col("v_c")).as("s_tot"))
+      val d = c.join(broadcast(tot), Seq("event_type"))
+        .withColumn("adev",
+          abs(col("n_tot") * col("pfx") - col("k") * col("s_tot")))
+      val we = Window.partitionBy("event_type")
+        .orderBy(col("adev").desc, col("event_id"))
+      d.withColumn("__rk", row_number().over(we))
+        .filter(col("__rk") === 1)
+        .select(col("event_type"), col("n_tot").as("n"),
+          col("adev").as("max_abs_dev"),
+          col("event_id").as("peak_event_id"),
+          hourStr(col("ts")).as("peak_hour"))
+        .orderBy("event_type")
+    },
+      Some("""WITH v AS (SELECT event_type, event_id, ts,
+               CAST(ROUND(value*100) AS BIGINT) v_c FROM events),
+             c AS (SELECT *, CAST(ROW_NUMBER() OVER wt AS BIGINT) k,
+               CAST(SUM(v_c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) pfx
+               FROM v WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id)),
+             t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n_tot,
+               CAST(SUM(v_c) AS BIGINT) s_tot FROM v GROUP BY 1),
+             d AS (SELECT c.event_type, c.event_id, c.ts,
+               t.n_tot, ABS(t.n_tot * c.pfx - c.k * t.s_tot) adev
+               FROM c JOIN t USING (event_type)),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY adev DESC, event_id) rk FROM d)
+             SELECT event_type, n_tot AS n, adev AS max_abs_dev,
+               event_id AS peak_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_hour
+             FROM r WHERE rk = 1 ORDER BY event_type""")),
+
+    // ORC round-trip (x5's fidelity discipline for the OTHER columnar
+    // format Spark ships): write → read back with the same schema →
+    // content equality by md5 + exact n_chars. Proves the engine's
+    // source/sink surface isn't parquet-only.
+    ("x9_orc_roundtrip", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft_orc").toFile
+      try {
+        val odir = new java.io.File(base, "o").getPath
+        docs.write.mode("overwrite").orc(odir)
+        val back = s.read.schema(docs.schema).orc(odir)
+        val out = back.select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("n_chars"))
+          .orderBy("doc_id")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(base)
+      }
+    },
+      Some("""SELECT doc_id, md5(text) AS text_md5,
+             CAST(n_chars AS BIGINT) AS n_chars
+             FROM documents ORDER BY doc_id""")),
+
+    // STREAMING point-in-time enrichment: the stream-static twin of
+    // j11 — purchases arrive as a stream and read the STATIC SCD2
+    // state dimension (interval form) with an equi + range join; the
+    // static side broadcasts, the stream never buffers (stateless
+    // join, no watermark state), and non-overlapping intervals mean
+    // at most one match per fact. Pre-first-change purchases keep
+    // state 'none' (left join).
+    ("w18_stream_pit", (s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = e.filter(col("event_type").isin("signup", "error"))
+        .withColumn("__prev", lag("event_type", 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .withColumn("__vt", lead("ts", 1).over(w))
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("s_us"),
+          coalesce(unix_micros(col("__vt")), lit(Long.MaxValue)).as("e_us"),
+          col("event_type").as("state"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val facts = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val joined = facts.join(broadcast(changes),
+        facts("user_id") === changes("u") &&
+          col("us") >= col("s_us") && col("us") < col("e_us"), "left_outer")
+        .select(col("event_id"), coalesce(col("state"), lit("none")).as("state"))
+      val name = s"w18_sink_${streamGateSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name)
+        .groupBy("state").agg(count(lit(1)).as("n_purchases"))
+        .orderBy("state")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH se AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE event_type IN ('signup', 'error')),
+             ch AS (SELECT * FROM (SELECT *, LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) prev FROM se)
+               WHERE prev IS NULL OR prev <> event_type),
+             iv AS (SELECT user_id u, epoch_us(ts) s_us,
+               COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)), 9223372036854775807) e_us,
+               event_type state FROM ch),
+             f AS (SELECT event_id, user_id, epoch_us(ts) us FROM events
+               WHERE event_type = 'purchase'),
+             j AS (SELECT f.event_id, COALESCE(iv.state, 'none') state
+               FROM f LEFT JOIN iv ON f.user_id = iv.u
+                 AND f.us >= iv.s_us AND f.us < iv.e_us)
+             SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases
+             FROM j GROUP BY 1 ORDER BY state"""))
   )
 
   // ---------- driver contract ----------
