@@ -6169,7 +6169,38 @@ object SparkEntry {
                FROM f LEFT JOIN iv ON f.user_id = iv.u
                  AND f.us >= iv.s_us AND f.us < iv.e_us)
              SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases
-             FROM j GROUP BY 1 ORDER BY state"""))
+             FROM j GROUP BY 1 ORDER BY state""")),
+
+    // Balanced shard assignment (training-shard layout): K output
+    // shards with near-equal token mass via sorted round-robin —
+    // rank docs by token count DESC (range-partitioned GlobalRank,
+    // never a one-task window), shard = (rank-1) % K. Deterministic,
+    // one pass, and the snake-free round-robin bound is tight enough
+    // in practice: the gate emits per-shard totals so the BALANCE
+    // (max-min spread) is itself hash-pinned against the oracle.
+    ("o19_shard_assignment", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("n_tok"))
+      val ranked = GlobalRank.withGlobalRank(docs, "rk",
+        Seq(col("n_tok").desc, col("doc_id")))
+      ranked.select(col("doc_id"), col("n_tok"),
+          ((col("rk") - 1) % 8).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          max(col("n_tok")).as("max_tok"), min(col("n_tok")).as("min_tok"))
+        .orderBy("shard")
+    },
+      Some("""WITH d AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok
+               FROM documents),
+             r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) rk
+               FROM d)
+             SELECT (rk - 1) % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tok
+             FROM r GROUP BY 1 ORDER BY shard"""))
   )
 
   // ---------- driver contract ----------
