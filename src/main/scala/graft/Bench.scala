@@ -125,22 +125,31 @@ object Bench {
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    // ---- light tier: stable order, best-of-3 (variance control:
-    // co-tenant noise/GC spikes were observed surviving best-of-2),
-    // one evidence line per query the moment it completes. The light
-    // tier is the core round-over-round comparison, so its budget
-    // floor (60 s) only trips when the box is pathologically loaded. ----
+    // ---- light tier: stable order, ADAPTIVE run count, one evidence
+    // line per query the moment it completes. Best-of-3 holds where it
+    // matters — near the overhead floor (sub-2 s), where co-tenant
+    // noise/GC spikes are comparable to the measurement and were
+    // observed surviving best-of-2. Multi-second queries sit far above
+    // the floor: a plan regression there is 2x+, dwarfing run noise,
+    // so 2 runs (or 1 past 8 s) measure it fine — and the saved wall
+    // funds the heavy worst-case fork, which the suite's growth to
+    // 220+ queries had pushed past the budget (round-8 driver run:
+    // all 8 worst cases shed at fixed best-of-3). The light tier's
+    // budget floor (60 s) only trips when the box is pathologically
+    // loaded. ----
     val lightNames = SparkEntry.queries.keys.toSeq.sorted
     val results = lightNames.flatMap { name =>
       if (remainingSec < 60) { skipped += name; None }
-      else {
-        val runs = Seq(once(name, sfDir), once(name, sfDir), once(name, sfDir)).flatten
-        if (runs.size == 3) {
-          val best = runs.min
+      else once(name, sfDir).flatMap { t1 =>
+        val extra = if (t1 < 2.0) 2 else if (t1 < 8.0) 1 else 0
+        val more = (1 to extra).flatMap(_ => once(name, sfDir))
+        if (more.size < extra) None // a later run failed -> no timing
+        else {
+          val best = (t1 +: more).min
           println(f"""{"q":"$name","sec":$best%.3f}""")
           Console.out.flush()
           Some(name -> best)
-        } else None
+        }
       }
     }
 

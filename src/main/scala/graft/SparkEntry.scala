@@ -489,6 +489,45 @@ object SparkEntry {
              SELECT event_id, l AS level, b AS trend, l + b AS forecast
              FROM r ORDER BY event_id""")),
 
+    // Holt-Winters additive seasonal smoothing (Ewma.holtWinters):
+    // a7's recurrence plus a period-3 seasonal vector, zero-seeded so
+    // the first cycle degenerates to Holt and the oracle recursion
+    // replays the identical IEEE sequence — bitwise parity, no
+    // rounding hedge (alpha/beta/gamma are exact binary fractions).
+    ("a8_holt_winters", (s, dir) =>
+      Ewma.holtWinters(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        0.5, 0.25, 0.25, 3, "level", "trend", "season")
+        .select(col("event_id"), col("level"), col("trend"), col("season"))
+        .orderBy("event_id"),
+      Some {
+        val sPrev = "CASE (e.rn - 1) % 3 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 ELSE r.s2 END"
+        val newL = s"0.5 * (e.value - ($sPrev)) + 0.5 * (r.l + r.b)"
+        val newB = s"0.25 * (($newL) - r.l) + 0.75 * r.b"
+        val newS = s"0.25 * (e.value - ($newL)) + 0.75 * ($sPrev)"
+        s"""WITH RECURSIVE e AS (SELECT event_id, user_id, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+              FROM events),
+           r(user_id, rn, event_id, l, b, s0, s1, s2, season) AS (
+             SELECT user_id, rn, event_id, value, CAST(0 AS DOUBLE),
+               CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+               CAST(0 AS DOUBLE)
+             FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.user_id, e.rn, e.event_id,
+               $newL,
+               $newB,
+               CASE WHEN (e.rn - 1) % 3 = 0 THEN $newS ELSE r.s0 END,
+               CASE WHEN (e.rn - 1) % 3 = 1 THEN $newS ELSE r.s1 END,
+               CASE WHEN (e.rn - 1) % 3 = 2 THEN $newS ELSE r.s2 END,
+               $newS
+             FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+           SELECT event_id, l AS level, b AS trend, season
+           FROM r ORDER BY event_id"""
+      }),
+
     // R6/R7: rows -> ordered series per key (nested array analogue,
     // serialized as a string for engine-portable comparison).
     ("r6_nest_series", (s, dir) =>

@@ -75,6 +75,71 @@ object Ewma {
     *
     * Nulls: emit the carried (level, trend) without advancing (null
     * before the first valid value), matching [[ewma]]'s ignore_na. */
+  /** Holt-Winters additive seasonal (triple exponential) smoothing per
+    * key — [[holt]]'s level+trend recurrence plus a length-`period`
+    * seasonal state vector:
+    * `sPrev = s[(n-1) mod P]` (0-seeded);
+    * `l_n = alpha*(v_n - sPrev) + (1-alpha)*(l + b);`
+    * `b_n = beta*(l_n - l_{n-1}) + (1-beta)*b;`
+    * `s[(n-1) mod P] = gamma*(v_n - l_n) + (1-gamma)*sPrev`
+    * — the first seasonal cycle degenerates to Holt (zero seasonals)
+    * and the vector learns online; no two-pass seeding, so the oracle
+    * recursion replays the identical IEEE sequence and parity is
+    * bitwise when alpha/beta/gamma are exact binary fractions. The
+    * one-step forecast adds the NEXT slot's seasonal:
+    * `l_n + b_n + s[n mod P]`.
+    *
+    * Same secondary-sort single-pass seam as [[ewma]]/[[holt]]; the
+    * carried state is P+2 doubles per key — O(period), not O(stream).
+    * Nulls: emit carried (level, trend, previous-slot seasonal)
+    * without advancing, null before the first valid value. */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                  valueCol: String, alpha: Double, beta: Double, gamma: Double,
+                  period: Int, levelCol: String, trendCol: String,
+                  seasonCol: String): DataFrame = {
+    require(period >= 2, "period must be >= 2 (use holt for period-free)")
+    val outSchema = df.schema.add(levelCol, DoubleType).add(trendCol, DoubleType)
+      .add(seasonCol, DoubleType)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    val parted = df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var level = 0.0
+      var trend = 0.0
+      var season: Array[Double] = null
+      var n = 0L
+      var seeded = false
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) {
+          curKey = k; seeded = false; n = 0L
+          season = new Array[Double](period)
+        }
+        val out: Seq[Any] =
+          if (r.isNullAt(valIdx)) {
+            if (seeded) Seq(level, trend, season(((n - 1) % period).toInt))
+            else Seq(null, null, null)
+          } else {
+            val v = r.getAs[Number](valIdx).doubleValue()
+            n += 1
+            val idx = ((n - 1) % period).toInt
+            if (!seeded) { seeded = true; level = v; trend = 0.0 }
+            else {
+              val sPrev = season(idx)
+              val prev = level
+              level = alpha * (v - sPrev) + (1 - alpha) * (level + trend)
+              trend = beta * (level - prev) + (1 - beta) * trend
+              season(idx) = gamma * (v - level) + (1 - gamma) * sPrev
+            }
+            Seq(level, trend, season(idx))
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def holt(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
            valueCol: String, alpha: Double, beta: Double,
            levelCol: String, trendCol: String): DataFrame = {
