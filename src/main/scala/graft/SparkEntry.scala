@@ -6239,7 +6239,69 @@ object SparkEntry {
                CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
                CAST(MAX(n_tok) AS BIGINT) AS max_tok,
                CAST(MIN(n_tok) AS BIGINT) AS min_tok
-             FROM r GROUP BY 1 ORDER BY shard"""))
+             FROM r GROUP BY 1 ORDER BY shard""")),
+
+    // Temporal traffic profile: events per (type, hour-of-day) with
+    // the share of the type's traffic in exact integer ppm — the
+    // seasonality fingerprint dashboards and anomaly baselines read.
+    // One aggregation + one |types|-sized window; no second scan.
+    ("g33_hourly_profile", (s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("event_type")
+      // integer `div`, never `/`: double division + trunc can round up
+      // across an integer boundary where exact floor division doesn't
+      h.withColumn("__tot", sum(col("n")).over(wt))
+        .withColumn("share_ppm", expr("n * 1000000 div __tot"))
+        .drop("__tot")
+        .orderBy("event_type", "h")
+    },
+      Some("""WITH h AS (SELECT event_type,
+               CAST(hour(ts) AS BIGINT) h, CAST(COUNT(*) AS BIGINT) n
+               FROM events GROUP BY 1, 2)
+             SELECT event_type, h, n,
+               n * 1000000 // SUM(n) OVER (PARTITION BY event_type) AS share_ppm
+             FROM h ORDER BY event_type, h""")),
+
+    // Schema evolution read (the long-lived-dataset reality: new
+    // columns appear mid-corpus): two parquet batches with different
+    // schemas, read back via mergeSchema — old rows NULL-fill the new
+    // column, aggregates see one unified table. The oracle simulates
+    // the same union semantics.
+    ("x10_schema_evolution", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_c"))
+      val base = java.nio.file.Files.createTempDirectory("graft_evo").toFile
+      try {
+        val d1 = new java.io.File(base, "b1").getPath
+        val d2 = new java.io.File(base, "b2").getPath
+        o.filter(col("k") % 2 === 0).write.mode("overwrite").parquet(d1)
+        o.filter(col("k") % 2 =!= 0)
+          .withColumn("priority", (col("k") % 5).cast("long"))
+          .write.mode("overwrite").parquet(d2)
+        val merged = s.read.option("mergeSchema", "true").parquet(d1, d2)
+        val out = merged.groupBy(coalesce(col("priority"), lit(-1L)).as("priority"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+          .orderBy("priority")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(base)
+      }
+    },
+      Some("""WITH o AS (SELECT o_orderkey k,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) price_c FROM orders),
+             m AS (SELECT k, price_c, CAST(NULL AS BIGINT) priority
+               FROM o WHERE k % 2 = 0
+               UNION ALL
+               SELECT k, price_c, k % 5 FROM o WHERE k % 2 <> 0)
+             SELECT COALESCE(priority, -1) AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(price_c) AS BIGINT) AS sum_c
+             FROM m GROUP BY 1 ORDER BY priority"""))
   )
 
   // ---------- driver contract ----------
