@@ -6301,7 +6301,130 @@ object SparkEntry {
                SELECT k, price_c, k % 5 FROM o WHERE k % 2 <> 0)
              SELECT COALESCE(priority, -1) AS priority,
                CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(price_c) AS BIGINT) AS sum_c
-             FROM m GROUP BY 1 ORDER BY priority"""))
+             FROM m GROUP BY 1 ORDER BY priority""")),
+
+    // INCREMENTAL curation manifest (e9's incremental twin): the
+    // corpus arrives in two batches; batch 2 is processed against
+    // batch-1 STATE only — the content-hash digest set (d15's index
+    // shape) and the per-source consumed-token table (Sampling
+    // .tokenBudgetResume) — never against batch-1 rows. The gate pins
+    // the incremental-family contract end to end: the two-batch
+    // manifest must hash-equal the oracle's single-pass replay of the
+    // concatenation (batch-arrival admission order). Batch 1 is small
+    // (1/7 of the corpus) so BOTH batches admit and the budget cuts
+    // INSIDE batch 2 at 60 tokens/source — the carried consumed-token
+    // state shifts batch-2 cut points, so the cross-batch accumulation
+    // is what the hash pins, not just per-batch arithmetic.
+    ("e11_incremental_manifest", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b1 = docs.filter(col("doc_id") % 7 === 0)
+      val b2 = docs.filter(col("doc_id") % 7 =!= 0)
+      // ---- batch-1 run (its manifest + the two state tables) ----
+      val keep1 = b1.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val dd1 = b1.join(keep1.select("doc_id"), Seq("doc_id"))
+      val q1 = dd1.join(
+        TextQuality.qualityFilter(dd1, 40L, 0.5).select("doc_id"), Seq("doc_id"))
+      val adm1 = operators.Sampling.tokenBudget(q1, 60L)
+      val digests = keep1.select("h") // state: content-hash index
+      val consumed = operators.Sampling.tokenBudget(q1, Long.MaxValue)
+        .groupBy("source").agg(sum(col("n_tok")).as("consumed_tok"))
+      // ---- batch-2 run against state only ----
+      val h2 = b2.withColumn("__h", md5(col("text")))
+      val keep2 = h2.join(broadcast(digests),
+          h2("__h") === digests("h"), "left_anti")
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val dd2 = b2.join(keep2, Seq("doc_id"))
+      val q2 = dd2.join(
+        TextQuality.qualityFilter(dd2, 40L, 0.5).select("doc_id"), Seq("doc_id"))
+      val adm2 = operators.Sampling.tokenBudgetResume(q2, 60L, consumed)
+      adm1.select(lit(1L).as("batch"), col("doc_id"), col("source"), col("n_tok"))
+        .unionByName(adm2.select(lit(2L).as("batch"), col("doc_id"),
+          col("source"), col("n_tok")))
+        .orderBy("batch", "doc_id")
+    },
+      Some("""WITH b1 AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+             b2 AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+             k1 AS (SELECT MIN(doc_id) doc_id FROM b1 GROUP BY md5(text)),
+             dd1 AS (SELECT b1.* FROM b1 JOIN k1 USING (doc_id)),
+             q1 AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
+               md5('tb|' || CAST(doc_id AS VARCHAR)) hh FROM dd1
+               WHERE len(string_split(text, ' ')) >= 40
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.5),
+             a1 AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+               ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+               FROM q1),
+             m1 AS (SELECT CAST(1 AS BIGINT) batch, doc_id, source, n_tok
+               FROM a1 WHERE tok_before < 60),
+             cons AS (SELECT source, SUM(n_tok) c FROM q1 GROUP BY 1),
+             d1h AS (SELECT DISTINCT md5(text) h FROM b1),
+             k2 AS (SELECT MIN(doc_id) doc_id FROM b2
+               WHERE md5(text) NOT IN (SELECT h FROM d1h)
+               GROUP BY md5(text)),
+             dd2 AS (SELECT b2.* FROM b2 JOIN k2 USING (doc_id)),
+             q2 AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
+               md5('tb|' || CAST(doc_id AS VARCHAR)) hh FROM dd2
+               WHERE len(string_split(text, ' ')) >= 40
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.5),
+             a2 AS (SELECT q2.*, COALESCE(cons.c, 0)
+               + COALESCE(SUM(n_tok) OVER (PARTITION BY q2.source
+                 ORDER BY hh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+               FROM q2 LEFT JOIN cons ON q2.source = cons.source),
+             m2 AS (SELECT CAST(2 AS BIGINT) batch, doc_id, source, n_tok
+               FROM a2 WHERE tok_before < 60)
+             SELECT * FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+             ORDER BY batch, doc_id""")),
+
+    // Sliding distinct VIA SKETCH (g28's documented 100 TB swap made
+    // executable): the same explode-to-covering-windows shape, but the
+    // per-window aggregate is the mergeable KMV sketch instead of
+    // exact countDistinct — constant state per window at any corpus
+    // size. The gate hashes the WHOLE sketch content plus its integer
+    // estimate next to the exact count, so the swap's accuracy story
+    // is itself pinned (g21's replay discipline per window).
+    ("g34_sliding_distinct_kmv", (s, dir) => {
+      val k = 64
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"))
+        .agg(functions.KmvSketch.kmv(col("user_id").cast("string"), k).as("sk"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(hourStr(col("w.start")).as("w_start"), col("exact_users"),
+          functions.KmvSketch.estimate(col("sk"), k).as("est_users"),
+          md5(concat_ws("", col("sk"))).as("sk_md5"))
+        .orderBy("w_start")
+    },
+      Some("""WITH e AS (SELECT user_id, ts,
+               to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) slot
+               FROM events),
+             x AS (SELECT user_id, ts, slot - INTERVAL (k*6) HOUR w_start
+               FROM e, (SELECT UNNEST([0,1,2,3]) k)
+               WHERE ts >= slot - INTERVAL (k*6) HOUR
+                 AND ts < slot - INTERVAL (k*6) HOUR + INTERVAL 24 HOUR),
+             h AS (SELECT DISTINCT w_start,
+               md5(CAST(user_id AS VARCHAR)) h FROM x),
+             r AS (SELECT w_start, h,
+               ROW_NUMBER() OVER (PARTITION BY w_start ORDER BY h) rn FROM h),
+             nd AS (SELECT w_start, COUNT(DISTINCT user_id) exact_users
+               FROM x GROUP BY 1),
+             sk AS (SELECT w_start, COUNT(*) ssize,
+               string_agg(h, '' ORDER BY h) cat,
+               MAX(CASE WHEN rn = 64 THEN h END) h64
+               FROM r WHERE rn <= 64 GROUP BY 1)
+             SELECT strftime(sk.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+               CAST(nd.exact_users AS BIGINT) AS exact_users,
+               CAST(CASE WHEN ssize < 64 THEN ssize
+                 ELSE (63::BIGINT * (1::BIGINT << 56))
+                      // (('0x' || substr(h64, 1, 14))::BIGINT)
+                 END AS BIGINT) AS est_users,
+               md5(cat) AS sk_md5
+             FROM sk JOIN nd USING (w_start) ORDER BY w_start"""))
   )
 
   // ---------- driver contract ----------

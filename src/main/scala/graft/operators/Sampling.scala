@@ -49,6 +49,36 @@ object Sampling {
       .drop("__tbh")
   }
 
+  /** [[tokenBudget]]'s INCREMENTAL form: admission resumes from a
+    * carried per-source consumed-token state (`consumed(sourceCol,
+    * consumed_tok)` — in production the tiny table the previous batch
+    * run wrote). The running total inside the new batch starts at the
+    * carried value, so processing the corpus in N batches admits
+    * exactly the docs ONE batch over the concatenation would admit
+    * (same window order within each batch, batches in arrival order)
+    * — the incremental-family contract (d15/d18/d21/g18), gated by
+    * e11 against the single-pass rebuild. The consumed state counts
+    * ALL quality docs the window saw (tokenBudget's accumulate-
+    * then-cut semantics), not only admitted ones. One broadcast of
+    * the source-cardinality state; no rescan of prior batches. */
+  def tokenBudgetResume(docs: DataFrame, budgetTokens: Long,
+                        consumed: DataFrame, sourceCol: String = "source",
+                        salt: String = "tb"): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val h = md5(concat(lit(s"$salt|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(sourceCol).orderBy("__tbh", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__tbh", h)
+      .withColumn("n_tok", toks)
+      .withColumn("__run", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(consumed), Seq(sourceCol), "left_outer")
+      .withColumn("tok_before",
+        col("__run") + coalesce(col("consumed_tok"), lit(0L)))
+      .filter(col("tok_before") < budgetTokens)
+      .drop("__tbh", "__run", "consumed_tok")
+  }
+
   /** Data-mixing upsampler — the per-source mixture weights every
     * pretraining pipeline applies (wiki x3, web x0.5, ...): emits
     * floor(weight) copies of each doc plus one more with probability

@@ -50,4 +50,43 @@ class TokenBudgetSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got)
   }
+
+  test("resume: batched admission equals arrival-order single-pass, any split") {
+    // 12 docs across 2 sources, varying sizes; try several split points
+    val fixture = (1 to 12).map { i =>
+      (i.toLong, Seq.fill(3 + i % 5)("w").mkString(" "),
+        if (i % 2 == 0) "A" else "B")
+    }
+    val budget = 14L
+    def admitted(ds: Seq[(Long, String, String)],
+                 offsets: Map[String, Long]): Seq[Long] =
+      ds.groupBy(_._3).toSeq.flatMap { case (src, rows) =>
+        val ordered = rows.sortBy(r => (md5hex(s"tb|${r._1}"), r._1))
+        var before = offsets.getOrElse(src, 0L)
+        ordered.flatMap { case (id, text, _) =>
+          val keep = if (before < budget) Some(id) else None
+          before += text.split(" ").length.toLong
+          keep
+        }
+      }
+    for (split <- Seq(3, 6, 9)) {
+      val (d1, d2) = fixture.splitAt(split)
+      val b1 = d1.toDF("doc_id", "text", "source")
+      val b2 = d2.toDF("doc_id", "text", "source")
+      val consumed = b1.select(col("source"),
+          size(split_part_tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum(col("n")).as("consumed_tok"))
+      val got = (Sampling.tokenBudget(b1, budget).select("doc_id").collect() ++
+        Sampling.tokenBudgetResume(b2, budget, consumed)
+          .select("doc_id").collect()).map(_.getLong(0)).toSet
+      val want = (admitted(d1, Map.empty) ++ admitted(d2,
+        d1.groupBy(_._3).map { case (s, rs) =>
+          s -> rs.map(_._2.split(" ").length.toLong).sum
+        })).toSet
+      assert(got === want, s"split at $split")
+    }
+  }
+
+  private def split_part_tokens(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.split(c, " ")
 }
