@@ -6424,7 +6424,73 @@ object SparkEntry {
                       // (('0x' || substr(h64, 1, 14))::BIGINT)
                  END AS BIGINT) AS est_users,
                md5(cat) AS sk_md5
-             FROM sk JOIN nd USING (w_start) ORDER BY w_start"""))
+             FROM sk JOIN nd USING (w_start) ORDER BY w_start""")),
+
+    // Malformed-JSONL ingest audit (p13's discipline for the JSON
+    // surface): a deterministically dirtied JSONL column — every 7th
+    // record truncated mid-object, every 13th given a wrong-typed
+    // field — parsed with from_json; breakage must be COUNTED, never
+    // silently dropped, and the clean rows' aggregate unperturbed.
+    ("x11_jsonl_malformed", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val good = concat(lit("""{"id": """), col("doc_id"),
+        lit(""", "lang": """"), col("lang"), lit(""""}"""))
+      val dirty = when(col("doc_id") % 7 === 0,
+          substring(good, 1, 12))
+        .when(col("doc_id") % 13 === 0,
+          concat(lit("""{"id": "oops_"""), col("doc_id"), lit(""""}""")))
+        .otherwise(good)
+      val parsed = docs.select(col("doc_id"), col("lang"),
+        from_json(dirty, org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, lang STRING")).as("j"))
+      parsed.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("j.id").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("j.id").isNotNull, col("j.id")).otherwise(0L)).as("id_sum"))
+        .orderBy("lang")
+    },
+      Some("""WITH d AS (SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN 1
+                    WHEN doc_id % 13 = 0 THEN 1
+                    ELSE 0 END bad FROM documents)
+             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bad) AS BIGINT) AS n_bad,
+               CAST(SUM(CASE WHEN bad = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS id_sum
+             FROM d GROUP BY 1 ORDER BY lang""")),
+
+    // Per-doc bigram NOVELTY (corpus-freshness metric for curriculum /
+    // dedup triage): the fraction of a doc's distinct bigrams whose
+    // FIRST corpus occurrence (min doc_id) is this doc. One bigram
+    // exchange (groupBy min) joined back to the per-doc bigram sets —
+    // the d11 gram-index shape applied to a quality signal. Exact
+    // integer ppm.
+    ("t27_novelty", (s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 2))).as("sh"))
+      val first = bi.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      bi.join(first, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_bigrams"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             bi AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1])
+                       for i in generate_series(1, len(w) - 1)]) sh
+               FROM w),
+             f AS (SELECT sh, MIN(doc_id) first_doc FROM bi GROUP BY 1)
+             SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS novelty_ppm
+             FROM bi JOIN f USING (sh)
+             GROUP BY 1 ORDER BY doc_id"""))
   )
 
   // ---------- driver contract ----------
