@@ -141,13 +141,20 @@ object Bench {
     val results = lightNames.flatMap { name =>
       if (remainingSec < 60) { skipped += name; None }
       else once(name, sfDir).flatMap { t1 =>
-        // never fewer than 2 runs: a single sample right after an
-        // expensive neighbor reads its GC/page-cache shadow (observed:
-        // d25 one-shot 10.2 s vs 1.6 s best-of-3 in back-to-back
-        // driver-style runs) — one repeat removes the neighbor effect,
-        // the third run stays reserved for floor queries where noise
-        // rivals the measurement
-        val extra = if (t1 < 2.0) 2 else 1
+        // best-of-TWO: a single sample right after an expensive
+        // neighbor reads its GC/page-cache shadow (observed: d25
+        // one-shot 10.2 s vs 1.6 s in back-to-back driver-style runs),
+        // so one repeat is mandatory; a third (round 6's best-of-3
+        // spike guard) no longer fits — at 229 queries it costs
+        // ~100 s that the heavy worst-case fork needs (receipts:
+        // both tiers were budget-shed under load at best-of-3/min-2).
+        // Regression detection now rests on the ensemble: an
+        // occasional spiked best is an isolated blip against the
+        // same query's round-over-round history, while a real
+        // regression moves with its operator family. Past 8 s one
+        // sample stands — at that magnitude noise is a rounding
+        // error on the signal.
+        val extra = if (t1 < 8.0) 1 else 0
         val more = (1 to extra).flatMap(_ => once(name, sfDir))
         if (more.size < extra) None // a later run failed -> no timing
         else {
