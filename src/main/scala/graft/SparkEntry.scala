@@ -6490,7 +6490,67 @@ object SparkEntry {
                SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
                  * 1000000 // COUNT(*) AS novelty_ppm
              FROM bi JOIN f USING (sh)
-             GROUP BY 1 ORDER BY doc_id"""))
+             GROUP BY 1 ORDER BY doc_id""")),
+
+    // Graded contamination score (Dedup.contaminationScore): d13's
+    // binary membership refined to the overlap FRACTION quality
+    // reports publish — every train doc scored, exact integer ppm, so
+    // decontamination can threshold instead of binary-drop on one
+    // shared gram. Same broadcast-gram-set shape; d13's train/bench
+    // split.
+    ("d28_contamination_score", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationScore(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), 8)
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])
+                       for i in generate_series(1, len(w) - 7)]) sh
+               FROM w),
+             b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 = 0),
+             tr AS (SELECT doc_id, sh.sh,
+               CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END hit
+               FROM sh LEFT JOIN b USING (sh) WHERE doc_id % 5 <> 0)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(hit) AS BIGINT) AS n_overlap,
+               SUM(hit) * 1000000 // COUNT(*) AS overlap_ppm
+             FROM tr GROUP BY 1 ORDER BY doc_id""")),
+
+    // Gini concentration of purchase value across users (the
+    // inequality / concentration metric for spend, source mass, token
+    // mass): G = (2*Σ rank_i*x_i - (n+1)*Σx) / (n*Σx) over
+    // ascending-sorted totals — EXACT integer numerator/denominator,
+    // one ppm division at the end. The rank is GlobalRank's
+    // range-partitioned ordinal; everything else is two tiny
+    // aggregations. Ties order by user_id so the rank (and thus the
+    // numerator) is deterministic — G itself is tie-order invariant,
+    // the determinism is for the hash.
+    ("g35_gini", (s, dir) => {
+      val totals = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum(cents(col("value"))).as("m_c"))
+      val ranked = GlobalRank.withGlobalRank(totals, "rk",
+        Seq(col("m_c"), col("user_id")))
+      ranked.agg(count(lit(1)).as("n_users"), sum(col("m_c")).as("total_c"),
+          sum(col("rk") * col("m_c")).as("rx"))
+        .select(col("n_users"), col("total_c"),
+          expr("(2 * rx - (n_users + 1) * total_c) * 1000000 div (n_users * total_c)")
+            .as("gini_ppm"))
+    },
+      Some("""WITH u AS (SELECT user_id,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) m_c FROM events
+               WHERE event_type = 'purchase' GROUP BY 1),
+             r AS (SELECT m_c,
+               CAST(ROW_NUMBER() OVER (ORDER BY m_c, user_id) AS BIGINT) rk
+               FROM u)
+             SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(m_c) AS BIGINT) AS total_c,
+               (2 * SUM(rk * m_c) - (COUNT(*) + 1) * SUM(m_c)) * 1000000
+                 // (COUNT(*) * SUM(m_c)) AS gini_ppm
+             FROM r"""))
   )
 
   // ---------- driver contract ----------

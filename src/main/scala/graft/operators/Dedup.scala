@@ -84,6 +84,28 @@ object Dedup {
       .select(col("doc_id"), col("n_overlap_grams"), col("n_bench_docs"))
   }
 
+  /** D28: graded contamination SCORE — [[contamination]]'s binary
+    * membership refined to the overlap FRACTION data-quality reports
+    * publish (what share of a doc's distinct k-grams appear anywhere
+    * in the benchmark suite): every train doc gets a row, overlap_ppm
+    * in exact integer parts-per-million, so downstream policy can
+    * THRESHOLD (drop > x%, flag > y%) instead of binary-dropping on a
+    * single shared gram. Same broadcast-gram-set shape as d13 — one
+    * train-side scan + gram explode, a LEFT join against the
+    * broadcast benchmark grams, no shuffle on the gram key; the d17
+    * bloom prefilter composes in front unchanged when the suite
+    * outgrows a broadcast. */
+  def contaminationScore(train: DataFrame, benchmark: DataFrame,
+                         k: Int = 8): DataFrame = {
+    val bGrams = wordShingles(benchmark, k).select("sh").distinct()
+    wordShingles(train, k).distinct()
+      .join(broadcast(bGrams.withColumn("__hit", lit(1L))), Seq("sh"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_ppm", expr("n_overlap * 1000000 div n_grams"))
+  }
+
   /** D17: decontamination with a BLOOM-FILTER prefilter — the scale
     * path for when the benchmark gram set outgrows a broadcast join
     * hash map. [[contamination]] broadcasts the gram STRINGS (fine for
