@@ -29,16 +29,16 @@ object Dedup {
   /** Word k-shingles (default 3), one row per (doc, shingle) —
     * relational (posexplode + lead over a per-doc window), not a
     * per-row lambda, so the hot path stays codegen'd. */
-  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until k).map(i => lead("w", i).over(w).as(s"w$i"))
-    docs.select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
-      .withColumnRenamed("col", "w")
-      .select(col("doc_id") +: col("w") +: leads: _*)
-      .filter(col(s"w${k - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*).as("sh"))
-  }
+  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    // the codegen WordGrams shingler — a zero-shuffle projection. The
+    // original lead-window form paid a doc_id hash exchange + sort on
+    // EVERY ingest chain (d2 signatures, d13/d28 decontamination, the
+    // e6/e9/e11 compositions): the window needed per-doc ordering that
+    // the array form gets for free (tokens are already in document
+    // order inside the row). Measured at the 10x heavy tier: d13 cold
+    // 5.07 -> see BENCH_NOTES round-8 shingle-swap receipt.
+    docs.select(col("doc_id"), explode(
+      TextAnalysis.wordShingles(TextAnalysis.words(col("text")), k)).as("sh"))
 
   /** D11: CROSS-document n-gram dedup stats (exact-substring dedup at
     * fixed gram length, the Lee et al. "Deduplicating Training Data"

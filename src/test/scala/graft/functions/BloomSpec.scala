@@ -81,14 +81,23 @@ class BloomSpec extends AnyFunSuite {
     val lines = plan.split("\n")
     val probeLine = lines.indexWhere(_.contains("bloom_might_contain"))
     assert(probeLine >= 0, s"probe expression missing from plan:\n$plan")
-    // exchanges keyed on the gram column must all sit ABOVE the probe
-    // (tree-print order: above = executes after) — only survivors are
-    // ever shuffled on the gram key
-    val gramExchanges = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("Exchange hashpartitioning") && l.contains("sh#") => i
+    // the invariant: TRAIN-side grams never shuffle unprobed. Track the
+    // probe's own gram attribute (e.g. "sh#328") — the benchmark side
+    // legitimately shuffles its (small-by-construction) gram set before
+    // the filter is even built, under a different attribute id. The
+    // zero-shuffle codegen shingler made this distinction load-bearing:
+    // the old window shingle form left the benchmark distinct riding
+    // its doc_id exchange, so ANY sh# exchange below the probe was a
+    // train-side leak; now both sides own their exchanges.
+    val probeAttr = "sh#\\d+".r.findFirstIn(lines(probeLine))
+      .getOrElse(fail(s"no gram attribute in probe line:\n${lines(probeLine)}"))
+    val trainGramExchanges = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning")
+        && l.contains(probeAttr) => i
     }
-    assert(gramExchanges.nonEmpty, s"expected a gram-key exchange in:\n$plan")
-    assert(gramExchanges.forall(_ < probeLine),
-      s"probe must execute before every gram-key exchange:\n$plan")
+    assert(trainGramExchanges.nonEmpty,
+      s"expected a post-probe train gram exchange in:\n$plan")
+    assert(trainGramExchanges.forall(_ < probeLine),
+      s"probe must execute before every train-side gram exchange:\n$plan")
   }
 }
