@@ -6550,7 +6550,29 @@ object SparkEntry {
                CAST(SUM(m_c) AS BIGINT) AS total_c,
                (2 * SUM(rk * m_c) - (COUNT(*) + 1) * SUM(m_c)) * 1000000
                  // (COUNT(*) * SUM(m_c)) AS gini_ppm
-             FROM r"""))
+             FROM r""")),
+
+    // Per-image luma histogram over REAL decoded pixels (Multimodal
+    // .lumaHistograms + the javax.imageio codec): the channel-stats
+    // stage vision pipelines run for exposure filtering. m6's fixture
+    // discipline — deterministic PNGs, pixel formula (id + 11x + 17y)
+    // mod 256 — so the oracle buckets the closed form while Spark
+    // buckets actual decoded bytes; any codec drift flips the hash.
+    ("m10_image_histogram", (s, dir) =>
+      graft.multimodal.Multimodal.lumaHistograms(
+        GateFixtures.pngMedia(s, dir))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) w,
+               CAST(8 + doc_id % 3 AS INT) h FROM documents),
+             px AS (SELECT doc_id, w, h,
+               (doc_id + 11*(i % w) + 17*(i // w)) % 256 v
+               FROM g, UNNEST([i for i in generate_series(0, w*h - 1)]) t(i))
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+             FROM px GROUP BY 1 ORDER BY doc_id"""))
   )
 
   // ---------- driver contract ----------

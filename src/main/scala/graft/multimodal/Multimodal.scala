@@ -208,6 +208,41 @@ object Multimodal {
       }
   }
 
+  case class LumaHistogram(doc_id: Long, n_px: Long, b0: Long, b1: Long,
+                           b2: Long, b3: Long)
+
+  /** Per-image 4-bin luma histogram over REAL decoded pixels (the
+    * channel-statistics stage a vision-data pipeline runs for
+    * exposure/contrast filtering): decode with [[ImageIoDecoder]],
+    * bucket each pixel by value >> 6 (bins [0,64) [64,128) [128,192)
+    * [192,256)), exact integer counts. Same mapPartitions codec seam
+    * as [[decodeFeatures]] — one pass, no shuffle; undecodable
+    * payloads emit the explicit n_px = -1 marker row (never silently
+    * dropped). */
+  def lumaHistograms(media: DataFrame): Dataset[LumaHistogram] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          ImageIoDecoder.decodeImage(
+            if (payload == null) Array.emptyByteArray else payload) match {
+            case None => LumaHistogram(id, -1L, 0L, 0L, 0L, 0L)
+            case Some((_, _, luma)) =>
+              val bins = new Array[Long](4)
+              var i = 0
+              while (i < luma.length) {
+                bins((luma(i) >> 6) & 3) += 1L
+                i += 1
+              }
+              LumaHistogram(id, luma.length.toLong,
+                bins(0), bins(1), bins(2), bins(3))
+          }
+        }
+      }
+  }
+
   /** Perceptual hash row. */
   case class PerceptualHash(doc_id: Long, phash: Long)
 
