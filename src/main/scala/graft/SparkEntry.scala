@@ -6572,7 +6572,38 @@ object SparkEntry {
                CAST(SUM(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
                CAST(SUM(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
                CAST(SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS b3
-             FROM px GROUP BY 1 ORDER BY doc_id"""))
+             FROM px GROUP BY 1 ORDER BY doc_id""")),
+
+    // Radius-bounded kNN JOIN (j12's ranking consumer): each part's 2
+    // nearest neighbors among its grid-blocked radius candidates —
+    // the spatial-join shape plus one per-probe window; candidates are
+    // already radius-bounded so the rank partition is O(neighbors),
+    // never O(corpus). Ties break on (d2, key) so the top-2 is
+    // deterministic. Parts with no in-radius neighbor are absent
+    // (same both sides).
+    ("j13_knn_join", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("x"),
+        (round(col("p_retailprice"), 0).cast("long") % 100).as("y"))
+      val cand = operators.SpatialJoin.radiusJoin(p, "k", "x", "y", 5L)
+      val w = Window.partitionBy("key_a").orderBy(col("d2"), col("key_b"))
+      cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("key_a").as("p_partkey"), col("rnk"),
+          col("key_b").as("neighbor_key"), col("d2"))
+        .orderBy("p_partkey", "rnk")
+    },
+      Some("""WITH p AS (SELECT p_partkey k, CAST(p_size AS BIGINT) x,
+               CAST(ROUND(p_retailprice) AS BIGINT) % 100 y FROM part),
+             c AS (SELECT a.k ka, b.k kb,
+               (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) d2
+               FROM p a JOIN p b ON a.k <> b.k
+                 AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ka
+               ORDER BY d2, kb) rnk FROM c)
+             SELECT ka AS p_partkey, CAST(rnk AS INT) AS rnk,
+               kb AS neighbor_key, CAST(d2 AS BIGINT) AS d2
+             FROM r WHERE rnk <= 2 ORDER BY p_partkey, rnk"""))
   )
 
   // ---------- driver contract ----------
