@@ -6603,7 +6603,54 @@ object SparkEntry {
                ORDER BY d2, kb) rnk FROM c)
              SELECT ka AS p_partkey, CAST(rnk AS INT) AS rnk,
                kb AS neighbor_key, CAST(d2 AS BIGINT) AS d2
-             FROM r WHERE rnk <= 2 ORDER BY p_partkey, rnk"""))
+             FROM r WHERE rnk <= 2 ORDER BY p_partkey, rnk""")),
+
+    // STREAMING token-budget admission (EventStream.tokenBudgetStream):
+    // the curation budget applied at INGEST time — one long of state
+    // per source, admission == the batch window over arrival order no
+    // matter where micro-batches split (accumulate-then-cut, exact
+    // integers). Completes the streaming curation story next to
+    // w9/w12's decontamination and w17's anomaly state.
+    ("w19_stream_token_budget", (s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val typed = stream.select(col("source"), col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tok"))
+        .as[graft.streaming.EventStream.DocArrival]
+      val name = s"w19_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.tokenBudgetStream(typed, 60L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admitted"), col("n_tok")).otherwise(0L)).as("adm_tok"))
+        .orderBy("source")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH d AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok
+               FROM documents),
+             a AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tb
+               FROM d)
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN tb < 60 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_admitted,
+               CAST(SUM(CASE WHEN tb < 60 THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS adm_tok
+             FROM a GROUP BY 1 ORDER BY source"""))
   )
 
   // ---------- driver contract ----------

@@ -278,6 +278,41 @@ object EventStream {
       }
   }
 
+  case class DocArrival(source: String, doc_id: Long, n_tok: Long)
+  case class Admission(source: String, doc_id: Long, n_tok: Long,
+                       admitted: Boolean)
+
+  /** Streaming per-source token-budget admission — the streaming twin
+    * of [[graft.operators.Sampling.tokenBudget]]/[[graft.operators.Sampling.tokenBudgetResume]]:
+    * docs arrive as a stream, each source carries ONE long of state
+    * (tokens seen so far), a doc is admitted iff the carried total is
+    * still under budget, and the total then advances by the doc's
+    * tokens whether or not it was admitted (the batch operator's
+    * accumulate-then-cut semantics — so stream output == the batch
+    * window over arrival order, regardless of micro-batch boundaries).
+    * Ordered-ingest contract: in-batch sort by doc_id, cross-batch
+    * order is the file/arrival order — same discipline as
+    * [[transitionSteps]]. */
+  def tokenBudgetStream(docs: Dataset[DocArrival],
+                        budget: Long): Dataset[Admission] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[DocArrival], state: GroupState[Long]) =>
+          val sorted = batch.toIndexedSeq.sortBy(_.doc_id)
+          var consumed = state.getOption.getOrElse(0L)
+          val out = sorted.map { d =>
+            val adm = consumed < budget
+            consumed += d.n_tok
+            Admission(src, d.doc_id, d.n_tok, adm)
+          }
+          state.update(consumed)
+          out.iterator
+      }
+  }
+
   case class ValuedEvent(event_type: String, us: Long, event_id: Long,
                          v_c: Long)
   case class AnomalyFlag(event_type: String, event_id: Long, flagged: Boolean)
