@@ -6650,7 +6650,33 @@ object SparkEntry {
                  AS n_admitted,
                CAST(SUM(CASE WHEN tb < 60 THEN n_tok ELSE 0 END) AS BIGINT)
                  AS adm_tok
-             FROM a GROUP BY 1 ORDER BY source"""))
+             FROM a GROUP BY 1 ORDER BY source""")),
+
+    // Strided source INTERLEAVE (training-order balance without
+    // weights): shuffle within each source (seeded md5 order), then
+    // order globally by (within-source position, source) — consecutive
+    // training batches cycle through every live source instead of
+    // draining one before the next (o15 randomizes globally; this
+    // GUARANTEES source alternation). Per-source window + GlobalRank's
+    // range-partitioned ordinal — no one-task window at corpus scale.
+    ("o20_source_interleave", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val wSrc = Window.partitionBy("source").orderBy(
+        md5(concat(lit("il|"), col("doc_id").cast("string"))), col("doc_id"))
+      val within = docs.withColumn("pos", row_number().over(wSrc).cast("long"))
+      GlobalRank.withGlobalRank(within, "rn",
+        Seq(col("pos"), col("source"), col("doc_id")))
+        .select("rn", "doc_id", "source", "pos")
+        .orderBy("rn")
+    },
+      Some("""WITH w AS (SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5('il|' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) pos
+               FROM documents)
+             SELECT ROW_NUMBER() OVER (ORDER BY pos, source, doc_id) AS rn,
+               doc_id, source, pos
+             FROM w ORDER BY rn"""))
   )
 
   // ---------- driver contract ----------
