@@ -6676,7 +6676,56 @@ object SparkEntry {
                FROM documents)
              SELECT ROW_NUMBER() OVER (ORDER BY pos, source, doc_id) AS rn,
                doc_id, source, pos
-             FROM w ORDER BY rn"""))
+             FROM w ORDER BY rn""")),
+
+    // Dedup health REPORT (the dashboard row a curation run publishes):
+    // corpus size, exact-dup docs, LSH candidate volume, verified
+    // near-dup pairs, and the keep-list outcome — every number drawn
+    // from the SAME memoized index chain the production operators use
+    // (signatures/pairs/verified pairs computed once per corpus, not
+    // once per metric). The oracle replays e6's full recursive chain
+    // and counts the same five stages, so a drift in ANY stage's
+    // volume flips the hash.
+    ("e12_dedup_report", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = docs.agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - count_distinct(md5(col("text")))).as("n_exact_dup_docs"))
+      val cand = lshPairsCached(s, dir).agg(count(lit(1)).as("n_candidate_pairs"))
+      val vp = verifiedPairsCached(s, dir).agg(count(lit(1)).as("n_verified_pairs"))
+      val kept = Dedup.keepList(s, docs, verifiedPairsCached(s, dir))
+        .agg(count(lit(1)).as("n_kept"))
+      exact.crossJoin(broadcast(cand)).crossJoin(broadcast(vp))
+        .crossJoin(broadcast(kept))
+        .select(col("n_docs"), col("n_exact_dup_docs"),
+          col("n_candidate_pairs"), col("n_verified_pairs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"))
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           g AS (SELECT doc_id,
+                 list_distinct([substr(text, i, 5) for i in generate_series(1, len(text)-4)]) grams
+                 FROM documents),
+           vp AS (SELECT p.doc_a, p.doc_b FROM pairs p
+                  JOIN g ga ON p.doc_a = ga.doc_id
+                  JOIN g gb ON p.doc_b = gb.doc_id
+                  WHERE CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE)
+                    / (len(ga.grams) + len(gb.grams)
+                       - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) >= 0.35),
+           edges AS (SELECT doc_a src, doc_b dst FROM vp
+                     UNION SELECT doc_b, doc_a FROM vp),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id),
+           dropped AS (SELECT COUNT(*) n FROM cl WHERE doc_id <> cluster)
+           SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST((SELECT COUNT(*) - COUNT(DISTINCT md5(text)) FROM documents)
+               AS BIGINT) AS n_exact_dup_docs,
+             CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_candidate_pairs,
+             CAST((SELECT COUNT(*) FROM vp) AS BIGINT) AS n_verified_pairs,
+             CAST((SELECT COUNT(*) FROM documents) - (SELECT n FROM dropped)
+               AS BIGINT) AS n_kept,
+             CAST((SELECT n FROM dropped) AS BIGINT) AS n_dropped"""))
   )
 
   // ---------- driver contract ----------
