@@ -6725,7 +6725,61 @@ object SparkEntry {
              CAST((SELECT COUNT(*) FROM vp) AS BIGINT) AS n_verified_pairs,
              CAST((SELECT COUNT(*) FROM documents) - (SELECT n FROM dropped)
                AS BIGINT) AS n_kept,
-             CAST((SELECT n FROM dropped) AS BIGINT) AS n_dropped"""))
+             CAST((SELECT n FROM dropped) AS BIGINT) AS n_dropped""")),
+
+    // LINEAR multi-touch attribution (g29's last-touch refined: every
+    // preceding touch shares the purchase's credit equally). The
+    // scale-correct shape is four conditional cumulative windows over
+    // ONE user exchange — never the purchase-to-touches self-join
+    // (quadratic per user). Credit = v_c * 10^6 * n_channel div k,
+    // exact integer division identical in both engines (remainder
+    // micro-cents are dropped the same way). Purchases with no prior
+    // touch are excluded (same both sides).
+    ("g36_linear_attribution", (s, dir) => {
+      val channels = Seq("click", "view", "signup", "error")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val counted = channels.foldLeft(t(s, dir, "events")) { (df, c) =>
+        df.withColumn(s"__n_$c",
+          coalesce(sum(when(col("event_type") === c, 1L)).over(w), lit(0L)))
+      }
+      val p = counted.filter(col("event_type") === "purchase")
+        .withColumn("k", channels.map(c => col(s"__n_$c")).reduce(_ + _))
+        .filter(col("k") > 0)
+        .withColumn("v1m", cents(col("value")) * 1000000L)
+      val credits = channels.map(c => p.select(lit(c).as("channel"),
+          expr(s"v1m * __n_$c div k").as("credit")))
+        .reduce(_ unionByName _)
+      credits.groupBy("channel")
+        .agg(sum(when(col("credit") > 0, 1L).otherwise(0L)).as("n_touched"),
+          sum(col("credit")).as("credit_sum"))
+        .orderBy("channel")
+    },
+      Some("""WITH w AS (SELECT user_id, ts, event_id, event_type, value,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER wpre, 0) nc,
+               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                 OVER wpre, 0) nv,
+               COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END)
+                 OVER wpre, 0) ns,
+               COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END)
+                 OVER wpre, 0) ne
+               FROM events WINDOW wpre AS (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             p AS (SELECT CAST(ROUND(value*100) AS BIGINT) * 1000000 v1m,
+               nc, nv, ns, ne, nc + nv + ns + ne k
+               FROM w WHERE event_type = 'purchase'
+                 AND nc + nv + ns + ne > 0),
+             c AS (SELECT 'click' channel, v1m * nc // k credit FROM p
+               UNION ALL SELECT 'view', v1m * nv // k FROM p
+               UNION ALL SELECT 'signup', v1m * ns // k FROM p
+               UNION ALL SELECT 'error', v1m * ne // k FROM p)
+             SELECT channel,
+               CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_touched,
+               CAST(SUM(credit) AS BIGINT) AS credit_sum
+             FROM c GROUP BY 1 ORDER BY channel"""))
   )
 
   // ---------- driver contract ----------
