@@ -47,23 +47,44 @@ object Pca {
     * matrix) by `iters` rounds of power iteration on the driver.
     * The only distributed work is [[covariance]]. */
   def topComponent(em: DataFrame, embCol: String, d: Int,
-                   iters: Int = 100): Array[Double] = {
+                   iters: Int = 100): Array[Double] =
+    topComponents(em, embCol, d, 1, iters).head._2
+
+  /** Top `k` (eigenvalue, unit eigenvector) pairs by power iteration
+    * with Hotelling DEFLATION on the driver matrix — after each
+    * recovered pair, C <- C - lambda*v*v^T removes that component's
+    * variance so the next iteration converges to the next one.
+    * The corpus is touched exactly once (the [[covariance]] pass);
+    * everything after is d x d driver arithmetic, so k costs nothing
+    * distributed. Eigenvalues come from the Rayleigh quotient v^T C v;
+    * the same fixed-start/fixed-iterations/sign-normalized
+    * determinism as the single-component path. */
+  def topComponents(em: DataFrame, embCol: String, d: Int, k: Int,
+                    iters: Int = 100): Seq[(Double, Array[Double])] = {
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
     val entries = covariance(em, embCol, d).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
     val m = Array.ofDim[Double](d, d)
     entries.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var it = 0
-    while (it < iters) {
-      val w = Array.tabulate(d)(i =>
-        (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j)))
-      val n = math.sqrt(w.map(x => x * x).sum)
-      v = if (n == 0.0) v else w.map(_ / n)
-      it += 1
+    (0 until k).map { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j)))
+        val n = math.sqrt(w.map(x => x * x).sum)
+        v = if (n == 0.0) v else w.map(_ / n)
+        it += 1
+      }
+      val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val vec = if (v(top) < 0) v.map(-_) else v
+      val lambda = (0 until d).map(i =>
+        vec(i) * (0 until d).map(j => m(i)(j) * vec(j)).sum).sum
+      // deflate: remove the recovered component's variance
+      for (i <- 0 until d; j <- 0 until d)
+        m(i)(j) -= lambda * vec(i) * vec(j)
+      (lambda, vec)
     }
-    // sign convention: the largest-|coordinate| entry is positive
-    val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
-    if (v(k) < 0) v.map(-_) else v
   }
 
   /** Each row's scalar projection onto the top principal component of

@@ -60,6 +60,22 @@ class PcaSpec extends AnyFunSuite {
     assert(residual < 1e-9 * math.max(1.0, math.abs(lambda)), s"residual $residual")
   }
 
+  test("deflation recovers the second component, orthogonal, smaller eigenvalue") {
+    val comps = Pca.topComponents(df, "embedding", 3, 2)
+    val (l1, v1) = comps(0)
+    val (l2, v2) = comps(1)
+    // first = the stretch axis, second = the cross axis (-0.8, 0.6) up
+    // to sign normalization (largest-|coord| positive -> (-0.8, 0.6))
+    assert(math.abs(v1(0) - 0.6) < 1e-3 && math.abs(v1(1) - 0.8) < 1e-3)
+    assert(math.abs(math.abs(v2(0)) - 0.8) < 1e-3 &&
+      math.abs(math.abs(v2(1)) - 0.6) < 1e-3, v2.mkString(","))
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, s"components not orthogonal: $dot")
+    assert(l1 > l2 && l2 > 0, s"eigenvalues not ordered: $l1, $l2")
+    // the two axes' variances dominate the flat third dimension
+    assert(l1 / l2 > 10, s"stretch axis should dominate: $l1 vs $l2")
+  }
+
   test("projection scores order points along the axis") {
     val scores = Pca.project(df, "vec_id", "embedding", 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
