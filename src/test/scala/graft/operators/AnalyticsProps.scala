@@ -93,6 +93,66 @@ object AnalyticsProps extends Properties("analytics") {
       got == expected
     }
 
+  property("interleave: the first |sources| positions hit every source once") =
+    forAll(Gen.chooseNum(2, 6), Gen.chooseNum(5, 30)) { (nSrc, perSrc) =>
+      val docs = (for {
+        s <- 0 until nSrc; i <- 0 until perSrc
+      } yield ((s * 1000 + i).toLong, s"s$s")).toDF("doc_id", "source")
+      val wSrc = Window.partitionBy("source").orderBy(
+        md5(concat(lit("il|"), col("doc_id").cast("string"))), col("doc_id"))
+      val within = docs.withColumn("pos", row_number().over(wSrc).cast("long"))
+      val ranked = GlobalRank.withGlobalRank(within, "rn",
+        Seq(col("pos"), col("source"), col("doc_id")))
+        .orderBy("rn").collect()
+      GlobalRank.clear(spark)
+      // every consecutive block of nSrc rows at the same pos level
+      // contains each source exactly once (all sources same size here)
+      ranked.grouped(nSrc).forall { block =>
+        block.map(_.getAs[String]("source")).toSet.size == block.length
+      }
+    }
+
+  /** Brute-force linear attribution: for each purchase, credit each
+    * preceding touch's channel v*1e6*n_c/k by integer division. */
+  property("linear attribution equals the per-purchase brute force") =
+    forAll(Gen.chooseNum(20, 60)) { n =>
+      val types = Seq("click", "view", "signup", "error", "purchase")
+      val events = (0 until n).map { i =>
+        (1L, i.toLong, types((i * 7919) % types.size), ((i * 131) % 500 + 1).toLong)
+      } // (user, order, type, v_c)
+      val expected = {
+        val credits = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        val seen = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        events.foreach { case (_, _, t, v) =>
+          if (t == "purchase") {
+            val k = seen.values.sum
+            if (k > 0) types.init.foreach { c =>
+              credits(c) += v * 1000000L * seen(c) / k
+            }
+          } else seen(t) += 1L
+        }
+        credits.toMap.filter(_._2 != 0L)
+      }
+      val df = events.toDF("user_id", "ord", "event_type", "v_c")
+      val w = Window.partitionBy("user_id").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val counted = types.init.foldLeft(df) { (d, c) =>
+        d.withColumn(s"__n_$c",
+          coalesce(sum(when(col("event_type") === c, 1L)).over(w), lit(0L)))
+      }
+      val p = counted.filter(col("event_type") === "purchase")
+        .withColumn("k", types.init.map(c => col(s"__n_$c")).reduce(_ + _))
+        .filter(col("k") > 0)
+        .withColumn("v1m", col("v_c") * 1000000L)
+      val got = types.init.map(c => p.select(lit(c).as("channel"),
+          expr(s"v1m * __n_$c div k").as("credit")))
+        .reduce(_ unionByName _)
+        .groupBy("channel").agg(sum(col("credit")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .filter(_._2 != 0L).toMap
+      got == expected
+    }
+
   property("novelty: duplicated doc scores zero; unique-vocab doc scores 1e6") =
     forAll(Gen.chooseNum(3, 8)) { nDocs =>
       // doc i = words "w{i}_0 .. w{i}_9" (unique vocab per doc); the
