@@ -6779,7 +6779,51 @@ object SparkEntry {
                CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_touched,
                CAST(SUM(credit) AS BIGINT) AS credit_sum
-             FROM c GROUP BY 1 ORDER BY channel"""))
+             FROM c GROUP BY 1 ORDER BY channel""")),
+
+    // Session co-presence (market-basket over sessions): which event-
+    // type PAIRS occur within the same session, and how often — g25's
+    // transitions count adjacency; this counts unordered co-occurrence.
+    // Per-session distinct-type arrays (bounded by |types|), pairs via
+    // one nested-transform projection (never a within-session
+    // self-join), one tiny pair aggregation.
+    ("g37_session_copresence", (s, dir) => {
+      val sess = Sessionize.withSessionId(t(s, dir, "events"),
+        Seq("user_id"), "ts", 1800)
+      val types = sess.groupBy("user_id", "session_id")
+        .agg(array_sort(array_distinct(collect_list(col("event_type"))))
+          .as("tarr"))
+      // single-type sessions contribute no pairs; the filter also
+      // guards Spark's sequence(), which DESCENDS when start > stop
+      // (sequence(0, -1) = [0, -1], not empty)
+      types.filter(size(col("tarr")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(tarr) - 2), i ->
+               transform(sequence(i + 1, size(tarr) - 1), j ->
+                 named_struct('a', tarr[i], 'b', tarr[j]))))""")).as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("type_a", "type_b")
+    },
+      Some("""WITH l AS (SELECT user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),
+             f AS (SELECT user_id, ts, event_type, CASE WHEN prev IS NULL
+               OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END is_new
+               FROM l),
+             sid AS (SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+               FROM f),
+             ta AS (SELECT user_id, session_id,
+               list_sort(list_distinct(list(event_type))) tarr
+               FROM sid GROUP BY 1, 2),
+             pr AS (SELECT UNNEST(flatten([[{'a': tarr[i+1], 'b': tarr[j+1]}
+                 for j in generate_series(i + 1, len(tarr) - 1)]
+                 for i in generate_series(0, len(tarr) - 2)])) p
+               FROM ta)
+             SELECT p.a AS type_a, p.b AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions
+             FROM pr GROUP BY 1, 2 ORDER BY type_a, type_b"""))
   )
 
   // ---------- driver contract ----------
