@@ -116,6 +116,7 @@ object SparkEntry {
       }
     }
     GlobalRank.clear(s)
+    operators.Compaction.clear(s)
     operators.Checkpoints.clear(s)
   }
 
@@ -960,7 +961,8 @@ object SparkEntry {
       top.withColumn("rnk",
         row_number().over(Window.partitionBy(lit(0))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
-        .select(col("rnk"), col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+        .select(col("rnk").cast("long").as("rnk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_c"))
         .orderBy("rnk")
     },
       Some("""SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
@@ -972,7 +974,7 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 2)
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
           cents(col("o_totalprice")).as("total_c"))
@@ -1031,7 +1033,7 @@ object SparkEntry {
         .orderBy(col("value"), col("event_id"))
       t(s, dir, "events")
         .select(col("event_id"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy("event_id")
@@ -1408,6 +1410,14 @@ object SparkEntry {
     // the batch range join the oracle runs.
     ("w7_stream_interval_join", (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A stream-stream join keeps FOUR state stores per shuffle
+      // partition; at the gate fixture's cardinality 32 partitions is
+      // pure per-batch commit overhead (128 store instances). Size the
+      // stateful exchange to the fixture — production sizes it to the
+      // cluster — and restore the session value after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val raw = s.read.parquet(s"$dir/events.parquet")
       def reader() = {
         val st = s.readStream.schema(raw.schema)
@@ -1429,6 +1439,7 @@ object SparkEntry {
       val out = s.createDataFrame(rows, resolved.schema)
       s.catalog.dropTempView(name)
       out
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
              FROM events c JOIN events p
@@ -1583,6 +1594,11 @@ object SparkEntry {
     // no watermark withholding.
     ("w8_stream_session", (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // w7's state-store sizing rationale: the session-window merging
+      // store per partition is commit overhead at fixture cardinality
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val raw = s.read.parquet(s"$dir/events.parquet")
       val stream0 = s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1607,6 +1623,7 @@ object SparkEntry {
       val out = s.createDataFrame(rows, resolved.schema)
       s.catalog.dropTempView(name)
       out
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
       Some("""WITH l AS (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev
@@ -4889,6 +4906,29 @@ object SparkEntry {
                  AS exact_inter
              FROM est, ex""")),
 
+    // Character-distribution entropy (TextQuality.charEntropy + the
+    // CharEntropy native expression): the model-free quality signal
+    // whose tails — repeated-char spam at the bottom, base64/noise at
+    // the top — are curation drop candidates. ONE per-row scalar pass
+    // inside whole-stage codegen; the oracle runs the relational
+    // explode-per-character form the operator deliberately avoids
+    // (a ~10^3x row blowup at corpus scale), so the gate also proves
+    // the two formulations agree. Round-6 absorbs the sub-ulp
+    // log/summation-order drift; `0 - SUM` keeps the single-character
+    // case at positive zero in both engines.
+    ("t26_char_entropy", (s, dir) =>
+      TextQuality.charEntropy(t(s, dir, "documents")).orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id, len(text) L,
+               UNNEST([substr(text, i, 1) FOR i IN generate_series(1, len(text))]) ch
+               FROM documents),
+             g AS (SELECT doc_id, ANY_VALUE(L) L, ch,
+               CAST(COUNT(*) AS BIGINT) n FROM c GROUP BY doc_id, ch)
+             SELECT doc_id, CAST(ANY_VALUE(L) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(0 - SUM(CAST(n AS DOUBLE)/L * log2(CAST(n AS DOUBLE)/L)), 6)
+                 AS entropy_bits
+             FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
     // Text normalization scrub (TextQuality.cleanText): the C4/CCNet
     // ingest pre-pass — control chars → spaces, space runs collapsed,
     // edges trimmed — as a zero-shuffle codegen projection. The corpus
@@ -5703,13 +5743,14 @@ object SparkEntry {
              FROM c GROUP BY 1 ORDER BY event_type""")),
 
     // Embedding covariance (the PCA/whitening precursor): cov(i,j)
-    // over the first 8 dims from ONE projection per row — every row
-    // emits its 36 upper-triangle products via a nested-transform
-    // lambda, then a 36-group aggregation. No self-join of the
-    // exploded dim table (that shape shuffles the corpus d^2/2 times);
-    // the means join touches 36 + 8 rows, broadcast. Centering happens
-    // once per GROUP (m2 - mi*mj) on exact per-group scalars, not per
-    // row, so both engines run the identical final float ops.
+    // over the first 8 dims from ONE native Gramian aggregation pass —
+    // each row adds its 36 upper-triangle products into a flat
+    // per-partition buffer (GramianAgg), partials merge elementwise,
+    // and the 36 output rows unpack from the single aggregated array.
+    // No per-row struct explode (the d^2/2 row blowup that form costs
+    // at production d), no self-join of an exploded dim table.
+    // Centering cov = P/n - (S_i/n)(S_j/n) runs the identical final
+    // float ops as the oracle's AVG(p) - m_i*m_j.
     ("n14_embed_cov", (s, dir) =>
       operators.Pca.covariance(t(s, dir, "embeddings"), "embedding", 8)
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
@@ -5835,12 +5876,14 @@ object SparkEntry {
         .foldLeft(rfm) { case (df, (rc, order)) =>
           GlobalRank.withGlobalRank(df, rc, order)
         }
-      def quint(rank: Column, nU: Column): Column =
-        ((rank - 1) * 5 / nU).cast("long") + 1
+      // exact integer quintile — `div` (trunc) like the oracle's `//`,
+      // never double `/` + cast (can round up across an int boundary)
+      def quint(rankCol: String): Column =
+        expr(s"(($rankCol - 1) * 5) div n_users + 1")
       ranked.crossJoin(broadcast(n))
-        .select(quint(col("r_rank"), col("n_users")).as("r_q"),
-          quint(col("f_rank"), col("n_users")).as("f_q"),
-          quint(col("m_rank"), col("n_users")).as("m_q"),
+        .select(quint("r_rank").as("r_q"),
+          quint("f_rank").as("f_q"),
+          quint("m_rank").as("m_q"),
           col("m_c"))
         .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"), sum(col("m_c")).as("sum_m_c"))
@@ -5943,15 +5986,50 @@ object SparkEntry {
     // Top-principal-component projection (Pca.project): the 1-D
     // semantic-axis reduction — distributed covariance pass (n14's),
     // driver-side power iteration over the tiny d x d matrix, then a
-    // plan-literal dot product per row. Rows-only gate: eigenvectors
-    // are not SQL-expressible; the operator is pinned by PcaSpec
-    // (known-direction recovery, eigen residual, textbook-covariance
-    // equality).
+    // plan-literal dot product per row. The component IS oracle-able
+    // because it is fixed-start (all 1/sqrt(d)), fixed-iteration (100),
+    // sign-normalized deterministic arithmetic: the oracle replays the
+    // power iteration as a recursive CTE over n14's covariance CTE
+    // (one row per iteration, the vector as a LIST, matvec via
+    // list_dot_product), then projects each row. Round-4 absorbs the
+    // ~1e-13 summation-order drift between engines. Also pinned by
+    // PcaSpec (known-direction recovery, eigen residual).
     ("n15_embed_pca", (s, dir) =>
       operators.Pca.project(t(s, dir, "embeddings"), "vec_id", "embedding", 8)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy("vec_id"),
-      None),
+      Some("""WITH RECURSIVE d AS (SELECT e.vec_id, s.i, t.j,
+               CAST(e.embedding[s.i + 1] AS DOUBLE)
+                 * CAST(e.embedding[t.j + 1] AS DOUBLE) p
+               FROM embeddings e, generate_series(0, 7) s(i),
+                    generate_series(0, 7) t(j)
+               WHERE t.j >= s.i),
+             m2 AS (SELECT i, j, AVG(p) m2 FROM d GROUP BY 1, 2),
+             mm AS (SELECT s.i AS pos,
+               AVG(CAST(e.embedding[s.i + 1] AS DOUBLE)) m
+               FROM embeddings e, generate_series(0, 7) s(i) GROUP BY 1),
+             cv AS (SELECT m2.i, m2.j, m2.m2 - a.m * b.m AS cov
+               FROM m2 JOIN mm a ON m2.i = a.pos JOIN mm b ON m2.j = b.pos),
+             fc AS (SELECT i, j, cov FROM cv
+               UNION ALL SELECT j, i, cov FROM cv WHERE i <> j),
+             mat AS (SELECT list(r ORDER BY i) m FROM
+               (SELECT i, list(cov ORDER BY j) r FROM fc GROUP BY i)),
+             pi AS (SELECT 0 it, [1.0 / sqrt(8.0) FOR x IN generate_series(1, 8)] v
+               UNION ALL
+               SELECT it + 1,
+                 list_transform(w, x -> x / sqrt(list_dot_product(w, w)))
+               FROM (SELECT pi.it, list_transform(mat.m,
+                       r -> list_dot_product(r, pi.v)) w
+                     FROM pi, mat WHERE pi.it < 100)),
+             sg AS (SELECT CASE WHEN v[list_position(
+                 list_transform(v, x -> abs(x)),
+                 list_max(list_transform(v, x -> abs(x))))] < 0
+               THEN list_transform(v, x -> -x) ELSE v END pc
+               FROM pi WHERE it = 100)
+             SELECT e.vec_id,
+               ROUND(list_dot_product(list_transform(e.embedding[1:8],
+                 x -> CAST(x AS DOUBLE)), sg.pc), 4) AS score
+             FROM embeddings e, sg ORDER BY vec_id""")),
 
     // Sorted-neighborhood dedup (Dedup.sortedNeighborPairs + the d5
     // verifier): block by text prefix, compare each doc only against
@@ -6150,6 +6228,54 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
              FROM documents ORDER BY doc_id""")),
 
+    // Ingest-side timestamp normalization (etl.EventsIngest): the raw
+    // feed's TIMESTAMP(NANOS) blocks parquet pushdown of every time
+    // predicate (the cast sits above the scan — SCALE.md's known
+    // limit); the ingest job rewrites ts as micros TIMESTAMP +
+    // an event_date partition column ONCE, and every later time-range
+    // scan prunes at both tiers (row-group stats on ts, directory
+    // pruning on event_date). The gate runs the real ingest to a temp
+    // dir, then a 3-day windowed aggregate over the normalized layout;
+    // the oracle replays the same window on the RAW table — equality
+    // proves the rewrite is lossless. EventsIngestSpec pins the plan
+    // halves (PushedFilters carries the ts bound; PartitionFilters
+    // carries event_date). The min-date anchor is a bounded driver
+    // scalar (documented-scalar family).
+    ("x12_ingest_pushdown", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+      try {
+        val odir = new java.io.File(base, "events_norm").getPath
+        etl.EventsIngest.normalize(s, dir, odir)
+        val ev = etl.EventsIngest.scan(s, odir)
+        val d0 = ev.agg(min(col("event_date"))).head()
+          .getDate(0).toLocalDate
+        val lo = java.sql.Date.valueOf(d0.plusDays(2))
+        val hi = java.sql.Date.valueOf(d0.plusDays(4))
+        val tsLo = java.sql.Timestamp.valueOf(d0.plusDays(2).atStartOfDay)
+        val out = ev
+          .filter(col("event_date") >= lit(lo) && col("event_date") <= lit(hi)
+            && col("ts") >= lit(tsLo))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+          .orderBy("event_type")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(base)
+      }
+    },
+      Some("""WITH b AS (SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) + 2 lo
+               FROM events)
+             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+             FROM events, b
+             WHERE CAST(ts AS DATE) BETWEEN b.lo AND b.lo + 2
+               AND ts >= CAST(b.lo AS TIMESTAMP)
+             GROUP BY 1 ORDER BY 1""")),
+
     // STREAMING point-in-time enrichment: the stream-static twin of
     // j11 — purchases arrive as a stream and read the STATIC SCD2
     // state dimension (interval form) with an equi + range join; the
@@ -6261,7 +6387,8 @@ object SparkEntry {
                CAST(hour(ts) AS BIGINT) h, CAST(COUNT(*) AS BIGINT) n
                FROM events GROUP BY 1, 2)
              SELECT event_type, h, n,
-               n * 1000000 // SUM(n) OVER (PARTITION BY event_type) AS share_ppm
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS share_ppm
              FROM h ORDER BY event_type, h""")),
 
     // Schema evolution read (the long-lived-dataset reality: new
@@ -6315,6 +6442,35 @@ object SparkEntry {
     // INSIDE batch 2 at 60 tokens/source — the carried consumed-token
     // state shifts batch-2 cut points, so the cross-batch accumulation
     // is what the hash pins, not just per-batch arithmetic.
+    // Small-files compaction PLAN (operators.Compaction): the
+    // maintenance job a long-lived table needs — greedy first-fit of
+    // manifest files into ~target-byte output buckets via
+    // bucket = exclusiveCumBytes div target. The running total is the
+    // GlobalRank-pattern range-partitioned prefix sum (per-partition
+    // subtotals to the driver, offsets broadcast, partition-local
+    // emit) — NEVER SUM() OVER (ORDER BY), whose single-partition
+    // window funnels the whole manifest through one task; the oracle
+    // replays exactly that window form, so the gate also proves the
+    // distributed formulation equals it. CompactionSpec pins the
+    // no-WindowExec plan shape.
+    ("e13_compaction_plan", (s, dir) =>
+      operators.Compaction.planBuckets(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 4096L)
+        .orderBy("bucket"),
+      Some("""WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) bytes
+               FROM documents),
+             c AS (SELECT doc_id, bytes,
+               CAST(COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) cum
+               FROM m)
+             SELECT cum // 4096 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+             FROM c GROUP BY 1 ORDER BY 1""")),
+
     ("e11_incremental_manifest", (s, dir) => {
       val docs = t(s, dir, "documents")
       val b1 = docs.filter(col("doc_id") % 7 === 0)
@@ -6487,8 +6643,8 @@ object SparkEntry {
              SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_novel,
-               SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
-                 * 1000000 // COUNT(*) AS novelty_ppm
+               CAST(SUM(CASE WHEN f.first_doc = bi.doc_id THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
              FROM bi JOIN f USING (sh)
              GROUP BY 1 ORDER BY doc_id""")),
 
@@ -6513,11 +6669,17 @@ object SparkEntry {
              b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 = 0),
              tr AS (SELECT doc_id, sh.sh,
                CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END hit
-               FROM sh LEFT JOIN b USING (sh) WHERE doc_id % 5 <> 0)
-             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-               CAST(SUM(hit) AS BIGINT) AS n_overlap,
-               SUM(hit) * 1000000 // COUNT(*) AS overlap_ppm
-             FROM tr GROUP BY 1 ORDER BY doc_id""")),
+               FROM sh LEFT JOIN b USING (sh) WHERE doc_id % 5 <> 0),
+             agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams,
+               CAST(SUM(hit) AS BIGINT) n_overlap,
+               CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) overlap_ppm
+               FROM tr GROUP BY 1)
+             SELECT d.doc_id,
+               COALESCE(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+               COALESCE(a.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+               COALESCE(a.overlap_ppm, CAST(0 AS BIGINT)) AS overlap_ppm
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+             LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""")),
 
     // Gini concentration of purchase value across users (the
     // inequality / concentration metric for spend, source mass, token
@@ -6548,8 +6710,8 @@ object SparkEntry {
                FROM u)
              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
                CAST(SUM(m_c) AS BIGINT) AS total_c,
-               (2 * SUM(rk * m_c) - (COUNT(*) + 1) * SUM(m_c)) * 1000000
-                 // (COUNT(*) * SUM(m_c)) AS gini_ppm
+               CAST((2 * SUM(rk * m_c) - (COUNT(*) + 1) * SUM(m_c)) * 1000000
+                 // (COUNT(*) * SUM(m_c)) AS BIGINT) AS gini_ppm
              FROM r""")),
 
     // Per-image luma histogram over REAL decoded pixels (Multimodal

@@ -428,7 +428,7 @@ object TextQuality {
     }
     docs
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "cw")))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("cw.n_tokens").as("n_tokens"),
         md5(col("cw.chunk")).as("chunk_md5"))
   }
@@ -505,6 +505,23 @@ object TextQuality {
     val nWords = size(ws).cast("long")
     val ttr = size(array_distinct(ws)).cast("double") / nWords
     nWords >= minWords && ttr >= minTtr
+  }
+
+  /** T26: character-distribution Shannon entropy per doc (the
+    * [[CharEntropy]] native expression): one per-row scalar pass —
+    * never the explode-per-character relational form, whose ~10^3×
+    * row blowup would dominate the quality-scoring scan. Output
+    * entropy rounds to 6 (sub-ulp log/summation-order drift between
+    * engines). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val ce = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(CharEntropy(Bridge.expression(col("text"))))
+    }
+    docs.select(col("doc_id"), ce.as("ce"))
+      .select(col("doc_id"), col("ce.n_chars").as("n_chars"),
+        col("ce.n_distinct_chars").as("n_distinct_chars"),
+        round(col("ce.entropy_bits"), 6).as("entropy_bits"))
   }
 
   /** Text NORMALIZATION scrub (the C4/CCNet ingest pre-pass that runs

@@ -39,7 +39,10 @@ object Ann {
       .filter(col("__rk0") <= k)
       .drop("__rk0", "__pid")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
-    cand.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    // long rank: row_number is INT32, every oracle ROW_NUMBER is INT64 —
+    // the published rank column is BIGINT so engines agree on the schema
+    cand.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
   }
 
   /** Two-phase top-k with the CUSTOM PHYSICAL phase 1
@@ -57,7 +60,8 @@ object Ann {
     val pruned = graft.plans.LocalTopK.prune(df, groupCols, orderKeys, k)
     val ocols = orderKeys.map { case (n, desc) => if (desc) col(n).desc else col(n) }
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ocols: _*)
-    pruned.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    pruned.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
   }
 
   /** Brute-force cosine scoring: every query against every corpus
@@ -224,7 +228,7 @@ object Ann {
     val seedIds = embeddings.select(col("vec_id")).orderBy("vec_id").limit(k)
       .withColumn("cluster",
         (row_number().over(Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
-          .cast("int"))
+          .cast("long"))
     var cent = dims.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("pos"), round(col("v"), 6).as("c"))
     for (_ <- 0 until iters) {

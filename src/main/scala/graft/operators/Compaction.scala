@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Small-files compaction PLANNING — the maintenance job every
+  * long-lived 100 TB table needs: ingest (streaming sinks, incremental
+  * batches, per-partition appends) accretes files far below the
+  * ~128 MB scan-efficient size, and the compactor's first step is a
+  * deterministic assignment of files to output buckets of ~target
+  * bytes each.
+  *
+  * The assignment is greedy first-fit in manifest order:
+  * `bucket(file) = exclusiveCumulativeBytes(file) div target` — every
+  * file lands wholly in one bucket, buckets are contiguous runs of the
+  * manifest (compaction preserves sort/ingest locality, which is what
+  * keeps min/max file statistics selective after the rewrite), and
+  * bucket sizes hover around `target` (a file can straddle the
+  * boundary; targets are soft).
+  *
+  * Scale shape: the input is a FILE MANIFEST — one row per file, i.e.
+  * metadata-sized (millions of rows for a 100 TB table), never the
+  * data itself. The global running total deliberately avoids
+  * `SUM(...) OVER (ORDER BY ...)`, which plans as a single-partition
+  * window (every manifest row through one task): like
+  * [[GlobalRank]], it range-partitions on the manifest order, collects
+  * ONE (partition, subtotal) row per partition (a documented bounded
+  * scalar), broadcasts the prefix offsets, and emits the running total
+  * partition-locally with no further shuffle. The sorted manifest is
+  * persisted so the subtotal pass and the emit pass share one range
+  * exchange; [[clear]] releases the pins (SparkEntry.clearCaches
+  * calls it, the [[GlobalRank.clear]] lifecycle contract).
+  */
+object Compaction {
+
+  private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
+
+  /** Unpersist every sorted manifest pinned on behalf of `s`. */
+  def clear(s: SparkSession): Unit = {
+    val it = pinned.iterator()
+    while (it.hasNext) {
+      val (sess, df) = it.next()
+      if (sess eq s) { df.unpersist(); it.remove() }
+    }
+  }
+
+  /** `df` + `outCol` = the EXCLUSIVE global running total of
+    * `valueCol` (long) in `sortCols` order — row i carries the sum of
+    * all values strictly before it. Callers wanting deterministic
+    * output must make `sortCols` a total order (every gate does). */
+  def withExclusivePrefixSum(df: DataFrame, outCol: String,
+      sortCols: Seq[Column], valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.add((spark, sorted))
+
+    // one row per partition: (pid, byte subtotal) — bounded scalars
+    val sums = sorted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    for (p <- 0 until parts) {
+      offsets(p) = acc
+      acc += sums.getOrElse(p, 0L)
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId — the
+    // task id is a STAGE index that drifts under no-shuffle unions
+    // (GlobalRank's documented near-miss); the RDD partition index is
+    // stable under any downstream composition.
+    val summed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bcOffsets.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(summed, outSchema)
+  }
+
+  /** The compaction plan: one row per output bucket —
+    * (bucket, n_files, total_bytes, first_id, last_id), buckets being
+    * contiguous id runs of ~`targetBytes`. `idCol` must be a unique
+    * manifest order; `sizeCol` the file's bytes. */
+  def planBuckets(manifest: DataFrame, idCol: String, sizeCol: String,
+                  targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val m = manifest.select(col(idCol).cast("long").as("id"),
+      col(sizeCol).cast("long").as("bytes"))
+    withExclusivePrefixSum(m, "cum", Seq(col("id")), "bytes")
+      .withColumn("bucket", expr(s"cum div ${targetBytes}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+  }
+}

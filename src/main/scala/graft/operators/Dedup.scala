@@ -94,16 +94,25 @@ object Dedup {
     * train-side scan + gram explode, a LEFT join against the
     * broadcast benchmark grams, no shuffle on the gram key; the d17
     * bloom prefilter composes in front unchanged when the suite
-    * outgrows a broadcast. */
+    * outgrows a broadcast. Docs with fewer than k words yield zero
+    * shingles; the final left join from the train doc-id set (one
+    * extra doc-id-sized exchange, far smaller than the gram set)
+    * emits them as (n_grams=0, n_overlap=0, overlap_ppm=0) so the
+    * threshold policy sees EVERY doc, never silently skips one. */
   def contaminationScore(train: DataFrame, benchmark: DataFrame,
                          k: Int = 8): DataFrame = {
     val bGrams = wordShingles(benchmark, k).select("sh").distinct()
-    wordShingles(train, k).distinct()
+    val scored = wordShingles(train, k).distinct()
       .join(broadcast(bGrams.withColumn("__hit", lit(1L))), Seq("sh"), "left_outer")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
-      .withColumn("overlap_ppm", expr("n_overlap * 1000000 div n_grams"))
+    train.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_grams", "n_overlap"))
+      .withColumn("overlap_ppm", expr(
+        "CASE WHEN n_grams = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_overlap * 1000000 div n_grams END"))
   }
 
   /** D17: decontamination with a BLOOM-FILTER prefilter — the scale

@@ -61,20 +61,6 @@ object Ewma {
     }(Encoders.row(outSchema))
   }
 
-  /** Holt linear-trend (double exponential) smoothing per key — the
-    * level+trend recurrence:
-    * `l_1 = v_1, b_1 = 0;`
-    * `l_n = alpha*v_n + (1-alpha)*(l_{n-1} + b_{n-1});`
-    * `b_n = beta*(l_n - l_{n-1}) + (1-beta)*b_{n-1}`
-    * — the standard short-horizon forecaster (the one-step forecast is
-    * `l + b`). Like EWMA this is a sequential recurrence no window
-    * frame expresses; same secondary-sort single-pass seam, now with
-    * TWO carried doubles. With alpha/beta exactly-representable binary
-    * fractions the oracle's recursive CTE replays the identical IEEE
-    * op sequence — bitwise parity, no rounding hedge needed.
-    *
-    * Nulls: emit the carried (level, trend) without advancing (null
-    * before the first valid value), matching [[ewma]]'s ignore_na. */
   /** Holt-Winters additive seasonal (triple exponential) smoothing per
     * key — [[holt]]'s level+trend recurrence plus a length-`period`
     * seasonal state vector:
@@ -140,6 +126,20 @@ object Ewma {
     }(Encoders.row(outSchema))
   }
 
+  /** Holt linear-trend (double exponential) smoothing per key — the
+    * level+trend recurrence:
+    * `l_1 = v_1, b_1 = 0;`
+    * `l_n = alpha*v_n + (1-alpha)*(l_{n-1} + b_{n-1});`
+    * `b_n = beta*(l_n - l_{n-1}) + (1-beta)*b_{n-1}`
+    * — the standard short-horizon forecaster (the one-step forecast is
+    * `l + b`). Like EWMA this is a sequential recurrence no window
+    * frame expresses; same secondary-sort single-pass seam, now with
+    * TWO carried doubles. With alpha/beta exactly-representable binary
+    * fractions the oracle's recursive CTE replays the identical IEEE
+    * op sequence — bitwise parity, no rounding hedge needed.
+    *
+    * Nulls: emit the carried (level, trend) without advancing (null
+    * before the first valid value), matching [[ewma]]'s ignore_na. */
   def holt(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
            valueCol: String, alpha: Double, beta: Double,
            levelCol: String, trendCol: String): DataFrame = {

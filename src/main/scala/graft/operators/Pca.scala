@@ -21,26 +21,29 @@ import graft.functions.Similarity
 object Pca {
 
   /** Centered covariance entries cov(i, j) for 0 <= i <= j < d over
-    * the first d dims of `embCol`. One nested-transform projection
-    * emits each row's upper-triangle products (no exploded-dim
-    * self-join — that shape shuffles the corpus d^2/2 times), one
-    * 36-ish-group aggregation, and a broadcast means join; centering
-    * (m2 - mi*mj) runs once per GROUP on exact per-group scalars. */
+    * the first d dims of `embCol`. ONE [[graft.functions.GramianAgg]]
+    * aggregation pass — each row adds its d(d+1)/2 upper-triangle
+    * products into a flat per-partition buffer, partials merge
+    * elementwise, and the exchange carries one buffer per partition
+    * (~8*d^2/2 bytes) instead of d^2/2 exploded struct ROWS per input
+    * row (the round-8 form: fine at d=8, a ~300,000x scan
+    * amplification at d=768). The d(d+1)/2 output rows then unpack
+    * from the SINGLE aggregated array — the explode here touches one
+    * row, not the corpus. Centering cov = P/n - (S_i/n)(S_j/n) runs
+    * the same final float ops as the exploded form's
+    * `avg(p) - avg(e_i)*avg(e_j)`, preserving oracle parity. */
   def covariance(em: DataFrame, embCol: String, d: Int): DataFrame = {
     val e = em.select(Similarity.toDoubleArray(col(embCol)).as("e"))
-    val pairs = e.select(explode(expr(
+    val g = e.agg(graft.functions.Gramian.gramian(col("e"), d).as("g"))
+    g.select(explode(expr(
         s"""flatten(transform(sequence(0, ${d - 1}), i ->
              transform(sequence(i, ${d - 1}), j ->
-               named_struct('i', i, 'j', j, 'p', e[i] * e[j]))))""")).as("x"))
-      .select(col("x.i").cast("long").as("i"),
-        col("x.j").cast("long").as("j"), col("x.p").as("p"))
-    val m2 = pairs.groupBy("i", "j").agg(avg(col("p")).as("m2"))
-    val means = e.select(posexplode(col("e")))
-      .filter(col("pos") < d)
-      .groupBy(col("pos").cast("long").as("pos")).agg(avg(col("col")).as("m"))
-    m2.join(broadcast(means.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
-      .join(broadcast(means.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
-      .select(col("i"), col("j"), (col("m2") - col("mi") * col("mj")).as("cov"))
+               named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+                 'cov', g[CAST(1 + $d + i * $d - (i * (i - 1)) div 2 + j - i AS INT)]
+                          / g[0]
+                   - (g[CAST(1 + i AS INT)] / g[0])
+                     * (g[CAST(1 + j AS INT)] / g[0])))))""")).as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.cov").as("cov"))
   }
 
   /** Top principal component (unit eigenvector of the covariance

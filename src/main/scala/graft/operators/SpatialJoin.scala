@@ -33,19 +33,26 @@ object SpatialJoin {
 
   /** All ordered pairs (key_a, key_b, d2) with key_a != key_b and
     * squared Euclidean distance d2 <= radius^2. `points` must carry
-    * integral columns (keyCol, xCol, yCol); coordinates must be
-    * non-negative (grid indices floor toward zero).
+    * integral columns (keyCol, xCol, yCol); any int64 coordinate sign
+    * works — cell keys come from exact integer floor-division
+    * (`(c - pmod(c, r)) div r`, which floors toward -inf for
+    * negatives), never a double cast (a double cast mis-buckets
+    * |coord| >= 2^53). `radius` is bounded so radius^2 stays inside
+    * int64.
     */
   def radiusJoin(points: DataFrame, keyCol: String, xCol: String,
                  yCol: String, radius: Long): DataFrame = {
     require(radius > 0, "radius must be positive")
-    def cell(c: Column): Column = floor(c.cast("double") / radius.toDouble).cast("long")
+    require(radius <= 3037000499L,
+      s"radius=$radius: radius*radius overflows int64 (max 3037000499)")
+    def cell(c: String): Column =
+      expr(s"(`$c` - pmod(`$c`, ${radius}L)) div ${radius}L")
     val probe = points.select(col(keyCol).as("key_a"), col(xCol).as("__xa"),
-      col(yCol).as("__ya"), cell(col(xCol)).as("__cx"), cell(col(yCol)).as("__cy"))
+      col(yCol).as("__ya"), cell(xCol).as("__cx"), cell(yCol).as("__cy"))
     val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val build = points.select(col(keyCol).as("key_b"), col(xCol).as("__xb"),
-        col(yCol).as("__yb"), cell(col(xCol)).as("__bcx"), cell(col(yCol)).as("__bcy"))
+        col(yCol).as("__yb"), cell(xCol).as("__bcx"), cell(yCol).as("__bcy"))
       .withColumn("__o", explode(array(offsets: _*)))
       .select(col("key_b"), col("__xb"), col("__yb"),
         (col("__bcx") + col("__o.dx")).as("__cx"),

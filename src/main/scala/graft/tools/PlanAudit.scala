@@ -17,6 +17,11 @@ import graft.SparkEntry
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.PlanAudit <sfDir> [-v] <query...>")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val verbose = args.contains("-v")
     val names = args.drop(1).filterNot(_ == "-v")

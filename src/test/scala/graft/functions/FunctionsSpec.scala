@@ -317,8 +317,8 @@ class SlidingChunksSpec extends AnyFunSuite {
     val got = TextQuality.slidingChunks(docs, window = 4, stride = 3)
       .orderBy("doc_id", "chunk_idx")
       .select("doc_id", "chunk_idx", "n_tokens")
-      .as[(Long, Int, Long)].collect().toSeq
-    assert(got == Seq((1L, 0, 4L), (1L, 1, 4L), (1L, 2, 4L), (2L, 0, 3L)))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 3L)))
   }
 
   test("every token is covered and consecutive chunks overlap by window - stride") {
@@ -326,9 +326,9 @@ class SlidingChunksSpec extends AnyFunSuite {
     val docs = Seq((1L, words(100))).toDF("doc_id", "text")
     val rows = TextQuality.slidingChunks(docs, 32, 24)
       .orderBy("chunk_idx").select("chunk_idx", "n_tokens")
-      .as[(Int, Long)].collect()
+      .as[(Long, Long)].collect()
     // starts at 0,24,48,72 -> last covers t73..t100 (28 tokens)
-    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(rows.map(_._2).toSeq == Seq(32L, 32L, 32L, 28L))
   }
 

@@ -55,16 +55,16 @@ class AnnStorageSpec extends AnyFunSuite {
     val cb = Ann.kmeansCentroids(stored, 5, 2)
     val storedMembers = Ann.clusterAssignment(stored, cb)
     val merged = Ann.incrementalMembers(storedMembers, cb, batch)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // stored rows pass through UNTOUCHED (the frozen-codebook contract)
     val storedMap = storedMembers.collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(storedMap.forall { case (id, c) => merged.get(id).contains(c) })
     // batch rows equal a direct assignment under the same codebook —
     // so the merged index equals a from-scratch rebuild
     val batchMap = Ann.clusterAssignment(batch, cb).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batchMap.nonEmpty)
     assert(batchMap.forall { case (id, c) => merged.get(id).contains(c) })
     assert(merged.keySet == storedMap.keySet ++ batchMap.keySet)

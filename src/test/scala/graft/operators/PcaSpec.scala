@@ -76,6 +76,35 @@ class PcaSpec extends AnyFunSuite {
     assert(l1 / l2 > 10, s"stretch axis should dominate: $l1 vs $l2")
   }
 
+  test("gramian buffer: layout, partition merge, null/short rows skipped") {
+    // 3 full rows + 1 short + 1 null across 4 partitions: update,
+    // serialize/deserialize, and merge all exercise; short/null rows
+    // must be skipped WHOLE (no per-dim partial presence)
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(5.0f, 6.0f)), (3L, Array(7.0f)), (4L, null))
+    val df2 = rows.toDF("vec_id", "embedding").repartition(4)
+    val g = df2.select(graft.functions.Gramian.gramian(
+        graft.functions.Similarity.toDoubleArray(
+          org.apache.spark.sql.functions.col("embedding")), 2).as("g"))
+      .head().getSeq[Double](0)
+    // [n, S0, S1, P00, P01, P11] over the 3 full rows only
+    assert(g(0) === 3.0)
+    assert(g(1) === (1.0 + 3.0 + 5.0) && g(2) === (2.0 + 4.0 + 6.0))
+    assert(g(3) === (1.0 + 9.0 + 25.0))
+    assert(g(4) === (1 * 2.0 + 3 * 4.0 + 5 * 6.0))
+    assert(g(5) === (4.0 + 16.0 + 36.0))
+    // covariance over the same mixed corpus = textbook over full rows
+    val cov = Pca.covariance(df2, "embedding", 2).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    val full = Seq(Array(1.0, 2.0), Array(3.0, 4.0), Array(5.0, 6.0))
+    val mn = Array.tabulate(2)(k => full.map(_(k)).sum / 3)
+    for (i <- 0 until 2; j <- i until 2) {
+      val exp = full.map(p => (p(i) - mn(i)) * (p(j) - mn(j))).sum / 3
+      assert(math.abs(cov((i, j)) - exp) < 1e-12, s"cov($i,$j)")
+    }
+  }
+
   test("projection scores order points along the axis") {
     val scores = Pca.project(df, "vec_id", "embedding", 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

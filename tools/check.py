@@ -7,6 +7,13 @@ Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB (tables registered
 as views over <sfDir>/*.parquet), and compares: columns sorted by name,
 rows sorted, values compared exactly (floats via repr after round-trip).
+
+Type-strict (round-9): the driver's hasher distinguishes INT128 from
+INT64, so a DuckDB `SUM(x) // y` (HUGEINT) vs Spark BIGINT passes a
+python-int value compare but fails the driver hash. We therefore also
+(a) require the oracle's DuckDB result type to EQUAL the type DuckDB
+assigns to the Spark parquet column, and (b) ban HUGEINT/DECIMAL
+outright — aggregate-derived arithmetic must be CAST ... AS BIGINT.
 """
 import json
 import sys
@@ -41,6 +48,29 @@ def eq(a, b):
     return a == b
 
 
+BANNED_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def type_drift(s_cols, s_types, d_cols, d_types):
+    """Return a list of human-readable per-column type problems.
+
+    Compares the DuckDB-assigned type of each Spark parquet column with
+    the DuckDB result type of the same-named oracle column, and flags
+    banned types (HUGEINT/DECIMAL) on either side.
+    """
+    s_map = {c: str(t) for c, t in zip(s_cols, s_types)}
+    d_map = {c: str(t) for c, t in zip(d_cols, d_types)}
+    probs = []
+    for c in sorted(set(s_map) | set(d_map)):
+        st, dt = s_map.get(c), d_map.get(c)
+        for side, t in (("spark", st), ("oracle", dt)):
+            if t and any(b in t for b in BANNED_TYPES):
+                probs.append(f"{c}: {side} type {t} is banned (cast to BIGINT)")
+        if st is not None and dt is not None and st != dt:
+            probs.append(f"{c}: spark={st} oracle={dt}")
+    return probs
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,16 +83,23 @@ def main(sf_dir, out_dir):
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+            s_raw_cols, s_types = spark_rel.columns, spark_rel.types
+            s_cols, s_rows = canon(spark_rel.fetchall(), s_raw_cols)
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {str(e)[:200]}")
             n_fail += 1
             continue
         try:
             duck_rel = con.sql(sql)
-            d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
+            d_raw_cols, d_types = duck_rel.columns, duck_rel.types
+            d_cols, d_rows = canon(duck_rel.fetchall(), d_raw_cols)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        drift = type_drift(s_raw_cols, s_types, d_raw_cols, d_types)
+        if drift:
+            print(f"FAIL {name}: type drift: " + "; ".join(drift))
             n_fail += 1
             continue
         if s_cols != d_cols:
