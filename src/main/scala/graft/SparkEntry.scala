@@ -6538,6 +6538,61 @@ object SparkEntry {
              SELECT * FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
              ORDER BY batch, doc_id""")),
 
+    // Mergeable QUANTILE sketch (functions.LogHistogram): the missing
+    // sketch-family member — exact per-group percentiles need a full
+    // value sort per group; the sketch is one linear scan into a
+    // bounded base-2 bucket map (DDSketch's relative-error idea with
+    // INTEGER bucketing: keep the top k+1 significant bits, so bucket
+    // assignment is a bit shift any engine replays exactly). The gate
+    // hashes the quantile ESTIMATES (p50/p90/p99 bucket lower bounds)
+    // plus bucket count per event_type; extraction is declarative —
+    // explode the bounded sketch, cumulative-sum the tiny bucket
+    // table, pick the ceil(q*n)-rank bucket. LogHistogramSpec pins
+    // the est <= exact < est*(1+2^-k) error contract and merge
+    // determinism.
+    ("g38_quantile_sketch", (s, dir) => {
+      val k = 5
+      val sk = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"))
+        .groupBy("event_type")
+        .agg(functions.LogHistogram.sketch(col("v_c"), k).as("sk"))
+      val buckets = sk.select(col("event_type"), explode(col("sk")).as("b"))
+        .select(col("event_type"), col("b.lo").as("lo"), col("b.n").as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy("lo")
+      val wAll = Window.partitionBy("event_type")
+      val c = buckets
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("tot", sum(col("n")).over(wAll))
+      def qEst(pct: Int): Column =
+        min(when(col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("lo")))
+      c.groupBy("event_type").agg(
+          max(col("tot")).as("n"),
+          count(lit(1)).as("n_buckets"),
+          qEst(50).as("p50_est"), qEst(90).as("p90_est"),
+          qEst(99).as("p99_est"))
+        .orderBy("event_type")
+    },
+      Some("""WITH v AS (SELECT event_type,
+               CAST(ROUND(value*100) AS BIGINT) v FROM events),
+             b AS (SELECT event_type,
+               CASE WHEN v < 64 THEN v
+                 ELSE (v >> (length(bin(v)) - 6)) << (length(bin(v)) - 6)
+                 END lo
+               FROM v),
+             g AS (SELECT event_type, lo, CAST(COUNT(*) AS BIGINT) n
+               FROM b GROUP BY 1, 2),
+             c AS (SELECT event_type, lo, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY lo)
+                 AS BIGINT) cum,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) tot
+               FROM g)
+             SELECT event_type, MAX(tot) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN lo END) AS p50_est,
+               MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN lo END) AS p90_est,
+               MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
+             FROM c GROUP BY 1 ORDER BY 1""")),
+
     // Sliding distinct VIA SKETCH (g28's documented 100 TB swap made
     // executable): the same explode-to-covering-windows shape, but the
     // per-window aggregate is the mergeable KMV sketch instead of
