@@ -49,6 +49,53 @@ object SparkEntry {
     * query repeatedly in one session). */
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shared by g38 (batch) and w20 (streaming twin): declarative
+    * quantile extraction over a (event_type, sk) LogHistogram sketch
+    * table — explode the bounded bucket array, cumulative-sum the
+    * tiny bucket table, pick the ceil(q·n)-rank bucket's lower bound
+    * for p50/p90/p99. */
+  private def sketchQuantiles(sk: DataFrame): DataFrame = {
+    val buckets = sk.select(col("event_type"), explode(col("sk")).as("b"))
+      .select(col("event_type"), col("b.lo").as("lo"), col("b.n").as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("lo")
+    val wAll = Window.partitionBy("event_type")
+    val c = buckets
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wAll))
+    def qEst(pct: Int): Column =
+      min(when(col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("lo")))
+    c.groupBy("event_type").agg(
+        max(col("tot")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        qEst(50).as("p50_est"), qEst(90).as("p90_est"),
+        qEst(99).as("p99_est"))
+      .orderBy("event_type")
+  }
+
+  /** The g38/w20 oracle: DuckDB replays the base-2 integer bucket rule
+    * (`bin()`/shifts), the cumulative bucket table, and the rank pick. */
+  private val quantileSketchOracle =
+    """WITH v AS (SELECT event_type,
+               CAST(ROUND(value*100) AS BIGINT) v FROM events),
+             b AS (SELECT event_type,
+               CASE WHEN v < 64 THEN v
+                 ELSE (v >> (length(bin(v)) - 6)) << (length(bin(v)) - 6)
+                 END lo
+               FROM v),
+             g AS (SELECT event_type, lo, CAST(COUNT(*) AS BIGINT) n
+               FROM b GROUP BY 1, 2),
+             c AS (SELECT event_type, lo, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY lo)
+                 AS BIGINT) cum,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) tot
+               FROM g)
+             SELECT event_type, MAX(tot) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN lo END) AS p50_est,
+               MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN lo END) AS p90_est,
+               MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
+             FROM c GROUP BY 1 ORDER BY 1"""
+
   /** events with the hourly aggregates used by the spine queries. */
   private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -6550,48 +6597,52 @@ object SparkEntry {
     // table, pick the ceil(q*n)-rank bucket. LogHistogramSpec pins
     // the est <= exact < est*(1+2^-k) error contract and merge
     // determinism.
-    ("g38_quantile_sketch", (s, dir) => {
-      val k = 5
-      val sk = t(s, dir, "events")
+    ("g38_quantile_sketch", (s, dir) =>
+      sketchQuantiles(t(s, dir, "events")
         .select(col("event_type"), cents(col("value")).as("v_c"))
         .groupBy("event_type")
-        .agg(functions.LogHistogram.sketch(col("v_c"), k).as("sk"))
-      val buckets = sk.select(col("event_type"), explode(col("sk")).as("b"))
-        .select(col("event_type"), col("b.lo").as("lo"), col("b.n").as("n"))
-      val wCum = Window.partitionBy("event_type").orderBy("lo")
-      val wAll = Window.partitionBy("event_type")
-      val c = buckets
-        .withColumn("cum", sum(col("n")).over(wCum))
-        .withColumn("tot", sum(col("n")).over(wAll))
-      def qEst(pct: Int): Column =
-        min(when(col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("lo")))
-      c.groupBy("event_type").agg(
-          max(col("tot")).as("n"),
-          count(lit(1)).as("n_buckets"),
-          qEst(50).as("p50_est"), qEst(90).as("p90_est"),
-          qEst(99).as("p99_est"))
-        .orderBy("event_type")
+        .agg(functions.LogHistogram.sketch(col("v_c"), 5).as("sk"))),
+      Some(quantileSketchOracle)),
+
+    // STREAMING quantile sketch (w20 — g38's streaming twin, the w14
+    // staging discipline): events arrive as 3 single-file micro-batches
+    // (maxFilesPerTrigger=1), the LogHistogram aggregate's state lives
+    // in the streaming state store and MERGES across batches, complete
+    // mode emits the final per-type sketch, and the same declarative
+    // extraction runs over the sink. Hash-equality against g38's
+    // oracle proves the sketch's merge algebra is micro-batch-
+    // placement-independent — the property that lets one stored
+    // sketch serve both the batch corpus and its live tail.
+    ("w20_stream_quantile", (s, dir) => {
+      val raw = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w20").toString
+      (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val agg = stream.groupBy("event_type")
+          .agg(functions.LogHistogram.sketch(col("v_c"), 5).as("sk"))
+        val name = s"w20_sink_${streamGateSeq.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val resolved = sketchQuantiles(s.table(name))
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
-      Some("""WITH v AS (SELECT event_type,
-               CAST(ROUND(value*100) AS BIGINT) v FROM events),
-             b AS (SELECT event_type,
-               CASE WHEN v < 64 THEN v
-                 ELSE (v >> (length(bin(v)) - 6)) << (length(bin(v)) - 6)
-                 END lo
-               FROM v),
-             g AS (SELECT event_type, lo, CAST(COUNT(*) AS BIGINT) n
-               FROM b GROUP BY 1, 2),
-             c AS (SELECT event_type, lo, n,
-               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY lo)
-                 AS BIGINT) cum,
-               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) tot
-               FROM g)
-             SELECT event_type, MAX(tot) AS n,
-               CAST(COUNT(*) AS BIGINT) AS n_buckets,
-               MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN lo END) AS p50_est,
-               MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN lo END) AS p90_est,
-               MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
-             FROM c GROUP BY 1 ORDER BY 1""")),
+      Some(quantileSketchOracle)),
 
     // Sliding distinct VIA SKETCH (g28's documented 100 TB swap made
     // executable): the same explode-to-covering-windows shape, but the
