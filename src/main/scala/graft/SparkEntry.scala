@@ -6644,6 +6644,32 @@ object SparkEntry {
     },
       Some(quantileSketchOracle)),
 
+    // INCREMENTAL quantile-sketch maintenance (g39 — the sketch member
+    // of the incremental-index family d15/d18/d21/n10/g18): the stored
+    // per-type sketch is a persisted table; an arriving batch is
+    // sketched ALONE and folded in by pure bucket arithmetic —
+    // explode both sketches, sum counts per bucket, re-sort — without
+    // ever rescanning history. Hash-equality against the full-rebuild
+    // oracle (g38's) proves merged == rebuilt, which is exactly the
+    // contract that lets a 100 TB corpus keep live percentiles at
+    // batch-sized cost.
+    ("g39_incremental_quantile", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
+      def sketchOf(part: DataFrame) = part.groupBy("event_type")
+        .agg(functions.LogHistogram.sketch(col("v_c"), 5).as("sk"))
+      val stored = sketchOf(ev.filter(col("event_id") % 4 =!= 0))
+      val batch = sketchOf(ev.filter(col("event_id") % 4 === 0))
+      val merged = stored.unionByName(batch)
+        .select(col("event_type"), explode(col("sk")).as("b"))
+        .groupBy(col("event_type"), col("b.lo").as("lo"))
+        .agg(sum(col("b.n")).as("n"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("lo"), col("n")))).as("sk"))
+      sketchQuantiles(merged)
+    },
+      Some(quantileSketchOracle)),
+
     // Sliding distinct VIA SKETCH (g28's documented 100 TB swap made
     // executable): the same explode-to-covering-windows shape, but the
     // per-window aggregate is the mergeable KMV sketch instead of
