@@ -1508,6 +1508,11 @@ object SparkEntry {
     // bounded driver values (documented-scalar family).
     ("w11_stream_outer_join", (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // w7's state-store sizing: 4 stores per shuffle partition on a
+      // stream-stream join; size the stateful exchange to the fixture
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val raw = s.read.parquet(s"$dir/events.parquet")
       def reader() = Tables.normalizeTs(
         s.readStream.schema(raw.schema)
@@ -1541,6 +1546,7 @@ object SparkEntry {
       val out = s.createDataFrame(rows, resolved.schema)
       s.catalog.dropTempView(name)
       out
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
       Some("""WITH c AS (SELECT user_id, event_id, ts FROM events
                WHERE event_type = 'click'),
@@ -4975,6 +4981,56 @@ object SparkEntry {
                ROUND(0 - SUM(CAST(n AS DOUBLE)/L * log2(CAST(n AS DOUBLE)/L)), 6)
                  AS entropy_bits
              FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Script-mix profile (TextQuality.scriptMix + the ScriptMix native
+    // expression): coarse Unicode-range class counts + dominant script
+    // — the multilingual curation signal language-ID misses (mixed-
+    // script boilerplate/mojibake). Ranges are EXPLICIT integer
+    // codepoint comparisons, never \p{Script=...} classes (engine/
+    // Unicode-table dependent), so DuckDB replays them with unicode().
+    // The ASCII corpus is deterministically salted with Cyrillic/CJK
+    // suffixes by doc_id so every class and the tie precedence
+    // actually exercise.
+    ("t28_script_mix", (s, dir) => {
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" привет мир"))
+            .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+            .otherwise(lit(""))).as("t"))
+      TextQuality.scriptMix(salted, col("t")).orderBy("doc_id")
+    },
+      Some("""WITH d AS (SELECT doc_id, text ||
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ' привет мир'
+                 WHEN 1 THEN ' 你好世界' ELSE '' END t
+               FROM documents),
+             c AS (SELECT doc_id,
+               UNNEST([unicode(substr(t, i, 1)) FOR i IN generate_series(1, len(t))]) cp
+               FROM d),
+             g AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90)
+                 OR (cp BETWEEN 97 AND 122) THEN 1 ELSE 0 END) AS BIGINT) n_latin,
+               CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57
+                 THEN 1 ELSE 0 END) AS BIGINT) n_digit,
+               CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279
+                 THEN 1 ELSE 0 END) AS BIGINT) n_cyrillic,
+               CAST(SUM(CASE WHEN cp BETWEEN 19968 AND 40959
+                 THEN 1 ELSE 0 END) AS BIGINT) n_cjk,
+               CAST(SUM(CASE WHEN NOT ((cp BETWEEN 65 AND 90)
+                 OR (cp BETWEEN 97 AND 122) OR (cp BETWEEN 48 AND 57)
+                 OR (cp BETWEEN 1024 AND 1279)
+                 OR (cp BETWEEN 19968 AND 40959))
+                 THEN 1 ELSE 0 END) AS BIGINT) n_other
+               FROM c GROUP BY 1)
+             SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_other,
+               CASE WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
+                      AND n_latin >= n_cjk AND n_latin >= n_other THEN 'latin'
+                    WHEN n_digit >= n_cyrillic AND n_digit >= n_cjk
+                      AND n_digit >= n_other THEN 'digit'
+                    WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_other
+                      THEN 'cyrillic'
+                    WHEN n_cjk >= n_other THEN 'cjk'
+                    ELSE 'other' END AS dominant
+             FROM g ORDER BY doc_id""")),
 
     // Text normalization scrub (TextQuality.cleanText): the C4/CCNet
     // ingest pre-pass — control chars → spaces, space runs collapsed,

@@ -524,6 +524,23 @@ object TextQuality {
         round(col("ce.entropy_bits"), 6).as("entropy_bits"))
   }
 
+  /** T28: per-doc script-mix profile (the [[ScriptMix]] native
+    * expression): coarse Unicode-range class counts + the
+    * fixed-precedence dominant script — one per-row scalar pass, the
+    * same zero-blowup discipline as [[charEntropy]]. */
+  def scriptMix(docs: DataFrame, textCol: Column): DataFrame = {
+    val sm = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(ScriptMix(Bridge.expression(textCol)))
+    }
+    docs.select(col("doc_id"), sm.as("sm"))
+      .select(col("doc_id"), col("sm.n_latin").as("n_latin"),
+        col("sm.n_digit").as("n_digit"),
+        col("sm.n_cyrillic").as("n_cyrillic"),
+        col("sm.n_cjk").as("n_cjk"), col("sm.n_other").as("n_other"),
+        col("sm.dominant").as("dominant"))
+  }
+
   /** Text NORMALIZATION scrub (the C4/CCNet ingest pre-pass that runs
     * before any tokenize/shingle stage): ASCII control characters
     * become spaces, space runs collapse to one, edges trim. Pure
