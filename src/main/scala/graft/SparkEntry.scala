@@ -4975,12 +4975,23 @@ object SparkEntry {
                UNNEST([substr(text, i, 1) FOR i IN generate_series(1, len(text))]) ch
                FROM documents),
              g AS (SELECT doc_id, ANY_VALUE(L) L, ch,
-               CAST(COUNT(*) AS BIGINT) n FROM c GROUP BY doc_id, ch)
-             SELECT doc_id, CAST(ANY_VALUE(L) AS BIGINT) AS n_chars,
-               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               CAST(COUNT(*) AS BIGINT) n FROM c GROUP BY doc_id, ch),
+             a AS (SELECT doc_id, CAST(ANY_VALUE(L) AS BIGINT) n_chars,
+               CAST(COUNT(*) AS BIGINT) n_distinct_chars,
                ROUND(0 - SUM(CAST(n AS DOUBLE)/L * log2(CAST(n AS DOUBLE)/L)), 6)
-                 AS entropy_bits
-             FROM g GROUP BY doc_id ORDER BY doc_id""")),
+                 entropy_bits
+               FROM g GROUP BY doc_id)
+             SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                 ELSE COALESCE(a.n_chars, CAST(0 AS BIGINT)) END AS n_chars,
+               CASE WHEN d.text IS NULL THEN NULL
+                 ELSE COALESCE(a.n_distinct_chars, CAST(0 AS BIGINT))
+                 END AS n_distinct_chars,
+               CASE WHEN d.text IS NULL THEN NULL
+                 ELSE COALESCE(a.entropy_bits, CAST(0 AS DOUBLE))
+                 END AS entropy_bits
+             FROM documents d LEFT JOIN a USING (doc_id)
+             ORDER BY doc_id""")),
 
     // Script-mix profile (TextQuality.scriptMix + the ScriptMix native
     // expression): coarse Unicode-range class counts + dominant script
@@ -5020,17 +5031,30 @@ object SparkEntry {
                  OR (cp BETWEEN 1024 AND 1279)
                  OR (cp BETWEEN 19968 AND 40959))
                  THEN 1 ELSE 0 END) AS BIGINT) n_other
-               FROM c GROUP BY 1)
-             SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_other,
-               CASE WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
-                      AND n_latin >= n_cjk AND n_latin >= n_other THEN 'latin'
-                    WHEN n_digit >= n_cyrillic AND n_digit >= n_cjk
-                      AND n_digit >= n_other THEN 'digit'
-                    WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_other
-                      THEN 'cyrillic'
-                    WHEN n_cjk >= n_other THEN 'cjk'
-                    ELSE 'other' END AS dominant
-             FROM g ORDER BY doc_id""")),
+               FROM c GROUP BY 1),
+             f AS (SELECT d.doc_id, d.t,
+               COALESCE(g.n_latin, CAST(0 AS BIGINT)) n_latin,
+               COALESCE(g.n_digit, CAST(0 AS BIGINT)) n_digit,
+               COALESCE(g.n_cyrillic, CAST(0 AS BIGINT)) n_cyrillic,
+               COALESCE(g.n_cjk, CAST(0 AS BIGINT)) n_cjk,
+               COALESCE(g.n_other, CAST(0 AS BIGINT)) n_other
+               FROM d LEFT JOIN g USING (doc_id))
+             SELECT doc_id,
+               CASE WHEN t IS NULL THEN NULL ELSE n_latin END AS n_latin,
+               CASE WHEN t IS NULL THEN NULL ELSE n_digit END AS n_digit,
+               CASE WHEN t IS NULL THEN NULL ELSE n_cyrillic END AS n_cyrillic,
+               CASE WHEN t IS NULL THEN NULL ELSE n_cjk END AS n_cjk,
+               CASE WHEN t IS NULL THEN NULL ELSE n_other END AS n_other,
+               CASE WHEN t IS NULL THEN NULL
+                 WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
+                   AND n_latin >= n_cjk AND n_latin >= n_other THEN 'latin'
+                 WHEN n_digit >= n_cyrillic AND n_digit >= n_cjk
+                   AND n_digit >= n_other THEN 'digit'
+                 WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_other
+                   THEN 'cyrillic'
+                 WHEN n_cjk >= n_other THEN 'cjk'
+                 ELSE 'other' END AS dominant
+             FROM f ORDER BY doc_id""")),
 
     // Text normalization scrub (TextQuality.cleanText): the C4/CCNet
     // ingest pre-pass — control chars → spaces, space runs collapsed,
@@ -6672,7 +6696,8 @@ object SparkEntry {
     ("w20_stream_quantile", (s, dir) => {
       val raw = t(s, dir, "events")
         .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-w20").toString
+      val base = java.nio.file.Files.createTempDirectory("graft-w20").toFile
+      val tmp = base.toString
       (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
       val schema = s.read.parquet(s"$tmp/in/b0").schema
@@ -6696,7 +6721,16 @@ object SparkEntry {
         val out = s.createDataFrame(rows, resolved.schema)
         s.catalog.dropTempView(name)
         out
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // rows are already materialized — the staging copy can go
+        // (x9/x12's lifecycle; w14 cannot do this, its result reads
+        // lazily from the store)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(base)
+      }
     },
       Some(quantileSketchOracle)),
 

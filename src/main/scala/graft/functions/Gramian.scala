@@ -32,8 +32,10 @@ import org.apache.spark.sql.types._
   * partitioning-dependent in any distributed sum; the gates' round-6/
   * round-4 tolerances absorb the ~1e-15 drift).
   *
-  * Rows whose array is null or shorter than `d` are skipped whole —
-  * a per-dim partial presence would silently mix denominators.
+  * Rows whose array is null, shorter than `d`, or null in ANY of the
+  * first `d` elements are skipped whole — a per-dim partial presence
+  * would silently mix denominators (and a null element read as 0.0
+  * would corrupt the sums while still counting the row).
   */
 case class GramianAgg(
     child: Expression,
@@ -54,7 +56,7 @@ case class GramianAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() >= d) {
+      if (arr.numElements() >= d && !hasNullPrefix(arr)) {
         val e = new Array[Double](d)
         var i = 0
         while (i < d) { e(i) = arr.getDouble(i); i += 1 }
@@ -70,6 +72,15 @@ case class GramianAgg(
       }
     }
     buf
+  }
+
+  private def hasNullPrefix(arr: ArrayData): Boolean = {
+    var i = 0
+    while (i < d) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
   }
 
   override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {

@@ -35,6 +35,9 @@ object Pca {
   def covariance(em: DataFrame, embCol: String, d: Int): DataFrame = {
     val e = em.select(Similarity.toDoubleArray(col(embCol)).as("e"))
     val g = e.agg(graft.functions.Gramian.gramian(col("e"), d).as("g"))
+      // zero qualifying rows -> EMPTY result (the exploded form's
+      // behavior), never d^2/2 rows of 0/0 = NaN
+      .where(expr("g[0] > 0"))
     g.select(explode(expr(
         s"""flatten(transform(sequence(0, ${d - 1}), i ->
              transform(sequence(i, ${d - 1}), j ->

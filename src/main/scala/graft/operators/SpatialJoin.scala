@@ -35,8 +35,10 @@ object SpatialJoin {
     * squared Euclidean distance d2 <= radius^2. `points` must carry
     * integral columns (keyCol, xCol, yCol); any int64 coordinate sign
     * works — cell keys come from exact integer floor-division
-    * (`(c - pmod(c, r)) div r`, which floors toward -inf for
-    * negatives), never a double cast (a double cast mis-buckets
+    * (`div` truncates toward zero; a negative non-exact quotient is
+    * corrected by one, so the form floors toward -inf WITHOUT the
+    * intermediate subtraction that would overflow near Long.MinValue)
+    * — never a double cast (a double cast mis-buckets
     * |coord| >= 2^53). `radius` is bounded so radius^2 stays inside
     * int64.
     */
@@ -46,7 +48,8 @@ object SpatialJoin {
     require(radius <= 3037000499L,
       s"radius=$radius: radius*radius overflows int64 (max 3037000499)")
     def cell(c: String): Column =
-      expr(s"(`$c` - pmod(`$c`, ${radius}L)) div ${radius}L")
+      expr(s"(`$c` div ${radius}L) - " +
+        s"(CASE WHEN `$c` % ${radius}L < 0 THEN 1 ELSE 0 END)")
     val probe = points.select(col(keyCol).as("key_a"), col(xCol).as("__xa"),
       col(yCol).as("__ya"), cell(xCol).as("__cx"), cell(yCol).as("__cy"))
     val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L)

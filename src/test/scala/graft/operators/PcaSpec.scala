@@ -105,6 +105,25 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("null ELEMENTS skip the row whole; empty input -> empty covariance, not NaN") {
+    // a null element read as 0.0 would corrupt sums while counting the
+    // row — the row must be skipped entirely
+    val withNullElem = spark.sql(
+      """SELECT * FROM VALUES
+           (0L, array(1.0D, 2.0D)), (1L, array(3.0D, 4.0D)),
+           (2L, array(5.0D, CAST(NULL AS DOUBLE)))
+         AS t(vec_id, embedding)""")
+    val g = withNullElem.select(graft.functions.Gramian.gramian(
+        org.apache.spark.sql.functions.col("embedding"), 2))
+      .head().getSeq[Double](0)
+    assert(g(0) === 2.0 && g(1) === 4.0 && g(2) === 6.0)
+    // zero qualifying rows: EMPTY result (the exploded form's
+    // behavior), never d^2/2 rows of 0/0 = NaN
+    val empty = spark.sql(
+      "SELECT * FROM VALUES (9L, CAST(NULL AS ARRAY<DOUBLE>)) t(vec_id, embedding)")
+    assert(Pca.covariance(empty, "embedding", 2).count() === 0L)
+  }
+
   test("projection scores order points along the axis") {
     val scores = Pca.project(df, "vec_id", "embedding", 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
