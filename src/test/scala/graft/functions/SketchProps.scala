@@ -95,4 +95,71 @@ object SketchProps extends Properties("sketches") {
       val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
       CountMin.innerProduct(sa, sb, Depth, Width) >= exact
     }
+
+  // ---- LogHistogram (quantile sketch) ----
+
+  private val LhK = 5
+  private def lhAgg = LogHistogram(
+    BoundReference(0, LongType, nullable = true), LhK)
+
+  private def lhContent(buf: scala.collection.mutable.HashMap[Long, Long]) =
+    buf.toSeq.sortBy(_._1)
+
+  private val genVals: Gen[List[Long]] =
+    Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 1L << 40)))
+
+  property("log-histogram: content split-invariant, counts conserved, error bounded") =
+    forAll(genVals, genSplit) { (vals, k) =>
+      val agg = lhAgg
+      val parts = vals.grouped(math.max(1, (vals.size + k - 1) / k)).toSeq
+      val merged = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach(v => agg.update(b, InternalRow(v)))
+        // serde round-trip on every partial, like a real exchange
+        agg.deserialize(agg.serialize(b))
+      }.reduceOption(agg.merge).getOrElse(agg.createAggregationBuffer())
+      val single = agg.createAggregationBuffer()
+      vals.foreach(v => agg.update(single, InternalRow(v)))
+      lhContent(merged) == lhContent(single) &&
+        merged.values.sum == vals.size &&
+        vals.filter(_ > 0).forall { v =>
+          val lo = LogHistogram.bucketFloor(v, LhK)
+          lo <= v && (v - lo).toDouble <= lo.toDouble * math.pow(2, -LhK)
+        }
+    }
+
+  // ---- Gramian (covariance second-moment aggregate) ----
+
+  private val GD = 3
+  private def gramAgg = GramianAgg(BoundReference(0,
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType), nullable = true), GD)
+
+  // small-integer doubles: sums are exactly representable, so merge
+  // order cannot perturb bits and split-invariance is BITWISE
+  private val genVecs: Gen[List[List[Double]]] =
+    Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(GD, Gen.chooseNum(-8, 8).map(_.toDouble))))
+
+  property("gramian: bitwise split-invariant on exact inputs; short/null rows skipped") =
+    forAll(genVecs, genSplit) { (vecs, k) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val agg = gramAgg
+      def rowOf(v: List[Double]) =
+        InternalRow(new GenericArrayData(v.toArray[Any]))
+      val dirty: List[InternalRow] = InternalRow(null) ::
+        rowOf(List(1.0)) :: vecs.map(rowOf) // null + short interleaved
+      val parts = dirty.grouped(math.max(1, (dirty.size + k - 1) / k)).toSeq
+      val merged = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach(agg.update(b, _))
+        agg.deserialize(agg.serialize(b))
+      }.reduceOption(agg.merge).getOrElse(agg.createAggregationBuffer())
+      val single = agg.createAggregationBuffer()
+      dirty.foreach(agg.update(single, _))
+      java.util.Arrays.equals(merged, single) &&
+        merged(0) == vecs.size.toDouble && // null/short rows not counted
+        merged(1) == vecs.map(_.head).sum
+    }
 }
