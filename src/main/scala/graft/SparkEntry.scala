@@ -43,6 +43,13 @@ object SparkEntry {
   /** Exact integer cents from a 2-decimal double column. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Recursive temp-dir delete shared by every roundtrip/staging gate
+    * (x9/x12/w20/...): one definition, so a future fix (symlinks,
+    * delete logging) lands once. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   private def hourStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** Unique memory-sink names for the streaming gate (bench runs each
@@ -1895,12 +1902,7 @@ object SparkEntry {
           .orderBy("doc_id")
         val rows = java.util.Arrays.asList(out.collect(): _*)
         s.createDataFrame(rows, out.schema)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(base)
-      }
+      } finally rmTree(base)
     },
       Some("""SELECT doc_id,
              md5(text || ' q"x, y\z' || chr(9) || 'é€') AS j_md5,
@@ -6344,12 +6346,7 @@ object SparkEntry {
           .orderBy("doc_id")
         val rows = java.util.Arrays.asList(out.collect(): _*)
         s.createDataFrame(rows, out.schema)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(base)
-      }
+      } finally rmTree(base)
     },
       Some("""SELECT doc_id, md5(text) AS text_md5,
              CAST(n_chars AS BIGINT) AS n_chars
@@ -6387,12 +6384,7 @@ object SparkEntry {
           .orderBy("event_type")
         val rows = java.util.Arrays.asList(out.collect(): _*)
         s.createDataFrame(rows, out.schema)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(base)
-      }
+      } finally rmTree(base)
     },
       Some("""WITH b AS (SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) + 2 lo
                FROM events)
@@ -6540,12 +6532,7 @@ object SparkEntry {
           .orderBy("priority")
         val rows = java.util.Arrays.asList(out.collect(): _*)
         s.createDataFrame(rows, out.schema)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(base)
-      }
+      } finally rmTree(base)
     },
       Some("""WITH o AS (SELECT o_orderkey k,
                CAST(ROUND(o_totalprice*100) AS BIGINT) price_c FROM orders),
@@ -6698,12 +6685,14 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
       val base = java.nio.file.Files.createTempDirectory("graft-w20").toFile
       val tmp = base.toString
-      (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
-      val schema = s.read.parquet(s"$tmp/in/b0").schema
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the try covers the STAGING writes too — a failed write must
+      // still delete the partially staged dir
       try {
+        (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -6726,10 +6715,7 @@ object SparkEntry {
         // rows are already materialized — the staging copy can go
         // (x9/x12's lifecycle; w14 cannot do this, its result reads
         // lazily from the store)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(base)
+        rmTree(base)
       }
     },
       Some(quantileSketchOracle)),

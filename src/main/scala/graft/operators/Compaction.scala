@@ -41,7 +41,11 @@ object Compaction {
   /** Memoized prefix-summed results, keyed by (session, canonicalized
     * input PLAN OBJECT, sort + value + output spec) — GlobalRank's
     * contract: a bench best-of-2 or a retried job reuses ONE pinned
-    * sorted copy instead of accumulating duplicates. */
+    * sorted copy instead of accumulating duplicates. Memo lifetime is
+    * until [[clear]]: file-source plans canonicalize by ROOT PATH (not
+    * file listing), so a manifest path whose FILES change mid-session
+    * must clear() before re-planning or it reads the stale sums —
+    * the same contract GlobalRank's memo carries. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String), DataFrame]
@@ -66,8 +70,13 @@ object Compaction {
     val parts = spark.sessionState.conf.numShufflePartitions
     val memoKey = (spark, df.queryExecution.logical.canonicalized,
       sortCols.mkString(",") + "|" + valueCol + "|" + outCol + "|" + parts)
-    memo.getOrElseUpdate(memoKey,
-      computePrefixSum(df, outCol, sortCols, valueCol, parts))
+    // synchronized: TrieMap.getOrElseUpdate may run the thunk twice
+    // under a race and discard one result — here the loser would stay
+    // PERSISTED and pinned with no consumer
+    memo.synchronized {
+      memo.getOrElseUpdate(memoKey,
+        computePrefixSum(df, outCol, sortCols, valueCol, parts))
+    }
   }
 
   private def computePrefixSum(df: DataFrame, outCol: String,

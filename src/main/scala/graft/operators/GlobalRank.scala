@@ -49,7 +49,9 @@ object GlobalRank {
     * equality, LocalRelation data included), NOT its toString/hashCode:
     * toString elides large local data and a hashCode composite can
     * collide, either of which would hand a cached ranking to a
-    * DIFFERENT input. */
+    * DIFFERENT input. Memo lifetime is until [[clear]]: file-source
+    * plans canonicalize by ROOT PATH (not file listing), so a path
+    * whose files change mid-session must clear() before re-ranking. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String), DataFrame]

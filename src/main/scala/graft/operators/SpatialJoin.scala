@@ -33,20 +33,29 @@ object SpatialJoin {
 
   /** All ordered pairs (key_a, key_b, d2) with key_a != key_b and
     * squared Euclidean distance d2 <= radius^2. `points` must carry
-    * integral columns (keyCol, xCol, yCol); any int64 coordinate sign
-    * works — cell keys come from exact integer floor-division
+    * integral columns (keyCol, xCol, yCol); both coordinate signs
+    * work — cell keys come from exact integer floor-division
     * (`div` truncates toward zero; a negative non-exact quotient is
     * corrected by one, so the form floors toward -inf WITHOUT the
     * intermediate subtraction that would overflow near Long.MinValue)
     * — never a double cast (a double cast mis-buckets
-    * |coord| >= 2^53). `radius` is bounded so radius^2 stays inside
-    * int64.
+    * |coord| >= 2^53).
+    *
+    * int64 arithmetic envelope: `radius <= 1518500249` so that the
+    * squared distance of ANY cell-adjacent candidate pair
+    * (|delta| < 2*radius) stays inside int64 — a bigger bound would
+    * let dx*dx wrap negative and emit false "within radius" pairs;
+    * and coordinates must satisfy |coord| <= Long.MaxValue - 2*radius
+    * (precondition, like the radius bound) so neighbor-cell indices
+    * and coordinate differences of candidate pairs cannot wrap.
     */
   def radiusJoin(points: DataFrame, keyCol: String, xCol: String,
                  yCol: String, radius: Long): DataFrame = {
     require(radius > 0, "radius must be positive")
-    require(radius <= 3037000499L,
-      s"radius=$radius: radius*radius overflows int64 (max 3037000499)")
+    require(radius <= 1518500249L,
+      s"radius=$radius: (2*radius)^2 must fit int64 (max 1518500249) — " +
+        "beyond it a candidate pair's squared distance wraps negative " +
+        "and passes the radius cut")
     def cell(c: String): Column =
       expr(s"(`$c` div ${radius}L) - " +
         s"(CASE WHEN `$c` % ${radius}L < 0 THEN 1 ELSE 0 END)")
