@@ -6720,6 +6720,68 @@ object SparkEntry {
     },
       Some(quantileSketchOracle)),
 
+    // Corpus DRIFT monitoring (operators.Drift): Population Stability
+    // Index between two snapshots over LogHistogram's engine-exact
+    // base-2 buckets — the run-over-run distribution check a training
+    // pipeline performs before shifted data trains anything. The gate
+    // splits events by id parity into ref/cur and deterministically
+    // INJECTS drift (error-type values x3 in cur), so the output shows
+    // both regimes: near-zero PSI for undrifted types, large for the
+    // injected one. ln + smoothing are the only floats; round-6
+    // absorbs the summation-order/libm drift. At 100 TB both sides
+    // are stored sketches — PSI touches no raw data.
+    ("g40_corpus_drift", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val cur = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("v", when(col("event_type") === "error", col("v") * 3)
+          .otherwise(col("v")))
+      // k=3 (not the sketch gates' 5): ~1000 samples/side over k=5's
+      // ~280 buckets leaves ~3.5/bucket, and add-one smoothing alone
+      // reads as PSI ~0.3 on UNDRIFTED types; the coarser grid puts
+      // stable types at ~0.1-0.16 vs 1.07 for the injected drift —
+      // bucket count must track sample size, the classic PSI rule
+      operators.Drift.psi(ref, cur, Seq("event_type"), "v", 3)
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          col("n_buckets"), round(col("psi"), 6).as("psi"))
+        .orderBy("event_type")
+    },
+      Some("""WITH e AS (SELECT event_type, event_id,
+               CAST(ROUND(value*100) AS BIGINT) v FROM events),
+             r AS (SELECT event_type, v FROM e WHERE event_id % 2 = 0),
+             c0 AS (SELECT event_type,
+               CASE WHEN event_type = 'error' THEN v*3 ELSE v END v
+               FROM e WHERE event_id % 2 = 1),
+             rb AS (SELECT event_type,
+               CASE WHEN v < 16 THEN v
+                 ELSE (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
+                 END lo, CAST(COUNT(*) AS BIGINT) n_ref
+               FROM r GROUP BY 1, 2),
+             cb AS (SELECT event_type,
+               CASE WHEN v < 16 THEN v
+                 ELSE (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
+                 END lo, CAST(COUNT(*) AS BIGINT) n_cur
+               FROM c0 GROUP BY 1, 2),
+             j AS (SELECT COALESCE(rb.event_type, cb.event_type) event_type,
+               COALESCE(rb.lo, cb.lo) lo,
+               COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
+               COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
+               FROM rb FULL OUTER JOIN cb
+                 ON rb.event_type = cb.event_type AND rb.lo = cb.lo),
+             w AS (SELECT event_type, n_ref, n_cur,
+               CAST(SUM(n_ref) OVER (PARTITION BY event_type) AS BIGINT) tot_ref,
+               CAST(SUM(n_cur) OVER (PARTITION BY event_type) AS BIGINT) tot_cur,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) b
+               FROM j)
+             SELECT event_type, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
+               MAX(b) AS n_buckets,
+               ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
+                   - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
+                 * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
+                   / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
+             FROM w GROUP BY 1 ORDER BY 1""")),
+
     // INCREMENTAL quantile-sketch maintenance (g39 — the sketch member
     // of the incremental-index family d15/d18/d21/n10/g18): the stored
     // per-type sketch is a persisted table; an arriving batch is
