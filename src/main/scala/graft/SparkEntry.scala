@@ -56,27 +56,29 @@ object SparkEntry {
     * query repeatedly in one session). */
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Shared by g38 (batch) and w20 (streaming twin): declarative
-    * quantile extraction over a (event_type, sk) LogHistogram sketch
-    * table — explode the bounded bucket array, cumulative-sum the
-    * tiny bucket table, pick the ceil(q·n)-rank bucket's lower bound
-    * for p50/p90/p99. */
-  private def sketchQuantiles(sk: DataFrame): DataFrame = {
-    val buckets = sk.select(col("event_type"), explode(col("sk")).as("b"))
-      .select(col("event_type"), col("b.lo").as("lo"), col("b.n").as("n"))
-    val wCum = Window.partitionBy("event_type").orderBy("lo")
-    val wAll = Window.partitionBy("event_type")
+  /** Shared by g38/w20/g39/t29: declarative quantile extraction over
+    * a (groupCol, sk) LogHistogram sketch table — explode the bounded
+    * bucket array, cumulative-sum the tiny bucket table, pick the
+    * ceil(q·n)-rank bucket's lower bound for p50/p90/p99. `n` is
+    * whatever mass the sketch accumulated (row counts for the plain
+    * sketch, weights for the weighted one). */
+  private def sketchQuantiles(sk: DataFrame,
+                              groupCol: String = "event_type"): DataFrame = {
+    val buckets = sk.select(col(groupCol), explode(col("sk")).as("b"))
+      .select(col(groupCol), col("b.lo").as("lo"), col("b.n").as("n"))
+    val wCum = Window.partitionBy(groupCol).orderBy("lo")
+    val wAll = Window.partitionBy(groupCol)
     val c = buckets
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("tot", sum(col("n")).over(wAll))
     def qEst(pct: Int): Column =
       min(when(col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("lo")))
-    c.groupBy("event_type").agg(
+    c.groupBy(groupCol).agg(
         max(col("tot")).as("n"),
         count(lit(1)).as("n_buckets"),
         qEst(50).as("p50_est"), qEst(90).as("p90_est"),
         qEst(99).as("p99_est"))
-      .orderBy("event_type")
+      .orderBy(groupCol)
   }
 
   /** The g38/w20 oracle: DuckDB replays the base-2 integer bucket rule
@@ -5057,6 +5059,42 @@ object SparkEntry {
                  WHEN n_cjk >= n_other THEN 'cjk'
                  ELSE 'other' END AS dominant
              FROM f ORDER BY doc_id""")),
+
+    // Token-MASS length quantiles (functions.WeightedLogHistogram):
+    // "the doc length below which half the corpus TOKENS sit" — the
+    // statistic that sizes sequence-packing capacity. The unweighted
+    // median answers "typical doc", not "where the token mass lives",
+    // and the two diverge hard on long-tailed corpora; here value =
+    // weight = the doc's token count, so each doc contributes its
+    // token mass to its length bucket. Same engine-exact integer
+    // buckets and declarative extraction as g38; the oracle replays
+    // buckets as GROUP BY SUM(weight).
+    ("t29_token_mass_quantile", (s, dir) => {
+      val tok = size(TextAnalysis.words(col("text"))).cast("long")
+      val sk = t(s, dir, "documents").select(col("lang"), tok.as("nt"))
+        .groupBy("lang")
+        .agg(functions.LogHistogram
+          .weightedSketch(col("nt"), col("nt"), 5).as("sk"))
+      sketchQuantiles(sk, "lang")
+    },
+      Some("""WITH d AS (SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) nt
+               FROM documents),
+             b AS (SELECT lang,
+               CASE WHEN nt < 64 THEN nt
+                 ELSE (nt >> (length(bin(nt)) - 6)) << (length(bin(nt)) - 6)
+                 END lo,
+               CAST(SUM(nt) AS BIGINT) n
+               FROM d WHERE nt > 0 GROUP BY 1, 2),
+             c AS (SELECT lang, lo, n,
+               CAST(SUM(n) OVER (PARTITION BY lang ORDER BY lo) AS BIGINT) cum,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) tot
+               FROM b)
+             SELECT lang, MAX(tot) AS n, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN lo END) AS p50_est,
+               MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN lo END) AS p90_est,
+               MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
+             FROM c GROUP BY 1 ORDER BY 1""")),
 
     // Text normalization scrub (TextQuality.cleanText): the C4/CCNet
     // ingest pre-pass — control chars → spaces, space runs collapsed,

@@ -68,36 +68,20 @@ case class LogHistogram(
   }
 
   override def merge(b1: mutable.HashMap[Long, Long],
-      b2: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
-    b2.foreach { case (lo, n) => b1.update(lo, b1.getOrElse(lo, 0L) + n) }
-    b1
-  }
+      b2: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] =
+    LogHistogram.mergeMaps(b1, b2)
 
   /** The sketch itself: (bucket_lo, n) structs ascending by lo —
     * deterministic under any arrival order, partitioning, or merge
     * tree. */
   override def eval(buf: mutable.HashMap[Long, Long]): Any =
-    new GenericArrayData(buf.toArray.sortBy(_._1).map { case (lo, n) =>
-      new GenericInternalRow(Array[Any](lo, n)): Any
-    })
+    LogHistogram.evalMap(buf)
 
-  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (lo, n) => out.writeLong(lo); out.writeLong(n) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] =
+    LogHistogram.serializeMap(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.HashMap.empty[Long, Long]
-    var i = 0
-    while (i < n) { buf.update(in.readLong(), in.readLong()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] =
+    LogHistogram.deserializeMap(bytes)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("lo", LongType, nullable = false),
@@ -117,6 +101,78 @@ case class LogHistogram(
   override def prettyName: String = "log_histogram"
 }
 
+/** WEIGHTED twin of [[LogHistogram]]: each value contributes `weight`
+  * to its bucket instead of 1 — the form mass-weighted corpus
+  * statistics need. The canonical use: token-mass length quantiles
+  * ("the document length below which half the corpus TOKENS sit",
+  * value = weight = doc token count), which is what sizes sequence-
+  * packing capacity — the unweighted median answers "typical doc",
+  * not "where the token mass lives", and the two diverge hard on
+  * long-tailed corpora. Same engine-exact integer buckets, same
+  * bounded map state and elementwise merge; the oracle replays it as
+  * `GROUP BY bucket SUM(weight)`. Null value/weight and weight 0 rows
+  * contribute nothing; negative weights are rejected. */
+case class WeightedLogHistogram(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Long, Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 20, "WeightedLogHistogram needs 1 <= k <= 20")
+
+  override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Long, Long],
+      input: InternalRow): mutable.HashMap[Long, Long] = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0L, s"weighted_log_histogram requires weight >= 0, got $wl")
+      if (wl > 0L) {
+        val lo = LogHistogram.bucketFloor(v.asInstanceOf[Long], k)
+        buf.update(lo, buf.getOrElse(lo, 0L) + wl)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[Long, Long],
+      b2: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] =
+    LogHistogram.mergeMaps(b1, b2)
+
+  override def eval(buf: mutable.HashMap[Long, Long]): Any =
+    LogHistogram.evalMap(buf)
+
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] =
+    LogHistogram.serializeMap(buf)
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] =
+    LogHistogram.deserializeMap(bytes)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WeightedLogHistogram =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): WeightedLogHistogram =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WeightedLogHistogram =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "weighted_log_histogram"
+}
+
 object LogHistogram {
 
   /** Truncate `v` to its top k+1 significant bits — the bucket's
@@ -133,9 +189,47 @@ object LogHistogram {
     }
   }
 
+  private[functions] def mergeMaps(b1: mutable.HashMap[Long, Long],
+      b2: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
+    b2.foreach { case (lo, n) => b1.update(lo, b1.getOrElse(lo, 0L) + n) }
+    b1
+  }
+
+  private[functions] def evalMap(buf: mutable.HashMap[Long, Long]): Any =
+    new GenericArrayData(buf.toArray.sortBy(_._1).map { case (lo, n) =>
+      new GenericInternalRow(Array[Any](lo, n)): Any
+    })
+
+  private[functions] def serializeMap(
+      buf: mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (lo, n) => out.writeLong(lo); out.writeLong(n) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def deserializeMap(
+      bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[Long, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readLong(), in.readLong()); i += 1 }
+    buf
+  }
+
   /** Sketch Column over a long column: ascending `array<struct<lo,n>>`. */
   def sketch(c: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(LogHistogram(Bridge.expression(c), k).toAggregateExpression())
+  }
+
+  /** Weighted sketch Column: bucket mass = SUM(weight). */
+  def weightedSketch(value: Column, weight: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(WeightedLogHistogram(Bridge.expression(value),
+      Bridge.expression(weight), k).toAggregateExpression())
   }
 }

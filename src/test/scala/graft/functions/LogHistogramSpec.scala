@@ -63,4 +63,47 @@ class LogHistogramSpec extends AnyFunSuite {
         .select(to_json(col("sk"))).head().getString(0)
     assert(content(1) == content(13))
   }
+
+  test("weighted sketch: bucket mass = SUM(weight); weight-1 equals the plain sketch") {
+    val rows = Seq((100L, 3L), (101L, 2L), (5000L, 7L), (0L, 4L),
+      (77L, 0L),            // zero weight: contributes nothing
+      (42L, 1L))
+    val df = rows.toDF("v", "w").repartition(3)
+    val sk = df.agg(LogHistogram.weightedSketch(col("v"), col("w"), k).as("sk"))
+      .select(explode(col("sk")).as("b"))
+      .select(col("b.lo"), col("b.n")).orderBy("lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // expected: bucket per value (all distinct buckets here), mass = w
+    val exp = rows.filter(_._2 > 0)
+      .map { case (v, w) => LogHistogram.bucketFloor(v, k) -> w }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    assert(sk == exp)
+    // weight 1 for every row == the unweighted sketch, bit for bit
+    val plain = values.map(Tuple1(_)).toDF("v").repartition(5)
+    val a = plain.agg(LogHistogram.sketch(col("v"), k).as("sk"))
+      .select(to_json(col("sk"))).head().getString(0)
+    val b = plain.select(col("v"), lit(1L).as("w")).repartition(5)
+      .agg(LogHistogram.weightedSketch(col("v"), col("w"), k).as("sk"))
+      .select(to_json(col("sk"))).head().getString(0)
+    assert(a == b)
+  }
+
+  test("token-mass quantile diverges from the doc-count quantile on a long tail") {
+    // 99 short docs (10 tokens) + 1 huge doc (10000 tokens): the
+    // doc-count median is 10, but >90% of the TOKEN MASS sits in the
+    // huge doc — the weighted p50 must land in its bucket
+    val docs = (Seq.fill(99)(10L) :+ 10000L).map(Tuple1(_)).toDF("nt")
+    val sk = docs.agg(LogHistogram
+        .weightedSketch(col("nt"), col("nt"), k).as("sk"))
+      .select(explode(col("sk")).as("b"))
+      .select(col("b.lo"), col("b.n")).orderBy("lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tot = sk.map(_._2).sum
+    var cum = 0L
+    val p50 = sk.collectFirst {
+      case (lo, n) if { cum += n; cum * 2 >= tot } => lo
+    }.get
+    assert(p50 == LogHistogram.bucketFloor(10000L, k),
+      s"token-mass p50 must sit in the huge doc's bucket, got $p50")
+  }
 }
