@@ -423,6 +423,37 @@ object GateFixtures {
                  FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
 
+  /** Shared oracle CTE chain (t30/e15): rational-idf BM25 over the
+    * documents corpus — the identical integer arithmetic as
+    * Retrieval.bm25TopK (k1=6/5, b=3/4, both sides scaled by
+    * 10*total, milli-scaled floor division). Queries are the
+    * first-6-word prefixes of docs with doc_id % 97 = 0. Yields
+    * `bmr` = (query_id, doc_id, n_terms, score_milli, rnk). */
+  private[graft] val bm25OracleCtes: String =
+    """bw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) word FROM documents),
+       btf AS (SELECT doc_id, word, COUNT(*) tf FROM bw GROUP BY 1, 2),
+       bdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) dl FROM btf GROUP BY 1),
+       bdf AS (SELECT word, COUNT(*) df FROM btf GROUP BY 1),
+       bc AS (SELECT (SELECT COUNT(*) FROM bdl) n_docs,
+                     (SELECT CAST(SUM(dl) AS BIGINT) FROM bdl) total),
+       bq AS (SELECT DISTINCT query_id, word FROM (
+                SELECT doc_id query_id,
+                       UNNEST(string_split(text, ' ')[1:6]) word
+                FROM documents WHERE doc_id % 97 = 0)),
+       bh AS (SELECT bq.query_id, btf.doc_id,
+                (2 * bc.n_docs - 2 * bdf.df + 1) * (22 * btf.tf * bc.total) * 1000
+                  // ((2 * bdf.df + 1)
+                      * (10 * bc.total * btf.tf + 3 * bc.total
+                         + 9 * bdl.dl * bc.n_docs)) term_milli
+              FROM bq JOIN btf USING (word) JOIN bdf USING (word)
+                   JOIN bdl ON btf.doc_id = bdl.doc_id, bc),
+       bs AS (SELECT query_id, doc_id, COUNT(*) n_terms,
+                CAST(SUM(term_milli) AS BIGINT) score_milli
+              FROM bh GROUP BY 1, 2),
+       bmr AS (SELECT query_id, doc_id, n_terms, score_milli,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id) rnk FROM bs)"""
+
   /** Shared oracle CTE: unit-normalized embeddings (same op sequence as
     * UnitVector — fold of squares, sqrt, per-element divide). */
   private[graft] val oracleUnitCte: String =

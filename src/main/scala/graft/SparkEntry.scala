@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, Dedup, IntervalJoin, Ewma, GlobalRank, Interpolation, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, Dedup, IntervalJoin, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -30,10 +30,10 @@ import graft.functions.{Similarity, TextAnalysis, TextQuality}
   */
 object SparkEntry {
 
-  import GateFixtures.{a5OracleSql, annLshOracleSql, bpeOracleCtes,
-    e3Activities, e3OracleSql, e3Streams, e4OracleSql, kmeansMemberCtes,
-    oraclePairCtes, oracleSigCtes, oracleSimhash60Cte, oracleSimhashCte,
-    oracleUnitCte, pqSubspaceCtes, rpPlanes}
+  import GateFixtures.{a5OracleSql, annLshOracleSql, bm25OracleCtes,
+    bpeOracleCtes, e3Activities, e3OracleSql, e3Streams, e4OracleSql,
+    kmeansMemberCtes, oraclePairCtes, oracleSigCtes, oracleSimhash60Cte,
+    oracleSimhashCte, oracleUnitCte, pqSubspaceCtes, rpPlanes}
 
   // ---------- shared helpers ----------
 
@@ -7293,7 +7293,65 @@ object SparkEntry {
                FROM ta)
              SELECT p.a AS type_a, p.b AS type_b,
                CAST(COUNT(*) AS BIGINT) AS n_sessions
-             FROM pr GROUP BY 1, 2 ORDER BY type_a, type_b"""))
+             FROM pr GROUP BY 1, 2 ORDER BY type_a, type_b""")),
+
+    // BM25 lexical retrieval (Retrieval.bm25TopK): the keyword half
+    // of the retrieval surface next to the ANN family — rational-idf
+    // BM25 (k1=1.2, b=0.75) in EXACT int64 milli-scores, so ranking
+    // is engine-identical (a float score's summation order could flip
+    // ties; `ln` never crosses the oracle boundary — t16's
+    // discipline). Queries = first-6-word prefixes of every 97th doc;
+    // corpus-side tf is one exchange, query terms broadcast into the
+    // postings.
+    ("t30_bm25", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qt = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(TextAnalysis.words(col("text")), 1, 6)).as("word"))
+      Retrieval.bm25TopK(docs, qt, 10).orderBy("query_id", "rnk")
+    },
+      Some(s"""WITH $bm25OracleCtes
+             SELECT query_id, rnk, doc_id, n_terms, score_milli
+             FROM bmr WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // Hybrid retrieval by reciprocal-rank fusion (Retrieval.rrfFuse):
+    // t30's lexical BM25 list fused with n1's dense brute-force
+    // cosine list (embeddings vec_id ≡ documents doc_id), score =
+    // Σ 1e9 DIV (60 + rank) — exact integer nano-contributions, so
+    // fusion is commutative addition. Both inputs are top-10-per-
+    // query lists (metadata-sized); the fuse itself never touches a
+    // corpus. The oracle replays BOTH retrieval chains end to end.
+    ("e15_hybrid_rrf", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qt = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(TextAnalysis.words(col("text")), 1, 6)).as("word"))
+      val lex = Retrieval.bm25TopK(docs, qt, 10)
+        .select("query_id", "doc_id", "rnk")
+      val dense = Ann.bruteForceTopK(t(s, dir, "embeddings"),
+          col("vec_id") % 97 === 0, 10)
+        .select(col("qid").as("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk"))
+      Retrieval.rrfFuse(lex, dense, 10).orderBy("query_id", "rnk")
+    },
+      Some(s"""WITH $bm25OracleCtes,
+             $oracleUnitCte,
+             hqv AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id % 97 = 0),
+             hsd AS (SELECT qid, u.vec_id nid,
+                     ROUND(list_dot_product(qu, u.ue), 6) cos_r
+                     FROM hqv, u WHERE u.vec_id <> qid),
+             hdr AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cos_r DESC, nid) rnk FROM hsd),
+             hu AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= 10
+                    UNION ALL
+                    SELECT qid, nid, rnk FROM hdr WHERE rnk <= 10),
+             hf AS (SELECT query_id, doc_id, COUNT(*) n_lists,
+                      CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) fused_nano
+                    FROM hu GROUP BY 1, 2),
+             hfr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY fused_nano DESC, doc_id) rnk FROM hf)
+             SELECT query_id, rnk, doc_id, n_lists, fused_nano
+             FROM hfr WHERE rnk <= 10 ORDER BY query_id, rnk"""))
   )
 
   // ---------- driver contract ----------
