@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, Dedup, IntervalJoin, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -7351,7 +7351,116 @@ object SparkEntry {
              hfr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY fused_nano DESC, doc_id) rnk FROM hf)
              SELECT query_id, rnk, doc_id, n_lists, fused_nano
-             FROM hfr WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+             FROM hfr WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // BOILERPLATE scrub (Dedup.boilerplateScrub): the corpus-
+    // frequency rule CCNet/RefinedWeb apply per line — a chunk
+    // appearing in >= 3 DISTINCT docs is removed from EVERY doc,
+    // first occurrence included (d14's election keeps one copy;
+    // boilerplate deserves zero). Corpus deterministically dirtied
+    // first (t13's injection discipline): a 10-word header prepended
+    // to 2/3 of docs, aligned with the chunk grid by construction,
+    // so the boiler branch is non-vacuous and its removal everywhere
+    // is what the hash pins.
+    ("d29_boilerplate_scrub", (s, dir) => {
+      val dirtied = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 < 2,
+          concat(lit("this site uses cookies please accept our terms of service "),
+            col("text")))
+        .otherwise(col("text")).as("text"))
+      Dedup.boilerplateScrub(dirtied, 10, 3).orderBy("doc_id")
+    },
+      Some("""WITH raw AS (SELECT doc_id, CASE WHEN doc_id % 3 < 2
+               THEN 'this site uses cookies please accept our terms of service ' || text
+               ELSE text END AS "text" FROM documents),
+             w AS (SELECT doc_id, string_split(text, ' ') w FROM raw),
+             ch AS (SELECT doc_id, UNNEST([struct_pack(ci := i,
+               chunk := array_to_string(w[(i-1)*10+1 : least(i*10, len(w))], ' '))
+               for i in generate_series(1, (len(w)+9)//10)]) s FROM w),
+             e AS (SELECT doc_id, s.ci - 1 AS chunk_idx, s.chunk AS chunk,
+               md5(s.chunk) h FROM ch),
+             dfc AS (SELECT h, COUNT(DISTINCT doc_id) nd FROM e GROUP BY 1),
+             k AS (SELECT e.*, dfc.nd >= 3 AS boiler FROM e JOIN dfc USING (h))
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END, ' '
+                 ORDER BY chunk_idx), '')) AS cleaned_md5
+             FROM k GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Domain-level curation (RefinedWeb's host-level filtering):
+    // deterministic per-doc URLs (d27's injection discipline, but
+    // host VARIES: source x doc_id%7 = 140 hosts) -> canonicalUrl ->
+    // hostOf -> per-host quality stats -> blocklist flag (mean chars
+    // < 310 at sf0.01: 76 blocked / 64 kept — both branches
+    // non-vacuous). The flag's APPLY is a broadcast anti-join of
+    // blocked hosts (x8's shape); detection is what the hash pins.
+    // The oracle replays the host algebraically (lowercased
+    // source-derived host == canonicalUrl∘hostOf on these URLs —
+    // d27 pins the canonicalization rules themselves).
+    ("e14_domain_filter", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(col("n_chars"),
+        concat(lit("HTTP://"), col("source"), lit("-"), col("doc_id") % 7,
+          lit(".Example.COM:80/p/"), col("doc_id"), lit("#top")).as("url"))
+      urls.select(col("n_chars"),
+          TextQuality.hostOf(TextQuality.canonicalUrl(col("url"))).as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(col("host"), col("n_docs"), col("sum_chars"),
+          expr("sum_chars DIV n_docs").as("mean_chars"),
+          (expr("sum_chars DIV n_docs") < 310).as("blocked"))
+        .orderBy("host")
+    },
+      Some("""WITH h AS (SELECT lower(source) || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com' AS host, n_chars FROM documents),
+             g AS (SELECT host, COUNT(*) n_docs,
+               CAST(SUM(n_chars) AS BIGINT) sum_chars FROM h GROUP BY 1)
+             SELECT host, n_docs, sum_chars,
+               sum_chars // n_docs AS mean_chars,
+               sum_chars // n_docs < 310 AS blocked
+             FROM g ORDER BY host""")),
+
+    // Declarative data-quality audit (the Deequ shape): predicate
+    // rules compile to ONE lineitem scan + one orders scan (k rules =
+    // one aggregation, never k passes), uniqueness is exact
+    // count - count_distinct, referential integrity a LEFT ANTI probe.
+    // The synthetic data makes three rules genuinely fire (quantity
+    // bound, discount bound, (l_orderkey, l_linenumber) NOT unique —
+    // 14168 dup rows) while three hold at zero — both report branches
+    // are load-bearing.
+    ("x13_dq_audit", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val liRules = DataQuality.audit(li, Seq(
+        "li_quantity_le_45" -> (col("l_quantity") > 45),
+        "li_discount_le_8pct" -> (col("l_discount") > 0.08),
+        "li_price_positive" -> (col("l_extendedprice") <= 0)))
+      val ordRules = DataQuality.audit(ord, Seq(
+        "ord_price_positive" -> (col("o_totalprice") <= 0)))
+      val uniq = DataQuality.uniqueness(li, "li_line_unique",
+        Seq("l_orderkey", "l_linenumber"))
+      val ri = DataQuality.referential(li, ord, "li_order_ri",
+        "l_orderkey", "o_orderkey")
+      liRules.union(ordRules).union(uniq).union(ri).orderBy("rule")
+    },
+      Some("""WITH li AS (SELECT COUNT(*) n,
+               COUNT(*) FILTER (l_quantity > 45) v1,
+               COUNT(*) FILTER (l_discount > 0.08) v2,
+               COUNT(*) FILTER (l_extendedprice <= 0) v3,
+               COUNT(DISTINCT (l_orderkey, l_linenumber)) d FROM lineitem),
+             o AS (SELECT COUNT(*) n, COUNT(*) FILTER (o_totalprice <= 0) v
+               FROM orders),
+             ri AS (SELECT COUNT(*) v FROM lineitem l
+               LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+               WHERE ord.o_orderkey IS NULL)
+             SELECT "rule", n_checked, n_violations FROM (
+               SELECT 'li_quantity_le_45' AS "rule", li.n n_checked, li.v1 n_violations FROM li
+               UNION ALL SELECT 'li_discount_le_8pct', li.n, li.v2 FROM li
+               UNION ALL SELECT 'li_price_positive', li.n, li.v3 FROM li
+               UNION ALL SELECT 'li_line_unique', li.n, li.n - li.d FROM li
+               UNION ALL SELECT 'ord_price_positive', o.n, o.v FROM o
+               UNION ALL SELECT 'li_order_ri', li.n, ri.v FROM li, ri)
+             ORDER BY "rule""""))
   )
 
   // ---------- driver contract ----------

@@ -584,4 +584,13 @@ object TextQuality {
     concat(scheme, lit("://"), hostClean, pathClean,
       when(hasQ, concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
+
+  /** Host (authority, without any port) of an absolute URL — the
+    * grouping key for domain-level curation (per-host quality stats,
+    * domain blocklists). Feed it [[canonicalUrl]] output so case and
+    * default-port variants of one host collapse first. Zero-shuffle
+    * projection; replays as nested split_part in any engine. */
+  def hostOf(u: Column): Column =
+    substring_index(
+      substring_index(substring_index(u, "://", -1), "/", 1), ":", 1)
 }

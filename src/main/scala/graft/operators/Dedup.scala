@@ -492,6 +492,60 @@ object Dedup {
           " ")).as("cleaned_md5"))
   }
 
+  /** D29: BOILERPLATE scrub — the corpus-frequency complement of
+    * [[chunkDedup]]: a chunk whose hash occurs in >= `minDocs`
+    * DISTINCT documents is boilerplate (cookie banners, nav bars,
+    * license footers — the CCNet/RefinedWeb line-frequency rule) and
+    * is removed from EVERY document, including the first occurrence
+    * (chunkDedup's election keeps exactly one; boilerplate by
+    * definition deserves zero). Within-doc repeats of a chunk count
+    * once toward the document frequency — boilerplate is a CROSS-doc
+    * property.
+    *
+    * Returns one row per doc: (doc_id, n_chunks, n_boiler,
+    * cleaned_md5) where cleaned_md5 fingerprints the doc reassembled
+    * from its non-boilerplate chunks in document order (empty-string
+    * md5 when everything was boilerplate).
+    *
+    * Scale: chunking is the same codegen projection as chunkDedup;
+    * document frequency is ONE chunk-hash exchange (count distinct
+    * per hash — at real corpus widths the KMV sketch swaps in, g21's
+    * pattern); the boiler set (hashes with df >= minDocs) is tiny by
+    * construction — Zipf's tail means almost all chunks are unique —
+    * so AQE broadcasts the flag join and the corpus-side chunk table
+    * shuffles once more only for per-doc reassembly. Alignment note:
+    * word-window chunking detects boilerplate only when it lands on
+    * chunk boundaries (the gate's injected header is aligned by
+    * construction); real pipelines chunk on line/paragraph breaks,
+    * where alignment is inherent — the unit swaps freely, the
+    * dataflow is identical. */
+  def boilerplateScrub(docs: DataFrame, chunkWords: Int = 10,
+                       minDocs: Long = 3L): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val chunks = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.WordChunks(Bridge.expression(ws), chunkWords))
+    }
+    val exploded = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val boiler = exploded.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("__boiler"))
+    exploded.join(boiler, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("__boiler").isNull,
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("cleaned_md5"))
+  }
+
   /** D1: exact dedup by content hash — (text_hash, n_copies,
     * keep_doc_id) per distinct content. Map-side partial aggregation;
     * the canonical survivor is the min doc_id. */

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+
+/** DataQuality pinned on hand-countable corpora, plus the one-scan
+  * plan shape the k-rules-one-pass claim rests on. */
+class DataQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, 10L, "a"), (2L, -5L, "b"), (3L, 0L, null.asInstanceOf[String]),
+    (4L, 200L, "a"), (4L, 7L, "c"))
+
+  test("audit: per-rule violation counts from one corpus") {
+    val df = rows.toDF("id", "v", "s")
+    val got = DataQuality.audit(df, Seq(
+      "v_positive" -> (col("v") <= 0),
+      "v_below_100" -> (col("v") > 100),
+      "s_complete" -> col("s").isNull))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "v_positive" -> ((5L, 2L)),   // -5 and 0
+      "v_below_100" -> ((5L, 1L)),  // 200
+      "s_complete" -> ((5L, 1L))))  // the null
+  }
+
+  test("audit: null predicate result counts as non-violation") {
+    // col > 0 over a null value is null, not true — must not count.
+    val df = Seq((1L, Some(5L)), (2L, None)).toDF("id", "v")
+    val got = DataQuality.audit(df, Seq("neg" -> (col("v") < 0)))
+      .collect().head
+    assert((got.getLong(1), got.getLong(2)) == ((2L, 0L)))
+  }
+
+  test("uniqueness: dup rows beyond the first per key") {
+    val got = DataQuality.uniqueness(rows.toDF("id", "v", "s"), "pk",
+      Seq("id")).collect().head
+    assert(got.getString(0) == "pk")
+    assert((got.getLong(1), got.getLong(2)) == ((5L, 1L)))  // id=4 twice
+  }
+
+  test("referential: child keys missing from the parent") {
+    val child = Seq((1L, "x"), (2L, "y"), (9L, "z"), (9L, "w"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "name")
+    val got = DataQuality.referential(child, parent, "fk_ri", "fk", "pk")
+      .collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2)) == (("fk_ri", 4L, 2L)))
+  }
+
+  test("k predicate rules compile to ONE scan of the input") {
+    val df = rows.toDF("id", "v", "s")
+    val plan = DataQuality.audit(df, Seq(
+      "a" -> (col("v") <= 0), "b" -> (col("v") > 100),
+      "c" -> col("s").isNull)).queryExecution.executedPlan.toString
+    // one LocalTableScan / scan node, no join, no union of per-rule scans
+    assert(plan.split("LocalTableScan").length - 1 == 1)
+    assert(!plan.contains("Union"))
+  }
+}
