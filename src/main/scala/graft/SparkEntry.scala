@@ -184,6 +184,45 @@ object SparkEntry {
   private val stopwords = TextQuality.defaultStopwords
   private val langMarkers: Seq[(String, Seq[String])] = TextQuality.defaultLangMarkers
 
+  /** Shared by g40 (batch) and w21 (streaming twin): the PSI replay
+    * over LogHistogram k=3 buckets with the deterministic ×3 error-
+    * type drift injection on the odd-event_id half. */
+  private val corpusDriftOracleSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+         CAST(ROUND(value*100) AS BIGINT) v FROM events),
+       r AS (SELECT event_type, v FROM e WHERE event_id % 2 = 0),
+       c0 AS (SELECT event_type,
+         CASE WHEN event_type = 'error' THEN v*3 ELSE v END v
+         FROM e WHERE event_id % 2 = 1),
+       rb AS (SELECT event_type,
+         CASE WHEN v < 16 THEN v
+           ELSE (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
+           END lo, CAST(COUNT(*) AS BIGINT) n_ref
+         FROM r GROUP BY 1, 2),
+       cb AS (SELECT event_type,
+         CASE WHEN v < 16 THEN v
+           ELSE (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
+           END lo, CAST(COUNT(*) AS BIGINT) n_cur
+         FROM c0 GROUP BY 1, 2),
+       j AS (SELECT COALESCE(rb.event_type, cb.event_type) event_type,
+         COALESCE(rb.lo, cb.lo) lo,
+         COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
+         COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
+         FROM rb FULL OUTER JOIN cb
+           ON rb.event_type = cb.event_type AND rb.lo = cb.lo),
+       w AS (SELECT event_type, n_ref, n_cur,
+         CAST(SUM(n_ref) OVER (PARTITION BY event_type) AS BIGINT) tot_ref,
+         CAST(SUM(n_cur) OVER (PARTITION BY event_type) AS BIGINT) tot_cur,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) b
+         FROM j)
+       SELECT event_type, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
+         MAX(b) AS n_buckets,
+         ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
+             - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
+           * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
+             / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   // ---------- the registry ----------
 
   /** (name, query, oracle SQL — None => driver does a rows-only check) */
@@ -6785,40 +6824,7 @@ object SparkEntry {
           col("n_buckets"), round(col("psi"), 6).as("psi"))
         .orderBy("event_type")
     },
-      Some("""WITH e AS (SELECT event_type, event_id,
-               CAST(ROUND(value*100) AS BIGINT) v FROM events),
-             r AS (SELECT event_type, v FROM e WHERE event_id % 2 = 0),
-             c0 AS (SELECT event_type,
-               CASE WHEN event_type = 'error' THEN v*3 ELSE v END v
-               FROM e WHERE event_id % 2 = 1),
-             rb AS (SELECT event_type,
-               CASE WHEN v < 16 THEN v
-                 ELSE (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
-                 END lo, CAST(COUNT(*) AS BIGINT) n_ref
-               FROM r GROUP BY 1, 2),
-             cb AS (SELECT event_type,
-               CASE WHEN v < 16 THEN v
-                 ELSE (v >> (length(bin(v)) - 4)) << (length(bin(v)) - 4)
-                 END lo, CAST(COUNT(*) AS BIGINT) n_cur
-               FROM c0 GROUP BY 1, 2),
-             j AS (SELECT COALESCE(rb.event_type, cb.event_type) event_type,
-               COALESCE(rb.lo, cb.lo) lo,
-               COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
-               COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
-               FROM rb FULL OUTER JOIN cb
-                 ON rb.event_type = cb.event_type AND rb.lo = cb.lo),
-             w AS (SELECT event_type, n_ref, n_cur,
-               CAST(SUM(n_ref) OVER (PARTITION BY event_type) AS BIGINT) tot_ref,
-               CAST(SUM(n_cur) OVER (PARTITION BY event_type) AS BIGINT) tot_cur,
-               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) b
-               FROM j)
-             SELECT event_type, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
-               MAX(b) AS n_buckets,
-               ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
-                   - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
-                 * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
-                   / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
-             FROM w GROUP BY 1 ORDER BY 1""")),
+      Some(corpusDriftOracleSql)),
 
     // INCREMENTAL quantile-sketch maintenance (g39 — the sketch member
     // of the incremental-index family d15/d18/d21/n10/g18): the stored
@@ -7461,6 +7467,102 @@ object SparkEntry {
                UNION ALL SELECT 'ord_price_positive', o.n, o.v FROM o
                UNION ALL SELECT 'li_order_ri', li.n, ri.v FROM li, ri)
              ORDER BY "rule""""))
+    ,
+
+    // k-core decomposition (operators.KCore): iterative peeling on
+    // g17's bidirectional trade graph, FIXED 4 rounds (monotone
+    // shrinkage makes post-fixpoint rounds no-ops, so the oracle
+    // unrolls the identical rounds as CTEs — g17's fixed-iteration
+    // discipline). k=35 splits the sf0.01 graph 725 in-core / 875
+    // peeled with convergence at round 2 — both branches load-
+    // bearing; cascade DEPTH is pinned by KCoreSpec's closed forms.
+    ("g41_kcore", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      operators.KCore.corePeel(edges, 35, 4).orderBy("node_id")
+    },
+      Some {
+        def round(i: Int) =
+          s"""d$i AS (SELECT e.src, COUNT(*) dg FROM e
+                JOIN s${i - 1} a ON e.src = a.id JOIN s${i - 1} b ON e.dst = b.id
+                GROUP BY e.src),
+             s$i AS (SELECT src id FROM d$i WHERE dg >= 35)"""
+        s"""WITH cs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT c src, p dst FROM cs UNION ALL SELECT p src, c dst FROM cs),
+           n AS (SELECT DISTINCT src id FROM e),
+           s0 AS (SELECT id FROM n),
+           ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)},
+           fd AS (SELECT e.src, COUNT(*) dg FROM e
+             JOIN s4 a ON e.src = a.id JOIN s4 b ON e.dst = b.id
+             GROUP BY e.src)
+           SELECT n.id AS node_id, s4.id IS NOT NULL AS in_core,
+             COALESCE(fd.dg, 0) AS core_deg
+           FROM n LEFT JOIN s4 ON s4.id = n.id LEFT JOIN fd ON fd.src = n.id
+           ORDER BY node_id"""
+      }),
+
+    // STREAMING drift monitoring (g40's twin, w20's staging
+    // discipline): the CURRENT side's LogHistogram bucket counts are
+    // maintained by a streaming aggregation across 3 micro-batches
+    // (bucket projection is stateless codegen; state = bounded
+    // (type, bucket) counts in the store), then PSI against the
+    // static reference's bucket table runs declaratively on the
+    // BOUNDED sink — drift-at-ingest without ever storing raw
+    // current-side rows. Bucket counting is order-independent, so
+    // the final PSI must hash-equal the batch oracle wherever the
+    // micro-batches split.
+    ("w21_stream_drift", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val base = java.nio.file.Files.createTempDirectory("graft-w21").toFile
+      val tmp = base.toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val cur = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("v", when(col("event_type") === "error", col("v") * 3)
+            .otherwise(col("v")))
+        (0 to 2).foreach(i => cur.filter(col("event_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val curBuckets = stream
+          .select(col("event_type"),
+            operators.Drift.bucketFloorExpr("v", 3).as("lo"))
+          .groupBy("event_type", "lo")
+          .agg(count(lit(1)).as("n_cur"))
+        val name = s"w21_sink_${streamGateSeq.incrementAndGet()}"
+        val q = curBuckets.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val refB = operators.Drift.bucketCounts(ref, Seq("event_type"), "v", 3, "ref")
+        val resolved = operators.Drift
+          .psiFromBuckets(refB, s.table(name), Seq("event_type"))
+          .select(col("event_type"), col("n_ref"), col("n_cur"),
+            col("n_buckets"), round(col("psi"), 6).as("psi"))
+          .orderBy("event_type")
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        rmTree(base)
+      }
+    },
+      Some(corpusDriftOracleSql))
   )
 
   // ---------- driver contract ----------

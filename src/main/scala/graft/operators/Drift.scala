@@ -43,18 +43,35 @@ object Drift {
       s"length(bin($valueCol)) - ${k + 1}) END")
   }
 
+  /** One side's per-(group, bucket) counts — the TABLE form of the
+    * distribution. `side` names the count column (n_ref / n_cur).
+    * This is what a pipeline run PERSISTS (a few hundred rows per
+    * group); later drift checks then read two stored bucket tables
+    * via [[psiFromBuckets]] and touch no raw data. */
+  def bucketCounts(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   k: Int, side: String): DataFrame =
+    df.select(groupCols.map(col) :+
+        bucketFloorExpr(valueCol, k).as("lo"): _*)
+      .groupBy((groupCols :+ "lo").map(col): _*)
+      .agg(count(lit(1)).as(s"n_$side"))
+
   /** Per-group PSI of `valueCol` (non-negative long) between `ref`
     * and `cur`: (groupCols..., n_ref, n_cur, n_buckets, psi). `psi`
     * is unrounded — gates round; thresholds don't need to. */
   def psi(ref: DataFrame, cur: DataFrame, groupCols: Seq[String],
-          valueCol: String, k: Int): DataFrame = {
-    def bucketed(df: DataFrame, side: String) =
-      df.select(groupCols.map(col) :+
-          bucketFloorExpr(valueCol, k).as("lo"): _*)
-        .groupBy((groupCols :+ "lo").map(col): _*)
-        .agg(count(lit(1)).as(s"n_$side"))
-    val joined = bucketed(ref, "ref")
-      .join(bucketed(cur, "cur"), groupCols :+ "lo", "full_outer")
+          valueCol: String, k: Int): DataFrame =
+    psiFromBuckets(bucketCounts(ref, groupCols, valueCol, k, "ref"),
+      bucketCounts(cur, groupCols, valueCol, k, "cur"), groupCols)
+
+  /** PSI from two ALREADY-BUCKETED count tables (groupCols + lo +
+    * n_ref / n_cur) — both sides must share the same bucket rule
+    * ([[bucketCounts]] with equal k). The 100 TB form: both sides are
+    * stored bucket tables from different runs, and the whole
+    * computation is bounded by groups × buckets. */
+  def psiFromBuckets(refBuckets: DataFrame, curBuckets: DataFrame,
+                     groupCols: Seq[String]): DataFrame = {
+    val joined = refBuckets
+      .join(curBuckets, groupCols :+ "lo", "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
     // totals over the BOUNDED bucket table — not the corpus
     val w = Window.partitionBy(groupCols.map(col): _*)
