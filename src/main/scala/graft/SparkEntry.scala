@@ -7562,7 +7562,106 @@ object SparkEntry {
         rmTree(base)
       }
     },
-      Some(corpusDriftOracleSql))
+      Some(corpusDriftOracleSql)),
+
+    // ENTITY RESOLUTION composed end-to-end (the Hernandez-Stolfo
+    // multi-pass discipline d26's scaladoc documents): entities =
+    // distinct part names (id = min partkey — exact dups collapse for
+    // free); candidates from TWO independent blocking passes — d22's
+    // token-block fuzzy linkage ∪ d26's sorted-neighborhood pass over
+    // the name prefix — both verified by the same levenshtein <= 3
+    // rule; union → connected components → canonical = min id.
+    // Emits the full entity->canonical mapping incl. singletons, with
+    // per-cluster sizes, so any stage drift (either blocking pass,
+    // the verify rule, the components) flips the hash.
+    ("e16_entity_resolution", (s, dir) => {
+      val ent = t(s, dir, "part").groupBy(col("p_name").as("nm"))
+        .agg(min(col("p_partkey")).as("id"))
+      val idOf = ent.select(col("nm"), col("id"))
+      val fuzzyIds = operators.FuzzyJoin.selfLinkage(
+          ent.select(col("nm").as("key"),
+            split(col("nm"), " ").getItem(1).as("blockKey")), 3)
+        .join(idOf.select(col("nm").as("key_a"), col("id").as("ia0")), "key_a")
+        .join(idOf.select(col("nm").as("key_b"), col("id").as("ib0")), "key_b")
+        .select(least(col("ia0"), col("ib0")).as("doc_a"),
+          greatest(col("ia0"), col("ib0")).as("doc_b"))
+      val snVerified = Dedup.sortedNeighborPairs(
+          ent.select(col("id").as("doc_id"), col("nm")),
+          substring(col("nm"), 1, 12), 4)
+        .join(idOf.select(col("id").as("doc_a"), col("nm").as("nm_a")), "doc_a")
+        .join(idOf.select(col("id").as("doc_b"), col("nm").as("nm_b")), "doc_b")
+        .filter(levenshtein(col("nm_a"), col("nm_b")) <= 3)
+        .select("doc_a", "doc_b")
+      val pairs = fuzzyIds.union(snVerified).distinct()
+      val cl = Dedup.clusters(s, pairs)
+      val m = ent
+        .join(cl.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("can"))
+      m.select(col("id").as("entity_id"), col("can").as("canonical_id"),
+          (col("id") === col("can")).as("is_canonical"),
+          count(lit(1)).over(Window.partitionBy("can")).as("cluster_size"))
+        .orderBy("entity_id")
+    },
+      Some("""WITH RECURSIVE ent AS (SELECT p_name nm,
+               CAST(MIN(p_partkey) AS BIGINT) id FROM part GROUP BY 1),
+             fz AS (SELECT LEAST(a.id, b.id) ia, GREATEST(a.id, b.id) ib
+               FROM ent a JOIN ent b
+                 ON split_part(a.nm, ' ', 2) = split_part(b.nm, ' ', 2)
+                AND a.nm < b.nm
+               WHERE levenshtein(a.nm, b.nm) <= 3),
+             r AS (SELECT id, nm,
+               ROW_NUMBER() OVER (ORDER BY substr(nm, 1, 12), id) rn FROM ent),
+             sn AS (SELECT LEAST(a.id, b.id) ia, GREATEST(a.id, b.id) ib
+               FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+               WHERE levenshtein(a.nm, b.nm) <= 3),
+             pr AS (SELECT ia, ib FROM fz UNION SELECT ia, ib FROM sn),
+             edges AS (SELECT ia src, ib dst FROM pr
+                       UNION SELECT ib, ia FROM pr),
+             reach(id, lbl) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT e.dst, rch.lbl FROM reach rch JOIN edges e ON e.src = rch.id),
+             cl AS (SELECT id, MIN(lbl) clbl FROM reach GROUP BY id),
+             m AS (SELECT e.id, COALESCE(cl.clbl, e.id) can
+               FROM ent e LEFT JOIN cl ON cl.id = e.id)
+             SELECT id AS entity_id, can AS canonical_id,
+               id = can AS is_canonical,
+               CAST(COUNT(*) OVER (PARTITION BY can) AS BIGINT) AS cluster_size
+             FROM m ORDER BY entity_id""")),
+
+    // Image NEAR-dup join: m7's REAL-codec perceptual hashes through
+    // the generalized Hamming banding (Dedup.hammingNeighborJoin,
+    // d25's machinery with parameterized width): 16-bit phash, 4
+    // bands of 4 — >= 1 band agrees at distance <= 1, so banding has
+    // perfect recall and popcount verifies candidates only. m4/m7
+    // catch EXACT phash dups (groupBy); this is the near-miss tier
+    // (one flipped exposure cell). The oracle is the all-pairs
+    // popcount scan the banding must reproduce, over the replayed
+    // pixel formula — codec drift or a lost pair flips the hash.
+    ("m11_image_hamming_join", (s, dir) =>
+      Dedup.hammingNeighborJoin(
+        graft.multimodal.Multimodal.imagePerceptualHashes(
+          GateFixtures.pngMedia(s, dir)).toDF(),
+        "doc_id", "phash", 16, 4, 1)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) w,
+               CAST(8 + doc_id % 3 AS INT) h FROM documents),
+             c AS (SELECT doc_id, w, h,
+               UNNEST([i for i in generate_series(0, 15)]) i FROM g),
+             v AS (SELECT doc_id, i,
+               (doc_id + 11*(((w*h)*i//16) % w) + 17*(((w*h)*i//16) // w)) % 256 cell
+               FROM c),
+             sm AS (SELECT doc_id, SUM(cell) st FROM v GROUP BY doc_id),
+             b AS (SELECT v.doc_id,
+               CAST(SUM(CASE WHEN 16*cell >= st
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) phash
+               FROM v JOIN sm ON v.doc_id = sm.doc_id GROUP BY v.doc_id)
+             SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b2.phash)) AS INT) AS hamming
+             FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+             WHERE bit_count(xor(a.phash, b2.phash)) <= 1
+             ORDER BY doc_a, doc_b"""))
   )
 
   // ---------- driver contract ----------

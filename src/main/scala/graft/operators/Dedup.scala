@@ -745,27 +745,50 @@ object Dedup {
     * and the 60-bit space keeps banded buckets sparse (see
     * [[simhash60]]) so candidate volume tracks true near-dup density,
     * not corpus size squared. */
-  def simhashHammingJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4x15-bit banding guarantees recall only for maxHamming <= 3")
-    val fp = simhash60(docs)
-    val bands = fp.select(col("doc_id"), col("simhash60"), posexplode(
-        array((0 until 4).map(b =>
-          shiftright(col("simhash60"), b * 15).bitwiseAND(lit(32767L))): _*)))
-      .select(col("doc_id"), col("simhash60"), col("pos").as("band"),
+  def simhashHammingJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNeighborJoin(simhash60(docs), "doc_id", "simhash60",
+      60, 4, maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** GENERAL Hamming-distance self-join over any integer fingerprint
+    * column (text simhash — [[simhashHammingJoin]] — or an image
+    * perceptual hash, m11): pigeonhole banding — split `bits` into
+    * `bands` equal slices; two fingerprints within Hamming distance
+    * `maxHamming <= bands - 1` must agree on >= 1 whole band, so the
+    * band-bucket equi-join has PERFECT recall and exact popcount
+    * verifies only candidates. Emits (id_a < id_b, hamming).
+    *
+    * Precision scales with band width: each band must be wide enough
+    * that agreement is rare (d25's lesson: 16-bit text simhash
+    * saturated — 1.7M junk candidates; 60-bit gave 496 true pairs).
+    * A 16-bit/4-band phash is fine at gate scale but saturates on a
+    * real image corpus — production uses the 64-cell/64-bit phash
+    * with 4x16-bit bands, the same shape at the same cost. */
+  def hammingNeighborJoin(items: DataFrame, idCol: String, fpCol: String,
+                          bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 2 && bits % bands == 0,
+      s"bits=$bits must split evenly into bands=$bands")
+    require(maxHamming <= bands - 1,
+      s"$bands bands guarantee recall only for maxHamming <= ${bands - 1}")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = items.select(col(idCol).as("__id"), col(fpCol).as("__fp"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col(fpCol), b * w).bitwiseAND(lit(mask))): _*)))
+      .select(col("__id"), col("__fp"), col("pos").as("band"),
         col("col").as("bv"))
-    val a = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
-      col("simhash60").as("__ha"))
-    val b = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
-      col("simhash60").as("__hb"))
+    val a = banded.select(col("band"), col("bv"), col("__id").as("id_a"),
+      col("__fp").as("__ha"))
+    val b = banded.select(col("band"), col("bv"), col("__id").as("id_b"),
+      col("__fp").as("__hb"))
     a.join(b, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("__ha"), col("__hb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** D5: exact char-n-gram Jaccard VERIFICATION over candidate pairs —
