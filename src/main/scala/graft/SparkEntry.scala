@@ -7661,7 +7661,122 @@ object SparkEntry {
                CAST(bit_count(xor(a.phash, b2.phash)) AS INT) AS hamming
              FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
              WHERE bit_count(xor(a.phash, b2.phash)) <= 1
-             ORDER BY doc_a, doc_b"""))
+             ORDER BY doc_a, doc_b""")),
+
+    // STREAMING data-quality audit (x13's rules at INGEST, w14's
+    // staging discipline): DataQuality.auditAggs folds the per-rule
+    // conditional sums into a streaming global aggregation — state is
+    // ONE row of counters regardless of stream volume — and the
+    // uniform report unpivots on the bounded sink. Counting is
+    // order-independent, so the final report must hash-equal the
+    // batch audit wherever the micro-batches split.
+    ("w22_stream_dq_audit", (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val rules = Seq(
+        "li_quantity_le_45" -> (col("l_quantity") > 45),
+        "li_discount_le_8pct" -> (col("l_discount") > 0.08),
+        "li_price_positive" -> (col("l_extendedprice") <= 0))
+      val base = java.nio.file.Files.createTempDirectory("graft-w22").toFile
+      val tmp = base.toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        (0 to 2).foreach(i => li.filter(col("l_orderkey") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val aggs = DataQuality.auditAggs(rules)
+        val agg = stream.groupBy().agg(aggs.head, aggs.tail: _*)
+        val name = s"w22_sink_${streamGateSeq.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val resolved = DataQuality.report(s.table(name), rules).orderBy("rule")
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        rmTree(base)
+      }
+    },
+      Some("""WITH li AS (SELECT COUNT(*) n,
+               COUNT(*) FILTER (l_quantity > 45) v1,
+               COUNT(*) FILTER (l_discount > 0.08) v2,
+               COUNT(*) FILTER (l_extendedprice <= 0) v3 FROM lineitem)
+             SELECT "rule", n_checked, n_violations FROM (
+               SELECT 'li_quantity_le_45' AS "rule", li.n n_checked, li.v1 n_violations FROM li
+               UNION ALL SELECT 'li_discount_le_8pct', li.n, li.v2 FROM li
+               UNION ALL SELECT 'li_price_positive', li.n, li.v3 FROM li)
+             ORDER BY 1""")),
+
+    // Vocabulary-growth curve (Heaps' law — the corpus-health
+    // diagnostic next to e10's dataset card): distinct-word count at
+    // nested doc-id prefixes from ONE exploded aggregation (three
+    // conditional exact distincts share one Expand exchange — never
+    // three corpus passes). Sublinear growth is the healthy shape; a
+    // linear segment flags an influx of unique junk tokens (OCR
+    // noise, random ids) — the signal quality pipelines alert on.
+    ("t31_vocab_growth", (s, dir) => {
+      val words = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("word"))
+      words.agg(
+          count_distinct(when(col("doc_id") < 50, col("word"))).as("v50"),
+          count_distinct(when(col("doc_id") < 150, col("word"))).as("v150"),
+          count_distinct(when(col("doc_id") < 500, col("word"))).as("v500"),
+          sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("t50"),
+          sum(when(col("doc_id") < 150, 1L).otherwise(0L)).as("t150"),
+          sum(when(col("doc_id") < 500, 1L).otherwise(0L)).as("t500"))
+        .selectExpr("""stack(3, 50L, t50, v50, 150L, t150, v150,
+          500L, t500, v500) AS (prefix_docs, n_tokens, n_vocab)""")
+        .orderBy("prefix_docs")
+    },
+      Some("""WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) word
+               FROM documents)
+             SELECT * FROM (
+               SELECT CAST(50 AS BIGINT) prefix_docs,
+                 CAST(COUNT(*) FILTER (doc_id < 50) AS BIGINT) n_tokens,
+                 CAST(COUNT(DISTINCT word) FILTER (doc_id < 50) AS BIGINT) n_vocab
+               FROM w
+               UNION ALL
+               SELECT CAST(150 AS BIGINT),
+                 CAST(COUNT(*) FILTER (doc_id < 150) AS BIGINT),
+                 CAST(COUNT(DISTINCT word) FILTER (doc_id < 150) AS BIGINT)
+               FROM w
+               UNION ALL
+               SELECT CAST(500 AS BIGINT),
+                 CAST(COUNT(*) FILTER (doc_id < 500) AS BIGINT),
+                 CAST(COUNT(DISTINCT word) FILTER (doc_id < 500) AS BIGINT)
+               FROM w)
+             ORDER BY prefix_docs""")),
+
+    // Benford leading-digit audit (the classic numeric-forgery /
+    // unit-regression detector, x13's family): leading digit of the
+    // exact integer cents — string head of an int64, no float
+    // formatting anywhere — one aggregation + a 9-row share window.
+    // Synthetic uniform-ish prices will NOT be Benford-distributed;
+    // the gate pins the measurement, thresholds are policy.
+    ("g42_benford", (s, dir) =>
+      t(s, dir, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          expr("n * 1000000 DIV SUM(n) OVER ()"))
+        .orderBy("digit"),
+      Some("""WITH d AS (SELECT substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+               AS VARCHAR), 1, 1) digit FROM orders),
+             g AS (SELECT digit, COUNT(*) n FROM d GROUP BY 1)
+             SELECT digit, n,
+               CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm
+             FROM g ORDER BY digit"""))
   )
 
   // ---------- driver contract ----------

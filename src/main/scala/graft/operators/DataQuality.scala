@@ -30,20 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** The audit's aggregation half: one count + one conditional sum
+    * per rule — fold these into ANY aggregation (a batch `df.agg`, a
+    * streaming groupBy, an incremental-agg snapshot). */
+  def auditAggs(rules: Seq[(String, Column)]): Seq[Column] =
+    count(lit(1)).as("__n") +: rules.map { case (n, v) =>
+      sum(when(v, 1L).otherwise(0L)).as(s"__v_$n")
+    }
+
+  /** The audit's report half: unpivot a one-row aggregate produced by
+    * [[auditAggs]] into uniform (rule, n_checked, n_violations). */
+  def report(aggedRow: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val stacked = rules.map { case (n, _) => s"'$n', `__v_$n`" }.mkString(", ")
+    aggedRow.select(
+        expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"),
+        col("__n").as("n_checked"))
+      .select("rule", "n_checked", "n_violations")
+  }
+
   /** All predicate rules in ONE scan: `rules` maps rule name → a
     * VIOLATION predicate (true = row breaks the rule). Emits one
     * (rule, n_checked, n_violations) row per rule. */
   def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    val aggs = count(lit(1)).as("__n") +: rules.map { case (n, v) =>
-      sum(when(v, 1L).otherwise(0L)).as(s"__v_$n")
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.map { case (n, _) => s"'$n', `__v_$n`" }.mkString(", ")
-    row.select(
-        expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"),
-        col("__n").as("n_checked"))
-      .select("rule", "n_checked", "n_violations")
+    val aggs = auditAggs(rules)
+    report(df.agg(aggs.head, aggs.tail: _*), rules)
   }
 
   /** Key-uniqueness constraint: n_violations = rows beyond the first
