@@ -7776,7 +7776,47 @@ object SparkEntry {
              g AS (SELECT digit, COUNT(*) n FROM d GROUP BY 1)
              SELECT digit, n,
                CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm
-             FROM g ORDER BY digit"""))
+             FROM g ORDER BY digit""")),
+
+    // NEAREST-in-time join (AsOfJoin.nearest — pandas merge_asof
+    // direction='nearest'): each click matched to the user's CLOSEST
+    // purchase in either direction, j4's one-shuffle union+window
+    // discipline (backward running last + forward running first over
+    // ONE sort — never the inequality join). Exact int64 millisecond
+    // distances; ties → backward, equal-ts right rows → max id
+    // backward / min id forward, all replayed by the brute-force
+    // oracle's rank expression — the hash pins the tie algebra.
+    ("j14_nearest_join", (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("tms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("tms"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("tms").as("pms"))
+      AsOfJoin.nearest(clicks, purch, Seq("user_id"), "tms", "pms", "pid",
+          Seq("pid" -> "purchase_id"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("delta"))
+        .orderBy("user_id", "click_id")
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+               epoch_ms(ts) tms FROM events),
+             c AS (SELECT user_id, event_id click_id, tms FROM e
+               WHERE event_type = 'click'),
+             p AS (SELECT user_id, event_id pid, tms pms FROM e
+               WHERE event_type = 'purchase'),
+             cand AS (SELECT c.user_id, c.click_id, p.pid, p.pms, c.tms,
+               CASE WHEN p.pms <= c.tms THEN c.tms - p.pms
+                 ELSE p.pms - c.tms END d,
+               CASE WHEN p.pms <= c.tms THEN 0 ELSE 1 END fwd
+               FROM c JOIN p ON c.user_id = p.user_id),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY click_id
+               ORDER BY d, fwd,
+                 CASE WHEN fwd = 0 THEN -pid ELSE pid END) rn FROM cand)
+             SELECT user_id, click_id, pid AS purchase_id,
+               CAST(pms - tms AS BIGINT) AS delta
+             FROM r WHERE rn = 1 ORDER BY user_id, click_id"""))
   )
 
   // ---------- driver contract ----------
