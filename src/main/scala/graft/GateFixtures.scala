@@ -546,8 +546,10 @@ object GateFixtures {
     * engines; the codebook is data (like model weights). */
   private[graft] lazy val rpPlanes: Seq[Array[Double]] = Ann.randomHyperplanes(8, 64)
 
-  /** Oracle twin of [[Ann.lshTopK]] at the gate's codebook/k. */
-  private[graft] def annLshOracleSql(hamming1: Boolean): String = {
+  /** The LSH retrieval chain as composable CTEs (assumes `u` from
+    * [[oracleUnitCte]] precedes): yields `r` = ranked candidates per
+    * query. Shared by n3/n4's oracles and n16's recall evaluation. */
+  private[graft] def annLshChainCtes(hamming1: Boolean): String = {
     val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
       val plane = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
@@ -555,8 +557,7 @@ object GateFixtures {
     val probeList =
       if (hamming1) (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString("[bucket, ", ", ", "]")
       else "[bucket]"
-    s"""WITH $oracleUnitCte,
-       sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
+    s"""sig AS (SELECT vec_id, ue, $sigSql AS bucket FROM u),
        q AS (SELECT vec_id qid, ue qu, UNNEST($probeList) probe
              FROM sig WHERE vec_id < 5),
        cand AS (SELECT q.qid, s.vec_id neighbor_id,
@@ -564,8 +565,13 @@ object GateFixtures {
                 FROM q JOIN sig s ON q.probe = s.bucket AND s.vec_id <> q.qid),
        r AS (SELECT qid, neighbor_id, cos_r,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, neighbor_id) rnk
-             FROM cand)
+             FROM cand)"""
+  }
+
+  /** Oracle twin of [[Ann.lshTopK]] at the gate's codebook/k. */
+  private[graft] def annLshOracleSql(hamming1: Boolean): String =
+    s"""WITH $oracleUnitCte,
+       ${annLshChainCtes(hamming1)}
        SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
        ORDER BY qid, rnk"""
-  }
 }

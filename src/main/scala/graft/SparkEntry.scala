@@ -30,7 +30,7 @@ import graft.functions.{Similarity, TextAnalysis, TextQuality}
   */
 object SparkEntry {
 
-  import GateFixtures.{a5OracleSql, annLshOracleSql, bm25OracleCtes,
+  import GateFixtures.{a5OracleSql, annLshChainCtes, annLshOracleSql, bm25OracleCtes,
     bpeOracleCtes, e3Activities, e3OracleSql, e3Streams, e4OracleSql,
     kmeansMemberCtes, oraclePairCtes, oracleSigCtes, oracleSimhash60Cte,
     oracleSimhashCte, oracleUnitCte, pqSubspaceCtes, rpPlanes}
@@ -7816,7 +7816,43 @@ object SparkEntry {
                  CASE WHEN fwd = 0 THEN -pid ELSE pid END) rn FROM cand)
              SELECT user_id, click_id, pid AS purchase_id,
                CAST(pms - tms AS BIGINT) AS delta
-             FROM r WHERE rn = 1 ORDER BY user_id, click_id"""))
+             FROM r WHERE rn = 1 ORDER BY user_id, click_id""")),
+
+    // Retrieval-quality evaluation as an operator (Ann.recallAtK):
+    // recall@5 of n3's single-probe LSH list against n1's exact
+    // brute-force list, per query in exact integer ppm — the number
+    // an index-build pipeline gates on before swapping a codebook
+    // in. The oracle replays BOTH retrieval chains and the
+    // intersection arithmetic; short/empty approx lists count as
+    // lost recall, never as dropped queries.
+    ("n16_recall_eval", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val approx = Ann.lshTopK(emb, rpPlanes, annQueryPred, 5,
+        multiprobe = false)
+      val exact = Ann.bruteForceTopK(emb, annQueryPred, 5)
+      Ann.recallAtK(approx, exact, 5).orderBy("qid")
+    },
+      Some(s"""WITH $oracleUnitCte,
+             ${annLshChainCtes(hamming1 = false)},
+             ap AS (SELECT qid, neighbor_id FROM r WHERE rnk <= 5),
+             bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+             bs AS (SELECT qid, u.vec_id nid,
+               ROUND(list_dot_product(qu, u.ue), 6) cos_r
+               FROM bq, u WHERE u.vec_id <> qid),
+             br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_r DESC, nid) rnk FROM bs),
+             ex AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+             h AS (SELECT ap.qid, COUNT(*) n_hits FROM ap
+               JOIN ex ON ap.qid = ex.qid AND ap.neighbor_id = ex.nid
+               GROUP BY 1),
+             na AS (SELECT qid, COUNT(*) n_approx FROM ap GROUP BY 1)
+             SELECT e.qid,
+               COALESCE(na.n_approx, CAST(0 AS BIGINT)) n_approx,
+               COALESCE(h.n_hits, CAST(0 AS BIGINT)) n_hits,
+               COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 AS recall_ppm
+             FROM (SELECT DISTINCT qid FROM ex) e
+             LEFT JOIN na ON na.qid = e.qid LEFT JOIN h ON h.qid = e.qid
+             ORDER BY e.qid"""))
   )
 
   // ---------- driver contract ----------

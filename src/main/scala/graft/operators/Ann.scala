@@ -106,6 +106,31 @@ object Ann {
   }
 
   /** Brute-force cosine top-k per query (the ANN baseline). */
+  /** Recall@k of an approximate retrieval list against the exact
+    * list — the evaluation every ANN index ships with (the number
+    * behind AnnRecallSpec's assertions, as a first-class operator a
+    * pipeline can gate its index builds on). Inputs are ranked lists
+    * (qid, rnk, neighbor_id); query universe = the EXACT side's qids
+    * (an approx list can come back short or empty — that is recall
+    * lost, not a dropped query). recall_ppm divides by k exactly.
+    *
+    * Scale: both inputs are top-k-per-query tables — |queries| × k
+    * rows, metadata-sized; one semi-join + two tiny aggregations,
+    * no corpus contact. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rnk") <= k).select(col("qid"), col("neighbor_id"))
+    val e = exact.filter(col("rnk") <= k).select(col("qid"), col("neighbor_id"))
+    val hits = a.join(e, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    val nApprox = a.groupBy("qid").agg(count(lit(1)).as("n_approx"))
+    e.select("qid").distinct()
+      .join(nApprox, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_approx", "n_hits"))
+      .select(col("qid"), col("n_approx"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame =
     topKPerGroup(bruteForceScores(embeddings, queryPred), Seq("qid"),
       Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
