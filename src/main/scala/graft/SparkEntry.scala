@@ -7852,7 +7852,96 @@ object SparkEntry {
                COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 AS recall_ppm
              FROM (SELECT DISTINCT qid FROM ex) e
              LEFT JOIN na ON na.qid = e.qid LEFT JOIN h ON h.qid = e.qid
-             ORDER BY e.qid"""))
+             ORDER BY e.qid""")),
+
+    // DAU/WAU stickiness (the standard engagement ratio): WAU via
+    // g28's explode-to-covering-windows discipline — each (day, user)
+    // covers the 7 window-END days it belongs to, ONE distinct + one
+    // aggregation, never a 7-way self-join; stickiness = dau·1e6 div
+    // wau, exact integers. countDistinct swaps for KMV at scale
+    // (g34's executable precedent).
+    ("g43_stickiness", (s, dir) => {
+      val du = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
+        .orderBy("day")
+    },
+      Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dy
+               FROM events),
+             dau AS (SELECT dy, COUNT(*) dau FROM du GROUP BY 1),
+             cov AS (SELECT DISTINCT user_id, dy + CAST(i AS INT) AS tday
+               FROM du, generate_series(0, 6) t(i)),
+             wau AS (SELECT tday, COUNT(*) wau FROM cov GROUP BY 1)
+             SELECT strftime(d.dy, '%Y-%m-%d') AS "day", d.dau, w.wau,
+               CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+             FROM dau d JOIN wau w ON w.tday = d.dy ORDER BY 1""")),
+
+    // Funnel-latency quantiles (g23 × g38): per stage-transition
+    // time-to-convert p50/p90/p99 from the LogHistogram sketch — the
+    // conversion-speed dashboard, computed from the same bounded
+    // bucket table a 100 TB run would PERSIST per day and merge. One
+    // user exchange (the funnel window) + one transition-sized sketch
+    // aggregation; the oracle replays funnel, buckets, and rank pick.
+    ("g44_funnel_latency", (s, dir) => {
+      val f = Behavior.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+        .select(unix_millis(col("stage_0_ts")).as("v"),
+          unix_millis(col("stage_1_ts")).as("c"),
+          unix_millis(col("stage_2_ts")).as("p"))
+      val lat = f.select(explode(expr(
+          """filter(array(
+               named_struct('transition', 'view_to_click', 'ms', c - v),
+               named_struct('transition', 'click_to_purchase', 'ms', p - c),
+               named_struct('transition', 'view_to_purchase', 'ms', p - v)),
+             x -> x.ms IS NOT NULL)""")).as("t"))
+        .select(col("t.transition").as("transition"), col("t.ms").as("ms"))
+      val sk = lat.groupBy("transition")
+        .agg(functions.LogHistogram.sketch(col("ms"), 5).as("sk"))
+      sketchQuantiles(sk, "transition")
+    },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) s0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+             c AS (SELECT e.user_id, MIN(e.ts) s1 FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.s0 GROUP BY 1),
+             p AS (SELECT e.user_id, MIN(e.ts) s2 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.s1 GROUP BY 1),
+             lat AS (
+               SELECT 'view_to_click' transition,
+                 epoch_ms(c.s1) - epoch_ms(v.s0) ms
+               FROM c JOIN v USING (user_id)
+               UNION ALL
+               SELECT 'click_to_purchase', epoch_ms(p.s2) - epoch_ms(c.s1)
+               FROM p JOIN c USING (user_id)
+               UNION ALL
+               SELECT 'view_to_purchase', epoch_ms(p.s2) - epoch_ms(v.s0)
+               FROM p JOIN v USING (user_id)),
+             b AS (SELECT transition, CASE WHEN ms < 64 THEN ms
+               ELSE (ms >> (length(bin(ms)) - 6)) << (length(bin(ms)) - 6)
+               END lo FROM lat),
+             g AS (SELECT transition, lo, CAST(COUNT(*) AS BIGINT) n
+               FROM b GROUP BY 1, 2),
+             cc AS (SELECT transition, lo, n,
+               CAST(SUM(n) OVER (PARTITION BY transition ORDER BY lo)
+                 AS BIGINT) cum,
+               CAST(SUM(n) OVER (PARTITION BY transition) AS BIGINT) tot
+               FROM g)
+             SELECT transition, MAX(tot) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN lo END) AS p50_est,
+               MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN lo END) AS p90_est,
+               MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
+             FROM cc GROUP BY 1 ORDER BY 1"""))
   )
 
   // ---------- driver contract ----------
