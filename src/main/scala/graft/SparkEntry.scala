@@ -7941,7 +7941,105 @@ object SparkEntry {
                MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN lo END) AS p50_est,
                MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN lo END) AS p90_est,
                MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
-             FROM cc GROUP BY 1 ORDER BY 1"""))
+             FROM cc GROUP BY 1 ORDER BY 1""")),
+
+    // KEEP-BEST canonical election (d8 refined): production dedup
+    // keeps the HIGHEST-QUALITY member of a near-dup cluster, not the
+    // lowest id — g11's scalar composite argmax key
+    // (n_chars·10⁷ − doc_id: max quality, then min id) over d7's
+    // verified clusters. One pair-sized aggregation after the
+    // memoized cluster chain.
+    ("d30_keep_best", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clusters(s, lshPairsCached(s, dir))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            col("n_chars") * 10000000L - col("doc_id")).as("best_doc_id"),
+          max(col("n_chars")).as("best_n_chars"))
+        .orderBy("cluster")
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) clbl FROM reach GROUP BY doc_id)
+           SELECT clbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             arg_max(d.doc_id, d.n_chars * 10000000 - d.doc_id) AS best_doc_id,
+             MAX(d.n_chars) AS best_n_chars
+           FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+           GROUP BY clbl ORDER BY cluster""")),
+
+    // EVAL-side contamination (Dedup.evalContamination — d28
+    // reversed): per BENCHMARK doc, the fraction of its distinct
+    // 8-grams found anywhere in the training corpus — the view that
+    // decides which eval items are compromised and excluded from
+    // reporting. Bench grams broadcast into ONE train scan (the train
+    // side never shuffles); d28's totality rule (short docs emit 0).
+    ("d31_eval_contamination", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.evalContamination(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), 8)
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])
+                       for i in generate_series(1, len(w) - 7)]) sh
+               FROM w),
+             b AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 = 0),
+             tg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 <> 0),
+             ov AS (SELECT b.doc_id, COUNT(*) n_overlap FROM b
+               JOIN tg USING (sh) GROUP BY 1),
+             ng AS (SELECT doc_id, COUNT(*) n_grams FROM b GROUP BY 1)
+             SELECT d.doc_id,
+               COALESCE(ng.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+               COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+               CASE WHEN COALESCE(ng.n_grams, CAST(0 AS BIGINT)) = 0
+                 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) * 1000000
+                   // ng.n_grams AS BIGINT) END AS overlap_ppm
+             FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             LEFT JOIN ng ON ng.doc_id = d.doc_id
+             LEFT JOIN ov ON ov.doc_id = d.doc_id
+             ORDER BY d.doc_id""")),
+
+    // Temporal train/eval split with an EMBARGO gap (leakage-free
+    // backtesting: nothing within 7 days of the eval window trains —
+    // the time-series twin of e8's cluster split): exact interval
+    // arithmetic off the corpus max timestamp, one scan + one
+    // 3-group aggregation; all three branches (train/embargo/eval)
+    // non-vacuous on the 30-day event span.
+    ("o21_embargo_split", (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val bounds = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("split_name",
+          when(col("ts") < col("mx") - expr("INTERVAL 14 DAYS"), "train")
+            .when(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"), "eval")
+            .otherwise("embargo"))
+        .groupBy("split_name")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+        .orderBy("split_name")
+    },
+      Some("""WITH mx AS (SELECT MAX(ts) mx FROM events),
+             t2 AS (SELECT user_id, ts,
+               CASE WHEN ts < mx - INTERVAL 14 DAY THEN 'train'
+                 WHEN ts >= mx - INTERVAL 7 DAY THEN 'eval'
+                 ELSE 'embargo' END split_name FROM events, mx)
+             SELECT split_name, COUNT(*) n_events,
+               COUNT(DISTINCT user_id) n_users,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') min_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') max_ts
+             FROM t2 GROUP BY 1 ORDER BY 1"""))
   )
 
   // ---------- driver contract ----------

@@ -546,6 +546,37 @@ object Dedup {
           " ")).as("cleaned_md5"))
   }
 
+  /** D31: EVAL-side contamination — [[contaminationScore]] reversed:
+    * for each BENCHMARK doc, what fraction of its distinct k-grams
+    * appears anywhere in the training corpus? This is the view an
+    * eval owner needs (d13/d28 answer "which TRAIN docs to scrub";
+    * this answers "which EVAL items are compromised and must be
+    * excluded from reporting"). Exact integer ppm, every benchmark
+    * doc gets a row (d28's totality rule).
+    *
+    * Scale: the BENCH gram set broadcasts (eval-suite-sized) into one
+    * linear scan of the train corpus — the train side never shuffles;
+    * only the matched (bench_doc, gram) pairs (bounded by the bench
+    * gram count) pay a distinct + per-bench-doc aggregation. */
+  def evalContamination(benchmark: DataFrame, train: DataFrame,
+                        k: Int = 8): DataFrame = {
+    val bGrams = wordShingles(benchmark, k).distinct()
+    val matched = wordShingles(train, k).select("sh")
+      .join(broadcast(bGrams), Seq("sh"))
+      .select("doc_id", "sh").distinct()
+    val counts = bGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(matched.groupBy("doc_id").agg(count(lit(1)).as("n_overlap")),
+        Seq("doc_id"), "left")
+    benchmark.select(col("doc_id")).distinct()
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("coalesce(n_overlap, 0L) * 1000000 DIV n_grams"))
+          .as("overlap_ppm"))
+  }
+
   /** D1: exact dedup by content hash — (text_hash, n_copies,
     * keep_doc_id) per distinct content. Map-side partial aggregation;
     * the canonical survivor is the min doc_id. */
