@@ -212,6 +212,66 @@ object syntax {
     def globalRank(rankCol: String, sortCols: Seq[Column],
                    numPartitions: Option[Int] = None): DataFrame =
       GlobalRank.withGlobalRank(df, rankCol, sortCols, numPartitions)
+
+    // ---- retrieval over (doc_id, text) ([[operators.Retrieval]]) ----
+
+    /** Exact-integer BM25 top-k per query; see [[Retrieval.bm25TopK]]. */
+    def bm25TopK(queryTerms: DataFrame, k: Int = 10): DataFrame =
+      Retrieval.bm25TopK(df, queryTerms, k)
+
+    /** Reciprocal-rank fusion with another ranked list; see
+      * [[Retrieval.rrfFuse]]. */
+    def rrfFuse(other: DataFrame, k: Int = 10, c: Long = 60L): DataFrame =
+      Retrieval.rrfFuse(df, other, k, c)
+
+    // ---- corpus-frequency scrubs / contamination ([[operators.Dedup]]) ----
+
+    /** Corpus-frequency boilerplate removal; see
+      * [[Dedup.boilerplateScrub]]. */
+    def boilerplateScrubbed(chunkWords: Int = 10, minDocs: Long = 3L): DataFrame =
+      Dedup.boilerplateScrub(df, chunkWords, minDocs)
+
+    /** Per-benchmark-doc contamination vs a training corpus; see
+      * [[Dedup.evalContamination]]. */
+    def evalContaminationAudit(train: DataFrame, k: Int = 8): DataFrame =
+      Dedup.evalContamination(df, train, k)
+
+    /** Hamming-banded fingerprint self-join; see
+      * [[Dedup.hammingNeighborJoin]]. */
+    def hammingNeighbors(idCol: String, fpCol: String, bits: Int,
+                         bands: Int, maxHamming: Int): DataFrame =
+      Dedup.hammingNeighborJoin(df, idCol, fpCol, bits, bands, maxHamming)
+
+    // ---- joins ([[operators.AsOfJoin]]) ----
+
+    /** Nearest-in-time join (either direction); see
+      * [[AsOfJoin.nearest]]. */
+    def nearestJoin(right: DataFrame, keys: Seq[String], leftTs: String,
+                    rightTs: String, rightId: String,
+                    valueCols: Seq[(String, String)],
+                    inner: Boolean = true): DataFrame =
+      AsOfJoin.nearest(df, right, keys, leftTs, rightTs, rightId,
+        valueCols, inner)
+
+    // ---- evaluation / monitoring ([[operators.Ann]], [[operators.Drift]],
+    //      [[operators.DataQuality]], [[operators.KCore]]) ----
+
+    /** Recall@k vs an exact ranked list; see [[Ann.recallAtK]]. */
+    def recallAtK(exact: DataFrame, k: Int): DataFrame =
+      Ann.recallAtK(df, exact, k)
+
+    /** PSI drift vs a reference snapshot; see [[Drift.psi]]. */
+    def psiAgainst(reference: DataFrame, groupCols: Seq[String],
+                   valueCol: String, k: Int): DataFrame =
+      Drift.psi(reference, df, groupCols, valueCol, k)
+
+    /** One-scan predicate-rule audit; see [[DataQuality.audit]]. */
+    def dqAudit(rules: Seq[(String, Column)]): DataFrame =
+      DataQuality.audit(df, rules)
+
+    /** k-core peel over a symmetric edge list (src, dst); see
+      * [[KCore.corePeel]]. */
+    def kCore(k: Int, rounds: Int): DataFrame = KCore.corePeel(df, k, rounds)
   }
 
   /** Pair-graph operations that need a session (driver-adaptive CC);

@@ -59,6 +59,20 @@ class SyntaxSpec extends AnyFunSuite {
       Sessionize.withSessionId(events, Seq("user_id"), "ts", 1800L).collect().toSet)
   }
 
+  test("round-9 façades match direct calls") {
+    import graft.operators.{DataQuality, Retrieval}
+    val qt = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("word"))
+    assert(docs.bm25TopK(qt, 3).collect().toSet ==
+      Retrieval.bm25TopK(docs, qt, 3).collect().toSet)
+    assert(docs.boilerplateScrubbed(5, 2).collect().toSet ==
+      Dedup.boilerplateScrub(docs, 5, 2).collect().toSet)
+    val rules = Seq("short" -> (length(col("text")) < 50))
+    assert(docs.dqAudit(rules).collect().toSet ==
+      DataQuality.audit(docs, rules).collect().toSet)
+  }
+
   test("default PII patterns redact email, ip, and phone with audit counts") {
     import spark.implicits._
     val d = Seq((1L, "mail a.b+c@ex-ample.org ip 192.168.0.1 tel 555-123-4567"),
