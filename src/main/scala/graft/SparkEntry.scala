@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -8039,7 +8039,35 @@ object SparkEntry {
                COUNT(DISTINCT user_id) n_users,
                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') min_ts,
                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') max_ts
-             FROM t2 GROUP BY 1 ORDER BY 1"""))
+             FROM t2 GROUP BY 1 ORDER BY 1""")),
+
+    // Interval-union coverage (Intervals.unionCoverage — the classic
+    // sweep-line done as one running-max window, never an interval
+    // self-join): per user, total ACTIVE time under 5-minute activity
+    // windows around each event, plus the merged-block count — the
+    // dwell-time/engagement primitive next to w1's gap-cut
+    // sessionize. Exact int64 milliseconds; the oracle replays the
+    // identical sweep.
+    ("g45_interval_coverage", (s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("s"),
+          (unix_millis(col("ts")) + 300000L).as("e"))
+      Intervals.unionCoverage(iv, Seq("user_id"), "s", "e")
+        .withColumnRenamed("covered", "covered_ms")
+        .orderBy("user_id")
+    },
+      Some("""WITH iv AS (SELECT user_id, epoch_ms(ts) s,
+               epoch_ms(ts) + 300000 e FROM events),
+             w AS (SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev
+               FROM iv)
+             SELECT user_id, COUNT(*) n_intervals,
+               CAST(SUM(CASE WHEN prev IS NULL OR prev < s
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+               CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev, s))))
+                 AS BIGINT) AS covered_ms
+             FROM w GROUP BY user_id ORDER BY user_id"""))
   )
 
   // ---------- driver contract ----------
