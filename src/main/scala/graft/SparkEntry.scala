@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -8067,7 +8067,34 @@ object SparkEntry {
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
                CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev, s))))
                  AS BIGINT) AS covered_ms
-             FROM w GROUP BY user_id ORDER BY user_id"""))
+             FROM w GROUP BY user_id ORDER BY user_id""")),
+
+    // 2D Pareto frontier (Skyline.frontier2d): the orders on the
+    // freshness-vs-size trade-off curve — no order both newer AND
+    // larger exists. Distinct-point collapse + bucket-local prune +
+    // one bounded global sweep (never a dominance self-join); the
+    // oracle is the INDEPENDENT brute-force NOT EXISTS form, so the
+    // hash cross-checks algorithm against definition.
+    ("o23_pareto_front", (s, dir) => {
+      val pts = t(s, dir, "orders")
+        .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("order_day"),
+          cents(col("o_totalprice")).as("total_cents"))
+      Skyline.frontier2d(pts, "order_day", "total_cents")
+        .orderBy(col("order_day").desc)
+    },
+      Some("""WITH p AS (SELECT date_diff('day', DATE '1970-01-01',
+               o_orderdate) order_day,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) total_cents,
+               COUNT(*) n_rows
+               FROM orders GROUP BY 1, 2)
+             SELECT order_day, total_cents, n_rows FROM p
+             WHERE NOT EXISTS (SELECT 1 FROM p q
+               WHERE q.order_day >= p.order_day
+                 AND q.total_cents >= p.total_cents
+                 AND (q.order_day > p.order_day
+                      OR q.total_cents > p.total_cents))
+             ORDER BY order_day DESC"""))
   )
 
   // ---------- driver contract ----------
