@@ -8094,7 +8094,33 @@ object SparkEntry {
                  AND q.total_cents >= p.total_cents
                  AND (q.order_day > p.order_day
                       OR q.total_cents > p.total_cents))
-             ORDER BY order_day DESC"""))
+             ORDER BY order_day DESC""")),
+
+    // Inter-rater agreement (DataQuality.agreementKappa): Cohen's
+    // kappa between two heuristic quality raters (char-length vs
+    // word-count) over the corpus — the audit that says whether two
+    // labeling signals agree beyond chance before either is trusted
+    // as a filter. One scan, 4 counters, exact-integer kappa in ppm;
+    // the oracle replays the identical rational arithmetic.
+    ("t32_kappa", (s, dir) =>
+      DataQuality.agreementKappa(t(s, dir, "documents"),
+        col("n_chars") >= 300,
+        size(split(col("text"), " ")) >= 55),
+      Some("""WITH r AS (SELECT n_chars >= 300 a,
+               len(string_split(text, ' ')) >= 55 b FROM documents),
+             c AS (SELECT COUNT(*) n,
+               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) a1,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) b1,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) agree
+               FROM r),
+             p AS (SELECT n, agree, a1 * b1 + (n - a1) * (n - b1) pe FROM c)
+             SELECT n, agree AS n_agree,
+               CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+               CAST(pe * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+               CASE WHEN n * n = pe THEN NULL
+                 ELSE CAST((n * agree - pe) * 1000000 // (n * n - pe)
+                   AS BIGINT) END AS kappa_ppm
+             FROM p"""))
   )
 
   // ---------- driver contract ----------

@@ -77,4 +77,37 @@ object DataQuality {
       .select(lit(name).as("rule"), col("__n").as("n_checked"),
         col("__v").as("n_violations"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two binary raters — the
+    * label-agreement audit a labeling pipeline runs before trusting
+    * annotations (two heuristic quality classifiers, a model vs a
+    * rule, two annotator pools): observed agreement corrected for the
+    * agreement two INDEPENDENT raters with the same marginals would
+    * reach by chance.
+    *
+    * One scan, one 4-counter aggregation (partial-combined to a
+    * single row), then pure integer arithmetic:
+    * `kappa = (n*agree - a1*b1 - a0*b0) / (n^2 - a1*b1 - a0*b0)`,
+    * published in exact parts-per-million — negative when agreement
+    * is WORSE than chance, NULL when the chance term saturates (both
+    * raters constant: kappa is undefined, not 0). Exact-int64
+    * envelope: `n < ~3e6` keeps `n^2 * 1e6` inside int64; beyond
+    * that, audit a hash-sampled stratum ([[graft.operators.Sampling]])
+    * — agreement is a RATE, sampling it is sound, unlike the dedup
+    * joins where every row must be seen. */
+  def agreementKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame =
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(raterA, 1L).otherwise(0L)).as("__a1"),
+        sum(when(raterB, 1L).otherwise(0L)).as("__b1"),
+        sum(when(raterA === raterB, 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("__pe_num",
+        col("__a1") * col("__b1") +
+          (col("n") - col("__a1")) * (col("n") - col("__b1")))
+      .select(col("n"), col("n_agree"),
+        expr("n_agree * 1000000 div n").as("po_ppm"),
+        expr("__pe_num * 1000000 div (n * n)").as("pe_ppm"),
+        expr("""CASE WHEN n * n = __pe_num THEN CAST(NULL AS BIGINT)
+                ELSE (n * n_agree - __pe_num) * 1000000
+                     div (n * n - __pe_num) END""").as("kappa_ppm"))
 }

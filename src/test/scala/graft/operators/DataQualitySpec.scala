@@ -61,4 +61,40 @@ class DataQualitySpec extends AnyFunSuite {
     assert(plan.split("LocalTableScan").length - 1 == 1)
     assert(!plan.contains("Union"))
   }
+
+  private def kappaOf(labels: Seq[(Boolean, Boolean)]): Option[Long] = {
+    val df = labels.toDF("a", "b")
+    Option(DataQuality.agreementKappa(df, col("a"), col("b"))
+      .collect().head.getAs[java.lang.Long]("kappa_ppm")).map(_.toLong)
+  }
+
+  test("kappa: perfect agreement with mixed marginals = 1e6") {
+    assert(kappaOf(Seq((true, true), (false, false), (true, true))) ===
+      Some(1000000L))
+  }
+
+  test("kappa: independent-looking raters land at zero") {
+    // 2x2 contingency exactly matching the product of its marginals:
+    // a1=2/4, b1=2/4, each cell 1 -> agree=2, pe_num=8, n*agree=8
+    assert(kappaOf(Seq((true, true), (true, false),
+      (false, true), (false, false))) === Some(0L))
+  }
+
+  test("kappa: systematic disagreement is negative") {
+    val k = kappaOf(Seq((true, false), (false, true),
+      (true, false), (false, true))).get
+    assert(k < 0L)
+  }
+
+  test("kappa: both raters constant -> undefined (NULL), not zero") {
+    assert(kappaOf(Seq((true, true), (true, true))) === None)
+  }
+
+  test("kappa: hand-computed textbook case") {
+    // n=10, a1=6, b1=5, agree=7 -> pe_num=6*5+4*5=50
+    // kappa = (70-50)/(100-50) = 0.4
+    val labels = Seq.fill(4)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false))
+    assert(kappaOf(labels) === Some(400000L))
+  }
 }
