@@ -8120,7 +8120,51 @@ object SparkEntry {
                CASE WHEN n * n = pe THEN NULL
                  ELSE CAST((n * agree - pe) * 1000000 // (n * n - pe)
                    AS BIGINT) END AS kappa_ppm
-             FROM p"""))
+             FROM p""")),
+
+    // Association rules at itemset depth 2 (Behavior
+    // .associationRules): directed support/confidence/lift over g37's
+    // session baskets — the recommendation/affinity primitive in
+    // exact integer ppm. The engine counts pairs via the in-row array
+    // transform; the oracle counts them via an INDEPENDENT basket
+    // self-join, so the hash cross-checks two formulations.
+    ("g46_assoc_rules", (s, dir) => {
+      val sess = Sessionize.withSessionId(t(s, dir, "events"),
+        Seq("user_id"), "ts", 1800)
+      Behavior.associationRules(sess, Seq("user_id", "session_id"),
+          "event_type")
+        .orderBy("antecedent", "consequent")
+    },
+      Some("""WITH l AS (SELECT user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),
+             f AS (SELECT user_id, ts, event_type, CASE WHEN prev IS NULL
+               OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END is_new
+               FROM l),
+             sid AS (SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+               FROM f),
+             b AS (SELECT DISTINCT user_id, session_id, event_type FROM sid),
+             nb AS (SELECT COUNT(*) n FROM
+               (SELECT DISTINCT user_id, session_id FROM b)),
+             ic AS (SELECT event_type, COUNT(*) ni FROM b GROUP BY 1),
+             pr AS (SELECT x.event_type antecedent, y.event_type consequent,
+               COUNT(*) n_joint
+               FROM b x JOIN b y ON x.user_id = y.user_id
+                 AND x.session_id = y.session_id
+                 AND x.event_type <> y.event_type
+               GROUP BY 1, 2)
+             SELECT antecedent, consequent, n_joint,
+               ia.ni AS n_antecedent, ib.ni AS n_consequent,
+               nb.n AS n_baskets,
+               CAST(n_joint * 1000000 // nb.n AS BIGINT) AS support_ppm,
+               CAST(n_joint * 1000000 // ia.ni AS BIGINT) AS confidence_ppm,
+               CAST(n_joint * nb.n * 1000000 // (ia.ni * ib.ni) AS BIGINT)
+                 AS lift_ppm
+             FROM pr
+             JOIN ic ia ON ia.event_type = pr.antecedent
+             JOIN ic ib ON ib.event_type = pr.consequent, nb
+             ORDER BY antecedent, consequent"""))
   )
 
   // ---------- driver contract ----------

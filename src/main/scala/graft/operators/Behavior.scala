@@ -100,4 +100,58 @@ object Behavior {
     steps.withColumn("p",
       round(col("n") / sum(col("n")).over(denom), 6))
   }
+
+  /** Pairwise association rules (the support/confidence/lift core of
+    * Agrawal-Srikant Apriori at itemset depth 2) over per-basket
+    * distinct item sets: for every DIRECTED item pair `a -> b`
+    * co-present in at least one basket,
+    * `support = n_joint/n_baskets`, `confidence = n_joint/n_a`,
+    * `lift = n_joint*n_baskets/(n_a*n_b)` — all in exact integer ppm
+    * (lift > 1e6 means positive association).
+    *
+    * Input is the LONG form (basketCols*, itemCol), one row per
+    * basket-item observation; duplicates collapse first. Plan:
+    * one distinct + one groupBy on the basket key; ordered pairs
+    * come from an in-row array transform (k distinct items -> k(k-1)
+    * pairs, never a basket self-join); item marginals broadcast back
+    * onto the pair table (item domains are small by construction —
+    * this is g37's copresence discipline extended with the rule
+    * arithmetic). Baskets with one item contribute marginals and the
+    * denominator but no pairs.
+    *
+    * Exact-int64 envelope: `n_joint * n_baskets * 1e6` caps
+    * `n_baskets` at ~3e6 for the single-expression lift; past that,
+    * step the division (`(n_joint*1e6 div n_a) * n_baskets div n_b`)
+    * or compute lift on the ALREADY-AGGREGATED pair table in double —
+    * the pair table is domain-sized, not corpus-sized, so precision
+    * policy is a cheap final-projection choice. */
+  def associationRules(df: DataFrame, basketCols: Seq[String],
+                       itemCol: String): DataFrame = {
+    require(basketCols.nonEmpty, "at least one basket key column")
+    val bKeys = basketCols.map(col)
+    val b = df.select(bKeys :+ col(itemCol).as("__item"): _*).distinct()
+    val nB = b.select(bKeys: _*).distinct().agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = b.groupBy(col("__item")).agg(count(lit(1)).as("__ni"))
+    val pairs = b.groupBy(bKeys: _*)
+      .agg(array_sort(collect_list(col("__item"))).as("__items"))
+      .filter(size(col("__items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__items, a ->
+             transform(filter(__items, x -> x != a), c ->
+               named_struct('a', a, 'c', c))))""")).as("p"))
+      .groupBy(col("p.a").as("antecedent"), col("p.c").as("consequent"))
+      .agg(count(lit(1)).as("n_joint"))
+    pairs
+      .join(broadcast(itemCounts.select(col("__item").as("antecedent"),
+        col("__ni").as("n_antecedent"))), Seq("antecedent"))
+      .join(broadcast(itemCounts.select(col("__item").as("consequent"),
+        col("__ni").as("n_consequent"))), Seq("consequent"))
+      .crossJoin(broadcast(nB))
+      .select(col("antecedent"), col("consequent"), col("n_joint"),
+        col("n_antecedent"), col("n_consequent"), col("n_baskets"),
+        expr("n_joint * 1000000 div n_baskets").as("support_ppm"),
+        expr("n_joint * 1000000 div n_antecedent").as("confidence_ppm"),
+        expr("n_joint * n_baskets * 1000000 div (n_antecedent * n_consequent)")
+          .as("lift_ppm"))
+  }
 }

@@ -116,4 +116,42 @@ class BehaviorSpec extends AnyFunSuite {
       .view.mapValues(_.map(_._2._2).sum).toMap
     rowSums.values.foreach(s => assert(math.abs(s - 1.0) < 1e-5))
   }
+  test("associationRules: hand-countable baskets") {
+    // baskets: {m,b}, {m,b,e}, {m}, {e} -> nB=4
+    // n_m=3, n_b=2, n_e=2; joint: m,b=2; m,e=1; b,e=1 (each direction)
+    val df = Seq(
+      (1L, "milk"), (1L, "bread"),
+      (2L, "milk"), (2L, "bread"), (2L, "eggs"),
+      (3L, "milk"), (4L, "eggs"),
+      (2L, "milk") // duplicate observation collapses
+    ).toDF("basket", "item")
+    val got = Behavior.associationRules(df, Seq("basket"), "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_joint"), r.getAs[Long]("support_ppm"),
+          r.getAs[Long]("confidence_ppm"), r.getAs[Long]("lift_ppm"))))
+      .toMap
+    assert(got.size == 6)
+    // milk -> bread: joint 2, support 2/4, conf 2/3, lift 2*4/(3*2)
+    assert(got(("milk", "bread")) ==
+      ((2L, 500000L, 666666L, 1333333L)))
+    // bread -> milk: conf 2/2 = 1, lift symmetric
+    assert(got(("bread", "milk")) ==
+      ((2L, 500000L, 1000000L, 1333333L)))
+    // milk -> eggs: joint 1, conf 1/3, lift 1*4/(3*2) = 0.666...
+    assert(got(("milk", "eggs")) ==
+      ((1L, 250000L, 333333L, 666666L)))
+    // eggs -> bread: joint 1, conf 1/2, lift 4/(2*2) = 1.0 exactly
+    assert(got(("eggs", "bread")) == ((1L, 250000L, 500000L, 1000000L)))
+  }
+
+  test("associationRules: single-item baskets widen the denominator only") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "c"))
+      .toDF("basket", "item")
+    val got = Behavior.associationRules(df, Seq("basket"), "item").collect()
+    assert(got.length == 2) // a->b and b->a only
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_baskets") == 3L)
+      assert(r.getAs[Long]("support_ppm") == 333333L)
+    }
+  }
 }
