@@ -8164,7 +8164,37 @@ object SparkEntry {
              FROM pr
              JOIN ic ia ON ia.event_type = pr.antecedent
              JOIN ic ib ON ib.event_type = pr.consequent, nb
-             ORDER BY antecedent, consequent"""))
+             ORDER BY antecedent, consequent""")),
+
+    // JL random projection (Pca.randomProjection): 64-dim embeddings
+    // down to 4 signed-sum components under the deterministic
+    // Achlioptas ±1 matrix, quantized to exact int64 BEFORE the sum
+    // so the result is partitioning-independent — the cheap
+    // dimensionality reduction in front of clustering/ANN when PCA's
+    // data-dependent basis is overkill. Zero-shuffle codegen
+    // projection; the oracle regenerates the same sign matrix
+    // arithmetically and replays the integer sums via explode.
+    ("n17_jl_projection", (s, dir) =>
+      operators.Pca.randomProjection(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 4)
+        .orderBy("vec_id"),
+      Some("""WITH u AS (SELECT vec_id, embedding e FROM embeddings),
+             x0 AS (SELECT vec_id, UNNEST([{'j': i - 1,
+                 'q': CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)}
+               for i in generate_series(1, len(e))]) st FROM u),
+             x AS (SELECT vec_id, st.j j, st.q q FROM x0),
+             s AS (SELECT vec_id, j, q, c
+               FROM x, generate_series(0, 3) tc(c)),
+             p AS (SELECT vec_id, c,
+               SUM(CASE WHEN ((j * 73856093 + c * 19349663) % 83) % 2 = 0
+                 THEN q ELSE -q END) v
+               FROM s GROUP BY 1, 2)
+             SELECT vec_id,
+               CAST(MAX(CASE WHEN c = 0 THEN v END) AS BIGINT) AS proj_0,
+               CAST(MAX(CASE WHEN c = 1 THEN v END) AS BIGINT) AS proj_1,
+               CAST(MAX(CASE WHEN c = 2 THEN v END) AS BIGINT) AS proj_2,
+               CAST(MAX(CASE WHEN c = 3 THEN v END) AS BIGINT) AS proj_3
+             FROM p GROUP BY 1 ORDER BY vec_id"""))
   )
 
   // ---------- driver contract ----------

@@ -104,4 +104,41 @@ object Pca {
       Similarity.dot(
         slice(Similarity.toDoubleArray(col(embCol)), 1, d), lit0).as("score"))
   }
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas 2001's
+    * database-friendly ±1 variant): k projection components, each the
+    * signed sum of the input coordinates under a DETERMINISTIC sign
+    * matrix derived arithmetically from (dimension, component) — no
+    * stored matrix, no RNG state, any engine regenerates the same
+    * projection (the property that makes incremental ingest and
+    * cross-engine replay trivial, same design as the LSH plane seeds).
+    *
+    * Coordinates are quantized to exact integers (`floor(double(x) * 1e6)` —
+    * floor on the widened double is pure binary arithmetic, immune to
+    * the decimal-vs-binary `round()` halfway drift between engines)
+    * BEFORE summation, so each component is an order-independent
+    * int64 sum — bit-identical regardless of partitioning, unlike a
+    * float dot product. Dot products / distances in the projected
+    * space divide back by 1e6 per factor.
+    *
+    * Plan: k per-row `aggregate(zip_with(...))` expressions — a pure
+    * codegen projection, ZERO shuffles, never an explode (the
+    * explode+pivot form multiplies the corpus by d×k rows; this
+    * touches each row once). Envelope: |x| <= 1e3 and d <= 1e6 keep
+    * the signed sum under int64 by six orders of magnitude. */
+  def randomProjection(em: DataFrame, idCol: String, embCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val comps = (0 until k).map { c =>
+      expr(
+        s"""aggregate(
+              zip_with($embCol, sequence(0, size($embCol) - 1), (x, j) ->
+                CASE WHEN ((j * 73856093L + ${c}L * 19349663L) % 83) % 2 = 0
+                  THEN CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  ELSE -CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                END),
+              CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as(s"proj_$c")
+    }
+    em.select(col(idCol) +: comps: _*)
+  }
 }

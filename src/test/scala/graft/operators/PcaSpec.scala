@@ -134,4 +134,51 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(sorted.head.toInt - 0) <= 1 &&
       math.abs(sorted.last.toInt - 199) <= 1)
   }
+
+  /** The operator's sign matrix, reimplemented independently. */
+  private def jlSign(j: Int, c: Int): Long =
+    if (((j.toLong * 73856093L + c.toLong * 19349663L) % 83L) % 2L == 0L) 1L
+    else -1L
+
+  test("randomProjection matches a driver-side integer replay") {
+    val vecs = Seq(
+      0L -> Array(1.0f, 2.0f, -3.0f, 0.5f),
+      1L -> Array(0.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Array(-1.25f, 4.0f, 2.0f, -2.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Pca.randomProjection(df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => r.getLong(i))).toMap
+    vecs.foreach { case (id, xs) =>
+      val want = (0 until 3).map { c =>
+        xs.zipWithIndex.map { case (x, j) =>
+          jlSign(j, c) * math.floor(x.toDouble * 1e6).toLong
+        }.sum
+      }
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("randomProjection is linear: scaling the vector scales the projection") {
+    val base = Array(0.5f, -1.0f, 2.0f, 0.25f, -0.125f)
+    val df = Seq(0L -> base, 1L -> base.map(_ * 2f))
+      .toDF("vec_id", "embedding")
+    val got = Pca.randomProjection(df, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((got(0L)._1 * 2, got(0L)._2 * 2)))
+  }
+
+  test("randomProjection sign matrix is not degenerate across components") {
+    // components must differ: a vector with a single hot dimension
+    // separates any two components whose signs differ at that dim
+    val hot = (0 until 8).map(j =>
+      j.toLong -> Array.tabulate(8)(i => if (i == j) 1.0f else 0.0f))
+    val df = hot.toDF("vec_id", "embedding")
+    val rowsOut = Pca.randomProjection(df, "vec_id", "embedding", 4).collect()
+    // each row is (±1e6) at each component; the 8x4 sign pattern must
+    // contain both signs in at least one column and one row
+    val signs = rowsOut.map(r => (1 to 4).map(r.getLong))
+    assert(signs.exists(row => row.toSet.size == 2))
+    assert((0 until 4).exists(c => signs.map(_(c)).toSet.size == 2))
+  }
 }
