@@ -8194,7 +8194,45 @@ object SparkEntry {
                CAST(MAX(CASE WHEN c = 1 THEN v END) AS BIGINT) AS proj_1,
                CAST(MAX(CASE WHEN c = 2 THEN v END) AS BIGINT) AS proj_2,
                CAST(MAX(CASE WHEN c = 3 THEN v END) AS BIGINT) AS proj_3
-             FROM p GROUP BY 1 ORDER BY vec_id"""))
+             FROM p GROUP BY 1 ORDER BY vec_id""")),
+
+    // Markov next-event evaluation (Behavior.markovEval): fit the
+    // argmax transition model on steps before the last-7-days
+    // boundary, score prediction accuracy after it — g25's
+    // transition matrix turned into a gated EVALUATION with o21's
+    // leakage-free temporal split. One window pass builds both
+    // sides; the model broadcasts. Exact ppm accuracy; the oracle
+    // replays the split, the argmax tie-break, and the scoring.
+    ("g47_markov_eval", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(max(col("ts")).as("__mx"))
+      Behavior.markovEval(ev.crossJoin(broadcast(bounds)),
+          "user_id", "ts", "event_type", "event_id",
+          col("ts") >= col("__mx") - expr("INTERVAL 7 DAYS"))
+        .orderBy("prev_type")
+    },
+      Some("""WITH mx AS (SELECT MAX(ts) m FROM events),
+             st AS (SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) prev_type FROM events),
+             s2 AS (SELECT st.*,
+               ts >= (SELECT m FROM mx) - INTERVAL 7 DAY ev
+               FROM st WHERE prev_type IS NOT NULL),
+             md AS (SELECT prev_type, event_type predicted, COUNT(*) n
+               FROM s2 WHERE NOT ev GROUP BY 1, 2),
+             am AS (SELECT prev_type, predicted FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                  ORDER BY n DESC, predicted) r FROM md) WHERE r = 1)
+             SELECT s2.prev_type, COUNT(*) n_eval,
+               CAST(SUM(CASE WHEN am.predicted IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted,
+               CAST(SUM(CASE WHEN am.predicted = s2.event_type
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN am.predicted = s2.event_type
+                 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                 AS acc_ppm
+             FROM s2 LEFT JOIN am ON am.prev_type = s2.prev_type
+             WHERE s2.ev GROUP BY 1 ORDER BY 1"""))
   )
 
   // ---------- driver contract ----------

@@ -101,6 +101,50 @@ object Behavior {
       round(col("n") / sum(col("n")).over(denom), 6))
   }
 
+  /** First-order Markov next-event prediction, trained and scored in
+    * one dataflow — the "is user behavior predictable / did the
+    * sequence distribution shift" evaluation a curriculum or
+    * sessionization change is gated on. Steps (consecutive event
+    * pairs per user under the (tsCol, tieCol) total order) split by
+    * `evalSide` ON THE SUCCESSOR row: training steps fit the argmax
+    * transition model (most frequent next type per previous type,
+    * ties broken lexicographically-min for cross-engine determinism);
+    * eval steps score it. Per previous type: n_eval, n_predicted
+    * (steps whose prev type the model knows — unseen prevs predict
+    * nothing and score zero), n_correct, accuracy in exact ppm.
+    *
+    * Plan: ONE user-keyed window pass produces ALL steps (train and
+    * eval split by a flag, the corpus is never scanned twice); the
+    * model is a type-domain-sized aggregate that BROADCASTS back onto
+    * the eval side — at any scale the join is a map-side hash probe,
+    * the only exchanges are the window shuffle and the model's
+    * aggregation. */
+  def markovEval(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, tieCol: String,
+                 evalSide: Column): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val steps = events
+      .withColumn("__is_eval", evalSide)
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val model = steps.filter(!col("__is_eval"))
+      .groupBy(col("prev_type"), col(typeCol).as("__pred"))
+      .agg(count(lit(1)).as("__n"))
+    val rk = Window.partitionBy("prev_type")
+      .orderBy(col("__n").desc, col("__pred").asc)
+    val argmax = model.withColumn("__r", row_number().over(rk))
+      .filter(col("__r") === 1).select(col("prev_type"), col("__pred"))
+    steps.filter(col("__is_eval"))
+      .join(broadcast(argmax), Seq("prev_type"), "left_outer")
+      .groupBy("prev_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("__pred").isNotNull, 1L).otherwise(0L))
+          .as("n_predicted"),
+        sum(when(col("__pred") === col(typeCol), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_eval"))
+  }
+
   /** Pairwise association rules (the support/confidence/lift core of
     * Agrawal-Srikant Apriori at itemset depth 2) over per-basket
     * distinct item sets: for every DIRECTED item pair `a -> b`

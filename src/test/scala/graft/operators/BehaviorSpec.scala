@@ -154,4 +154,43 @@ class BehaviorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("support_ppm") == 333333L)
     }
   }
+  test("markovEval: argmax model trained before the split scores after it") {
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // train steps (t < 100): a->b x2, a->c x1, b->a x1  => model: a->b, b->a
+    // eval steps (t >= 100): a->b (hit), a->c (miss), b->a (hit), c->a (unseen prev)
+    val rows = Seq(
+      (1L, ts(0), 10L, "a"), (1L, ts(1), 11L, "b"), // a->b
+      (1L, ts(2), 12L, "a"), (1L, ts(3), 13L, "b"), // b->a, a->b
+      (2L, ts(0), 20L, "a"), (2L, ts(1), 21L, "c"), // a->c
+      // eval side
+      (3L, ts(99), 30L, "a"), (3L, ts(100), 31L, "b"),  // a->b hit
+      (3L, ts(101), 32L, "a"), (3L, ts(102), 33L, "c"), // b->a hit, a->c miss
+      (4L, ts(100), 40L, "c"), (4L, ts(101), 41L, "a")  // c->a, prev unseen
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.markovEval(rows, "user_id", "ts", "event_type",
+        "event_id", col("ts") >= ts(100))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_eval"), r.getAs[Long]("n_predicted"),
+          r.getAs[Long]("n_correct"), r.getAs[Long]("acc_ppm")))).toMap
+    // user 3: step at ts(100) succ b (eval, prev a), ts(101) succ a (eval,
+    // prev b), ts(102) succ c (eval, prev a); user 4: ts(101) succ a prev c
+    assert(got("a") === ((2L, 2L, 1L, 500000L)))
+    assert(got("b") === ((1L, 1L, 1L, 1000000L)))
+    assert(got("c") === ((1L, 0L, 0L, 0L)))
+    assert(got.size === 3)
+  }
+
+  test("markovEval: tie on count breaks to the lexicographically-min type") {
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // train: x->b once, x->a once (tie) => model must pick a
+    val rows = Seq(
+      (1L, ts(0), 1L, "x"), (1L, ts(1), 2L, "b"),
+      (2L, ts(0), 3L, "x"), (2L, ts(1), 4L, "a"),
+      (5L, ts(100), 9L, "x"), (5L, ts(101), 10L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.markovEval(rows, "user_id", "ts", "event_type",
+        "event_id", col("ts") >= ts(100)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_correct")).toMap
+    assert(got === Map("x" -> 1L))
+  }
 }
