@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -8232,7 +8232,46 @@ object SparkEntry {
                  THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
                  AS acc_ppm
              FROM s2 LEFT JOIN am ON am.prev_type = s2.prev_type
-             WHERE s2.ev GROUP BY 1 ORDER BY 1"""))
+             WHERE s2.ev GROUP BY 1 ORDER BY 1""")),
+
+    // Autocorrelation of the daily event-count series (SeriesStats
+    // .autocorr) at lags 1/2/7 — the weekly-seasonality detector in
+    // exact integer ppm (centered values scaled by n stay integral;
+    // the only division is the final truncating one). The corpus
+    // work is the one groupBy building the day series; the ACF runs
+    // on the bounded series.
+    ("g48_autocorr", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      SeriesStats.autocorr(daily, "day", "x", Seq(1, 2, 7))
+        .orderBy("lag")
+    },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             st AS (SELECT COUNT(*) n, CAST(SUM(x) AS BIGINT) s FROM d),
+             c AS (SELECT dy, n, CAST(n * x - s AS BIGINT) c FROM d, st),
+             l AS (SELECT n, c,
+               lag(c, 1) OVER (ORDER BY dy) c1,
+               lag(c, 2) OVER (ORDER BY dy) c2,
+               lag(c, 7) OVER (ORDER BY dy) c7 FROM c),
+             a AS (SELECT MAX(n) n, CAST(SUM(c * c) AS BIGINT) den,
+               CAST(COALESCE(SUM(c * c1), 0) AS BIGINT) n1,
+               CAST(COALESCE(SUM(c * c2), 0) AS BIGINT) n2,
+               CAST(COALESCE(SUM(c * c7), 0) AS BIGINT) n7 FROM l)
+             SELECT CAST(1 AS BIGINT) AS "lag", n, n1 AS num, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(n1 * 1000000 // den AS BIGINT) END AS r_ppm
+               FROM a
+             UNION ALL
+             SELECT CAST(2 AS BIGINT), n, n2, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(n2 * 1000000 // den AS BIGINT) END FROM a
+             UNION ALL
+             SELECT CAST(7 AS BIGINT), n, n7, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(n7 * 1000000 // den AS BIGINT) END FROM a
+             ORDER BY 1"""))
   )
 
   // ---------- driver contract ----------
