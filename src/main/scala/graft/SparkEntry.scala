@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, Sampling, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -8271,7 +8271,25 @@ object SparkEntry {
              SELECT CAST(7 AS BIGINT), n, n7, den,
                CASE WHEN den = 0 THEN NULL
                  ELSE CAST(n7 * 1000000 // den AS BIGINT) END FROM a
-             ORDER BY 1"""))
+             ORDER BY 1""")),
+
+    // Weighted priority sampling (Sampling.prioritySample): top-100
+    // documents by deterministic priority w/u with w = n_chars —
+    // o5's hash-derived uniform turned into the Duffield-Lund-Thorup
+    // size-biased sample whose subset sums are unbiased. Distributed
+    // top-k (per-partition heaps), no corpus shuffle; the oracle
+    // replays the md5-derived priorities and the tie algebra.
+    ("o22_priority_sample", (s, dir) =>
+      Sampling.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 100)
+        .orderBy(col("priority").desc, col("doc_id")),
+      Some("""SELECT doc_id, n_chars,
+               CAST(n_chars * 1048576 // (CAST(concat('0x',
+                 substr(md5('pri|' || CAST(doc_id AS VARCHAR)), 1, 5))
+                 AS BIGINT) + 1) AS BIGINT) AS priority
+             FROM documents
+             ORDER BY priority DESC, doc_id LIMIT 100"""))
   )
 
   // ---------- driver contract ----------

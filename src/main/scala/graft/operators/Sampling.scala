@@ -114,4 +114,38 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
       .drop("__mixw", "__mixh", "__mixv")
   }
+
+  /** Weighted priority sampling (Duffield-Lund-Thorup, JACM 2007):
+    * each row gets priority `q = w / u` with `u` uniform on (0,1],
+    * and the sample is the top-k by priority — heavy rows are near-
+    * certain members, light rows enter with probability ~ w/tau, and
+    * subset-sum estimates from the sample are unbiased when the
+    * (k+1)-th priority is used as the threshold tau (callers wanting
+    * the estimator take k+1 rows and treat the last as tau; the
+    * inclusion rule is `q > tau`).
+    *
+    * Everything is DETERMINISTIC and engine-replayable: `u` comes
+    * from 20 bits of `md5(seed || key)` (the [[weightedMix]]/o5
+    * discipline — no RNG state, reruns and other engines agree
+    * bit-for-bit), and the priority is the exact int64
+    * `w * 2^20 div (h + 1)`; ties break on the key. The floor
+    * quantizes tau by at most one part in w, immaterial to the
+    * estimator and exactly reproducible.
+    *
+    * Scale: a pure projection + a distributed top-k (Spark's
+    * TakeOrderedAndProject: per-partition heaps of k, one k-sized
+    * merge at the driver) — no shuffle of the corpus, no global
+    * sort. Weights must be non-negative int64 with
+    * `w * 2^20 < 2^63` (w < ~8.8e12). */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: String = "pri"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = expr(s"CAST(conv(substr(md5(concat('$seed|', " +
+      s"CAST($keyCol AS STRING))), 1, 5), 16, 10) AS BIGINT) + 1")
+    df.withColumn("__u", u)
+      .withColumn("priority", expr(s"$weightCol * 1048576 div __u"))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+      .drop("__u")
+  }
 }
