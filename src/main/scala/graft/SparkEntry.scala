@@ -8289,7 +8289,42 @@ object SparkEntry {
                  substr(md5('pri|' || CAST(doc_id AS VARCHAR)), 1, 5))
                  AS BIGINT) + 1) AS BIGINT) AS priority
              FROM documents
-             ORDER BY priority DESC, doc_id LIMIT 100"""))
+             ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // Calibration curve (DataQuality.calibrationCurve): t19's hashed
+    // linear score bucketed into 16 bins vs the char-length label —
+    // the reliability diagram that decides whether the classifier's
+    // score is TRUSTABLE as a threshold. Mean per-token score stays
+    // integral (truncating division, identical in both engines);
+    // shift-then-bucket keeps the floor exact on negatives.
+    ("t33_calibration", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = functions.TextQuality.hashedLinearScore(docs)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      DataQuality.calibrationCurve(scored,
+          expr("sum_w div n_tokens"), col("n_chars") >= 300,
+          32768L, 4096L)
+        .orderBy("bucket")
+    },
+      Some("""WITH tok AS (SELECT doc_id,
+               md5('qc|' || UNNEST(string_split(text, ' '))) h FROM documents),
+             wgt AS (SELECT doc_id,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS w
+               FROM tok),
+             sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nt,
+               CAST(SUM(w) AS BIGINT) sw FROM wgt GROUP BY doc_id),
+             d2 AS (SELECT sc.doc_id,
+               (sw // nt + 32768) // 4096 bucket,
+               d.n_chars >= 300 l
+               FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+             SELECT bucket, COUNT(*) n,
+               CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+             FROM d2 GROUP BY bucket ORDER BY bucket"""))
   )
 
   // ---------- driver contract ----------

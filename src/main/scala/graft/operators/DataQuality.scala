@@ -95,6 +95,30 @@ object DataQuality {
     * that, audit a hash-sampled stratum ([[graft.operators.Sampling]])
     * — agreement is a RATE, sampling it is sound, unlike the dedup
     * joins where every row must be seen. */
+  /** Classifier calibration curve: bucket an integer score and
+    * report the observed positive rate per bucket — the reliability
+    * diagram's table form, the check that a quality classifier's
+    * score MEANS something before it gates a corpus (a calibrated
+    * score's rate rises monotonically with the bucket; a flat curve
+    * says the score carries no signal). One scan + one bucket-count
+    * aggregation, domain-sized output.
+    *
+    * `score + shift` must be non-negative (shift by the score's
+    * documented lower bound) so the truncating bucket division is a
+    * true floor — the same negative-truncation discipline as g33's
+    * ppm shares. Exact integers end to end. */
+  def calibrationCurve(df: DataFrame, score: Column, label: Column,
+                       shift: Long, width: Long): DataFrame = {
+    require(width >= 1, "bucket width must be >= 1")
+    df.withColumn("__s", score + lit(shift))
+      .withColumn("bucket", expr(s"__s div ${width}L"))
+      .withColumn("__l", label)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+  }
+
   def agreementKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame =
     df.agg(
         count(lit(1)).as("n"),

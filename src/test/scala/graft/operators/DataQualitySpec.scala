@@ -90,6 +90,22 @@ class DataQualitySpec extends AnyFunSuite {
     assert(kappaOf(Seq((true, true), (true, true))) === None)
   }
 
+  test("calibrationCurve: buckets, rates, and negative-score flooring") {
+    // scores in [-8, 7], shift 8, width 4 -> buckets 0..3
+    val rows = Seq(
+      (-8L, false), (-6L, false), (-5L, true),  // bucket 0: 1/3 pos
+      (-2L, false), (-1L, true),                // bucket 1: 1/2
+      (0L, true), (3L, true),                   // bucket 2: 2/2
+      (5L, true), (7L, false))                  // bucket 3: 1/2
+    val df = rows.toDF("s", "l")
+    val got = DataQuality.calibrationCurve(df, col("s"), col("l"), 8L, 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 333333L)), 1L -> ((2L, 1L, 500000L)),
+      2L -> ((2L, 2L, 1000000L)), 3L -> ((2L, 1L, 500000L))))
+  }
+
   test("kappa: hand-computed textbook case") {
     // n=10, a1=6, b1=5, agree=7 -> pe_num=6*5+4*5=50
     // kappa = (70-50)/(100-50) = 0.4
