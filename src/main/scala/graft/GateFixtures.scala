@@ -109,6 +109,37 @@ object GateFixtures {
       .toDF("doc_id", "payload")
   }
 
+  /** Speech-shaped VAD fixture: [[pcmAudio]]'s waveform with every
+    * third 256-sample frame DAMPED to low-amplitude dither — frame f
+    * of doc id is "silent" iff (f + id) mod 3 == 0, silent sample
+    * (i·13 mod 31) − 15 (|v| <= 15, frame energy <= 3840 vs ~131k
+    * loud) — so an energy threshold separates frames crisply and the
+    * m12 gate exercises real segment merging. Closed-form like
+    * pcmAudio: the oracle regenerates the waveform, never parses a
+    * byte. */
+  private[graft] def pcmSpeech(id: Long): Array[Byte] = {
+    val n = (256 * (2 + id % 3)).toInt
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val f = i / 256
+      val v = if ((f + id) % 3 == 0) (((i.toLong * 13) % 31) - 15).toInt
+        else (((id * 7 + i.toLong * 13) % 2048) - 1024).toInt
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[pcmSpeech]] over the documents table — input of m12. */
+  private[graft] def pcmSpeechMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pcmSpeech(id))))
+      .toDF("doc_id", "payload")
+  }
+
   /** Cleaned activities for the e3/e4 pipeline gates: a 1-in-20 orders
     * slice as Strava-shaped JSON through the real clean; elapsed_time
     * splits the corpus across the R5 branch. */

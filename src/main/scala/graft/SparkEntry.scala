@@ -8324,7 +8324,34 @@ object SparkEntry {
                CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) * 1000000
                  // COUNT(*) AS BIGINT) AS pos_rate_ppm
-             FROM d2 GROUP BY bucket ORDER BY bucket"""))
+             FROM d2 GROUP BY bucket ORDER BY bucket""")),
+
+    // Voice-activity segmentation (Multimodal.vadSegments over m9's
+    // REAL s16le framing): energy-gated frames merged into utterance
+    // segments by the gaps-and-islands window — the audio curation
+    // step between decode and transcription. The speech fixture damps
+    // every third frame to dither; the oracle regenerates the
+    // waveform arithmetically and replays frames, gate, and islands.
+    ("m12_audio_vad", (s, dir) =>
+      graft.multimodal.Multimodal.vadSegments(
+        graft.multimodal.Multimodal.audioFrameFeatures(
+          GateFixtures.pcmSpeechMedia(s, dir), 256).toDF(), 10000L)
+        .orderBy("doc_id", "start_frame"),
+      Some("""WITH d AS (SELECT doc_id, 256*(2 + doc_id % 3) n FROM documents),
+             s AS (SELECT doc_id,
+               UNNEST([i for i in generate_series(0, n::INT - 1)]) i FROM d),
+             v AS (SELECT doc_id, i, i // 256 f,
+               CASE WHEN ((i // 256) + doc_id) % 3 = 0
+                 THEN ((i*13) % 31) - 15
+                 ELSE ((doc_id*7 + i*13) % 2048) - 1024 END v FROM s),
+             fr AS (SELECT doc_id, f, SUM(ABS(v)) e FROM v GROUP BY 1, 2),
+             act AS (SELECT doc_id, f, e,
+               f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) g
+               FROM fr WHERE e >= 10000)
+             SELECT doc_id, MIN(f) AS start_frame, MAX(f) AS end_frame,
+               COUNT(*) AS n_frames, CAST(SUM(e) AS BIGINT) AS energy
+             FROM act GROUP BY doc_id, g
+             ORDER BY doc_id, start_frame"""))
   )
 
   // ---------- driver contract ----------

@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal column support: media payloads ride through the engine as
   * opaque `binary` columns with typed metadata, and decode/feature
@@ -374,5 +375,36 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Energy-threshold voice-activity segmentation over
+    * [[audioFrameFeatures]] output — the classic first-pass VAD
+    * (frame active iff `sum_abs >= threshold`, consecutive active
+    * frames merge into one segment), which is what turns raw audio
+    * into the utterance-sized pieces a transcription/training
+    * pipeline actually ingests.
+    *
+    * Segments form by the gaps-and-islands identity
+    * (`frame_idx - row_number()` is constant exactly within a
+    * consecutive active run) — one doc-keyed window + one aggregation,
+    * never a self-join; the frame table is already
+    * corpus-ordered-by-construction so the window sort is cheap.
+    * Corrupt-payload marker rows (frame_idx = -1) are excluded:
+    * corruption is m6's explicit-failure lane, not "silence".
+    *
+    * Output per segment: (doc_id, start_frame, end_frame, n_frames,
+    * energy) with `energy` the exact int64 sum of the member frames'
+    * `sum_abs`. */
+  def vadSegments(frames: DataFrame, threshold: Long): DataFrame = {
+    val act = frames.filter(col("frame_idx") >= 0 &&
+      col("sum_abs") >= threshold)
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    act.withColumn("__grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sum_abs")).as("energy"))
+      .select("doc_id", "start_frame", "end_frame", "n_frames", "energy")
   }
 }

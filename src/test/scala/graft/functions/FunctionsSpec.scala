@@ -235,6 +235,25 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.AudioFrame(3L, -1L, -1L, -1L, -1L, -1L)))
   }
 
+  test("vad segments: islands merge, gaps split, corrupt markers excluded") {
+    import graft.multimodal.Multimodal
+    // frames: doc 1 actives at 0,1 (merge), silent 2, active 3;
+    // doc 2 all silent; doc 3 corrupt marker only
+    val frames = Seq(
+      (1L, 0L, 256L, 50000L, 900L, 10L), (1L, 1L, 256L, 60000L, 900L, 10L),
+      (1L, 2L, 256L, 100L, 15L, 2L), (1L, 3L, 256L, 70000L, 900L, 10L),
+      (2L, 0L, 256L, 10L, 3L, 1L),
+      (3L, -1L, -1L, -1L, -1L, -1L)
+    ).toDF("doc_id", "frame_idx", "n_samples", "sum_abs", "peak",
+      "zero_crossings")
+    val got = Multimodal.vadSegments(frames, 10000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 0L, 1L, 2L, 110000L),
+      (1L, 3L, 3L, 1L, 70000L)))
+  }
+
   test("resize stage bounds payload size and keeps every factor-th byte") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "abcdefghij", "s"), (2L, "xy", "s"), (3L, "", "s"))
