@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, Sampling, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, LabelProp, Sampling, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -8351,7 +8351,42 @@ object SparkEntry {
              SELECT doc_id, MIN(f) AS start_frame, MAX(f) AS end_frame,
                COUNT(*) AS n_frames, CAST(SUM(e) AS BIGINT) AS energy
              FROM act GROUP BY doc_id, g
-             ORDER BY doc_id, start_frame"""))
+             ORDER BY doc_id, start_frame""")),
+
+    // Label propagation communities (LabelProp.propagate): 3
+    // deterministic self-inclusive rounds over g41's bipartite trade
+    // graph — the community finder that splits d7's reachability
+    // classes into densely-knit groups. Fixed rounds + (max count,
+    // min label) ties = the oracle unrolls the rounds as CTEs,
+    // KCore's replay discipline.
+    ("g49_label_prop", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      LabelProp.propagate(edges, 3)
+    },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (SELECT x.id, x.lbl, COUNT(*) n FROM (
+                SELECT e.dst id, l.lbl FROM e
+                JOIN l${i - 1} l ON l.id = e.src
+                UNION ALL SELECT id, lbl FROM l${i - 1}) x
+              GROUP BY 1, 2),
+             l$i AS (SELECT id, lbl FROM (SELECT id, lbl,
+                ROW_NUMBER() OVER (PARTITION BY id
+                  ORDER BY n DESC, lbl) r FROM c$i) WHERE r = 1)"""
+        s"""WITH cs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT c src, p dst FROM cs UNION ALL SELECT p src, c dst FROM cs),
+           n AS (SELECT DISTINCT src id FROM e),
+           l0 AS (SELECT id, id lbl FROM n),
+           ${round(1)}, ${round(2)}, ${round(3)}
+           SELECT id AS node_id, lbl AS "label" FROM l3 ORDER BY node_id"""
+      })
   )
 
   // ---------- driver contract ----------

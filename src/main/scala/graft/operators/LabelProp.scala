@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label propagation community detection (Raghavan-Albert-Kumara
+  * 2007), the near-linear community finder next to
+  * [[ConnectedComponents]] (which finds REACHABILITY classes — LPA
+  * splits them further into densely-knit groups): every node starts
+  * as its own label; each synchronous round a node adopts the most
+  * frequent label among its neighbors AND itself, ties to the
+  * smallest label.
+  *
+  * Including the node's own current label (the "with memory"
+  * variant) is what makes the synchronous schedule usable: pure
+  * neighbor-voting oscillates 2-cycles on bipartite subgraphs, while
+  * self-inclusion makes a settled consensus a fixpoint. The
+  * deterministic tie rule (max count, then min label) replaces the
+  * original's random tie-break — same design trade as
+  * [[KCore]]/[[PageRank]]: fixed rounds + deterministic updates =
+  * any engine replays the rounds bit-identically, which is what the
+  * unrolled-CTE oracle does.
+  *
+  * Edges must be SYMMETRIC (both directions present, no self-loops —
+  * the self-vote is added here, don't also materialize loops).
+  *
+  * Scale, per round: one equi-join of the edge list against the
+  * label table (shuffle on node id both sides — the labels table is
+  * node-sized, the join is the edge scan), one
+  * (node, label)-grouped count that partial-aggregates, and one
+  * per-node argmax. Lineage truncates per round (localCheckpoint,
+  * the iterative-loop discipline: the PLAN would otherwise grow
+  * without bound). Rounds is an explicit budget like Bfs's hops;
+  * real graphs settle in a handful.
+  */
+object LabelProp {
+
+  /** `rounds` synchronous label-propagation rounds over a symmetric
+    * edge list (src, dst). Emits (node_id, label) for every node
+    * appearing in the edge list; `label` is the smallest node id of
+    * the community's seed under the deterministic tie rule. */
+  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var r = 0
+    while (r < rounds) {
+      val neighborVotes = e
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val selfVotes = labels.select(col("id"), col("label"))
+      val counts = neighborVotes.unionByName(selfVotes)
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      labels = counts.groupBy("id")
+        .agg(max_by(col("label"),
+          struct(col("__n"), (-col("label")).as("__t"))).as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels.select(col("id").as("node_id"), col("label")).orderBy("node_id")
+  }
+}
