@@ -8386,7 +8386,37 @@ object SparkEntry {
            l0 AS (SELECT id, id lbl FROM n),
            ${round(1)}, ${round(2)}, ${round(3)}
            SELECT id AS node_id, lbl AS "label" FROM l3 ORDER BY node_id"""
-      })
+      }),
+
+    // Cohort LTV triangle (Behavior.cohortValue): g24's retention
+    // cells extended with exact-cents revenue, cumulative payback,
+    // and cumulative value per cohort member (offset-0 denominator)
+    // — the unit-economics curve. Retention's plan plus two windows
+    // over the offset-sized cell table.
+    ("g50_cohort_ltv", (s, dir) =>
+      Behavior.cohortValue(t(s, dir, "events"), "user_id", "ts",
+        cents(col("value")))
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (SELECT user_id, MIN(ts) first_ts FROM events
+               GROUP BY 1),
+             a AS (SELECT e.user_id,
+               date_trunc('week', f.first_ts) cw,
+               date_diff('day', date_trunc('week', f.first_ts),
+                 date_trunc('week', e.ts)) // 7 wo,
+               CAST(ROUND(e.value * 100) AS BIGINT) v
+               FROM events e JOIN f ON e.user_id = f.user_id),
+             c AS (SELECT cw, wo, COUNT(DISTINCT user_id) nu,
+               CAST(SUM(v) AS BIGINT) rev FROM a GROUP BY 1, 2),
+             w2 AS (SELECT cw, wo, nu, rev,
+               CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY wo)
+                 AS BIGINT) cum,
+               MAX(CASE WHEN wo = 0 THEN nu END)
+                 OVER (PARTITION BY cw) sz FROM c)
+             SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+               CAST(wo AS BIGINT) AS week_offset, nu AS n_users,
+               rev AS rev_cents, cum AS cum_rev_cents,
+               CAST(cum // sz AS BIGINT) AS cum_per_user_cents
+             FROM w2 ORDER BY 1, 2"""))
   )
 
   // ---------- driver contract ----------

@@ -101,6 +101,50 @@ object Behavior {
       round(col("n") / sum(col("n")).over(denom), 6))
   }
 
+  /** Cohort lifetime-value triangle ([[weeklyRetention]] with the
+    * VALUE dimension): per (first-activity cohort week, week offset)
+    * cell — active users, revenue, cumulative revenue, and
+    * cumulative value per COHORT member (denominator = the offset-0
+    * cell, i.e. cohort size, since every member is active in their
+    * first week by construction). The payback-curve table a
+    * unit-economics dashboard plots.
+    *
+    * Exact integers: revenue arrives as cents, the per-user column
+    * is a truncating division of exact sums — never an average of
+    * doubles. Plan: the retention shape (one user exchange for the
+    * first-event window, one (cohort, offset) aggregation) plus a
+    * cohort-partitioned running sum over the OFFSET-SIZED cell table
+    * — the windows after the aggregation touch hundreds of rows, not
+    * the corpus; countDistinct swaps for a sketch at 100 TB (g34's
+    * precedent). */
+  def cohortValue(events: DataFrame, userCol: String, tsCol: String,
+                  valueCents: Column): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    val base = events
+      .withColumn("__v", valueCents)
+      .withColumn("__first_ts", min(col(tsCol)).over(w))
+      .select(col(userCol),
+        date_trunc("week", col("__first_ts")).as("__cw"),
+        (datediff(date_trunc("week", col(tsCol)),
+          date_trunc("week", col("__first_ts"))) / 7).cast("long")
+          .as("week_offset"),
+        col("__v"))
+    val cells = base.groupBy(col("__cw"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"),
+        sum(col("__v")).as("rev_cents"))
+    val sz = Window.partitionBy("__cw")
+    val cum = Window.partitionBy("__cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(cum))
+      .withColumn("__size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(sz))
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"), col("rev_cents"),
+        col("cum_rev_cents"),
+        expr("cum_rev_cents div __size").as("cum_per_user_cents"))
+  }
+
   /** First-order Markov next-event prediction, trained and scored in
     * one dataflow — the "is user behavior predictable / did the
     * sequence distribution shift" evaluation a curriculum or

@@ -154,6 +154,23 @@ class BehaviorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("support_ppm") == 333333L)
     }
   }
+  test("cohortValue: cells, cumulative payback, per-member denominator") {
+    val rows = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 10.00),
+      (10L, ts("2024-01-09 10:00:00"), 5.00),
+      (20L, ts("2024-01-02 10:00:00"), 2.00),
+      (30L, ts("2024-01-10 10:00:00"), 7.00)
+    ).toDF("user_id", "ts", "value")
+    val got = Behavior.cohortValue(rows, "user_id", "ts",
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> ((2L, 1200L, 1200L, 600L)),
+      ("2024-01-01", 1L) -> ((1L, 500L, 1700L, 850L)),
+      ("2024-01-08", 0L) -> ((1L, 700L, 700L, 700L))))
+  }
+
   test("markovEval: argmax model trained before the split scores after it") {
     def ts(m: Int) = new Timestamp(m * 60000L)
     // train steps (t < 100): a->b x2, a->c x1, b->a x1  => model: a->b, b->a
