@@ -318,6 +318,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"flagship grew to $shuffles shuffle exchanges:\n$plan")
     assert(!plan.contains("Join"), "flagship pipeline should be join-free")
   }
+
+  test("g45 sweep plan: one user exchange shared by window and aggregation, join-free") {
+    val plan = SparkEntry.queries("g45_interval_coverage")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the running-max window and the per-user aggregation ride the SAME
+    // hashpartitioning(user_id) — a second hash exchange means the
+    // groupBy stopped reusing the window's partitioning; a Join means
+    // the sweep regressed to an interval self-join
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"g45 grew to $ex hash exchanges:\n$plan")
+    assert(!plan.contains("Join"), "interval sweep must be join-free")
+  }
+
+  test("o23 frontier plan: windows only — no join, no cartesian product") {
+    val plan = SparkEntry.queries("o23_pareto_front")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the oracle checks dominance with NOT EXISTS; the ENGINE must
+    // never — a Join node here means the skyline regressed to the
+    // O(n^2) block-nested-loop form
+    assert(!plan.contains("Join"), s"skyline must not join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("g46 rule plan: marginals broadcast, pair table never sort-merge-joined") {
+    val plan = SparkEntry.queries("g46_assoc_rules")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "item marginals must broadcast onto the pair table")
+    assert(!plan.contains("SortMergeJoin"),
+      s"domain-sized marginals got shuffle-joined:\n$plan")
+  }
+
+  test("n17 projection plan: zero shuffles before the output sort") {
+    val plan = SparkEntry.queries("n17_jl_projection")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // k signed sums are per-row codegen expressions — any hash
+    // exchange means the explode+pivot form leaked in
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 0, s"n17 shuffled ($ex hash exchanges):\n$plan")
+    assert(!plan.contains("Generate"), "n17 must not explode the vectors")
+  }
 }
 
 class StatefulStreamSpec extends AnyFunSuite {
