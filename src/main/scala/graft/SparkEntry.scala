@@ -8416,7 +8416,36 @@ object SparkEntry {
                CAST(wo AS BIGINT) AS week_offset, nu AS n_users,
                rev AS rev_cents, cum AS cum_rev_cents,
                CAST(cum // sz AS BIGINT) AS cum_per_user_cents
-             FROM w2 ORDER BY 1, 2"""))
+             FROM w2 ORDER BY 1, 2""")),
+
+    // Cluster purity (Ann.clusterPurity): n5's k-means cells scored
+    // against the embeddings' ground-truth labels — the external
+    // clustering-quality gate (majority-label share per cell, exact
+    // ppm) run before a retrained codebook is trusted; n16's recall
+    // eval for the clustering half. Oracle replays the full trained
+    // chain + the majority arithmetic.
+    ("n18_cluster_purity", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.clusterPurity(
+          Ann.clusterAssignment(em, Ann.kmeansCentroids(em, 5, 2)),
+          em)
+        .orderBy("cluster")
+    },
+      Some(s"""WITH $kmeansMemberCtes,
+             lb AS (SELECT vec_id, CAST(label AS BIGINT) lbl FROM embeddings),
+             jm AS (SELECT m.cluster, lb.lbl FROM member m
+               JOIN lb ON lb.vec_id = m.vec_id),
+             ct AS (SELECT cluster, lbl, COUNT(*) n FROM jm GROUP BY 1, 2),
+             tot AS (SELECT cluster, CAST(SUM(n) AS BIGINT) n_members
+               FROM ct GROUP BY 1),
+             am AS (SELECT cluster, lbl, n FROM (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY n DESC, lbl) r FROM ct) WHERE r = 1)
+             SELECT am.cluster, tot.n_members, am.lbl AS top_label,
+               am.n AS n_top,
+               CAST(am.n * 1000000 // tot.n_members AS BIGINT) AS purity_ppm
+             FROM am JOIN tot ON tot.cluster = am.cluster
+             ORDER BY am.cluster"""))
   )
 
   // ---------- driver contract ----------

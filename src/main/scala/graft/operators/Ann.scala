@@ -289,6 +289,40 @@ object Ann {
       .filter(col("__r") === 1).select("vec_id", "cluster")
   }
 
+  /** Cluster-purity evaluation: per cluster, the share of members
+    * carrying the cluster's MAJORITY ground-truth label, in exact
+    * integer ppm — the external clustering-quality check (purity,
+    * Manning et al. IR ch.16) a codebook retrain is gated on before
+    * [[ivfTopK]]/semantic-dedup trust its cells, the clustering twin
+    * of [[recallAtK]]'s retrieval gate. Majority ties break to the
+    * smallest label (the engine-replayable determinism rule every
+    * argmax here uses).
+    *
+    * Inputs are an assignment table (idCol, cluster) and a label
+    * table (idCol, labelCol); rows without a label are dropped by
+    * the inner join (unlabeled members can't attest either way —
+    * count them upstream if coverage matters). Plan: one id-keyed
+    * join + one (cluster, label) aggregation (domain-sized) + one
+    * per-cluster argmax — nothing corpus-sized past the join. */
+  def clusterPurity(assign: DataFrame, labeled: DataFrame,
+                    idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    val j = assign.select(col(idCol), col("cluster"))
+      .join(labeled.select(col(idCol), col(labelCol).cast("long").as("__lbl")),
+        Seq(idCol))
+    val counts = j.groupBy(col("cluster"), col("__lbl"))
+      .agg(count(lit(1)).as("__n"))
+    val wC = Window.partitionBy("cluster")
+      .orderBy(col("__n").desc, col("__lbl"))
+    counts
+      .withColumn("n_members", sum(col("__n")).over(Window.partitionBy("cluster")))
+      .withColumn("__r", row_number().over(wC))
+      .filter(col("__r") === 1)
+      .select(col("cluster"), col("n_members"),
+        col("__lbl").as("top_label"), col("__n").as("n_top"),
+        expr("__n * 1000000 div n_members").as("purity_ppm"))
+  }
+
   /** N10: INCREMENTAL inverted-file maintenance — the ANN member of
     * the incremental-index family (d15 signatures, d18 clusters, d21
     * grams): the recurring-ingest job keeps the IVF membership table

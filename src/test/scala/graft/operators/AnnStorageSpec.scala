@@ -69,4 +69,22 @@ class AnnStorageSpec extends AnyFunSuite {
     assert(batchMap.forall { case (id, c) => merged.get(id).contains(c) })
     assert(merged.keySet == storedMap.keySet ++ batchMap.keySet)
   }
+  test("clusterPurity: majority share, min-label ties, unlabeled dropped") {
+    import spark.implicits._
+    val assign = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L),      // cluster 0: labels 7,7,9
+      (4L, 1L), (5L, 1L),                // cluster 1: labels 3,5 (tie)
+      (6L, 2L), (7L, 2L)                 // cluster 2: 8 + unlabeled
+    ).toDF("vec_id", "cluster")
+    val labels = Seq(
+      (1L, 7), (2L, 7), (3L, 9), (4L, 3), (5L, 5), (6L, 8)
+    ).toDF("vec_id", "label")
+    val got = Ann.clusterPurity(assign, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 7L, 2L, 666666L)),
+      1L -> ((2L, 3L, 1L, 500000L)),   // tie 1-1 -> smaller label 3
+      2L -> ((1L, 8L, 1L, 1000000L)))) // unlabeled member dropped
+  }
 }
