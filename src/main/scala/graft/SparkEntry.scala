@@ -8445,7 +8445,56 @@ object SparkEntry {
                am.n AS n_top,
                CAST(am.n * 1000000 // tot.n_members AS BIGINT) AS purity_ppm
              FROM am JOIN tot ON tot.cluster = am.cluster
-             ORDER BY am.cluster"""))
+             ORDER BY am.cluster""")),
+
+    // Modularity (LabelProp.modularity): Newman-Girvan Q of g49's
+    // 3-round communities on the same trade graph, in exact integer
+    // ppm with cleared denominators — the quality score that says
+    // the partition beats chance (n18's purity for graphs, but
+    // label-free). One edge scan + two node-table joins + a
+    // community-sized fold; the oracle replays LPA then the Q
+    // arithmetic.
+    ("g51_modularity", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      LabelProp.modularity(edges, LabelProp.propagate(edges, 3))
+    },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (SELECT x.id, x.lbl, COUNT(*) n FROM (
+                SELECT e.dst id, l.lbl FROM e
+                JOIN l${i - 1} l ON l.id = e.src
+                UNION ALL SELECT id, lbl FROM l${i - 1}) x
+              GROUP BY 1, 2),
+             l$i AS (SELECT id, lbl FROM (SELECT id, lbl,
+                ROW_NUMBER() OVER (PARTITION BY id
+                  ORDER BY n DESC, lbl) r FROM c$i) WHERE r = 1)"""
+        s"""WITH cs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT c src, p dst FROM cs UNION ALL SELECT p src, c dst FROM cs),
+           n AS (SELECT DISTINCT src id FROM e),
+           l0 AS (SELECT id, id lbl FROM n),
+           ${round(1)}, ${round(2)}, ${round(3)},
+           je AS (SELECT ls.lbl cls, ld.lbl cld FROM e
+             JOIN l3 ls ON ls.id = e.src JOIN l3 ld ON ld.id = e.dst),
+           pc AS (SELECT cls, COUNT(*) deg,
+             CAST(SUM(CASE WHEN cls = cld THEN 1 ELSE 0 END) AS BIGINT) intra
+             FROM je GROUP BY 1),
+           agg AS (SELECT CAST(SUM(deg) AS BIGINT) m2,
+             CAST(SUM(intra) AS BIGINT) intra2,
+             CAST(SUM(deg * deg) AS BIGINT) sumd2,
+             COUNT(*) n_communities FROM pc)
+           SELECT CAST(m2 // 2 AS BIGINT) AS m_edges, n_communities,
+             CASE WHEN m2 = 0 THEN NULL
+               ELSE CAST((m2 * intra2 - sumd2) * 1000000 // (m2 * m2)
+                 AS BIGINT) END AS q_ppm
+           FROM agg"""
+      })
   )
 
   // ---------- driver contract ----------

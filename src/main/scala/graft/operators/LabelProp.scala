@@ -61,4 +61,49 @@ object LabelProp {
     }
     labels.select(col("id").as("node_id"), col("label")).orderBy("node_id")
   }
+
+  /** Newman-Girvan modularity of a community assignment over a
+    * symmetric edge list — the quality score that says whether
+    * [[propagate]]'s labels (or any partition) beat chance:
+    * `Q = sum_c [ e_c/m - (d_c/2m)^2 ]` with `m` undirected edges,
+    * `e_c` intra-community edges, `d_c` the community's degree sum.
+    *
+    * Published in EXACT integer ppm by clearing denominators:
+    * `Q_ppm = (4m * sum(e_c) - sum(d_c^2)) * 1e6 div (4m^2)` — every
+    * term integral, one truncating division, negative-safe (both
+    * engines truncate toward zero). Int64 envelope: `4m^2 * 1e6`
+    * caps m at ~1.5e6 edges for the single-expression form; larger
+    * graphs divide stepwise or compute per-community terms in the
+    * published columns and ratio in doubles — the aggregate table is
+    * community-sized either way.
+    *
+    * Plan: ONE edge scan joined twice against the node-sized label
+    * table (broadcast when labels fit, AQE decides), one
+    * community-sized aggregation, one scalar fold. Directed-edge
+    * counts cancel: with both directions present, intra-edges and
+    * degrees are both doubled, and the identity uses the doubled
+    * forms consistently (2m = directed rows). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val l = labels.select(col("node_id"), col("label"))
+    val joined = e
+      .join(l.select(col("node_id").as("src"), col("label").as("__ls")), Seq("src"))
+      .join(l.select(col("node_id").as("dst"), col("label").as("__ld")), Seq("dst"))
+    // directed rows: m2 = 2m; intra2 = 2*sum(e_c); degree sums per
+    // community from the src side of every directed row
+    val perC = joined.groupBy(col("__ls").as("__c"))
+      .agg(count(lit(1)).as("__deg"),
+        sum(when(col("__ls") === col("__ld"), 1L).otherwise(0L)).as("__intra"))
+    perC.agg(
+        sum(col("__deg")).as("__m2"),
+        sum(col("__intra")).as("__intra2"),
+        sum(col("__deg") * col("__deg")).as("__sumd2"),
+        count(lit(1)).as("n_communities"))
+      .select(
+        expr("__m2 div 2").as("m_edges"),
+        col("n_communities"),
+        expr("""CASE WHEN __m2 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE (__m2 * __intra2 - __sumd2) * 1000000
+                     div (__m2 * __m2) END""").as("q_ppm"))
+  }
 }
