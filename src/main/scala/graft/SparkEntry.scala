@@ -8494,7 +8494,83 @@ object SparkEntry {
                ELSE CAST((m2 * intra2 - sumd2) * 1000000 // (m2 * m2)
                  AS BIGINT) END AS q_ppm
            FROM agg"""
-      })
+      }),
+
+    // STREAMING calibration monitor (t33's twin, w22's staging
+    // discipline): the reliability curve maintained AT INGEST. The
+    // per-doc score is a STATELESS array-aggregate expression (the
+    // t19 hashed weights folded inside one lambda — no per-doc
+    // aggregation state), so the whole monitor is one bounded
+    // 16-bucket streaming aggregation; buckets are distributive, so
+    // the stream over 3 file batches equals the batch gate exactly —
+    // the oracle IS t33's.
+    ("w23_stream_calibration", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft-w23").toFile
+      val tmp = base.toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val sumW = expr(
+          """aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, tk) -> acc
+             + (instr('0123456789abcdef', substr(md5(concat('qc|', tk)), 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(concat('qc|', tk)), 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(concat('qc|', tk)), 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(concat('qc|', tk)), 4, 1)) - 1)
+             - 32768)""")
+        val agg = stream
+          .withColumn("__sw", sumW)
+          .withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+          .withColumn("bucket", expr("(__sw div __nt + 32768) div 4096"))
+          .withColumn("__l", col("n_chars") >= 300)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"))
+        val name = s"w23_sink_${streamGateSeq.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val resolved = s.table(name)
+          .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+          .orderBy("bucket")
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        rmTree(base)
+      }
+    },
+      Some("""WITH tok AS (SELECT doc_id,
+               md5('qc|' || UNNEST(string_split(text, ' '))) h FROM documents),
+             wgt AS (SELECT doc_id,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS w
+               FROM tok),
+             sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nt,
+               CAST(SUM(w) AS BIGINT) sw FROM wgt GROUP BY doc_id),
+             d2 AS (SELECT sc.doc_id,
+               (sw // nt + 32768) // 4096 bucket,
+               d.n_chars >= 300 l
+               FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+             SELECT bucket, COUNT(*) n,
+               CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+             FROM d2 GROUP BY bucket ORDER BY bucket"""))
   )
 
   // ---------- driver contract ----------
