@@ -272,6 +272,86 @@ object syntax {
     /** k-core peel over a symmetric edge list (src, dst); see
       * [[KCore.corePeel]]. */
     def kCore(k: Int, rounds: Int): DataFrame = KCore.corePeel(df, k, rounds)
+
+    // ---- round-9 session-3: sweeps, frontiers, evals, sampling ----
+
+    /** Per-key union coverage of half-open int64 intervals; see
+      * [[Intervals.unionCoverage]]. */
+    def intervalCoverage(keys: Seq[String], startCol: String,
+                         endCol: String): DataFrame =
+      Intervals.unionCoverage(df, keys, startCol, endCol)
+
+    /** 2D Pareto frontier maximizing both columns; see
+      * [[Skyline.frontier2d]]. */
+    def paretoFrontier(xCol: String, yCol: String,
+                       buckets: Int = 32): DataFrame =
+      Skyline.frontier2d(df, xCol, yCol, buckets)
+
+    /** Cohen's kappa between two binary raters; see
+      * [[DataQuality.agreementKappa]]. */
+    def raterAgreement(raterA: Column, raterB: Column): DataFrame =
+      DataQuality.agreementKappa(df, raterA, raterB)
+
+    /** Calibration curve of an integer score vs a boolean label; see
+      * [[DataQuality.calibrationCurve]]. */
+    def calibration(score: Column, label: Column, shift: Long,
+                    width: Long): DataFrame =
+      DataQuality.calibrationCurve(df, score, label, shift, width)
+
+    /** Depth-2 association rules over (basket, item) rows; see
+      * [[Behavior.associationRules]]. */
+    def associationRules(basketCols: Seq[String], itemCol: String): DataFrame =
+      Behavior.associationRules(df, basketCols, itemCol)
+
+    /** Next-event Markov evaluation under a row-level split; see
+      * [[Behavior.markovEval]]. */
+    def markovEval(userCol: String, tsCol: String, typeCol: String,
+                   tieCol: String, evalSide: Column): DataFrame =
+      Behavior.markovEval(df, userCol, tsCol, typeCol, tieCol, evalSide)
+
+    /** Cohort LTV triangle with exact-cents payback; see
+      * [[Behavior.cohortValue]]. */
+    def cohortValue(userCol: String, tsCol: String,
+                    valueCents: Column): DataFrame =
+      Behavior.cohortValue(df, userCol, tsCol, valueCents)
+
+    /** Lag-k autocorrelation of an aggregated series; see
+      * [[SeriesStats.autocorr]]. */
+    def autocorr(orderCol: String, valueCol: String,
+                 lags: Seq[Int]): DataFrame =
+      SeriesStats.autocorr(df, orderCol, valueCol, lags)
+
+    /** Weighted priority sample of k rows; see
+      * [[Sampling.prioritySample]]. */
+    def prioritySample(keyCol: String, weightCol: String, k: Int,
+                       seed: String = "pri"): DataFrame =
+      Sampling.prioritySample(df, keyCol, weightCol, k, seed)
+
+    /** JL random projection to k integer components; see
+      * [[Pca.randomProjection]]. */
+    def randomProjection(idCol: String, embCol: String, k: Int): DataFrame =
+      Pca.randomProjection(df, idCol, embCol, k)
+
+    /** Label-propagation communities over a symmetric edge list; see
+      * [[LabelProp.propagate]]. */
+    def labelCommunities(rounds: Int): DataFrame =
+      LabelProp.propagate(df, rounds)
+
+    /** Modularity of a community assignment; see
+      * [[LabelProp.modularity]]. */
+    def modularity(labels: DataFrame): DataFrame =
+      LabelProp.modularity(df, labels)
+
+    /** Cluster purity against ground-truth labels; see
+      * [[Ann.clusterPurity]]. */
+    def clusterPurity(labeled: DataFrame, idCol: String = "vec_id",
+                      labelCol: String = "label"): DataFrame =
+      Ann.clusterPurity(df, labeled, idCol, labelCol)
+
+    /** Energy-gated VAD segments over audio frames; see
+      * [[graft.multimodal.Multimodal.vadSegments]]. */
+    def vadSegments(threshold: Long): DataFrame =
+      graft.multimodal.Multimodal.vadSegments(df, threshold)
   }
 
   /** Pair-graph operations that need a session (driver-adaptive CC);

@@ -83,4 +83,37 @@ class SyntaxSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "mail <EMAIL> ip <IP> tel <PHONE>")
     assert(r(1).getString(3) == "clean text")
   }
+
+  test("round-9 session-3 façades match direct calls") {
+    import spark.implicits._
+    import graft.operators.{Behavior, DataQuality, Intervals, LabelProp,
+      Sampling, SeriesStats, Skyline}
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("b", 1L, 2L))
+      .toDF("k", "s", "e")
+    assert(iv.intervalCoverage(Seq("k"), "s", "e").collect().toSet ==
+      Intervals.unionCoverage(iv, Seq("k"), "s", "e").collect().toSet)
+    val pts = Seq((1L, 5L), (3L, 3L), (2L, 2L)).toDF("x", "y")
+    assert(pts.paretoFrontier("x", "y").collect().toSet ==
+      Skyline.frontier2d(pts, "x", "y").collect().toSet)
+    val ratings = Seq((true, true), (true, false), (false, false))
+      .toDF("a", "b")
+    assert(ratings.raterAgreement(col("a"), col("b")).collect().toSet ==
+      DataQuality.agreementKappa(ratings, col("a"), col("b"))
+        .collect().toSet)
+    val basket = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("b", "i")
+    assert(basket.associationRules(Seq("b"), "i").collect().toSet ==
+      Behavior.associationRules(basket, Seq("b"), "i").collect().toSet)
+    val series = Seq((0L, 3L), (1L, 9L), (2L, 4L), (3L, 8L)).toDF("t", "x")
+    assert(series.autocorr("t", "x", Seq(1)).collect().toSet ==
+      SeriesStats.autocorr(series, "t", "x", Seq(1)).collect().toSet)
+    val wdf = Seq((1L, 10L), (2L, 90L), (3L, 40L)).toDF("id", "w")
+    assert(wdf.prioritySample("id", "w", 2).collect().toSet ==
+      Sampling.prioritySample(wdf, "id", "w", 2).collect().toSet)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(edges.labelCommunities(2).collect().toSet ==
+      LabelProp.propagate(edges, 2).collect().toSet)
+    val labs = Seq((1L, 1L), (2L, 1L)).toDF("node_id", "label")
+    assert(edges.modularity(labs).collect().toSet ==
+      LabelProp.modularity(edges, labs).collect().toSet)
+  }
 }
