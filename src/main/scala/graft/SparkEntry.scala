@@ -164,8 +164,33 @@ object SparkEntry {
         .select("doc_a", "doc_b").persist())
 
   /** Unpersist + drop every materialized index owned by `s`. */
+  // g41/g49/g51 all analyze the SAME symmetric customer-supplier trade
+  // graph, and g51 consumes g49's labels — memoized like the dedup
+  // indexes (at 100 TB: the edge list and the community assignment are
+  // persisted tables the graph jobs build once and share)
+  private val edgesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def tradeEdgesCached(s: SparkSession, dir: String): DataFrame =
+    edgesCache.getOrElseUpdate((s, dir), {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+        .persist()
+    })
+
+  private val lpaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lpaLabelsCached(s: SparkSession, dir: String): DataFrame =
+    lpaCache.getOrElseUpdate((s, dir),
+      LabelProp.propagate(tradeEdgesCached(s, dir), 3).persist())
+
   def clearCaches(s: SparkSession): Unit = {
-    Seq(sigCache, pairsCache, verifiedCache).foreach { cache =>
+    Seq(sigCache, pairsCache, verifiedCache, edgesCache, lpaCache).foreach { cache =>
       cache.toSeq.filter(_._1._1 eq s).foreach { case (k, df) =>
         df.unpersist(blocking = false)
         cache.remove(k)
@@ -7476,16 +7501,9 @@ object SparkEntry {
     // discipline). k=35 splits the sf0.01 graph 725 in-core / 875
     // peeled with convergence at round 2 — both branches load-
     // bearing; cascade DEPTH is pinned by KCoreSpec's closed forms.
-    ("g41_kcore", (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .union(cs.select(col("p").as("src"), col("c").as("dst")))
-      operators.KCore.corePeel(edges, 35, 4).orderBy("node_id")
-    },
+    ("g41_kcore", (s, dir) =>
+      operators.KCore.corePeel(tradeEdgesCached(s, dir), 35, 4)
+        .orderBy("node_id"),
       Some {
         def round(i: Int) =
           s"""d$i AS (SELECT e.src, COUNT(*) dg FROM e
@@ -8359,16 +8377,8 @@ object SparkEntry {
     // classes into densely-knit groups. Fixed rounds + (max count,
     // min label) ties = the oracle unrolls the rounds as CTEs,
     // KCore's replay discipline.
-    ("g49_label_prop", (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .union(cs.select(col("p").as("src"), col("c").as("dst")))
-      LabelProp.propagate(edges, 3)
-    },
+    ("g49_label_prop", (s, dir) =>
+      lpaLabelsCached(s, dir).orderBy("node_id"),
       Some {
         def round(i: Int) =
           s"""c$i AS (SELECT x.id, x.lbl, COUNT(*) n FROM (
@@ -8454,16 +8464,9 @@ object SparkEntry {
     // label-free). One edge scan + two node-table joins + a
     // community-sized fold; the oracle replays LPA then the Q
     // arithmetic.
-    ("g51_modularity", (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .union(cs.select(col("p").as("src"), col("c").as("dst")))
-      LabelProp.modularity(edges, LabelProp.propagate(edges, 3))
-    },
+    ("g51_modularity", (s, dir) =>
+      LabelProp.modularity(tradeEdgesCached(s, dir),
+        lpaLabelsCached(s, dir)),
       Some {
         def round(i: Int) =
           s"""c$i AS (SELECT x.id, x.lbl, COUNT(*) n FROM (
