@@ -8573,7 +8573,59 @@ object SparkEntry {
                CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) * 1000000
                  // COUNT(*) AS BIGINT) AS pos_rate_ppm
-             FROM d2 GROUP BY bucket ORDER BY bucket"""))
+             FROM d2 GROUP BY bucket ORDER BY bucket""")),
+
+    // Greedy k-center coreset (Sampling.kCenterCoreset over n17's
+    // integer JL projections): 5 exemplars covering the embedding
+    // space by farthest-first traversal — the diversity selection
+    // behind coreset distillation and diverse eval sets, o22's
+    // complement (heavy vs DIFFERENT). Exact int64 distances,
+    // deterministic seed/ties; the oracle regenerates the projection
+    // and unrolls the 4 picks.
+    ("o24_coreset", (s, dir) =>
+      Sampling.kCenterCoreset(
+        operators.Pca.randomProjection(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 4),
+        "vec_id", Seq("proj_0", "proj_1", "proj_2", "proj_3"), 5)
+        .orderBy("pick_idx"),
+      Some {
+        def pick(i: Int) =
+          s"""d$i AS (SELECT p.vec_id,
+                MIN((p.p0-s.p0)*(p.p0-s.p0) + (p.p1-s.p1)*(p.p1-s.p1)
+                  + (p.p2-s.p2)*(p.p2-s.p2) + (p.p3-s.p3)*(p.p3-s.p3)) d
+                FROM pr p, sel${i - 1} s GROUP BY 1),
+             k$i AS (SELECT vec_id, d FROM d$i ORDER BY d DESC, vec_id LIMIT 1),
+             sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+               SELECT pr.vec_id, p0, p1, p2, p3 FROM pr
+               JOIN k$i ON k$i.vec_id = pr.vec_id)"""
+        s"""WITH u AS (SELECT vec_id, embedding e FROM embeddings),
+           x0 AS (SELECT vec_id, UNNEST([{'j': i - 1,
+               'q': CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)}
+             for i in generate_series(1, len(e))]) st FROM u),
+           x AS (SELECT vec_id, st.j j, st.q q FROM x0),
+           sx AS (SELECT vec_id, j, q, c
+             FROM x, generate_series(0, 3) tc(c)),
+           pp AS (SELECT vec_id, c,
+             SUM(CASE WHEN ((j * 73856093 + c * 19349663) % 83) % 2 = 0
+               THEN q ELSE -q END) v
+             FROM sx GROUP BY 1, 2),
+           pr AS (SELECT vec_id,
+             CAST(MAX(CASE WHEN c = 0 THEN v END) AS BIGINT) p0,
+             CAST(MAX(CASE WHEN c = 1 THEN v END) AS BIGINT) p1,
+             CAST(MAX(CASE WHEN c = 2 THEN v END) AS BIGINT) p2,
+             CAST(MAX(CASE WHEN c = 3 THEN v END) AS BIGINT) p3
+             FROM pp GROUP BY 1),
+           sel0 AS (SELECT vec_id, p0, p1, p2, p3 FROM pr
+             WHERE vec_id = (SELECT MIN(vec_id) FROM pr)),
+           ${pick(1)}, ${pick(2)}, ${pick(3)}, ${pick(4)}
+           SELECT CAST(0 AS BIGINT) AS pick_idx, vec_id AS id,
+             CAST(NULL AS BIGINT) AS radius_sq FROM sel0
+           UNION ALL SELECT 1, vec_id, CAST(d AS BIGINT) FROM k1
+           UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM k2
+           UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM k3
+           UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM k4
+           ORDER BY pick_idx"""
+      })
   )
 
   // ---------- driver contract ----------

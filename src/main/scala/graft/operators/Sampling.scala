@@ -148,4 +148,65 @@ object Sampling {
       .limit(k)
       .drop("__u")
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985's farthest-first
+    * traversal, a 2-approximation to the k-center cover): seed at
+    * the smallest id, then repeatedly pick the point FARTHEST from
+    * its nearest already-selected center — the diversity-sampling
+    * complement to [[prioritySample]]'s size bias (priority sampling
+    * keeps what's heavy; this keeps what's DIFFERENT, the "cover the
+    * embedding space with k exemplars" selection behind coreset
+    * distillation and diverse eval-set picking).
+    *
+    * Exact and engine-replayable end to end when the coordinates are
+    * integers (pair with [[Pca.randomProjection]]'s quantized
+    * projections): distances are int64 squared-Euclidean, ties break
+    * to the smallest id, and the seed is deterministic — the oracle
+    * unrolls the k-1 picks. Coordinate envelope: |coord| < ~1e9
+    * keeps the squared sum over a handful of dims inside int64.
+    *
+    * Plan: each of the k-1 rounds is ONE TakeOrdered(1) over the
+    * point table against the LITERAL-encoded selected centers (k is
+    * small; the distance expression is pure codegen — no join, no
+    * shuffle, no crossJoin). k passes over a narrow projected table
+    * is the canonical greedy k-center cost; cache the projection
+    * when k is more than a few, and at extreme scale swap in the
+    * sampled variant (pick the farthest of a hash-sampled candidate
+    * set per round — same code, a `where` in front).
+    *
+    * Output: (pick_idx, id, radius_sq) in pick order; `radius_sq` is
+    * the picked point's distance² to its nearest earlier center (the
+    * cover radius achieved as of that pick; NULL for the seed). */
+  def kCenterCoreset(df: DataFrame, idCol: String, coordCols: Seq[String],
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(coordCols.nonEmpty, "need at least one coordinate column")
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol).cast("long").as("__id") +:
+      coordCols.map(c => col(c).cast("long").as(c)): _*)
+    val seed = pts.orderBy(col("__id")).limit(1).collect()(0)
+    def coords(r: org.apache.spark.sql.Row): Seq[Long] =
+      coordCols.indices.map(i => r.getLong(i + 1))
+    var selected = Seq(seed)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Option[Long])]()
+    out += ((0L, seed.getLong(0), None))
+    var j = 1
+    while (j < k) {
+      val dists = selected.map { c =>
+        val cs = coords(c)
+        coordCols.zipWithIndex.map { case (cc, i) =>
+          (col(cc) - lit(cs(i))) * (col(cc) - lit(cs(i)))
+        }.reduce(_ + _)
+      }
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = pts.withColumn("__d", minDist)
+        .orderBy(col("__d").desc, col("__id")).limit(1).collect()(0)
+      out += ((j.toLong, next.getLong(0),
+        Some(next.getLong(next.length - 1))))
+      selected :+= next
+      j += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("pick_idx", "id", "radius_sq")
+  }
 }
