@@ -8625,6 +8625,65 @@ object SparkEntry {
            UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM k3
            UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM k4
            ORDER BY pick_idx"""
+      }),
+
+    // MMR diversified re-ranking (Ann.mmrRerank): n1's exact top-10
+    // candidates greedily re-ranked to 5 picks maximizing
+    // 0.7·relevance − 0.3·max-sim-to-picked — the diversity pass
+    // between retrieval and a RAG context window, o24's
+    // query-relative complement. Candidate sims are bounded per
+    // query; the greedy loop runs in cogroup on the query key. The
+    // oracle replays candidates, pairwise sims, and all 5 unrolled
+    // picks with the identical tie algebra.
+    ("n19_mmr_rerank", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.mmrRerank(Ann.bruteForceTopK(em, annQueryPred, 10), em, 5)
+        .orderBy("qid", "rnk")
+    },
+      Some {
+        def pick(j: Int) =
+          s"""m$j AS (SELECT c.qid, c.nid, c.rel, MAX(s.sim) ms
+                FROM cand c
+                JOIN sims s ON s.qid = c.qid AND s.a = c.nid
+                JOIN sel${j - 1} p ON p.qid = s.qid AND p.nid = s.b
+                WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} px
+                  WHERE px.qid = c.qid AND px.nid = c.nid)
+                GROUP BY 1, 2, 3),
+             p$j AS (SELECT qid, nid, score FROM (SELECT qid, nid,
+                  700*rel - 300*ms score,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY 700*rel - 300*ms DESC, nid) r FROM m$j)
+                WHERE r = 1),
+             sel$j AS (SELECT qid, nid FROM sel${j - 1}
+               UNION ALL SELECT qid, nid FROM p$j)"""
+        s"""WITH $oracleUnitCte,
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) rel
+             FROM bq, u WHERE u.vec_id <> qid),
+           cand AS (SELECT qid, nid, rel FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid) rnk FROM bs) WHERE rnk <= 10),
+           sims AS (SELECT c1.qid, c1.nid a, c2.nid b,
+             ROUND(list_dot_product(u1.ue, u2.ue), 6) sim
+             FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid
+               AND c1.nid <> c2.nid
+             JOIN u u1 ON u1.vec_id = c1.nid
+             JOIN u u2 ON u2.vec_id = c2.nid),
+           p1 AS (SELECT qid, nid, score FROM (SELECT qid, nid,
+               700*rel - 300*0 score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY 700*rel - 300*0 DESC, nid) r FROM cand)
+             WHERE r = 1),
+           sel1 AS (SELECT qid, nid FROM p1),
+           ${pick(2)}, ${pick(3)}, ${pick(4)}, ${pick(5)}
+           SELECT qid, CAST(1 AS BIGINT) AS rnk, nid AS neighbor_id,
+             score AS score_m FROM p1
+           UNION ALL SELECT qid, 2, nid, score FROM p2
+           UNION ALL SELECT qid, 3, nid, score FROM p3
+           UNION ALL SELECT qid, 4, nid, score FROM p4
+           UNION ALL SELECT qid, 5, nid, score FROM p5
+           ORDER BY qid, rnk"""
       })
   )
 

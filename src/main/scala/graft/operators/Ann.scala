@@ -136,6 +136,81 @@ object Ann {
       Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
       .select("qid", "rnk", "neighbor_id", "cos_r")
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell-Goldstein,
+    * SIGIR 1998): greedily re-rank a candidate list so each pick
+    * maximizes `lambda*relevance - (1-lambda)*max-similarity-to-
+    * already-picked` — the diversity pass between retrieval and
+    * consumption (dedup-ish results collapse to one representative;
+    * a RAG context window stops spending slots on near-copies). The
+    * query-relative complement of [[graft.operators.Sampling
+    * .kCenterCoreset]]'s global cover.
+    *
+    * Scale shape: candidates are a top-k-per-query table (metadata-
+    * sized), their pairwise sims are |cands|² PER QUERY (bounded by
+    * construction, computed with one broadcast-unit-vector join —
+    * the corpus is never touched beyond fetching candidate vectors),
+    * and the greedy loop runs inside `cogroup` on the query key —
+    * per-group imperative logic over <= k*|cands| items, the
+    * KeyValueGroupedDataset seam built for exactly this. No driver
+    * collection at any query count.
+    *
+    * Determinism: relevance and sims are the round-6 cosine doubles
+    * the n-family already hash-pins; the score `lam*rel - (1000-lam)
+    * *maxSim` uses exactly-representable integer-valued double
+    * factors, so any engine replays the same IEEE ops; ties break to
+    * the smaller id. Output: (qid, rnk 1-based, neighbor_id,
+    * score_m) — score in milli-units (x1000), NOT divided back, so
+    * the emitted number is itself the replayable double. */
+  def mmrRerank(candidates: DataFrame, embeddings: DataFrame, k: Int,
+                lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, "lambdaMilli in [0,1000]")
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val withVec = candidates
+      .select(col("qid"), col("neighbor_id"), col("cos_r"))
+      .join(em, col("neighbor_id") === col("vec_id")).drop("vec_id")
+    val a = withVec.select(col("qid"), col("neighbor_id").as("a"),
+      col("ue").as("ua"))
+    val b = withVec.select(col("qid"), col("neighbor_id").as("b"),
+      col("ue").as("ub"))
+    val sims = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(Similarity.dot(col("ua"), col("ub")), 6).as("sim"))
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cds = withVec.select(col("qid"), col("neighbor_id"), col("cos_r"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val sds = sims.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    val lam = lambdaMilli.toDouble
+    val lam2 = (1000 - lambdaMilli).toDouble
+    cds.cogroup(sds) { case (qid, cit, sit) =>
+      val remaining = scala.collection.mutable.LinkedHashMap(
+        cit.map(c => c._2 -> c._3).toSeq.sortBy(_._1): _*)
+      val simMap = sit.map(s => (s._2, s._3) -> s._4).toMap
+      var selected = List.empty[Long]
+      val picks = scala.collection.mutable.ListBuffer[(Long, Long, Long, Double)]()
+      var idx = 1
+      while (idx <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestS = Double.NegativeInfinity
+        remaining.foreach { case (id, rel) =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(p => simMap.getOrElse((id, p), 0.0)).max
+          val s = lam * rel - lam2 * ms
+          if (s > bestS || (s == bestS && (bestId < 0 || id < bestId))) {
+            bestS = s; bestId = id
+          }
+        }
+        picks += ((qid, idx.toLong, bestId, bestS))
+        selected ::= bestId
+        remaining -= bestId
+        idx += 1
+      }
+      picks.iterator
+    }.toDF("qid", "rnk", "neighbor_id", "score_m")
+  }
+
   /** Deterministic random-hyperplane codebook: `nPlanes` planes of ±1
     * over `dims` dims, derived from md5 bits on the driver and inlined
     * as LITERALS into the plan — the codebook is data (like model
