@@ -8684,7 +8684,56 @@ object SparkEntry {
            UNION ALL SELECT qid, 4, nid, score FROM p4
            UNION ALL SELECT qid, 5, nid, score FROM p5
            ORDER BY qid, rnk"""
-      })
+      }),
+
+    // Dedup-index quality evaluation (DataQuality.setConfusion):
+    // precision/recall/F1 of the RAW LSH candidate pairs against
+    // exact-Jaccard ground truth, both restricted to a BOUNDED
+    // 250-doc window where the quadratic truth pass is affordable at
+    // any corpus size — the n16-for-dedup gate an index build is
+    // judged by before its banding parameters ship. Truth uses the
+    // same 5-gram double-division jaccard the d5/e6 chain hash-pins.
+    ("d32_dedup_pair_eval", (s, dir) => {
+      val sample = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val ids = sample.select(col("doc_id"))
+      val allPairs = broadcast(ids.select(col("doc_id").as("doc_a")))
+        .crossJoin(broadcast(ids.select(col("doc_id").as("doc_b"))))
+        .filter(col("doc_a") < col("doc_b"))
+      val truth = Dedup.ngramJaccard(sample, allPairs)
+        .filter(col("jaccard") >= 0.35).select(col("doc_a"), col("doc_b"))
+      val cand = lshPairsCached(s, dir)
+        .filter(col("doc_a") < 250 && col("doc_b") < 250)
+      DataQuality.setConfusion(cand, truth, Seq("doc_a", "doc_b"))
+    },
+      Some(s"""WITH $oracleSigCtes, $oraclePairCtes,
+           cnd AS (SELECT doc_a, doc_b FROM pairs
+             WHERE doc_a < 250 AND doc_b < 250),
+           g AS (SELECT doc_id,
+             list_distinct([substr(text, i, 5)
+               for i in generate_series(1, len(text)-4)]) grams
+             FROM documents WHERE doc_id < 250),
+           tr AS (SELECT a.doc_id da, b.doc_id db
+             FROM g a JOIN g b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_filter(a.grams,
+                 x -> list_contains(b.grams, x))) AS DOUBLE)
+               / (len(a.grams) + len(b.grams)
+                  - len(list_filter(a.grams,
+                      x -> list_contains(b.grams, x)))) >= 0.35),
+           nc AS (SELECT COUNT(*) n FROM cnd),
+           nt AS (SELECT COUNT(*) n FROM tr),
+           nh AS (SELECT COUNT(*) n FROM cnd
+             JOIN tr ON tr.da = cnd.doc_a AND tr.db = cnd.doc_b)
+           SELECT nc.n AS n_candidates, nt.n AS n_truth, nh.n AS n_hit,
+             CASE WHEN nc.n = 0 THEN NULL
+               ELSE CAST(nh.n * 1000000 // nc.n AS BIGINT) END
+               AS precision_ppm,
+             CASE WHEN nt.n = 0 THEN NULL
+               ELSE CAST(nh.n * 1000000 // nt.n AS BIGINT) END
+               AS recall_ppm,
+             CASE WHEN nc.n + nt.n = 0 THEN NULL
+               ELSE CAST(2 * nh.n * 1000000 // (nc.n + nt.n) AS BIGINT) END
+               AS f1_ppm
+           FROM nc, nt, nh"""))
   )
 
   // ---------- driver contract ----------

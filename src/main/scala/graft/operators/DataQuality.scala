@@ -78,6 +78,39 @@ object DataQuality {
         col("__v").as("n_violations"))
   }
 
+  /** Set-level confusion report: candidates vs ground truth as KEY
+    * SETS (pair sets for a dedup index, id sets for a filter) —
+    * n_candidates / n_truth / n_hit plus exact-ppm precision,
+    * recall, and F1 (`2*hit/(cand+truth)` — the harmonic mean's
+    * rational identity, no float division). NULL (undefined, not 0)
+    * when a denominator is empty. The one-row gate an index build is
+    * judged by — [[graft.operators.Ann.recallAtK]]'s unordered-set
+    * sibling.
+    *
+    * Both inputs deduplicate first; plan is one semi-join + three
+    * single-row aggregates over key-projected tables. Candidates and
+    * truth must use the SAME key normalization (e.g. pairs ordered
+    * a < b) — this reports on sets, it does not canonicalize them. */
+  def setConfusion(candidates: DataFrame, truth: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val c = candidates.select(keys.map(col): _*).distinct()
+    val tr = truth.select(keys.map(col): _*).distinct()
+    val nc = c.agg(count(lit(1)).as("n_candidates"))
+    val nt = tr.agg(count(lit(1)).as("n_truth"))
+    val nh = c.join(tr, keys, "left_semi").agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(nt).crossJoin(nh).select(
+      col("n_candidates"), col("n_truth"), col("n_hit"),
+      expr("""CASE WHEN n_candidates = 0 THEN CAST(NULL AS BIGINT)
+              ELSE n_hit * 1000000 div n_candidates END""")
+        .as("precision_ppm"),
+      expr("""CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+              ELSE n_hit * 1000000 div n_truth END""").as("recall_ppm"),
+      expr("""CASE WHEN n_candidates + n_truth = 0 THEN CAST(NULL AS BIGINT)
+              ELSE 2 * n_hit * 1000000 div (n_candidates + n_truth) END""")
+        .as("f1_ppm"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two binary raters — the
     * label-agreement audit a labeling pipeline runs before trusting
     * annotations (two heuristic quality classifiers, a model vs a

@@ -90,6 +90,22 @@ class DataQualitySpec extends AnyFunSuite {
     assert(kappaOf(Seq((true, true), (true, true))) === None)
   }
 
+  test("setConfusion: counts, exact ppm metrics, NULL on empty denominators") {
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L)).toDF("a", "b")
+    val truth = Seq((1L, 2L), (4L, 5L)).toDF("a", "b")
+    val r = DataQuality.setConfusion(cand, truth, Seq("a", "b")).collect().head
+    // dup candidate collapses: 3 candidates, 2 truth, 1 hit
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 1L)))
+    assert(r.getLong(3) === 333333L)          // precision 1/3
+    assert(r.getLong(4) === 500000L)          // recall 1/2
+    assert(r.getLong(5) === 400000L)          // f1 = 2/(3+2)
+    val empty = truth.filter(col("a") > 100L)
+    val r2 = DataQuality.setConfusion(cand, empty, Seq("a", "b"))
+      .collect().head
+    assert(r2.isNullAt(4), "recall must be NULL with empty truth")
+    assert(r2.getLong(2) === 0L)
+  }
+
   test("calibrationCurve: buckets, rates, and negative-score flooring") {
     // scores in [-8, 7], shift 8, width 4 -> buckets 0..3
     val rows = Seq(
