@@ -8733,7 +8733,64 @@ object SparkEntry {
              CASE WHEN nc.n + nt.n = 0 THEN NULL
                ELSE CAST(2 * nh.n * 1000000 // (nc.n + nt.n) AS BIGINT) END
                AS f1_ppm
-           FROM nc, nt, nh"""))
+           FROM nc, nt, nh""")),
+
+    // Rolling-origin forecast backtest (a7 x g48's series): one-step-
+    // ahead Holt vs the naive last-value forecast on the daily
+    // revenue series, scored by MAE in exact cents — the evaluation
+    // that says whether the smoother EARNS its place before a
+    // forecast gates autoscaling/budgets. Per-step errors floor to
+    // int64 BEFORE summing (order-independent, engine-exact); the
+    // oracle replays the recursion, the lag, and the floors.
+    ("a9_forecast_backtest", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("dy"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .withColumn("k", lit(1)).withColumn("v", col("c").cast("double"))
+      val h = Ewma.holt(daily, Seq("k"), Seq("dy"), "v", 0.5, 0.5,
+        "level", "trend")
+      val w = Window.partitionBy("k").orderBy("dy")
+      val steps = h
+        .withColumn("fc", lag(col("level") + col("trend"), 1).over(w))
+        .withColumn("nv", lag(col("c"), 1).over(w))
+        .filter(col("fc").isNotNull)
+      val holtE = steps.agg(count(lit(1)).as("n_steps"),
+          sum(expr("CAST(FLOOR(ABS(fc - CAST(c AS DOUBLE))) AS BIGINT)"))
+            .as("sum_abs_err"))
+        .select(lit("holt").as("method"), col("n_steps"), col("sum_abs_err"))
+      val naiveE = steps.agg(count(lit(1)).as("n_steps"),
+          sum(abs(col("c") - col("nv"))).as("sum_abs_err"))
+        .select(lit("naive").as("method"), col("n_steps"), col("sum_abs_err"))
+      holtE.unionByName(naiveE)
+        .withColumn("mae_cents", expr("sum_abs_err div n_steps"))
+        .orderBy("method")
+    },
+      Some("""WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) dy,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) c
+               FROM events GROUP BY 1),
+             e AS (SELECT dy, c, CAST(c AS DOUBLE) v,
+               ROW_NUMBER() OVER (ORDER BY dy) rn FROM d),
+             r(rn, l, b) AS (
+               SELECT rn, v, CAST(0 AS DOUBLE) FROM e WHERE rn = 1
+               UNION ALL
+               SELECT e.rn, 0.5 * e.v + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * e.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+               FROM r JOIN e ON e.rn = r.rn + 1),
+             st AS (SELECT e.rn, e.c, pr.l + pr.b fc, pe.c nv
+               FROM e
+               JOIN r pr ON pr.rn = e.rn - 1
+               JOIN e pe ON pe.rn = e.rn - 1)
+             SELECT 'holt' AS method, COUNT(*) n_steps,
+               CAST(SUM(CAST(FLOOR(ABS(fc - CAST(c AS DOUBLE))) AS BIGINT))
+                 AS BIGINT) AS sum_abs_err,
+               CAST(SUM(CAST(FLOOR(ABS(fc - CAST(c AS DOUBLE))) AS BIGINT))
+                 // COUNT(*) AS BIGINT) AS mae_cents
+             FROM st
+             UNION ALL
+             SELECT 'naive', COUNT(*),
+               CAST(SUM(ABS(c - nv)) AS BIGINT),
+               CAST(SUM(ABS(c - nv)) // COUNT(*) AS BIGINT)
+             FROM st ORDER BY method"""))
   )
 
   // ---------- driver contract ----------
