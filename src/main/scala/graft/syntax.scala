@@ -352,6 +352,23 @@ object syntax {
       * [[graft.multimodal.Multimodal.vadSegments]]. */
     def vadSegments(threshold: Long): DataFrame =
       graft.multimodal.Multimodal.vadSegments(df, threshold)
+
+    /** Greedy k-center coreset over integer coordinates; see
+      * [[Sampling.kCenterCoreset]]. */
+    def kCenterCoreset(idCol: String, coordCols: Seq[String],
+                       k: Int): DataFrame =
+      Sampling.kCenterCoreset(df, idCol, coordCols, k)
+
+    /** MMR diversified re-rank of this candidate list; see
+      * [[Ann.mmrRerank]]. */
+    def mmrRerank(embeddings: DataFrame, k: Int,
+                  lambdaMilli: Int = 700): DataFrame =
+      Ann.mmrRerank(df, embeddings, k, lambdaMilli)
+
+    /** Precision/recall/F1 of this key set vs ground truth; see
+      * [[DataQuality.setConfusion]]. */
+    def setConfusion(truth: DataFrame, keys: Seq[String]): DataFrame =
+      DataQuality.setConfusion(df, truth, keys)
   }
 
   /** Pair-graph operations that need a session (driver-adaptive CC);

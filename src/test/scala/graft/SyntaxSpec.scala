@@ -115,5 +115,15 @@ class SyntaxSpec extends AnyFunSuite {
     val labs = Seq((1L, 1L), (2L, 1L)).toDF("node_id", "label")
     assert(edges.modularity(labs).collect().toSet ==
       LabelProp.modularity(edges, labs).collect().toSet)
+    val coords = Seq((1L, 0L, 0L), (2L, 9L, 9L), (3L, 0L, 9L))
+      .toDF("id", "x", "y")
+    assert(coords.kCenterCoreset("id", Seq("x", "y"), 2).collect().toSet ==
+      Sampling.kCenterCoreset(coords, "id", Seq("x", "y"), 2)
+        .collect().toSet)
+    val truth = Seq((1L, 2L)).toDF("a", "b")
+    val candP = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    assert(candP.setConfusion(truth, Seq("a", "b")).collect().toSet ==
+      DataQuality.setConfusion(candP, truth, Seq("a", "b"))
+        .collect().toSet)
   }
 }
