@@ -1274,6 +1274,42 @@ object SparkEntry {
              SELECT doc_id, source, n_tok, tok_before FROM c
              WHERE tok_before < 1200 ORDER BY doc_id""")),
 
+    // Water-filling budget allocation (Sampling
+    // .waterfillAllocationShare): spend 90% of total corpus chars
+    // with max-min fairness across sources — small sources keep
+    // everything, big ones clip to the common water level. Exact
+    // integers end to end (prefix sums + ONE truncating division at
+    // the binding position); at sf0.01 both branches are live (two
+    // sources below the level keep full supply, 18 clip). The
+    // corpus-sized work is the supply groupBy; the fill runs on the
+    // 20-row domain table.
+    ("o25_budget_waterfill", (s, dir) =>
+      operators.Sampling.waterfillAllocationShare(
+        t(s, dir, "documents").groupBy("source")
+          .agg(sum(col("n_chars")).as("supply")),
+        "source", "supply", 9L, 10L)
+        .orderBy("source"),
+      Some("""WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) supply
+               FROM documents GROUP BY 1),
+             t AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(supply) AS BIGINT) tot FROM s),
+             b AS (SELECT n, CAST(tot * 9 // 10 AS BIGINT) bgt FROM t),
+             r AS (SELECT source, supply,
+               CAST(ROW_NUMBER() OVER (ORDER BY supply, source) AS BIGINT) i,
+               CAST(SUM(supply) OVER (ORDER BY supply, source) AS BIGINT) p
+               FROM s),
+             f AS (SELECT r.*, b.n, b.bgt FROM r, b
+               WHERE r.p + (b.n - r.i) * r.supply > b.bgt),
+             c AS (SELECT CAST((bgt - (p - supply)) // (n - i + 1) AS BIGINT)
+                 cap
+               FROM f ORDER BY i LIMIT 1)
+             SELECT r.source, r.supply, b.bgt AS budget,
+               (SELECT cap FROM c) AS cap,
+               CASE WHEN (SELECT cap FROM c) IS NULL THEN r.supply
+                 ELSE GREATEST(0, LEAST(r.supply, (SELECT cap FROM c)))
+               END AS alloc
+             FROM r, b ORDER BY r.source""")),
+
     // curriculum ordering: number EVERY doc of the corpus by a global
     // quality order (longest first here; any score works). The naive
     // ROW_NUMBER() OVER (ORDER BY ...) is a one-partition window — the
@@ -7494,6 +7530,42 @@ object SparkEntry {
              ORDER BY "rule""""))
     ,
 
+    // Exact key-skew audit (SkewSalt.skewAudit): the top-10 heaviest
+    // event users with corpus share in ppm, plus the group-size
+    // distribution (p50/p99/max, n_keys, total_rows) as context — the
+    // report that decides broadcast vs AQE vs salting for a 100 TB
+    // join. One corpus exchange (per-key count); top-k is TakeOrdered
+    // (per-partition heaps); exact percentiles come from the SIZE
+    // HISTOGRAM (distinct sizes, tiny), so no ordered window ever
+    // sees the key domain. Percentile q = smallest size whose
+    // cumulative key count reaches ceil(q*n_keys), integer-exact.
+    ("x14_skew_audit", (s, dir) =>
+      SkewSalt.skewAudit(t(s, dir, "events"), Seq("user_id"), 10)
+        .orderBy("rank"),
+      Some("""WITH s AS (SELECT user_id, COUNT(*) n_rows
+               FROM events GROUP BY 1),
+             h AS (SELECT n_rows, COUNT(*) nk FROM s GROUP BY 1),
+             t AS (SELECT CAST(SUM(n_rows * nk) AS BIGINT) total_rows,
+               CAST(SUM(nk) AS BIGINT) n_keys,
+               MAX(n_rows) max_size FROM h),
+             c AS (SELECT n_rows,
+               CAST(SUM(nk) OVER (ORDER BY n_rows) AS BIGINT) cum FROM h),
+             st AS (SELECT t.n_keys, t.total_rows, t.max_size,
+               (SELECT MIN(c.n_rows) FROM c
+                 WHERE c.cum >= (t.n_keys + 1) // 2) p50_size,
+               (SELECT MIN(c.n_rows) FROM c
+                 WHERE c.cum >= (99 * t.n_keys + 99) // 100) p99_size
+               FROM t),
+             tk AS (SELECT user_id, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) rnk
+               FROM s ORDER BY n_rows DESC, user_id LIMIT 10)
+             SELECT tk.user_id, CAST(tk.rnk AS BIGINT) AS rank, tk.n_rows,
+               CAST(tk.n_rows * 1000000 // st.total_rows AS BIGINT)
+                 AS share_ppm,
+               st.n_keys, st.total_rows, st.p50_size, st.p99_size,
+               st.max_size
+             FROM tk, st ORDER BY rank""")),
+
     // k-core decomposition (operators.KCore): iterative peeling on
     // g17's bidirectional trade graph, FIXED 4 rounds (monotone
     // shrinkage makes post-fixpoint rounds no-ops, so the oracle
@@ -8790,7 +8862,80 @@ object SparkEntry {
              SELECT 'naive', COUNT(*),
                CAST(SUM(ABS(c - nv)) AS BIGINT),
                CAST(SUM(ABS(c - nv)) // COUNT(*) AS BIGINT)
-             FROM st ORDER BY method"""))
+             FROM st ORDER BY method""")),
+
+    // Day-of-week seasonal index of the daily event-count series
+    // (SeriesStats.seasonalIndex): classical decomposition's centered
+    // 7-day moving-average detrend, in exact int64 (period-scaled
+    // detrended value, single truncating division). Complements g48's
+    // "is it weekly-periodic" ACF with the per-slot periodic SHAPE.
+    // The slot is days-since-epoch mod 7 (engine-neutral arithmetic,
+    // no dayofweek() semantics drift); edge rows without a full
+    // centered window are excluded, as in a3's rolling. The corpus
+    // work is the one groupBy building the series; the window runs on
+    // the bounded day-domain table.
+    ("a10_seasonal_index", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      SeriesStats.seasonalIndex(daily, "day", "x", "dow", 7)
+        .orderBy("slot")
+    },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             w AS (SELECT dy, x,
+               COUNT(x) OVER win cnt,
+               CAST(7 * x - SUM(x) OVER win AS BIGINT) dt
+               FROM d
+               WINDOW win AS (ORDER BY dy
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             g AS (SELECT CAST((dy - DATE '1970-01-01') % 7 AS BIGINT)
+                 AS slot,
+               COUNT(*) n_obs, CAST(SUM(dt) AS BIGINT) num
+               FROM w WHERE cnt = 7 GROUP BY 1)
+             SELECT slot, n_obs, num,
+               CAST(num // (7 * n_obs) AS BIGINT) AS idx
+             FROM g ORDER BY slot""")),
+
+    // Seasonally-adjusted anomaly days (SeriesStats.seasonalResiduals):
+    // classical decomposition's remainder ranks the 10 days furthest
+    // from what trend + day-of-week explain — the anomaly ranker g30's
+    // raw MAD can't give (it flags every ordinary weekend dip). All
+    // arithmetic exact int64 in the period-scaled domain; ties broken
+    // by day so the top-10 SET is engine-deterministic.
+    ("a11_seasonal_anomaly", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      SeriesStats.seasonalResiduals(daily, "day", "x", "dow", 7)
+        .orderBy(abs(col("res")).desc, col("day"))
+        .limit(10)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), col("dow"), col("d"), col("idx"), col("res"))
+    },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             w AS (SELECT dy, x,
+               CAST((dy - DATE '1970-01-01') % 7 AS BIGINT) slot,
+               COUNT(x) OVER win cnt,
+               CAST(7 * x - SUM(x) OVER win AS BIGINT) dt
+               FROM d
+               WINDOW win AS (ORDER BY dy
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             f AS (SELECT * FROM w WHERE cnt = 7),
+             g AS (SELECT slot, COUNT(*) n_obs,
+               CAST(SUM(dt) AS BIGINT) num FROM f GROUP BY 1),
+             i AS (SELECT slot, CAST(num // (7 * n_obs) AS BIGINT) idx
+               FROM g)
+             SELECT strftime(f.dy, '%Y-%m-%d') AS day, f.x,
+               f.slot AS dow, f.dt AS d, i.idx,
+               CAST(f.dt - 7 * i.idx AS BIGINT) AS res
+             FROM f JOIN i USING (slot)
+             ORDER BY ABS(f.dt - 7 * i.idx) DESC, f.dy LIMIT 10"""))
   )
 
   // ---------- driver contract ----------

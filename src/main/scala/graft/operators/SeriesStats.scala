@@ -66,4 +66,99 @@ object SeriesStats {
         expr("""CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
                 ELSE coalesce(num, 0L) * 1000000 div den END""").as("r_ppm"))
   }
+
+  /** Classical additive seasonal decomposition, reduced to the part a
+    * pipeline dashboard actually stores: the per-slot SEASONAL INDEX
+    * (how far a Monday / an hour-17 / a q4-week sits above or below
+    * local trend), with trend estimated by the textbook centered
+    * moving average of one full period (Kendall & Stuart's classical
+    * decomposition; the same detrend STL refines). Complements
+    * [[autocorr]] ("is it periodic?") with "WHAT is the periodic
+    * shape", and [[Ewma.holtWinters]] (model-based, online) with the
+    * model-free diagnostic both engines can replay exactly.
+    *
+    * EXACT integer arithmetic throughout: with v_t int64 (counts,
+    * cents), the period-scaled detrended value
+    * `d_t = period*v_t - sum(v_{t-h} .. v_{t+h})`  (h = (period-1)/2)
+    * is an exact int64 (the mean is never formed); rows without a
+    * full centered window are excluded (classical decomposition's
+    * edge rule — min_periods = period, like A3's rolling). Per slot:
+    * `num = sum(d_t)`, `idx = num div (period * n_obs)` — value
+    * units, single truncating division, negative-safe (Spark `div`
+    * and DuckDB `//` both truncate toward zero, verified for this
+    * repo's engines). num/n_obs are published so a caller needing
+    * more precision re-divides at any scale.
+    *
+    * The window is ROW-centered over the ordered series: calendar
+    * gaps are the caller's concern (spine-fill upstream, r3's
+    * discipline, when missing days must count as zero).
+    *
+    * Scale shape: the input is an ALREADY-AGGREGATED time series
+    * (this object's standing boundedness argument), so the one
+    * ordered window runs over a time-domain-sized table; the output
+    * is slot-sized (7 rows for day-of-week, 24 for hour-of-day). The
+    * corpus-sized work is the upstream groupBy that built the series.
+    *
+    * `slotCol` maps each point to its seasonal slot (day-of-week,
+    * hour, week-of-quarter); `period` must be odd so the centered
+    * window is symmetric (classical decomposition uses a 2x(2h)
+    * double average for even periods — out of scope here, use an odd
+    * period or pre-smooth). */
+  def seasonalIndex(series: DataFrame, orderCol: String, valueCol: String,
+                    slotCol: String, period: Int): DataFrame =
+    detrended(series, orderCol, valueCol, period)
+      .groupBy(col(slotCol).as("slot"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__d")).as("num"))
+      .withColumn("idx", expr(s"num div ($period * n_obs)"))
+
+  /** The rows-with-a-full-centered-window of `series`, each carrying
+    * the period-scaled detrended value
+    * `__d = period*v_t - sum(v_{t-h}..v_{t+h})` (exact int64 when the
+    * values are). Shared kernel of [[seasonalIndex]] and
+    * [[seasonalResiduals]]. */
+  private def detrended(series: DataFrame, orderCol: String,
+                        valueCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (got $period)")
+    val h = (period - 1) / 2
+    val w = Window.orderBy(orderCol).rowsBetween(-h, h)
+    series
+      .withColumn("__cnt", count(col(valueCol)).over(w))
+      .withColumn("__d",
+        lit(period.toLong) * col(valueCol) - sum(col(valueCol)).over(w))
+      .filter(col("__cnt") === period)
+      .drop("__cnt")
+  }
+
+  /** Per-row SEASONALLY-ADJUSTED residual — the classical
+    * decomposition's remainder term, the input an anomaly ranker
+    * actually wants ("how far is this day from what trend + weekday
+    * explain", vs [[graft.operators.Behavior]]'s raw MAD outliers
+    * which flag every ordinary weekend dip). For each row with a
+    * full centered window:
+    *
+    *   `d   = period*v_t - sum(window)`        (p-scaled detrend)
+    *   `res = d - period*idx(slot)`            (remove seasonal shape)
+    *
+    * Both exact int64 given int64 values; `res` is in p-scaled value
+    * units (divide by period for value units — left to the caller so
+    * no precision is lost here). `idx` is [[seasonalIndex]]'s
+    * truncated per-slot index, so `res` carries idx's sub-period
+    * truncation bias (< period) — irrelevant for ranking, and the
+    * price of staying engine-exact.
+    *
+    * Scale shape: two passes over the bounded time-domain series (one
+    * ordered window, one slot groupBy) and a broadcast join of the
+    * slot-sized (7/24-row) index table back onto the series. */
+  def seasonalResiduals(series: DataFrame, orderCol: String,
+                        valueCol: String, slotCol: String,
+                        period: Int): DataFrame = {
+    val d = detrended(series, orderCol, valueCol, period)
+    val idx = seasonalIndex(series, orderCol, valueCol, slotCol, period)
+      .select(col("slot"), col("idx"))
+    d.join(broadcast(idx), d(slotCol) === idx("slot"))
+      .drop("slot")
+      .withColumn("res", col("__d") - lit(period.toLong) * col("idx"))
+      .withColumnRenamed("__d", "d")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for aggregations: two-phase (salted) aggregation.
@@ -57,5 +58,61 @@ object SkewSalt {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("cnt"))
+  }
+
+  /** The DIAGNOSTIC that decides whether the remedies above are worth
+    * their cost: an exact key-skew report — the top-`topK` heaviest
+    * keys (rows + corpus share in ppm) with the group-size
+    * distribution (p50/p99/max, key count, row count) as context
+    * columns on every row. This is what an engineer reads before
+    * choosing broadcast vs AQE vs [[saltedEquiJoin]] for a 100 TB
+    * join, and what a pipeline asserts on ("no key above 2% of the
+    * corpus") before shipping a new corpus version.
+    *
+    * Scale shape — the reason this is an operator and not a notebook
+    * `ORDER BY count(*) DESC`: one corpus-sized exchange (the per-key
+    * count), then ALL remaining work runs on strictly smaller
+    * domains: the top-k is a distributed TakeOrdered (per-partition
+    * heaps, never a full sort of the key domain), and the exact
+    * percentiles come from the SIZE HISTOGRAM (distinct group sizes —
+    * thousands of values even when keys are billions), so no ordered
+    * window ever sees the key domain. Percentile q is the smallest
+    * size with cumulative key count >= ceil(q * n_keys) (rank-based,
+    * integer-exact, no interpolation).
+    *
+    * int64 envelope: `n_rows * 1e6` needs the biggest single key
+    * under ~9.2e12 rows; `99 * n_keys` needs n_keys under ~9.3e16 —
+    * both beyond any real corpus. */
+  def skewAudit(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    require(topK > 0)
+    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val hist = sizes.groupBy("n_rows").agg(count(lit(1)).as("__nk"))
+    val tot = hist.agg(
+      sum(col("n_rows") * col("__nk")).as("total_rows"),
+      sum(col("__nk")).as("n_keys"),
+      max(col("n_rows")).as("max_size"))
+    // the histogram is size-domain-sized: a single-partition cumulative
+    // window here is bounded by the number of DISTINCT group sizes
+    val cum = hist.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__nk")).over(
+        Window.orderBy("n_rows")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = cum.agg(
+      max(col("n_keys")).as("n_keys"),
+      max(col("total_rows")).as("total_rows"),
+      max(col("max_size")).as("max_size"),
+      min(when(col("__cum") >= expr("(n_keys + 1) div 2"), col("n_rows")))
+        .as("p50_size"),
+      min(when(col("__cum") >= expr("(99 * n_keys + 99) div 100"),
+        col("n_rows"))).as("p99_size"))
+    val ord = col("n_rows").desc +: keys.map(col(_).asc)
+    val top = sizes.orderBy(ord: _*).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    top.crossJoin(broadcast(stats))
+      .withColumn("share_ppm", expr("n_rows * 1000000 div total_rows"))
+      .select((keys.map(col) ++ Seq(col("rank"), col("n_rows"),
+        col("share_ppm"), col("n_keys"), col("total_rows"),
+        col("p50_size"), col("p99_size"), col("max_size"))): _*)
   }
 }

@@ -67,4 +67,84 @@ class SeriesStatsSpec extends AnyFunSuite {
     val got = run(Seq(1L, 5L), Seq(3))
     assert(got(3L)._2 === 0L)
   }
+
+  // ---- seasonalIndex ----
+
+  private def runSeasonal(xs: Seq[Long], period: Int): Map[Long, (Long, Long, Long)] = {
+    val df = xs.zipWithIndex
+      .map { case (x, t) => (t.toLong, t.toLong % period, x) }
+      .toDF("t", "slot0", "x")
+    SeriesStats.seasonalIndex(df, "t", "x", "slot0", period).collect().map { r =>
+      r.getAs[Long]("slot") ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("num"), r.getAs[Long]("idx")))
+    }.toMap
+  }
+
+  private def refSeasonal(xs: Seq[Long], period: Int): Map[Long, (Long, Long, Long)] = {
+    val h = (period - 1) / 2
+    val rows = (h until xs.size - h).map { t =>
+      val d = period.toLong * xs(t) - xs.slice(t - h, t + h + 1).sum
+      (t.toLong % period, d)
+    }
+    rows.groupBy(_._1).map { case (s, vs) =>
+      val num = vs.map(_._2).sum
+      s -> ((vs.size.toLong, num, num / (period.toLong * vs.size)))
+    }
+  }
+
+  test("seasonalIndex matches the driver-side integer replay") {
+    val xs = Seq(3L, 7L, 2L, 9L, 4L, 4L, 8L, 1L, 6L, 5L, 5L, 2L, 7L, 3L)
+    for (p <- Seq(3, 5)) assert(runSeasonal(xs, p) === refSeasonal(xs, p), s"period $p")
+  }
+
+  test("seasonalIndex recovers a zero-sum periodic amplitude exactly") {
+    // xs = 100 + amp(t % 3), amp = (-6, 0, 6): the centered period-3
+    // sum is constant, so d_t = 3*amp and idx = amp per slot, exactly.
+    val amp = Seq(-6L, 0L, 6L)
+    val xs = (0 until 30).map(t => 100L + amp(t % 3))
+    val got = runSeasonal(xs, 3)
+    for (s <- 0 until 3) assert(got(s.toLong)._3 === amp(s), s"slot $s")
+  }
+
+  test("seasonalIndex: series shorter than the period -> no full window, empty") {
+    assert(runSeasonal(Seq(1L, 2L), 3).isEmpty)
+  }
+
+  test("seasonalIndex rejects even or tiny periods") {
+    intercept[IllegalArgumentException](runSeasonal(Seq(1L, 2L, 3L, 4L), 4))
+    intercept[IllegalArgumentException](runSeasonal(Seq(1L, 2L, 3L), 1))
+  }
+
+  test("seasonalResiduals: res = d - period*idx(slot), rows = full windows only") {
+    val xs = Seq(3L, 7L, 2L, 9L, 4L, 4L, 8L, 1L, 6L, 5L, 5L, 2L, 7L, 3L)
+    val p = 3
+    val df = xs.zipWithIndex
+      .map { case (x, t) => (t.toLong, t.toLong % p, x) }
+      .toDF("t", "slot0", "x")
+    val got = SeriesStats.seasonalResiduals(df, "t", "x", "slot0", p)
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("d"), r.getAs[Long]("idx"), r.getAs[Long]("res"))))
+      .toMap
+    val idx = refSeasonal(xs, p).map { case (s, (_, _, i)) => s -> i }
+    val h = (p - 1) / 2
+    assert(got.keySet === (h until xs.size - h).map(_.toLong).toSet)
+    for ((t, (d, i, res)) <- got) {
+      val expD = p.toLong * xs(t.toInt) - xs.slice(t.toInt - h, t.toInt + h + 1).sum
+      assert(d === expD, s"t=$t d")
+      assert(i === idx(t % p), s"t=$t idx")
+      assert(res === expD - p.toLong * idx(t % p), s"t=$t res")
+    }
+  }
+
+  test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
+    val amp = Seq(-6L, 0L, 6L)
+    val xs = (0 until 30).map(t => 100L + amp(t % 3))
+    val df = xs.zipWithIndex
+      .map { case (x, t) => (t.toLong, t.toLong % 3, x) }
+      .toDF("t", "slot0", "x")
+    val res = SeriesStats.seasonalResiduals(df, "t", "x", "slot0", 3)
+      .select("res").collect().map(_.getLong(0))
+    assert(res.nonEmpty && res.forall(_ === 0L))
+  }
 }
