@@ -8571,6 +8571,57 @@ object SparkEntry {
            FROM agg"""
       }),
 
+    // Kaplan-Meier life table (Behavior.kmTable): time from a user's
+    // first event to the first BIG purchase (>= $100 in exact cents),
+    // right-censored at the corpus horizon — the censored
+    // generalization g24's fixed-offset retention can't express (a
+    // user observed 3 days hasn't "failed to convert by day 30").
+    // Publishes the exact (t, n_risk, n_events, n_censored) integer
+    // table (the S(t) product is the caller's ratio to form — g35's
+    // publish-the-rational discipline). 30/150 users censored at
+    // sf0.01, so both lanes are live. One corpus exchange (the user
+    // groupBy); the life table aggregates the user-domain to the
+    // bounded duration domain.
+    ("g52_survival", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val horizon = ev.agg(max(to_date(col("ts"))).as("__h"))
+      val subj = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase" &&
+            cents(col("value")) >= 10000L, to_date(col("ts")))).as("tp"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+            .otherwise(datediff(col("__h"), col("t0")))
+            .cast("long").as("dur"),
+          col("tp").isNotNull.as("obs"))
+      Behavior.kmTable(subj, "dur", "obs").orderBy("t")
+    },
+      Some("""WITH h AS (SELECT MAX(CAST(ts AS DATE)) mx FROM events),
+             u AS (SELECT user_id, MIN(CAST(ts AS DATE)) t0,
+               MIN(CASE WHEN event_type = 'purchase'
+                 AND CAST(ROUND(value * 100) AS BIGINT) >= 10000
+                 THEN CAST(ts AS DATE) END) tp
+               FROM events GROUP BY 1),
+             subj AS (SELECT
+               CAST(CASE WHEN tp IS NOT NULL THEN tp - t0
+                 ELSE h.mx - t0 END AS BIGINT) dur,
+               tp IS NOT NULL obs FROM u, h),
+             p AS (SELECT dur t, COUNT(*) n_at,
+               CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                 n_events,
+               CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                 n_censored
+               FROM subj GROUP BY 1),
+             r AS (SELECT t, n_events, n_censored,
+               CAST(SUM(n_at) OVER ()
+                 - COALESCE(SUM(n_at) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) n_risk
+               FROM p)
+             SELECT t, n_risk, n_events, n_censored FROM r
+             WHERE n_events > 0 ORDER BY t""")),
+
     // STREAMING calibration monitor (t33's twin, w22's staging
     // discipline): the reliability curve maintained AT INGEST. The
     // per-doc score is a STATELESS array-aggregate expression (the

@@ -242,4 +242,48 @@ object Behavior {
         expr("n_joint * n_baskets * 1000000 div (n_antecedent * n_consequent)")
           .as("lift_ppm"))
   }
+
+  /** Kaplan-Meier life table — the right-censored generalization of
+    * [[weeklyRetention]] (fixed-offset cohort rates are WRONG when
+    * observation windows differ: a user who signed up yesterday hasn't
+    * "failed to purchase", they're censored). Input is the per-subject
+    * table (`durCol`: int64 time-to-event-or-censoring,
+    * `observedCol`: boolean, true = the event happened at durCol,
+    * false = observation ended there): one row per EVENT time t with
+    *
+    *   n_events(t)   — subjects with the event exactly at t
+    *   n_risk(t)     — subjects still under observation at t
+    *                   (duration >= t: the standard convention that
+    *                   same-time censorings count as at risk)
+    *   n_censored(t) — censorings exactly at t (context column)
+    *
+    * All exact int64 counts — the estimator's product
+    * `S(t) = prod(1 - d_i/r_i)` is a ratio the CALLER forms at
+    * whatever precision they need; publishing the (d, r) table keeps
+    * the gate engine-exact (the same publish-the-rational discipline
+    * as g35's Gini).
+    *
+    * Scale shape: the caller's subject-building groupBy is the only
+    * corpus-sized exchange; this operator aggregates subjects to the
+    * DURATION domain (days/weeks — bounded by the observation span)
+    * and runs one cumulative window there, exactly
+    * [[SkewSalt.skewAudit]]'s histogram ladder. */
+  def kmTable(subjects: DataFrame, durCol: String,
+              observedCol: String): DataFrame = {
+    val perDur = subjects.groupBy(col(durCol).as("t"))
+      .agg(count(lit(1)).as("__n_at"),
+        sum(when(col(observedCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("n_censored"))
+    // duration-domain cumulative: risk at t = subjects with dur >= t
+    perDur
+      .withColumn("n_risk",
+        sum(col("__n_at")).over(
+          Window.orderBy(col("t").asc).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+          - coalesce(sum(col("__n_at")).over(
+            Window.orderBy(col("t").asc).rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"))
+  }
 }

@@ -79,6 +79,78 @@ object Sampling {
       .drop("__tbh", "__run", "consumed_tok")
   }
 
+  /** Water-filling (max-min fair) budget allocation across domains —
+    * the OTHER half of the mixing toolkit: [[tokenBudget]] decides
+    * WHICH docs survive a per-source cap; this decides WHAT the caps
+    * should be. Given per-domain supplies and a total token budget,
+    * find the unique water level `cap` with
+    * `sum(min(supply_d, cap)) <= budget` maximal — small domains keep
+    * everything, large domains are clipped to the common level (the
+    * max-min fairness allocation; same arithmetic as progressive
+    * filling). This is how a pretraining mix keeps low-resource
+    * domains intact while spending a fixed token budget.
+    *
+    * EXACT integer arithmetic: sort domains by supply asc, prefix-sum;
+    * the binding position is the first i with
+    * `P_i + (n-i)*s_i > budget`, and `cap = (budget - P_{i-1}) div
+    * (n-i+1)` — one truncating division, identical in both engines
+    * (the quotient is non-negative: minimality of i gives
+    * `P_{i-1} <= budget`). No binding position (total supply within
+    * budget) → cap NULL, every domain keeps its full supply.
+    *
+    * Scale shape: the input is the DOMAIN-sized supply table (the
+    * caller's corpus groupBy is the only corpus-sized work), so the
+    * ordered window here is bounded by the domain count — the same
+    * boundedness ladder as [[SkewSalt.skewAudit]]'s size histogram.
+    * Output: (key, supply, budget, cap, alloc). */
+  def waterfillAllocation(supplies: DataFrame, keyCol: String,
+                          supplyCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    waterfillCore(supplies, keyCol, supplyCol, lit(budget))
+  }
+
+  /** [[waterfillAllocation]] with the budget expressed as a SHARE of
+    * total supply (`total * numer div denom`, e.g. 9/10 = spend 90%)
+    * — keeps the whole computation declarative (no driver-side action
+    * to learn the total first), so the same query text is correct at
+    * every corpus scale. */
+  def waterfillAllocationShare(supplies: DataFrame, keyCol: String,
+                               supplyCol: String, numer: Long,
+                               denom: Long): DataFrame = {
+    require(numer >= 0 && denom > 0, s"bad share $numer/$denom")
+    waterfillCore(supplies, keyCol, supplyCol,
+      expr(s"__tot * $numer div $denom"))
+  }
+
+  private def waterfillCore(supplies: DataFrame, keyCol: String,
+                            supplyCol: String,
+                            budgetOf: org.apache.spark.sql.Column): DataFrame = {
+    val ord = Window.orderBy(col(supplyCol).asc, col(keyCol).asc)
+    val stats = supplies.agg(count(lit(1)).cast("long").as("__n"),
+      sum(col(supplyCol)).as("__tot"))
+    val base = supplies
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__p", sum(col(supplyCol)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+      .withColumn("__b", budgetOf)
+    val bind = base
+      .filter(col("__p") + (col("__n") - col("__i")) * col(supplyCol)
+        > col("__b"))
+      .agg(min(struct(col("__i").as("i"),
+        (col("__p") - col(supplyCol)).as("pprev"),
+        (col("__n") - col("__i") + lit(1L)).as("rem"),
+        col("__b").as("b"))).as("__bind"))
+      .select(expr(
+        "CAST((__bind.b - __bind.pprev) div __bind.rem AS BIGINT)").as("cap"))
+    base.crossJoin(broadcast(bind))
+      .select(col(keyCol), col(supplyCol).as("supply"),
+        col("__b").as("budget"), col("cap"),
+        when(col("cap").isNull, col(supplyCol))
+          .otherwise(greatest(lit(0L), least(col(supplyCol), col("cap"))))
+          .as("alloc"))
+  }
+
   /** Data-mixing upsampler — the per-source mixture weights every
     * pretraining pipeline applies (wiki x3, web x0.5, ...): emits
     * floor(weight) copies of each doc plus one more with probability

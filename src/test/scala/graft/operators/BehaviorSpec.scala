@@ -210,4 +210,49 @@ class BehaviorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("n_correct")).toMap
     assert(got === Map("x" -> 1L))
   }
+
+  // ---- kmTable ----
+
+  private def km(subjects: Seq[(Long, Boolean)]): Seq[(Long, Long, Long, Long)] = {
+    val df = subjects.toDF("dur", "obs")
+    Behavior.kmTable(df, "dur", "obs").orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"))).toSeq
+  }
+
+  test("kmTable: hand-computed life table with interleaved censoring") {
+    val subjects = Seq(6L -> true, 6L -> true, 6L -> true, 6L -> false,
+      7L -> true, 9L -> false, 10L -> true, 10L -> false, 11L -> false,
+      13L -> true)
+    // rows only at EVENT times; same-time censorings still at risk;
+    // pure-censoring times (9, 11) shrink later risk sets silently
+    assert(km(subjects) === Seq(
+      (6L, 10L, 3L, 1L), (7L, 6L, 1L, 0L), (10L, 4L, 1L, 1L),
+      (13L, 1L, 1L, 0L)))
+  }
+
+  test("kmTable: no censoring -> risk telescopes by event counts") {
+    val got = km(Seq(1L -> true, 1L -> true, 3L -> true, 5L -> true))
+    assert(got === Seq((1L, 4L, 2L, 0L), (3L, 2L, 1L, 0L), (5L, 1L, 1L, 0L)))
+  }
+
+  test("kmTable: all censored -> empty table") {
+    assert(km(Seq(2L -> false, 4L -> false)).isEmpty)
+  }
+
+  test("kmTable matches a driver-side replay on a random cohort") {
+    val rnd = new scala.util.Random(7)
+    val subjects = (0 until 200)
+      .map(_ => (rnd.nextInt(15).toLong, rnd.nextBoolean()))
+    val byDur = subjects.groupBy(_._1)
+    val expected = byDur.keys.toSeq.sorted
+      .map { t =>
+        val ev = byDur(t).count(_._2).toLong
+        val cen = byDur(t).count(!_._2).toLong
+        val risk = subjects.count(_._1 >= t).toLong
+        (t, risk, ev, cen)
+      }
+      .filter(_._3 > 0)
+    assert(km(subjects) === expected)
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Sampling.waterfillAllocation against hand-computed fills plus the
+  * defining property of the water level: cap is the MAXIMAL integer
+  * with sum(min(supply, cap)) <= budget. */
+class WaterfillSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(supplies: Seq[(String, Long)], budget: Long)
+  : (Option[Long], Map[String, Long]) = {
+    val df = supplies.toDF("k", "supply")
+    val rows = Sampling.waterfillAllocation(df, "k", "supply", budget)
+      .collect()
+    val caps = rows.map(r => Option(r.getAs[java.lang.Long]("cap"))
+      .map(_.toLong)).distinct
+    assert(caps.length === 1, "cap must be identical on every row")
+    assert(rows.forall(_.getAs[Long]("budget") === budget))
+    (caps.head, rows.map(r => r.getAs[String]("k") -> r.getAs[Long]("alloc")).toMap)
+  }
+
+  test("hand-computed fill: budget 12 over supplies 1/3/6/10") {
+    // sorted prefix: 1,4,10,20; binding at s=6 (10 + 1*6 > 12):
+    // cap = (12 - 4) div 2 = 4 -> allocs 1,3,4,4 (sum 12, exact)
+    val (cap, alloc) = run(Seq("a" -> 1L, "b" -> 3L, "c" -> 6L, "d" -> 10L), 12L)
+    assert(cap === Some(4L))
+    assert(alloc === Map("a" -> 1L, "b" -> 3L, "c" -> 4L, "d" -> 4L))
+  }
+
+  test("budget covers total supply: cap NULL, everything kept") {
+    val (cap, alloc) = run(Seq("a" -> 1L, "b" -> 3L, "c" -> 6L), 10L)
+    assert(cap === None)
+    assert(alloc === Map("a" -> 1L, "b" -> 3L, "c" -> 6L))
+  }
+
+  test("budget 0: cap 0, nothing allocated") {
+    val (cap, alloc) = run(Seq("a" -> 5L, "b" -> 2L), 0L)
+    assert(cap === Some(0L))
+    assert(alloc.values.forall(_ === 0L))
+  }
+
+  test("cap is the maximal level: sum(min(s,cap)) <= budget < sum(min(s,cap+1))") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val supplies = (0 until 2 + rnd.nextInt(9))
+        .map(i => s"k$i" -> (rnd.nextInt(50).toLong))
+      val total = supplies.map(_._2).sum
+      val budget = rnd.nextInt(math.max(1, total.toInt + 5)).toLong
+      val (cap, alloc) = run(supplies, budget)
+      val sup = supplies.toMap
+      assert(alloc.forall { case (k, a) => a <= sup(k) }, s"trial $trial")
+      cap match {
+        case None =>
+          assert(total <= budget, s"trial $trial: NULL cap but total > budget")
+          assert(alloc === sup)
+        case Some(c) =>
+          val at = supplies.map { case (_, s) => math.min(s, math.max(0L, c)) }.sum
+          val above = supplies.map { case (_, s) => math.min(s, c + 1) }.sum
+          assert(at <= budget, s"trial $trial: cap $c overspends")
+          assert(above > budget, s"trial $trial: cap $c not maximal")
+          assert(alloc.values.sum === at, s"trial $trial")
+      }
+    }
+  }
+
+  test("share form: 90% budget equals the explicit-budget form") {
+    val supplies = Seq("a" -> 7L, "b" -> 21L, "c" -> 14L, "d" -> 3L)
+    val df = supplies.toDF("k", "supply")
+    val viaShare = Sampling.waterfillAllocationShare(df, "k", "supply", 9L, 10L)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("alloc"))).toMap
+    val (_, viaBudget) = run(supplies, supplies.map(_._2).sum * 9 / 10)
+    assert(viaShare === viaBudget)
+  }
+}
