@@ -369,6 +369,34 @@ object syntax {
       * [[DataQuality.setConfusion]]. */
     def setConfusion(truth: DataFrame, keys: Seq[String]): DataFrame =
       DataQuality.setConfusion(df, truth, keys)
+
+    /** Per-slot seasonal index of this ordered series; see
+      * [[SeriesStats.seasonalIndex]]. */
+    def seasonalIndex(orderCol: String, valueCol: String, slotCol: String,
+                      period: Int): DataFrame =
+      SeriesStats.seasonalIndex(df, orderCol, valueCol, slotCol, period)
+
+    /** Seasonally-adjusted residuals of this ordered series; see
+      * [[SeriesStats.seasonalResiduals]]. */
+    def seasonalResiduals(orderCol: String, valueCol: String,
+                          slotCol: String, period: Int): DataFrame =
+      SeriesStats.seasonalResiduals(df, orderCol, valueCol, slotCol, period)
+
+    /** Exact key-skew report over this table; see
+      * [[SkewSalt.skewAudit]]. */
+    def skewAudit(keys: Seq[String], topK: Int = 10): DataFrame =
+      SkewSalt.skewAudit(df, keys, topK)
+
+    /** Water-filling budget allocation over this per-domain supply
+      * table; see [[Sampling.waterfillAllocation]]. */
+    def waterfillAllocation(keyCol: String, supplyCol: String,
+                            budget: Long): DataFrame =
+      Sampling.waterfillAllocation(df, keyCol, supplyCol, budget)
+
+    /** Kaplan-Meier life table over this per-subject table; see
+      * [[Behavior.kmTable]]. */
+    def kmTable(durCol: String, observedCol: String): DataFrame =
+      Behavior.kmTable(df, durCol, observedCol)
   }
 
   /** Pair-graph operations that need a session (driver-adaptive CC);

@@ -87,7 +87,7 @@ class SyntaxSpec extends AnyFunSuite {
   test("round-9 session-3 façades match direct calls") {
     import spark.implicits._
     import graft.operators.{Behavior, DataQuality, Intervals, LabelProp,
-      Sampling, SeriesStats, Skyline}
+      Sampling, SeriesStats, SkewSalt, Skyline}
     val iv = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("b", 1L, 2L))
       .toDF("k", "s", "e")
     assert(iv.intervalCoverage(Seq("k"), "s", "e").collect().toSet ==
@@ -125,5 +125,21 @@ class SyntaxSpec extends AnyFunSuite {
     assert(candP.setConfusion(truth, Seq("a", "b")).collect().toSet ==
       DataQuality.setConfusion(candP, truth, Seq("a", "b"))
         .collect().toSet)
+    val slotted = (0 until 12).map(i => (i.toLong, i.toLong % 3, 10L + i % 3))
+      .toDF("t", "slot", "x")
+    assert(slotted.seasonalIndex("t", "x", "slot", 3).collect().toSet ==
+      SeriesStats.seasonalIndex(slotted, "t", "x", "slot", 3).collect().toSet)
+    assert(slotted.seasonalResiduals("t", "x", "slot", 3).collect().toSet ==
+      SeriesStats.seasonalResiduals(slotted, "t", "x", "slot", 3)
+        .collect().toSet)
+    val skewed = Seq("a", "a", "a", "b").toDF("k")
+    assert(skewed.skewAudit(Seq("k"), 2).collect().toSet ==
+      SkewSalt.skewAudit(skewed, Seq("k"), 2).collect().toSet)
+    val sup = Seq(("a", 5L), ("b", 9L)).toDF("k", "s")
+    assert(sup.waterfillAllocation("k", "s", 8L).collect().toSet ==
+      Sampling.waterfillAllocation(sup, "k", "s", 8L).collect().toSet)
+    val subj = Seq((3L, true), (5L, false)).toDF("dur", "obs")
+    assert(subj.kmTable("dur", "obs").collect().toSet ==
+      Behavior.kmTable(subj, "dur", "obs").collect().toSet)
   }
 }
