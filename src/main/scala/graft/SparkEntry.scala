@@ -105,6 +105,37 @@ object SparkEntry {
                MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN lo END) AS p99_est
              FROM c GROUP BY 1 ORDER BY 1"""
 
+  /** The x14/w24 oracle: DuckDB replays the per-key counts, the
+    * size-histogram cumulative percentiles, and the top-10 pick —
+    * shared verbatim by the batch audit and its streaming twin
+    * (streaming per-key counts are distributive, so the audit tail
+    * must hash-equal the batch form wherever the micro-batches
+    * split). */
+  private val skewAuditOracleSql =
+    """WITH s AS (SELECT user_id, COUNT(*) n_rows
+               FROM events GROUP BY 1),
+             h AS (SELECT n_rows, COUNT(*) nk FROM s GROUP BY 1),
+             t AS (SELECT CAST(SUM(n_rows * nk) AS BIGINT) total_rows,
+               CAST(SUM(nk) AS BIGINT) n_keys,
+               MAX(n_rows) max_size FROM h),
+             c AS (SELECT n_rows,
+               CAST(SUM(nk) OVER (ORDER BY n_rows) AS BIGINT) cum FROM h),
+             st AS (SELECT t.n_keys, t.total_rows, t.max_size,
+               (SELECT MIN(c.n_rows) FROM c
+                 WHERE c.cum >= (t.n_keys + 1) // 2) p50_size,
+               (SELECT MIN(c.n_rows) FROM c
+                 WHERE c.cum >= (99 * t.n_keys + 99) // 100) p99_size
+               FROM t),
+             tk AS (SELECT user_id, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) rnk
+               FROM s ORDER BY n_rows DESC, user_id LIMIT 10)
+             SELECT tk.user_id, CAST(tk.rnk AS BIGINT) AS rank, tk.n_rows,
+               CAST(tk.n_rows * 1000000 // st.total_rows AS BIGINT)
+                 AS share_ppm,
+               st.n_keys, st.total_rows, st.p50_size, st.p99_size,
+               st.max_size
+             FROM tk, st ORDER BY rank"""
+
   /** events with the hourly aggregates used by the spine queries. */
   private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -7542,29 +7573,36 @@ object SparkEntry {
     ("x14_skew_audit", (s, dir) =>
       SkewSalt.skewAudit(t(s, dir, "events"), Seq("user_id"), 10)
         .orderBy("rank"),
-      Some("""WITH s AS (SELECT user_id, COUNT(*) n_rows
-               FROM events GROUP BY 1),
-             h AS (SELECT n_rows, COUNT(*) nk FROM s GROUP BY 1),
-             t AS (SELECT CAST(SUM(n_rows * nk) AS BIGINT) total_rows,
-               CAST(SUM(nk) AS BIGINT) n_keys,
-               MAX(n_rows) max_size FROM h),
-             c AS (SELECT n_rows,
-               CAST(SUM(nk) OVER (ORDER BY n_rows) AS BIGINT) cum FROM h),
-             st AS (SELECT t.n_keys, t.total_rows, t.max_size,
-               (SELECT MIN(c.n_rows) FROM c
-                 WHERE c.cum >= (t.n_keys + 1) // 2) p50_size,
-               (SELECT MIN(c.n_rows) FROM c
-                 WHERE c.cum >= (99 * t.n_keys + 99) // 100) p99_size
-               FROM t),
-             tk AS (SELECT user_id, n_rows,
-               ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) rnk
-               FROM s ORDER BY n_rows DESC, user_id LIMIT 10)
-             SELECT tk.user_id, CAST(tk.rnk AS BIGINT) AS rank, tk.n_rows,
-               CAST(tk.n_rows * 1000000 // st.total_rows AS BIGINT)
-                 AS share_ppm,
-               st.n_keys, st.total_rows, st.p50_size, st.p99_size,
-               st.max_size
-             FROM tk, st ORDER BY rank""")),
+      Some(skewAuditOracleSql)),
+
+    // STREAMING skew monitor (x14's twin, w14's maintenance store):
+    // the per-key counts are maintained incrementally by the
+    // streaming aggregation across 3 micro-batches (state = one count
+    // row per key, the store w14 already certifies), then the audit
+    // TAIL (size histogram -> exact percentiles, TakeOrdered top-10)
+    // runs on the BOUNDED store — so a 100 TB corpus is audited
+    // without ever recounting it. Counts are distributive, so the
+    // report must hash-equal the batch x14 wherever the micro-batches
+    // split: the oracle IS x14's.
+    ("w24_stream_skew", (s, dir) => {
+      val raw = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        cents(col("value")).as("v_c"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w24").toString
+      (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainAggSnapshot(
+        stream, s"$tmp/store", s"$tmp/ckpt", "user_id", "v_c")
+      q.awaitTermination()
+      val sizes = graft.sources.VersionedParquetStore.read(s, s"$tmp/store")
+        .get.select(col("user_id"), col("n").as("n_rows"))
+      SkewSalt.skewAuditFromSizes(sizes, Seq("user_id"), 10).orderBy("rank")
+    },
+      Some(skewAuditOracleSql)),
 
     // k-core decomposition (operators.KCore): iterative peeling on
     // g17's bidirectional trade graph, FIXED 4 rounds (monotone

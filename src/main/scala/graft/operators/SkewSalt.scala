@@ -83,9 +83,19 @@ object SkewSalt {
     * int64 envelope: `n_rows * 1e6` needs the biggest single key
     * under ~9.2e12 rows; `99 * n_keys` needs n_keys under ~9.3e16 —
     * both beyond any real corpus. */
-  def skewAudit(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+  def skewAudit(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame =
+    skewAuditFromSizes(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows")),
+      keys, topK)
+
+  /** [[skewAudit]]'s tail for an ALREADY-COUNTED per-key size table
+    * (`keys…, n_rows`) — the entry point when the counts are
+    * maintained incrementally (a streaming aggregation store, a
+    * nightly per-key count table) rather than recomputed: auditing a
+    * 100 TB corpus then costs only the key-domain-sized passes. */
+  def skewAuditFromSizes(sizes: DataFrame, keys: Seq[String],
+                         topK: Int = 10): DataFrame = {
     require(topK > 0)
-    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
     val hist = sizes.groupBy("n_rows").agg(count(lit(1)).as("__nk"))
     val tot = hist.agg(
       sum(col("n_rows") * col("__nk")).as("total_rows"),
