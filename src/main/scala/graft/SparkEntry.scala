@@ -136,6 +136,27 @@ object SparkEntry {
                st.max_size
              FROM tk, st ORDER BY rank"""
 
+  /** The a10/a12 oracle: DuckDB replays the centered period-7 detrend
+    * over the FULL daily series and the per-slot index — shared by the
+    * batch gate and its incremental twin (append-only time finalizes
+    * windows, so resume-from-state must hash-equal the rebuild). */
+  private val seasonalIndexOracleSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             w AS (SELECT dy, x,
+               COUNT(x) OVER win cnt,
+               CAST(7 * x - SUM(x) OVER win AS BIGINT) dt
+               FROM d
+               WINDOW win AS (ORDER BY dy
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             g AS (SELECT CAST((dy - DATE '1970-01-01') % 7 AS BIGINT)
+                 AS slot,
+               COUNT(*) n_obs, CAST(SUM(dt) AS BIGINT) num
+               FROM w WHERE cnt = 7 GROUP BY 1)
+             SELECT slot, n_obs, num,
+               CAST(num // (7 * n_obs) AS BIGINT) AS idx
+             FROM g ORDER BY slot"""
+
   /** events with the hourly aggregates used by the spine queries. */
   private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -8972,21 +8993,41 @@ object SparkEntry {
       SeriesStats.seasonalIndex(daily, "day", "x", "dow", 7)
         .orderBy("slot")
     },
-      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
-               FROM events GROUP BY 1),
-             w AS (SELECT dy, x,
-               COUNT(x) OVER win cnt,
-               CAST(7 * x - SUM(x) OVER win AS BIGINT) dt
-               FROM d
-               WINDOW win AS (ORDER BY dy
-                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-             g AS (SELECT CAST((dy - DATE '1970-01-01') % 7 AS BIGINT)
-                 AS slot,
-               COUNT(*) n_obs, CAST(SUM(dt) AS BIGINT) num
-               FROM w WHERE cnt = 7 GROUP BY 1)
-             SELECT slot, n_obs, num,
-               CAST(num // (7 * n_obs) AS BIGINT) AS idx
-             FROM g ORDER BY slot""")),
+      Some(seasonalIndexOracleSql)),
+
+    // INCREMENTAL seasonal index (SeriesStats.seasonalIndexResume,
+    // a10's twin): the daily series split at its midpoint date; the
+    // first half builds the (slot, n_obs, num) state, then the second
+    // half resumes from state + a 6-row carry (the last period-1 days)
+    // — append-only time finalizes centered windows, so the resumed
+    // table must hash-equal the full rebuild: the oracle IS a10's.
+    // The incremental-family contract (d15/g18/e11) for the seasonal
+    // dashboard: nightly batches update slot sums, never rescan.
+    ("a12_seasonal_incremental", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      val bounds = daily.agg(min(col("day")).as("__d0"),
+        max(col("day")).as("__d1"))
+      val split = daily.crossJoin(broadcast(bounds))
+        .withColumn("__split",
+          expr("date_add(__d0, CAST(datediff(__d1, __d0) / 2 AS INT))"))
+      val part1 = split.filter(col("day") < col("__split"))
+        .select("day", "x", "dow")
+      val part2 = split.filter(col("day") >= col("__split"))
+        .select("day", "x", "dow")
+      val state = SeriesStats.seasonalIndex(part1, "day", "x", "dow", 7)
+        .select("slot", "n_obs", "num")
+      val carry = part1
+        .withColumn("__r",
+          row_number().over(Window.orderBy(col("day").desc)))
+        .filter(col("__r") <= 6).drop("__r")
+      SeriesStats.seasonalIndexResume(part2, carry, state,
+        "day", "x", "dow", 7).orderBy("slot")
+    },
+      Some(seasonalIndexOracleSql)),
 
     // Seasonally-adjusted anomaly days (SeriesStats.seasonalResiduals):
     // classical decomposition's remainder ranks the 10 days furthest

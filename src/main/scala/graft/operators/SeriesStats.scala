@@ -130,6 +130,41 @@ object SeriesStats {
       .drop("__cnt")
   }
 
+  /** [[seasonalIndex]]'s INCREMENTAL form — the incremental-family
+    * contract (d15/d18/d21/g18/e11): maintain the per-slot
+    * (n_obs, num) state batch by batch, never rescan the processed
+    * series. Works because append-only time means a row's centered
+    * window is FINAL once `h` newer rows exist: a new batch finalizes
+    * exactly the rows from `old_end - h + 1` through `new_end - h`,
+    * whose windows need only the carry plus the batch.
+    *
+    * Caller persists two tiny artifacts between batches (the
+    * manifest discipline of e11): `state` — the (slot, n_obs, num)
+    * table so far ([[seasonalIndex]]'s output minus idx), and
+    * `carry` — EXACTLY the last `period - 1` rows of the processed
+    * series (pass fewer on the first batch; more double-counts).
+    * Output = the updated full-history table, bit-equal to
+    * [[seasonalIndex]] over the concatenation (the shared-oracle
+    * parity the gate pins). */
+  def seasonalIndexResume(newRows: DataFrame, carry: DataFrame,
+                          state: DataFrame, orderCol: String,
+                          valueCol: String, slotCol: String,
+                          period: Int): DataFrame = {
+    val fresh = detrended(carry.unionByName(newRows), orderCol, valueCol,
+        period)
+      .groupBy(col(slotCol).as("slot"))
+      .agg(count(lit(1)).as("__n2"), sum(col("__d")).as("__num2"))
+    state
+      .select(col("slot"), col("n_obs").as("__n1"), col("num").as("__num1"))
+      .join(fresh, Seq("slot"), "full_outer")
+      .select(col("slot"),
+        (coalesce(col("__n1"), lit(0L)) + coalesce(col("__n2"), lit(0L)))
+          .as("n_obs"),
+        (coalesce(col("__num1"), lit(0L)) + coalesce(col("__num2"), lit(0L)))
+          .as("num"))
+      .withColumn("idx", expr(s"num div ($period * n_obs)"))
+  }
+
   /** Per-row SEASONALLY-ADJUSTED residual — the classical
     * decomposition's remainder term, the input an anomaly ranker
     * actually wants ("how far is this day from what trend + weekday

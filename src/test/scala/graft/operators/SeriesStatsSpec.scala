@@ -137,6 +137,26 @@ class SeriesStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalIndexResume == full rebuild at every split point") {
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 25).map(_ => rnd.nextInt(20).toLong)
+    val p = 5
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("t", "slot0", "x")
+    val all = xs.zipWithIndex.map { case (x, t) => (t.toLong, t.toLong % p, x) }
+    val full = SeriesStats.seasonalIndex(df(all), "t", "x", "slot0", p)
+      .collect().map(_.toSeq).toSet
+    for (cut <- Seq(p, 9, 14, 20)) {
+      val (part1, part2) = all.splitAt(cut)
+      val state = SeriesStats.seasonalIndex(df(part1), "t", "x", "slot0", p)
+        .select("slot", "n_obs", "num")
+      val carry = df(part1.takeRight(p - 1))
+      val resumed = SeriesStats
+        .seasonalIndexResume(df(part2), carry, state, "t", "x", "slot0", p)
+        .collect().map(_.toSeq).toSet
+      assert(resumed === full, s"cut $cut")
+    }
+  }
+
   test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
     val amp = Seq(-6L, 0L, 6L)
     val xs = (0 until 30).map(t => 100L + amp(t % 3))
