@@ -8681,6 +8681,54 @@ object SparkEntry {
              SELECT t, n_risk, n_events, n_censored FROM r
              WHERE n_events > 0 ORDER BY t""")),
 
+    // Weighted SSSP (Bfs.weightedDistances): distributed Bellman-Ford,
+    // FIXED 4 relaxation rounds (g17/g41's fixed-iteration discipline;
+    // round k = exact min cost over paths of <= k edges) on the trade
+    // graph with distance 1e6 div n_trades — strong links are short,
+    // so the cheapest route can take MORE hops than g27's BFS would
+    // (weights break the frontier trick; every round relaxes the full
+    // dist table: one join + one min-agg, both partial-aggregating).
+    // Exact int64 path sums; the oracle unrolls the identical rounds.
+    ("g53_weighted_sssp", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", expr("1000000 div n"))
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      val sources = t(s, dir, "supplier").filter(col("s_suppkey") === 1)
+        .select((col("s_suppkey") * 2 + 1).as("id"))
+      operators.Bfs.weightedDistances(edges, sources, 4)
+        .select(col("id").as("node_id"), col("dist"))
+        .orderBy("node_id")
+    },
+      Some {
+        def round(i: Int) =
+          s"""d$i AS (SELECT id, MIN(dist) dist FROM (
+                SELECT id, dist FROM d${i - 1}
+                UNION ALL
+                SELECT e.dst, d${i - 1}.dist + e.w
+                FROM d${i - 1} JOIN e ON e.src = d${i - 1}.id) GROUP BY id)"""
+        s"""WITH cs AS (SELECT o_custkey*2 AS c, l_suppkey*2+1 AS p,
+                 COUNT(*) n
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 GROUP BY 1, 2),
+           e AS (SELECT c src, p dst, CAST(1000000 // n AS BIGINT) w
+                 FROM cs
+                 UNION ALL
+                 SELECT p, c, CAST(1000000 // n AS BIGINT) FROM cs),
+           d0 AS (SELECT CAST(s_suppkey*2+1 AS BIGINT) id,
+                 CAST(0 AS BIGINT) dist
+                 FROM supplier WHERE s_suppkey = 1),
+           ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+           SELECT id AS node_id, CAST(dist AS BIGINT) AS dist FROM d4
+           ORDER BY node_id"""
+      }),
+
     // STREAMING calibration monitor (t33's twin, w22's staging
     // discipline): the reliability curve maintained AT INGEST. The
     // per-doc score is a STATELESS array-aggregate expression (the

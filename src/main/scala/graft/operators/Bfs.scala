@@ -54,4 +54,41 @@ object Bfs {
     }
     dist
   }
+
+  /** Weighted single-source(s) shortest paths: distributed
+    * Bellman-Ford with FIXED relaxation rounds — after round k, `dist`
+    * is the exact minimum-cost path using at most k edges (so `rounds`
+    * bounds path LENGTH the way [[hopDistances]]' maxHops bounds
+    * hops; rounds >= diameter gives true shortest paths). The case
+    * BFS gets wrong — a longer path that is cheaper — needs weights,
+    * and weights break the frontier trick (a settled node can improve
+    * later), so every round relaxes the whole dist table:
+    * one join + one min-aggregation, both partial-aggregating on the
+    * node key. Exact int64 weight sums (caller keeps
+    * `rounds * max_w` inside int64); negative weights are accepted by
+    * the arithmetic but `rounds` then bounds walk length, not path
+    * length (no negative-cycle detection here).
+    *
+    * Fixed-round discipline (g17/g41): deterministic plan, oracle
+    * unrolls the identical rounds; lineage cut per round via
+    * [[Checkpoints.pin]]. State is one (id, dist) row per REACHED
+    * node — the same memory bound as [[hopDistances]]' seen set.
+    *
+    * `edges`: (src, dst, w) directed — pass both directions for an
+    * undirected graph. `sources`: (id), distance 0. Unreached nodes
+    * are absent. */
+  def weightedDistances(edges: DataFrame, sources: DataFrame,
+                        rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    var dist = Checkpoints.pin(
+      sources.select(col("id")).distinct()
+        .select(col("id"), lit(0L).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = Checkpoints.pin(
+        dist.union(relaxed).groupBy("id").agg(min("dist").as("dist")))
+    }
+    dist
+  }
 }

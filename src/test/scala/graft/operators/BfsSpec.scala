@@ -47,4 +47,55 @@ class BfsSpec extends AnyFunSuite {
     val g2 = run(star, Seq(0L), 2)
     assert(g2(0L) == 0L && (1 to 20).forall(i => g2(i.toLong) == 1L))
   }
+
+  // ---- weightedDistances ----
+
+  private def wUndirected(tris: (Long, Long, Long)*) =
+    (tris ++ tris.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+
+  private def runW(edges: org.apache.spark.sql.DataFrame, srcs: Seq[Long],
+                   rounds: Int): Map[Long, Long] = {
+    val got = Bfs.weightedDistances(edges, srcs.toDF("id"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Checkpoints.clear(spark)
+    got
+  }
+
+  test("weighted: the longer-but-cheaper path wins (the case BFS gets wrong)") {
+    // 1 -> 4 direct costs 10; 1 -> 2 -> 3 -> 4 costs 3
+    val e = wUndirected((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(runW(e, Seq(1L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with only 1 relaxation round, the direct edge is the best <=1-edge path
+    assert(runW(e, Seq(1L), 1) == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
+  test("weighted: a settled node improves when a later round finds a cheaper path") {
+    // 4 is reached at cost 10 in round 1, still 10 after round 2
+    // (no <=2-edge path is cheaper), improved to 3 in round 3
+    val e = wUndirected((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(runW(e, Seq(1L), 2)(4L) == 10L)
+    assert(runW(e, Seq(1L), 3)(4L) == 3L)
+  }
+
+  test("weighted matches a driver-side Bellman-Ford replay on a random graph") {
+    val rnd = new scala.util.Random(3)
+    val n = 12
+    val tris = (0 until 30).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong, (1 + rnd.nextInt(9)).toLong))
+      .filter(t => t._1 != t._2)
+    val rounds = 5
+    val got = runW(wUndirected(tris: _*), Seq(0L), rounds)
+    // reference: dense Bellman-Ford over <= rounds edges
+    val all = tris ++ tris.map(t => (t._2, t._1, t._3))
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = all.flatMap { case (s, d, w) =>
+        ref.get(s).map(c => d -> (c + w))
+      }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(got === ref)
+  }
 }
