@@ -8502,6 +8502,40 @@ object SparkEntry {
              FROM act GROUP BY doc_id, g
              ORDER BY doc_id, start_frame""")),
 
+    // TextRank keyword extraction (Retrieval.textRank, Mihalcea &
+    // Tarau): PageRank centrality on the word-adjacency graph — the
+    // unsupervised keyword scorer TF-IDF can't be (frequency rewards
+    // common words, centrality rewards connectors). Content words
+    // (length >= 4), distinct mirrored bigram edges, g17's exact
+    // integer micro-rank recurrence for 3 rounds, deterministic
+    // top-20. One corpus pass (in-row adjacent pairs); all graph work
+    // runs on the vocabulary domain.
+    ("t34_textrank", (s, dir) =>
+      operators.Retrieval.textRank(t(s, dir, "documents"), "text", 3),
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (SELECT e.dst, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) s
+                FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+                GROUP BY e.dst),
+             r$i AS (SELECT id, CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) r
+                FROM n LEFT JOIN c$i ON c$i.dst = n.id)"""
+        s"""WITH w AS (SELECT string_split(text, ' ') ws FROM documents),
+           ix AS (SELECT ws,
+                 UNNEST([i for i in generate_series(1, len(ws) - 1)]) i
+                 FROM w),
+           pr AS (SELECT DISTINCT ws[i] a, ws[i + 1] b FROM ix
+                 WHERE LENGTH(ws[i]) >= 4 AND LENGTH(ws[i + 1]) >= 4
+                   AND ws[i] <> ws[i + 1]),
+           e AS (SELECT a src, b dst FROM pr
+                 UNION SELECT b, a FROM pr),
+           n AS (SELECT DISTINCT src id FROM e),
+           deg AS (SELECT src, COUNT(*) d FROM e GROUP BY src),
+           r0 AS (SELECT id, CAST(1000000 AS BIGINT) r FROM n),
+           ${round(1)}, ${round(2)}, ${round(3)}
+           SELECT id AS word, r AS rank_micros FROM r3
+           ORDER BY r DESC, id LIMIT 20"""
+      }),
+
     // Label propagation communities (LabelProp.propagate): 3
     // deterministic self-inclusive rounds over g41's bipartite trade
     // graph — the community finder that splits d7's reachability

@@ -110,4 +110,41 @@ object Retrieval {
       Seq(col("fused_nano").desc, col("doc_id")), k, "rnk")
       .select("query_id", "rnk", "doc_id", "n_lists", "fused_nano")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus
+    * keywords by [[PageRank]] centrality on the word ADJACENCY graph
+    * — the unsupervised keyword scorer TF-IDF can't be (frequency
+    * rewards common words; centrality rewards words that CONNECT
+    * vocabulary). Whitespace bigrams (the t17/t24 tokenization) give
+    * the edges: distinct unordered content-word pairs (length >=
+    * `minLen` filters function words, the classical syntactic-filter
+    * stand-in), mirrored for the undirected walk. Ranks reuse
+    * [[PageRank.ranks]]' exact integer micro-rank recurrence, so the
+    * whole composition replays in any engine; top-k is deterministic
+    * (rank desc, word asc over unique words).
+    *
+    * Scale shape: one corpus pass explodes in-row adjacent pairs
+    * (never a token self-join), everything after runs on the
+    * VOCABULARY-PAIR domain (edges), then vocabulary domain (ranks) —
+    * the graph is corpus-size-independent once the pair set
+    * saturates. */
+  def textRank(docs: DataFrame, textCol: String, rounds: Int,
+               minLen: Int = 4, topK: Int = 20): DataFrame = {
+    require(rounds >= 1 && topK >= 1 && minLen >= 1)
+    val pairs = docs
+      .select(split(col(textCol), " ").as("__ws"))
+      .select(explode(expr(
+        """transform(slice(__ws, 1, size(__ws) - 1),
+             (w, i) -> struct(w AS a, __ws[i + 1] AS b))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= minLen && length(col("b")) >= minLen
+        && col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    PageRank.ranks(edges, rounds)
+      .orderBy(col("rank_micros").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as("word"), col("rank_micros"))
+  }
 }

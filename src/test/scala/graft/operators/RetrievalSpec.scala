@@ -114,4 +114,36 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  // ---- textRank ----
+
+  test("textRank == PageRank.ranks over the hand-built adjacency graph") {
+    val docs = Seq("alpha beta gamma", "beta alpha", "gamma delta alpha")
+      .toDF("text")
+    // distinct content bigrams (len >= 4, a != b), mirrored
+    val pairs = Seq(("alpha", "beta"), ("beta", "gamma"), ("beta", "alpha"),
+      ("gamma", "delta"), ("delta", "alpha"))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val expected = PageRank.ranks(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Retrieval.textRank(docs, "text", 3, minLen = 4, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("textRank: short words and self-pairs are filtered out") {
+    val docs = Seq("aa bb aa", "word word", "only solo").toDF("text")
+    // aa/bb too short; word-word is a self-pair; only-solo is the one edge
+    val got = Retrieval.textRank(docs, "text", 2)
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("only", "solo"))
+  }
+
+  test("textRank: the connector outranks an equally-present leaf") {
+    val docs = Seq("hubx leaf", "hubx node", "hubx more", "hubx etc9")
+      .toDF("text")
+    val ranks = Retrieval.textRank(docs, "text", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("hubx") > ranks("leaf"))
+  }
 }
