@@ -9111,6 +9111,38 @@ object SparkEntry {
     },
       Some(seasonalIndexOracleSql)),
 
+    // Theil-Sen robust trend (SeriesStats.theilSen): the median
+    // pairwise slope of the daily event-count series — the trend a
+    // single outlier day can't drag (a7's holt and q06's OLS both
+    // can). Pairs come from ONE in-row transform over the collected
+    // bounded series (g46's discipline: never a self-join, no
+    // cartesian); the median is picked by rank over (one IEEE
+    // division, num, den) so both engines choose the same pair, and
+    // slope_micros is a single truncating integer division of it.
+    ("a13_theilsen", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("td",
+          datediff(col("day"), lit("1970-01-01")).cast("long"))
+      SeriesStats.theilSen(daily, "td", "x")
+    },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             a AS (SELECT CAST(dy - DATE '1970-01-01' AS BIGINT) t,
+               CAST(x AS BIGINT) y FROM d),
+             p AS (SELECT b.y - a.y num, b.t - a.t den
+               FROM a, a b WHERE b.t > a.t),
+             r AS (SELECT num, den,
+               ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den,
+                 num, den) rn,
+               CAST(COUNT(*) OVER () AS BIGINT) np FROM p)
+             SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n,
+               np AS n_pairs, CAST(num AS BIGINT) AS num,
+               CAST(den AS BIGINT) AS den,
+               CAST(num * 1000000 // den AS BIGINT) AS slope_micros
+             FROM r WHERE rn = (np + 1) // 2""")),
+
     // Seasonally-adjusted anomaly days (SeriesStats.seasonalResiduals):
     // classical decomposition's remainder ranks the 10 days furthest
     // from what trend + day-of-week explain — the anomaly ranker g30's

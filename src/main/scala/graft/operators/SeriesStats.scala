@@ -165,6 +165,53 @@ object SeriesStats {
       .withColumn("idx", expr(s"num div ($period * n_obs)"))
   }
 
+  /** Theil-Sen robust trend: the median of all pairwise slopes
+    * (y_j - y_i)/(t_j - t_i), i < j — the trend estimator a single
+    * outlier day cannot drag (breakdown point ~29%, vs 0% for least
+    * squares), the robust complement to [[Ewma.holt]]'s level+trend
+    * and [[Behavior]]'s MAD outliers.
+    *
+    * Engine-exact determinism: each slope is kept as the integer
+    * rational (num, den) with den > 0; the median is picked by RANK
+    * over (num/den as one IEEE double division, then num, den) — both
+    * engines divide the same exact int64s, so the ordering and the
+    * picked pair are identical; the published `slope_micros` is one
+    * truncating integer division of the picked pair (negative-safe).
+    * Lower median at even pair counts (rank (n_pairs+1) div 2).
+    *
+    * Scale shape: the series is bounded (the object's standing
+    * argument), so the O(n²/2) pair set is generated with ONE in-row
+    * pair transform over the collected, sorted point array
+    * (associationRules' discipline — never a series self-join, no
+    * cartesian in any plan) and ranked on the pair domain. A year of
+    * days is ~66k pairs; past ~10^4 points, pre-aggregate the series
+    * coarser (weekly) — the estimator is scale-equivariant. */
+  def theilSen(series: DataFrame, orderCol: String,
+               valueCol: String): DataFrame = {
+    val pts = series.agg(
+      sort_array(collect_list(struct(col(orderCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("y")))).as("pts"))
+    val pairs = pts
+      .select(size(col("pts")).cast("long").as("n"),
+        explode(expr(
+          """flatten(transform(pts, (p, i) ->
+               transform(slice(pts, i + 2, size(pts)),
+                 q -> struct(q.y - p.y AS num, q.t - p.t AS den))))"""))
+          .as("s"))
+    val w = Window.orderBy(
+      (col("s.num").cast("double") / col("s.den")).asc,
+      col("s.num").asc, col("s.den").asc)
+    pairs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n"), col("n_pairs"),
+        col("s.num").as("num"), col("s.den").as("den"),
+        expr("num * 1000000 div den").as("slope_micros"))
+  }
+
   /** Per-row SEASONALLY-ADJUSTED residual — the classical
     * decomposition's remainder term, the input an anomaly ranker
     * actually wants ("how far is this day from what trend + weekday

@@ -157,6 +157,46 @@ class SeriesStatsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- theilSen ----
+
+  private def runTs(pts: Seq[(Long, Long)]): Option[(Long, Long, Long, Long, Long)] = {
+    val df = pts.toDF("t", "y")
+    SeriesStats.theilSen(df, "t", "y").collect().headOption
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("num"), r.getAs[Long]("den"),
+        r.getAs[Long]("slope_micros")))
+  }
+
+  test("theilSen: exact line recovers its slope; an outlier cannot drag it") {
+    // y = 3t: every pairwise slope is 3
+    val line = (0L until 10L).map(t => (t, 3 * t))
+    val Some((n, np, num, den, sl)) = runTs(line)
+    assert(n === 10L && np === 45L && num * 1000000 / den === 3000000L
+      && sl === 3000000L)
+    // one wild outlier: median slope stays 3 (least squares would not)
+    val Some((_, _, num2, den2, _)) =
+      runTs(line.updated(5, (5L, 1000000L)))
+    assert(num2.toDouble / den2 === 3.0)
+  }
+
+  test("theilSen matches a driver-side median-of-slopes replay") {
+    val rnd = new scala.util.Random(19)
+    val pts = (0 until 12).map(i => (i.toLong * 2, rnd.nextInt(40).toLong))
+    val pairs = for {
+      i <- pts.indices; j <- pts.indices if j > i
+    } yield (pts(j)._2 - pts(i)._2, pts(j)._1 - pts(i)._1)
+    val sorted = pairs.sortBy { case (num, den) =>
+      (num.toDouble / den, num, den)
+    }
+    val (num, den) = sorted((sorted.size + 1) / 2 - 1)
+    assert(runTs(pts) === Some((12L, sorted.size.toLong, num, den,
+      num * 1000000L / den)))
+  }
+
+  test("theilSen: fewer than 2 points -> no pairs, empty") {
+    assert(runTs(Seq((1L, 5L))).isEmpty)
+  }
+
   test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
     val amp = Seq(-6L, 0L, 6L)
     val xs = (0 until 30).map(t => 100L + amp(t % 3))
