@@ -7778,6 +7778,57 @@ object SparkEntry {
                CAST(COUNT(*) OVER (PARTITION BY can) AS BIGINT) AS cluster_size
              FROM m ORDER BY entity_id""")),
 
+    // Budgeted corpus build end-to-end (Sampling
+    // .waterfillAllocationShare -> tokenBudgetAllocated): o25's
+    // fairness decides the per-source caps (90% of total tokens,
+    // max-min fair), then o12's deterministic md5 admission enforces
+    // them doc by doc — the two halves composed, with the cap table
+    // broadcast onto the one corpus-sized window pass. At sf0.01 the
+    // smallest sources saturate (alloc = supply, every doc admitted)
+    // while the rest clip mid-stream — both lanes live.
+    ("e17_waterfill_admission", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val supplies = docs.groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply"))
+      val alloc = operators.Sampling.waterfillAllocationShare(
+        supplies, "source", "supply", 9L, 10L)
+      operators.Sampling.tokenBudgetAllocated(docs, alloc)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("tok_before"), col("alloc"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH d AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
+               md5('tb|' || CAST(doc_id AS VARCHAR)) hh
+               FROM documents),
+             s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) supply
+               FROM d GROUP BY 1),
+             t AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(supply) AS BIGINT) tot FROM s),
+             b AS (SELECT n, CAST(tot * 9 // 10 AS BIGINT) bgt FROM t),
+             r AS (SELECT source, supply,
+               CAST(ROW_NUMBER() OVER (ORDER BY supply, source) AS BIGINT) i,
+               CAST(SUM(supply) OVER (ORDER BY supply, source) AS BIGINT) p
+               FROM s),
+             f AS (SELECT r.*, b.n, b.bgt FROM r, b
+               WHERE r.p + (b.n - r.i) * r.supply > b.bgt),
+             c AS (SELECT CAST((bgt - (p - supply)) // (n - i + 1) AS BIGINT)
+                 cap
+               FROM f ORDER BY i LIMIT 1),
+             al AS (SELECT r.source,
+               CASE WHEN (SELECT cap FROM c) IS NULL THEN r.supply
+                 ELSE GREATEST(0, LEAST(r.supply, (SELECT cap FROM c)))
+               END alloc FROM r),
+             q AS (SELECT doc_id, source, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY hh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) tok_before
+               FROM d)
+             SELECT q.doc_id, q.source, q.n_tok, q.tok_before, al.alloc
+             FROM q JOIN al USING (source)
+             WHERE q.tok_before < al.alloc ORDER BY q.doc_id""")),
+
     // Image NEAR-dup join: m7's REAL-codec perceptual hashes through
     // the generalized Hamming banding (Dedup.hammingNeighborJoin,
     // d25's machinery with parameterized width): 16-bit phash, 4

@@ -79,6 +79,31 @@ object Sampling {
       .drop("__tbh", "__run", "consumed_tok")
   }
 
+  /** [[tokenBudget]] with PER-SOURCE budgets — the admission stage
+    * fed by [[waterfillAllocation]]'s caps (the two halves of a
+    * budgeted corpus build: fairness decides the caps, this enforces
+    * them doc by doc). Same deterministic md5 admission order and the
+    * same accumulate-then-cut boundary rule as [[tokenBudget]]
+    * (`tok_before < alloc`: the doc crossing the cap is admitted), so
+    * a source whose alloc equals its supply keeps every doc. `alloc`:
+    * (sourceCol, alloc) — domain-sized, broadcast. */
+  def tokenBudgetAllocated(docs: DataFrame, alloc: DataFrame,
+                           sourceCol: String = "source",
+                           salt: String = "tb"): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val h = md5(concat(lit(s"$salt|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(sourceCol).orderBy("__tbh", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__tbh", h)
+      .withColumn("n_tok", toks)
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(alloc.select(col(sourceCol), col("alloc"))),
+        Seq(sourceCol))
+      .filter(col("tok_before") < col("alloc"))
+      .drop("__tbh")
+  }
+
   /** Water-filling (max-min fair) budget allocation across domains —
     * the OTHER half of the mixing toolkit: [[tokenBudget]] decides
     * WHICH docs survive a per-source cap; this decides WHAT the caps

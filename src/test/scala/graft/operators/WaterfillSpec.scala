@@ -67,6 +67,37 @@ class WaterfillSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetAllocated: per-source caps, accumulate-then-cut boundary") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f", "s1"),
+      (4L, "g h i j", "s2"))
+      .toDF("doc_id", "text", "s")
+    // s1 alloc 4: admission order is md5-determined; the doc that
+    // CROSSES the cap is admitted (tok_before < alloc), later ones cut.
+    // s2 alloc = supply: everything admitted.
+    val alloc = Seq(("s1", 4L), ("s2", 4L)).toDF("s", "alloc")
+    val got = Sampling.tokenBudgetAllocated(docs, alloc, "s")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_before")))
+      .toMap
+    assert(got.contains(4L))
+    // replay the md5 order for s1 and apply the boundary rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"tb|$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val s1 = Seq((1L, 3L), (2L, 2L), (3L, 1L)).sortBy(d => (h(d._1), d._1))
+    var run = 0L
+    val expected = s1.flatMap { case (id, n) =>
+      val before = run; run += n
+      if (before < 4L) Some(id -> before) else None
+    }.toMap
+    assert(got - 4L === expected)
+    // zero alloc admits nothing from that source
+    val none = Sampling.tokenBudgetAllocated(docs,
+      Seq(("s1", 0L), ("s2", 99L)).toDF("s", "alloc"), "s")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(none === Set(4L))
+  }
+
   test("share form: 90% budget equals the explicit-budget form") {
     val supplies = Seq("a" -> 7L, "b" -> 21L, "c" -> 14L, "d" -> 3L)
     val df = supplies.toDF("k", "supply")
