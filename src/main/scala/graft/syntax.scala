@@ -397,6 +397,28 @@ object syntax {
       * [[Behavior.kmTable]]. */
     def kmTable(durCol: String, observedCol: String): DataFrame =
       Behavior.kmTable(df, durCol, observedCol)
+
+    /** Theil-Sen robust trend of this ordered series; see
+      * [[SeriesStats.theilSen]]. */
+    def theilSen(orderCol: String, valueCol: String): DataFrame =
+      SeriesStats.theilSen(df, orderCol, valueCol)
+
+    /** TextRank keyword centrality over this document table; see
+      * [[Retrieval.textRank]]. */
+    def textRank(textCol: String, rounds: Int, minLen: Int = 4,
+                 topK: Int = 20): DataFrame =
+      Retrieval.textRank(df, textCol, rounds, minLen, topK)
+
+    /** Weighted Bellman-Ford distances over this (src, dst, w) edge
+      * list; see [[Bfs.weightedDistances]]. */
+    def weightedDistances(sources: DataFrame, rounds: Int): DataFrame =
+      Bfs.weightedDistances(df, sources, rounds)
+
+    /** Per-source-capped token admission over these docs; see
+      * [[Sampling.tokenBudgetAllocated]]. */
+    def tokenBudgetAllocated(alloc: DataFrame,
+                             sourceCol: String = "source"): DataFrame =
+      Sampling.tokenBudgetAllocated(df, alloc, sourceCol)
   }
 
   /** Pair-graph operations that need a session (driver-adaptive CC);

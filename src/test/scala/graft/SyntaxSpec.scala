@@ -141,5 +141,19 @@ class SyntaxSpec extends AnyFunSuite {
     val subj = Seq((3L, true), (5L, false)).toDF("dur", "obs")
     assert(subj.kmTable("dur", "obs").collect().toSet ==
       Behavior.kmTable(subj, "dur", "obs").collect().toSet)
+    val ts = Seq((0L, 1L), (1L, 3L), (2L, 5L)).toDF("t", "y")
+    assert(ts.theilSen("t", "y").collect().toSet ==
+      SeriesStats.theilSen(ts, "t", "y").collect().toSet)
+    val txt = Seq("alpha beta", "beta gamma").toDF("text")
+    assert(txt.textRank("text", 2).collect().toSet ==
+      graft.operators.Retrieval.textRank(txt, "text", 2).collect().toSet)
+    val wedges = Seq((1L, 2L, 5L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val srcs = Seq(1L).toDF("id")
+    assert(wedges.weightedDistances(srcs, 2).collect().toSet ==
+      graft.operators.Bfs.weightedDistances(wedges, srcs, 2).collect().toSet)
+    val adocs = Seq((1L, "a b c", "s1")).toDF("doc_id", "text", "source")
+    val alloc = Seq(("s1", 2L)).toDF("source", "alloc")
+    assert(adocs.tokenBudgetAllocated(alloc).collect().toSet ==
+      Sampling.tokenBudgetAllocated(adocs, alloc).collect().toSet)
   }
 }
