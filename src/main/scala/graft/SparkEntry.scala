@@ -8814,6 +8814,34 @@ object SparkEntry {
            ORDER BY node_id"""
       }),
 
+    // Inter-arrival burstiness (Behavior.burstiness): the exact
+    // dispersion index of per-type gap streams in whole minutes —
+    // ~1e6 ppm is Poisson, above is bursty (bots, batch jobs), below
+    // is pacemaker-regular; the gap-structure MEASUREMENT behind
+    // w1/g26's threshold sessionization. Cleared-denominator rational
+    // (n·Q − S²)·1e6 div (n·S), NULL when all gaps are sub-minute.
+    // One key-partitioned window pass + one aggregation = a single
+    // exchange; output is key-domain-sized.
+    ("g55_burstiness", (s, dir) =>
+      Behavior.burstiness(t(s, dir, "events"), "event_type", "ts",
+        "event_id").orderBy("event_type"),
+      Some("""WITH o AS (SELECT event_type, epoch_us(ts) us, event_id
+               FROM events),
+             g AS (SELECT event_type,
+               (us - LAG(us) OVER (PARTITION BY event_type
+                 ORDER BY us, event_id)) // 60000000 d
+               FROM o),
+             a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n_gaps,
+               CAST(SUM(d) AS BIGINT) sum_min,
+               CAST(SUM(d * d) AS BIGINT) sum_min2
+               FROM g WHERE d IS NOT NULL GROUP BY 1)
+             SELECT event_type, n_gaps, sum_min, sum_min2,
+               CASE WHEN sum_min = 0 THEN NULL
+                 ELSE CAST((n_gaps * sum_min2 - sum_min * sum_min)
+                   * 1000000 // (n_gaps * sum_min) AS BIGINT)
+               END AS disp_ppm
+             FROM a ORDER BY event_type""")),
+
     // STREAMING calibration monitor (t33's twin, w22's staging
     // discipline): the reliability curve maintained AT INGEST. The
     // per-doc score is a STATELESS array-aggregate expression (the

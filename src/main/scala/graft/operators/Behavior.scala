@@ -243,6 +243,46 @@ object Behavior {
           .as("lift_ppm"))
   }
 
+  /** Inter-arrival burstiness — the exact DISPERSION INDEX
+    * (variance-to-mean ratio of gaps, Fano factor) per key: ~1e6 ppm
+    * for a Poisson (memoryless) arrival stream, far above for bursty
+    * traffic (sessions, bots, batch jobs), below for pacemaker-regular
+    * streams. The bot/burst detector that complements [[Sessionize]]
+    * (which needs a gap threshold; this MEASURES the gap structure).
+    *
+    * Exact integer arithmetic with cleared denominators:
+    * gaps in whole minutes (`(us_i - us_{i-1}) div 60000000`, exact
+    * int64 from micros), then with n = #gaps, S = Σd, Q = Σd²:
+    *
+    *   D_ppm = (n·Q - S²) · 1e6  div  (n·S)     [Var/Mean, minutes]
+    *
+    * (population variance and mean with the n² cleared). NULL when
+    * S = 0 (all gaps sub-minute: dispersion undefined at this
+    * resolution, not zero). int64 envelope: `n·Q·1e6 < 2^63` — holds
+    * to ~9e12 gap-minutes-squared mass per key; past it, coarsen the
+    * unit (hours), the index rescales linearly with the unit.
+    *
+    * One window pass (per-key lag) + one aggregation, both on the key
+    * — a single exchange; the output is key-domain-sized. */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("__us", "__tie")
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        col(tieCol).as("__tie"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__d", expr("(__us - __prev) div 60000000"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__d")).as("sum_min"),
+        sum(col("__d") * col("__d")).as("sum_min2"))
+      .withColumn("disp_ppm", expr(
+        """CASE WHEN sum_min = 0 THEN CAST(NULL AS BIGINT)
+           ELSE (n_gaps * sum_min2 - sum_min * sum_min) * 1000000
+                div (n_gaps * sum_min) END"""))
+  }
+
   /** Kaplan-Meier life table — the right-censored generalization of
     * [[weeklyRetention]] (fixed-offset cohort rates are WRONG when
     * observation windows differ: a user who signed up yesterday hasn't

@@ -211,6 +211,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got === Map("x" -> 1L))
   }
 
+  // ---- burstiness ----
+
+  private def burst(gapsMin: Seq[Long]): Option[Long] = {
+    // build one key's stream with the given successive gaps (minutes)
+    val times = gapsMin.scanLeft(0L)(_ + _ * 60000000L)
+    val rows = times.zipWithIndex.map { case (us, i) =>
+      ("k", new Timestamp(us / 1000), i.toLong)
+    }
+    val df = rows.toDF("k", "ts", "eid")
+    val r = Behavior.burstiness(df, "k", "ts", "eid").collect()
+    assert(r.length === 1 && r(0).getAs[Long]("n_gaps") === gapsMin.size)
+    Option(r(0).getAs[java.lang.Long]("disp_ppm")).map(_.toLong)
+  }
+
+  test("burstiness: constant gaps -> zero dispersion; undefined at sub-minute") {
+    assert(burst(Seq(5L, 5L, 5L, 5L)) === Some(0L))
+    assert(burst(Seq(0L, 0L, 0L)) === None) // S = 0: NULL, not 0
+  }
+
+  test("burstiness: hand-computed dispersion, bursty beats regular") {
+    // gaps 0,10,0,10: n=4 S=20 Q=200; D = (800-400)*1e6/(80) = 5e6
+    assert(burst(Seq(0L, 10L, 0L, 10L)) === Some(5000000L))
+    // mild jitter 4,6,4,6: n=4 S=20 Q=104; D = (416-400)*1e6/80 = 2e5
+    assert(burst(Seq(4L, 6L, 4L, 6L)) === Some(200000L))
+  }
+
+  test("burstiness matches a driver-side replay on random gaps") {
+    val rnd = new scala.util.Random(23)
+    val gaps = (0 until 50).map(_ => rnd.nextInt(30).toLong)
+    val n = gaps.size.toLong
+    val s = gaps.sum
+    val q = gaps.map(d => d * d).sum
+    assert(burst(gaps) === Some((n * q - s * s) * 1000000L / (n * s)))
+  }
+
   // ---- kmTable ----
 
   private def km(subjects: Seq[(Long, Boolean)]): Seq[(Long, Long, Long, Long)] = {
