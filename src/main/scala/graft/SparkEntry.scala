@@ -149,8 +149,8 @@ object SparkEntry {
                FROM d
                WINDOW win AS (ORDER BY dy
                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-             g AS (SELECT CAST((dy - DATE '1970-01-01') % 7 AS BIGINT)
-                 AS slot,
+             g AS (SELECT CAST(((dy - DATE '1970-01-01') % 7 + 7) % 7
+                 AS BIGINT) AS slot,
                COUNT(*) n_obs, CAST(SUM(dt) AS BIGINT) num
                FROM w WHERE cnt = 7 GROUP BY 1)
              SELECT slot, n_obs, num,
@@ -6965,6 +6965,87 @@ object SparkEntry {
     },
       Some(quantileSketchOracle)),
 
+    // SKETCH-BACKED decile binning (o16's documented 100 TB swap made
+    // executable, g34's discipline): o16's exact boundaries need a
+    // full-corpus percentile; the LogHistogram sketch gets them from
+    // one linear scan into bounded base-2 buckets. The gate emits,
+    // per decile, the sketch ESTIMATE next to the EXACT rank value
+    // plus the bucket width and the `within_bound` boolean, so the
+    // sketch's `est <= exact <= est + width - 1` contract (width/lo
+    // <= 2^-k, k=5 -> 3.1%) is itself hash-pinned. The exact side is
+    // the gate's audit apparatus only — the production consumer binds
+    // bin boundaries from the stored sketch and never sorts the
+    // corpus.
+    ("o26_binning_sketch", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(cents(col("l_extendedprice")).as("price_c"))
+      val deciles = s.range(1, 10)
+        .select((col("id") * 10).cast("long").as("decile_pct"))
+      // sketch side: bounded bucket table -> cumulative rank pick
+      val buckets = li
+        .agg(functions.LogHistogram.sketch(col("price_c"), 5).as("sk"))
+        .select(explode(col("sk")).as("b"))
+        .select(col("b.lo").as("lo"), col("b.n").as("n"))
+        .withColumn("cum", sum(col("n")).over(Window.orderBy("lo")))
+        .withColumn("tot", sum(col("n")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val est = buckets.crossJoin(broadcast(deciles))
+        .filter(col("cum") >= expr("(tot * decile_pct + 99) div 100"))
+        .groupBy("decile_pct")
+        .agg(max(col("tot")).as("n"), min(col("lo")).as("est_c"))
+      // exact side (audit only): distinct-value cumulative counts
+      val vals = li.groupBy("price_c").agg(count(lit(1)).as("cnt"))
+        .withColumn("vcum", sum(col("cnt")).over(Window.orderBy("price_c")))
+        .withColumn("vtot", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val exact = vals.crossJoin(broadcast(deciles))
+        .filter(col("vcum") >= expr("(vtot * decile_pct + 99) div 100"))
+        .groupBy("decile_pct")
+        .agg(min(col("price_c")).as("exact_c"))
+      est.join(exact, Seq("decile_pct"))
+        .withColumn("bucket_width", when(col("est_c") < 64, lit(1L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(est_c)) - 6 AS INT))")))
+        .withColumn("within_bound",
+          col("est_c") <= col("exact_c") &&
+            col("exact_c") <= col("est_c") + col("bucket_width") - 1)
+        .select(col("decile_pct"), col("n"), col("est_c"), col("exact_c"),
+          col("bucket_width"), col("within_bound"))
+        .orderBy("decile_pct")
+    },
+      Some("""WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) pc
+               FROM lineitem),
+             b AS (SELECT pc, CASE WHEN pc < 64 THEN pc
+               ELSE (pc >> (length(bin(pc)) - 6)) << (length(bin(pc)) - 6)
+               END lo FROM v),
+             g AS (SELECT lo, CAST(COUNT(*) AS BIGINT) n FROM b GROUP BY 1),
+             c AS (SELECT lo, n,
+               CAST(SUM(n) OVER (ORDER BY lo) AS BIGINT) cum,
+               CAST(SUM(n) OVER () AS BIGINT) tot FROM g),
+             q AS (SELECT CAST(UNNEST([10,20,30,40,50,60,70,80,90])
+               AS BIGINT) decile_pct),
+             e AS (SELECT decile_pct, MAX(tot) AS n, MIN(lo) AS est_c
+               FROM c, q WHERE cum >= (tot * decile_pct + 99) // 100
+               GROUP BY 1),
+             vg AS (SELECT pc, CAST(COUNT(*) AS BIGINT) cnt
+               FROM v GROUP BY 1),
+             vc AS (SELECT pc,
+               CAST(SUM(cnt) OVER (ORDER BY pc) AS BIGINT) vcum,
+               CAST(SUM(cnt) OVER () AS BIGINT) vtot FROM vg),
+             x AS (SELECT decile_pct, MIN(pc) AS exact_c
+               FROM vc, q WHERE vcum >= (vtot * decile_pct + 99) // 100
+               GROUP BY 1),
+             w AS (SELECT decile_pct, n, est_c, exact_c,
+               CAST(CASE WHEN est_c < 64 THEN 1
+                 ELSE 1 << (length(bin(est_c)) - 6) END AS BIGINT) bw
+               FROM e JOIN x USING (decile_pct))
+             SELECT decile_pct, n, est_c, exact_c, bw AS bucket_width,
+               (est_c <= exact_c AND exact_c <= est_c + bw - 1)
+                 AS within_bound
+             FROM w ORDER BY decile_pct""")),
+
     // Sliding distinct VIA SKETCH (g28's documented 100 TB swap made
     // executable): the same explode-to-covering-windows shape, but the
     // per-window aggregate is the mergeable KMV sketch instead of
@@ -9243,7 +9324,7 @@ object SparkEntry {
       Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
                FROM events GROUP BY 1),
              w AS (SELECT dy, x,
-               CAST((dy - DATE '1970-01-01') % 7 AS BIGINT) slot,
+               CAST(((dy - DATE '1970-01-01') % 7 + 7) % 7 AS BIGINT) slot,
                COUNT(x) OVER win cnt,
                CAST(7 * x - SUM(x) OVER win AS BIGINT) dt
                FROM d
@@ -9258,7 +9339,45 @@ object SparkEntry {
                f.slot AS dow, f.dt AS d, i.idx,
                CAST(f.dt - 7 * i.idx AS BIGINT) AS res
              FROM f JOIN i USING (slot)
-             ORDER BY ABS(f.dt - 7 * i.idx) DESC, f.dy LIMIT 10"""))
+             ORDER BY ABS(f.dt - 7 * i.idx) DESC, f.dy LIMIT 10""")),
+
+    // GROUPED Theil-Sen (SeriesStats.theilSenByKey): a13's robust
+    // trend PER EVENT TYPE — the form a production fleet asks for
+    // (trend per user/source/domain). The ranking window is
+    // PARTITIONED by the key, so the one-series form's global
+    // single-partition rank disappears and the in-row pair transform
+    // parallelizes per key; the per-key bounded-series and
+    // distinct-order contracts are executable (round-10 guards). The
+    // oracle unrolls the same pairwise-slope median per key.
+    ("a14_theilsen_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("td",
+          datediff(col("day"), lit("1970-01-01")).cast("long"))
+      SeriesStats.theilSenByKey(daily, "event_type", "td", "x")
+        .orderBy("event_type")
+    },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1, 2),
+             a AS (SELECT event_type,
+               CAST(dy - DATE '1970-01-01' AS BIGINT) t,
+               CAST(x AS BIGINT) y FROM d),
+             n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n
+               FROM a GROUP BY 1),
+             p AS (SELECT a.event_type, b.y - a.y num, b.t - a.t den
+               FROM a, a b
+               WHERE a.event_type = b.event_type AND b.t > a.t),
+             r AS (SELECT event_type, num, den,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY CAST(num AS DOUBLE) / den, num, den) rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) np
+               FROM p)
+             SELECT r.event_type, n.n, r.np AS n_pairs,
+               CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+               CAST(num * 1000000 // den AS BIGINT) AS slope_micros
+             FROM r JOIN n USING (event_type)
+             WHERE rn = (np + 1) // 2 ORDER BY event_type"""))
   )
 
   // ---------- driver contract ----------

@@ -86,7 +86,13 @@ object Sampling {
     * same accumulate-then-cut boundary rule as [[tokenBudget]]
     * (`tok_before < alloc`: the doc crossing the cap is admitted), so
     * a source whose alloc equals its supply keeps every doc. `alloc`:
-    * (sourceCol, alloc) — domain-sized, broadcast. */
+    * (sourceCol, alloc) — domain-sized, broadcast.
+    *
+    * A source ABSENT from `alloc` means "admit nothing" — made
+    * explicit with a left join defaulting the missing alloc to 0 (so
+    * every doc of that source fails `tok_before < 0 + ...` = false),
+    * not an inner join that silently drops the rows after the window
+    * pass already paid for them. Same output, stated semantics. */
   def tokenBudgetAllocated(docs: DataFrame, alloc: DataFrame,
                            sourceCol: String = "source",
                            salt: String = "tb"): DataFrame = {
@@ -99,7 +105,8 @@ object Sampling {
       .withColumn("n_tok", toks)
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .join(broadcast(alloc.select(col(sourceCol), col("alloc"))),
-        Seq(sourceCol))
+        Seq(sourceCol), "left_outer")
+      .withColumn("alloc", coalesce(col("alloc"), lit(0L)))
       .filter(col("tok_before") < col("alloc"))
       .drop("__tbh")
   }
@@ -138,14 +145,31 @@ object Sampling {
     * total supply (`total * numer div denom`, e.g. 9/10 = spend 90%)
     * — keeps the whole computation declarative (no driver-side action
     * to learn the total first), so the same query text is correct at
-    * every corpus scale. */
+    * every corpus scale.
+    *
+    * Int64 envelope (the burstiness/skewAudit convention): the
+    * intermediate is `total_supply * numer`, so the caller must keep
+    * `tot * numer < 2^63` — the fraction is gcd-reduced here first,
+    * which makes every sane ratio (9/10, 1/2, 3/4) a single-digit
+    * multiplier; 100 TB is ~2.5e13 tokens, × 9 ≈ 2.3e14 ≪ 9.2e18,
+    * four orders of magnitude of headroom even at numer ~ 10^4. */
   def waterfillAllocationShare(supplies: DataFrame, keyCol: String,
                                supplyCol: String, numer: Long,
                                denom: Long): DataFrame = {
     require(numer >= 0 && denom > 0, s"bad share $numer/$denom")
+    val g = java.math.BigInteger.valueOf(numer)
+      .gcd(java.math.BigInteger.valueOf(denom)).longValueExact()
+    val (nn, dd) = if (g > 1) (numer / g, denom / g) else (numer, denom)
     waterfillCore(supplies, keyCol, supplyCol,
-      expr(s"__tot * $numer div $denom"))
+      expr(s"__tot * $nn div $dd"))
   }
+
+  /** Executable bound on [[waterfillCore]]'s global ordered window:
+    * the supply table is DOMAIN-sized by contract (sources, not
+    * docs); past ~1M domains the single-partition rank becomes the
+    * bottleneck and the caller has grouped by the wrong key — fail
+    * loudly instead of silently serializing. */
+  val WaterfillMaxDomains: Long = 1L << 20
 
   private def waterfillCore(supplies: DataFrame, keyCol: String,
                             supplyCol: String,
@@ -153,12 +177,22 @@ object Sampling {
     val ord = Window.orderBy(col(supplyCol).asc, col(keyCol).asc)
     val stats = supplies.agg(count(lit(1)).cast("long").as("__n"),
       sum(col(supplyCol)).as("__tot"))
+    // The domain-cardinality contract rides inside the consumed __b
+    // expression (assert_true is NULL when the predicate holds, so
+    // + coalesce(...) leaves the budget value untouched) — a
+    // standalone assert column would be pruned as unused.
+    val nGuard = coalesce(assert_true(
+      col("__n") <= lit(WaterfillMaxDomains),
+      concat(lit("waterfill: "), col("__n").cast("string"),
+        lit(s" domains exceed the $WaterfillMaxDomains bound for the " +
+          "global ordered window; group supplies by a coarser key")))
+      .cast("long"), lit(0L))
     val base = supplies
       .withColumn("__i", row_number().over(ord).cast("long"))
       .withColumn("__p", sum(col(supplyCol)).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(stats))
-      .withColumn("__b", budgetOf)
+      .withColumn("__b", budgetOf + nGuard)
     val bind = base
       .filter(col("__p") + (col("__n") - col("__i")) * col(supplyCol)
         > col("__b"))

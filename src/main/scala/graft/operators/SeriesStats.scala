@@ -184,20 +184,20 @@ object SeriesStats {
     * pair transform over the collected, sorted point array
     * (associationRules' discipline — never a series self-join, no
     * cartesian in any plan) and ranked on the pair domain. A year of
-    * days is ~66k pairs; past ~10^4 points, pre-aggregate the series
-    * coarser (weekly) — the estimator is scale-equivariant. */
+    * days is ~66k pairs. The bound is EXECUTABLE: past `maxPoints`
+    * (default [[TheilSenMaxPoints]]) the plan raises instead of
+    * exploding — pre-aggregate coarser (weekly) first; the estimator
+    * is scale-equivariant. Duplicate order values also raise (they
+    * would make den=0 pairs: NULL in Spark, an error in DuckDB). */
   def theilSen(series: DataFrame, orderCol: String,
-               valueCol: String): DataFrame = {
+               valueCol: String,
+               maxPoints: Int = TheilSenMaxPoints): DataFrame = {
     val pts = series.agg(
       sort_array(collect_list(struct(col(orderCol).cast("long").as("t"),
         col(valueCol).cast("long").as("y")))).as("pts"))
     val pairs = pts
-      .select(size(col("pts")).cast("long").as("n"),
-        explode(expr(
-          """flatten(transform(pts, (p, i) ->
-               transform(slice(pts, i + 2, size(pts)),
-                 q -> struct(q.y - p.y AS num, q.t - p.t AS den))))"""))
-          .as("s"))
+      .select(theilSenGuardedN(maxPoints).as("n"),
+        explode(expr(theilSenPairSql)).as("s"))
     val w = Window.orderBy(
       (col("s.num").cast("double") / col("s.den")).asc,
       col("s.num").asc, col("s.den").asc)
@@ -208,6 +208,76 @@ object SeriesStats {
           Window.unboundedFollowing)))
       .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
       .select(col("n"), col("n_pairs"),
+        col("s.num").as("num"), col("s.den").as("den"),
+        expr("num * 1000000 div den").as("slope_micros"))
+  }
+
+  /** Default in-row pair bound for the Theil-Sen family: 16k points
+    * is ~134M pairs, the most one collected row should ever explode.
+    * Past it, pre-aggregate the series coarser (weekly) — the
+    * estimator is scale-equivariant. */
+  val TheilSenMaxPoints: Int = 16384
+
+  /** The O(n²/2) i<j pair set as ONE in-row transform over the
+    * collected, sorted point array — never a series self-join. */
+  private val theilSenPairSql =
+    """flatten(transform(pts, (p, i) ->
+         transform(slice(pts, i + 2, size(pts)),
+           q -> struct(q.y - p.y AS num, q.t - p.t AS den))))"""
+
+  /** `size(pts)` with the operator's two preconditions made
+    * EXECUTABLE: (1) the bounded-series contract (≤ maxPoints — the
+    * scaladoc's "pre-aggregate past ~10^4" was prose until round 10;
+    * at n=10^6 the pair explode is half a trillion rows) and (2)
+    * distinct order values (a repeated t yields den=0 pairs, whose
+    * slope ranks as ±Infinity/NaN in Spark but raises in DuckDB —
+    * silent engine divergence). `assert_true` is NULL when its
+    * predicate holds, so coalescing its cast into the consumed `n`
+    * expression keeps the contract in the live plan — a standalone
+    * assert column would be pruned by Catalyst as unused. */
+  private def theilSenGuardedN(maxPoints: Int) = {
+    val n = size(col("pts")).cast("long")
+    val sizeOk = assert_true(size(col("pts")) <= lit(maxPoints),
+      concat(lit("theilSen: series of "), size(col("pts")).cast("string"),
+        lit(s" points exceeds the $maxPoints in-row pair bound; " +
+          "pre-aggregate the series coarser (e.g. weekly) first")))
+    val distinctOk = assert_true(
+      size(expr("array_distinct(transform(pts, p -> p.t))")) ===
+        size(col("pts")),
+      lit("theilSen: duplicate order values produce zero-denominator " +
+        "pairs (NULL slope in Spark, divide-by-zero in the oracle); " +
+        "aggregate to one point per order value first"))
+    n + coalesce(sizeOk.cast("long"), lit(0L)) +
+      coalesce(distinctOk.cast("long"), lit(0L))
+  }
+
+  /** Grouped Theil-Sen: [[theilSen]] per key — robust trend per
+    * user/source/domain, the form a production fleet actually asks
+    * for. Same engine-exact rational-median discipline; the ranking
+    * window is PARTITIONED by the key, so the single-partition global
+    * window of the one-series form disappears entirely and the in-row
+    * pair transform parallelizes per key. Keys with fewer than two
+    * points have no pairs and are absent from the output (no slope is
+    * definable). The per-key bounded-series and distinct-order
+    * contracts are executable exactly as in [[theilSen]]. */
+  def theilSenByKey(series: DataFrame, keyCol: String, orderCol: String,
+                    valueCol: String,
+                    maxPoints: Int = TheilSenMaxPoints): DataFrame = {
+    val pts = series.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("y")))).as("pts"))
+    val pairs = pts
+      .select(col(keyCol), theilSenGuardedN(maxPoints).as("n"),
+        explode(expr(theilSenPairSql)).as("s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(
+      (col("s.num").cast("double") / col("s.den")).asc,
+      col("s.num").asc, col("s.den").asc)
+    pairs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .select(col(keyCol), col("n"), col("n_pairs"),
         col("s.num").as("num"), col("s.den").as("den"),
         expr("num * 1000000 div den").as("slope_micros"))
   }
@@ -236,10 +306,14 @@ object SeriesStats {
                         valueCol: String, slotCol: String,
                         period: Int): DataFrame = {
     val d = detrended(series, orderCol, valueCol, period)
+    // The broadcast side's join key gets the reserved __-prefix name:
+    // joining on a column literally named "slot" would collide with a
+    // caller whose slotCol is itself "slot" (drop("slot") would then
+    // remove BOTH columns and the join condition would be ambiguous).
     val idx = seasonalIndex(series, orderCol, valueCol, slotCol, period)
-      .select(col("slot"), col("idx"))
-    d.join(broadcast(idx), d(slotCol) === idx("slot"))
-      .drop("slot")
+      .select(col("slot").as("__slot"), col("idx"))
+    d.join(broadcast(idx), d(slotCol) === idx("__slot"))
+      .drop("__slot")
       .withColumn("res", col("__d") - lit(period.toLong) * col("idx"))
       .withColumnRenamed("__d", "d")
   }

@@ -403,6 +403,12 @@ object syntax {
     def theilSen(orderCol: String, valueCol: String): DataFrame =
       SeriesStats.theilSen(df, orderCol, valueCol)
 
+    /** Per-key Theil-Sen robust trend (key-partitioned ranking, no
+      * global window); see [[SeriesStats.theilSenByKey]]. */
+    def theilSenByKey(keyCol: String, orderCol: String,
+                      valueCol: String): DataFrame =
+      SeriesStats.theilSenByKey(df, keyCol, orderCol, valueCol)
+
     /** TextRank keyword centrality over this document table; see
       * [[Retrieval.textRank]]. */
     def textRank(textCol: String, rounds: Int, minLen: Int = 4,

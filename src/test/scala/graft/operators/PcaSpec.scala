@@ -105,6 +105,44 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("gramian at production width d=64: parity with the explode-structs form") {
+    // The round-8 explode-structs covariance (each row emits its
+    // d(d+1)/2 upper-triangle product structs, then an (i,j) groupBy)
+    // is reconstructed here as the reference. On ONE input partition
+    // both forms accumulate every sum in the same row order and then
+    // run the identical P/n - (S_i/n)(S_j/n) float ops, so all 2080
+    // entries must match BITWISE — a changed accumulation layout or a
+    // transposed triangle index cannot pass. (Multi-partition runs
+    // differ only by float summation order; the gates' tolerance
+    // story covers that, bit-parity here pins the arithmetic.)
+    import org.apache.spark.sql.functions.{avg, col => c, explode, expr => ex}
+    val d = 64
+    val n = 500
+    val wide = (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(d)(k => ((((i * 37 + k * 17) % 101) - 50) / 7.0).toFloat))
+    }.toDF("vec_id", "embedding").coalesce(1)
+    val got = Pca.covariance(wide, "embedding", d).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    val e = wide.select(graft.functions.Similarity.toDoubleArray(
+      c("embedding")).as("e"))
+    val ref = e.select(explode(ex(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+              transform(sequence(i, ${d - 1}), j ->
+                named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+                  'p', e[i] * e[j], 'ei', e[i], 'ej', e[j]))))""")).as("x"))
+      .select(c("x.i").as("i"), c("x.j").as("j"), c("x.p").as("p"),
+        c("x.ei").as("ei"), c("x.ej").as("ej"))
+      .groupBy("i", "j")
+      .agg((avg(c("p")) - avg(c("ei")) * avg(c("ej"))).as("cov"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(got.size === d * (d + 1) / 2 && ref.size === got.size)
+    for (((i, j), v) <- ref)
+      assert(java.lang.Double.doubleToLongBits(got((i, j))) ===
+        java.lang.Double.doubleToLongBits(v), s"cov($i,$j)")
+  }
+
   test("null ELEMENTS skip the row whole; empty input -> empty covariance, not NaN") {
     // a null element read as 0.0 would corrupt sums while counting the
     // row — the row must be skipped entirely

@@ -197,6 +197,62 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(runTs(Seq((1L, 5L))).isEmpty)
   }
 
+  private def messageChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("theilSen: past the point bound the plan RAISES, never explodes") {
+    val df = (0L until 10L).map(t => (t, 3 * t)).toDF("t", "y")
+    val e = intercept[Exception] {
+      SeriesStats.theilSen(df, "t", "y", maxPoints = 5).collect()
+    }
+    assert(messageChain(e).contains("exceeds the 5 in-row pair bound"))
+    // at the bound itself it still runs
+    assert(SeriesStats.theilSen(df.limit(5), "t", "y", maxPoints = 5)
+      .collect().length === 1)
+  }
+
+  test("theilSen: duplicate order values RAISE (den=0 pairs), not NULL") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("t", "y")
+    val e = intercept[Exception] {
+      SeriesStats.theilSen(df, "t", "y").collect()
+    }
+    assert(messageChain(e).contains("duplicate order values"))
+  }
+
+  test("theilSenByKey equals per-key theilSen; single-point keys absent") {
+    val a = (0L until 9L).map(t => ("a", t, 3 * t + (t % 3)))
+    val b = (0L until 7L).map(t => ("b", t * 2, 50 - 4 * t))
+    val single = Seq(("c", 5L, 9L))
+    val df = (a ++ b ++ single).toDF("k", "t", "y")
+    val got = SeriesStats.theilSenByKey(df, "k", "t", "y").collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pairs"), r.getAs[Long]("num"),
+          r.getAs[Long]("den"), r.getAs[Long]("slope_micros")))).toMap
+    assert(got.keySet === Set("a", "b"))
+    for ((k, rows) <- Seq("a" -> a, "b" -> b)) {
+      val one = SeriesStats.theilSen(
+        rows.map { case (_, t, y) => (t, y) }.toDF("t", "y"), "t", "y")
+        .collect().head
+      assert(got(k) === ((one.getAs[Long]("n"), one.getAs[Long]("n_pairs"),
+        one.getAs[Long]("num"), one.getAs[Long]("den"),
+        one.getAs[Long]("slope_micros"))), s"key $k")
+    }
+  }
+
+  test("seasonalResiduals: caller's slot column named 'slot' survives") {
+    val amp = Seq(-6L, 0L, 6L)
+    val xs = (0 until 30).map(t => 100L + amp(t % 3))
+    val df = xs.zipWithIndex
+      .map { case (x, t) => (t.toLong, t.toLong % 3, x) }
+      .toDF("t", "slot", "x")
+    val out = SeriesStats.seasonalResiduals(df, "t", "x", "slot", 3)
+    assert(out.columns.count(_ == "slot") === 1)
+    val rows = out.select("slot", "res").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) === 0L))
+    assert(rows.map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+  }
+
   test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
     val amp = Seq(-6L, 0L, 6L)
     val xs = (0 until 30).map(t => 100L + amp(t % 3))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -96,6 +97,41 @@ class WaterfillSpec extends AnyFunSuite {
       Seq(("s1", 0L), ("s2", 99L)).toDF("s", "alloc"), "s")
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(none === Set(4L))
+  }
+
+  test("tokenBudgetAllocated: a source ABSENT from alloc admits nothing") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"),
+      (4L, "g h i j", "ghost")) // no alloc row for "ghost"
+      .toDF("doc_id", "text", "s")
+    val alloc = Seq(("s1", 99L)).toDF("s", "alloc")
+    val got = Sampling.tokenBudgetAllocated(docs, alloc, "s").collect()
+    // present source keeps everything; the missing source is an
+    // explicit alloc=0 (admit nothing), not a silent row drop
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    assert(got.forall(_.getAs[Long]("alloc") === 99L))
+  }
+
+  test("waterfill: past the domain-cardinality bound the plan RAISES") {
+    val supplies = spark.range(Sampling.WaterfillMaxDomains + 1)
+      .select(col("id").as("k"), lit(1L).as("supply"))
+    val e = intercept[Exception] {
+      Sampling.waterfillAllocation(supplies, "k", "supply", 10L).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("domains exceed"))
+  }
+
+  test("share form reduces the fraction first: 500000/1000000 == 1/2") {
+    val supplies = Seq("a" -> 7L, "b" -> 21L, "c" -> 14L, "d" -> 3L)
+    val df = supplies.toDF("k", "supply")
+    def allocs(numer: Long, denom: Long) =
+      Sampling.waterfillAllocationShare(df, "k", "supply", numer, denom)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("alloc")))
+        .toMap
+    assert(allocs(500000L, 1000000L) === allocs(1L, 2L))
   }
 
   test("share form: 90% budget equals the explicit-budget form") {
