@@ -375,8 +375,9 @@ object Bench {
     // record keeps the min. Self-correcting, no external state; a
     // rerun that throws is ignored (the query already succeeded — the
     // retry exists only to refine its number). ----
+    val rerunMin = sys.env.getOrElse("SPARK_GRAFT_RERUN_MIN", "3.0").toDouble
     val tailReruns = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results.filter(_._2 >= 3.0).sortBy(_._2).foreach { case (name, best) =>
+    results.filter(_._2 >= rerunMin).sortBy(_._2).foreach { case (name, best) =>
       if (remainingSec > 90) {
         val t0 = System.nanoTime()
         val t = try {
