@@ -3887,6 +3887,53 @@ object SparkEntry {
       Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")}
            SELECT vec_id, cluster FROM member ORDER BY vec_id""")),
 
+    // Index-FRESHNESS recall eval (n10 × n16): IVF search with the
+    // STALE codebook — trained on the stored 3/4 split only, frozen,
+    // the batch folded in by assignment (n10's ingest path) — scored
+    // against fresh brute-force truth over the FULL corpus, recall@5
+    // per query in exact ppm. This is the number a production ANN
+    // maintenance pipeline gates retraining on: "how much recall has
+    // codebook staleness cost since the last rebuild". The oracle
+    // replays the stale-codebook IVF chain and the brute chain.
+    ("n20_ann_incremental_recall", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val staleCb = Ann.kmeansCentroids(em.filter(col("vec_id") % 4 =!= 0), 5, 2)
+      val approx = Ann.ivfTopK(em, staleCb, annQueryPred, 5, 2)
+      val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
+      Ann.recallAtK(approx, exact, 5).orderBy("qid")
+    },
+      Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")},
+           probes AS (SELECT vec_id qid, cluster FROM rk
+             WHERE vec_id < 5 AND r <= 2),
+           q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                    FROM probes p JOIN q ON q.qid = p.qid
+                    JOIN member m ON m.cluster = p.cluster
+                    JOIN u e ON e.vec_id = m.vec_id AND e.vec_id <> p.qid),
+           rr AS (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_r DESC, neighbor_id) rnk FROM cand),
+           ap AS (SELECT qid, neighbor_id FROM rr WHERE rnk <= 5),
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+           h AS (SELECT ap.qid, COUNT(*) n_hits FROM ap
+             JOIN ex ON ap.qid = ex.qid AND ap.neighbor_id = ex.nid
+             GROUP BY 1),
+           na AS (SELECT qid, COUNT(*) n_approx FROM ap GROUP BY 1)
+           SELECT e.qid,
+             COALESCE(na.n_approx, CAST(0 AS BIGINT)) n_approx,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) n_hits,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 AS recall_ppm
+           FROM (SELECT DISTINCT qid FROM ex) e
+           LEFT JOIN na ON na.qid = e.qid LEFT JOIN h ON h.qid = e.qid
+           ORDER BY e.qid""")),
+
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small
     // codes per vector, scores are 2 LUT lookups summed. The memory
@@ -9377,7 +9424,49 @@ object SparkEntry {
                CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
                CAST(num * 1000000 // den AS BIGINT) AS slope_micros
              FROM r JOIN n USING (event_type)
-             WHERE rn = (np + 1) // 2 ORDER BY event_type"""))
+             WHERE rn = (np + 1) // 2 ORDER BY event_type""")),
+
+    // CUSUM changepoint locator (SeriesStats.changepoint): WHEN did
+    // the metric shift — the location g32's CUSUM drift detector
+    // stops short of. The gate INJECTS a +50 level shift at the
+    // series midpoint (g40's injected-drift discipline: the located
+    // point is then semantically pinned, not wherever noise lands);
+    // all arithmetic exact int64, argmax tie-broken by day, so the
+    // one-row answer is engine-identical. The spec pins exact
+    // localization on clean step series.
+    ("a15_changepoint", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = daily.agg(min(col("day")).as("__d0"),
+        max(col("day")).as("__d1"))
+      val shifted = daily.crossJoin(broadcast(bounds))
+        .withColumn("__split",
+          expr("date_add(__d0, CAST(datediff(__d1, __d0) div 2 AS INT))"))
+        .select(col("day"),
+          (col("x") + when(col("day") >= col("__split"), lit(50L))
+            .otherwise(lit(0L))).as("x"))
+      SeriesStats.changepoint(shifted, "day", "x")
+        .select(col("n"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cusum"), col("abs_cusum"))
+    },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
+             sh AS (SELECT dy, CAST(x + CASE
+                 WHEN dy >= d0 + CAST((d1 - d0) // 2 AS INTEGER) THEN 50
+                 ELSE 0 END AS BIGINT) x
+               FROM d, b),
+             st AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM sh),
+             c AS (SELECT dy, st.n, st.n * x - st.s c FROM sh, st),
+             cu AS (SELECT dy, n,
+               CAST(SUM(c) OVER (ORDER BY dy) AS BIGINT) cusum FROM c),
+             r AS (SELECT *, ROW_NUMBER() OVER
+               (ORDER BY ABS(cusum) DESC, dy) rn FROM cu)
+             SELECT n, strftime(dy, '%Y-%m-%d') AS day, cusum,
+               CAST(ABS(cusum) AS BIGINT) AS abs_cusum
+             FROM r WHERE rn = 1"""))
   )
 
   // ---------- driver contract ----------

@@ -282,6 +282,44 @@ object SeriesStats {
         expr("num * 1000000 div den").as("slope_micros"))
   }
 
+  /** CUSUM mean-shift changepoint locator — "WHEN did this metric
+    * shift", the question [[Behavior]]'s CUSUM drift DETECTOR (g32)
+    * stops short of answering. Page (1954) cumulative sums of
+    * mean-centered values; the |CUSUM| maximum is the classic
+    * single-changepoint estimate (binary segmentation's first split,
+    * Vostrikova 1981).
+    *
+    * Exact integers throughout (autocorr's n-scaled centering):
+    * `c_t = n·x_t − S` and `CUSUM_k = Σ_{t≤k} c_t` are exact int64,
+    * so the argmax — ties broken by smallest order value — is
+    * engine-identical with no float anywhere. Output is ONE row:
+    * (n, orderCol, cusum, abs_cusum) at the located point, the LAST
+    * point of the left segment. CUSUM_n = 0 by construction, so a
+    * constant series reports its first point with cusum 0.
+    *
+    * Int64 envelope: |c_t| ≤ n·max|x| and |CUSUM| ≤ n²·max|x|; daily
+    * counts for 30 years (~10⁴ points) of 10⁹-row days stay 10⁴ off
+    * the edge. Scale shape: one aggregate broadcast + one ordered
+    * cumulative window over the BOUNDED series (the object's standing
+    * contract) + one rank pick. */
+  def changepoint(series: DataFrame, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val stats = series.agg(count(lit(1)).cast("long").as("__n"),
+      sum(col(valueCol).cast("long")).as("__s"))
+    val cum = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.orderBy(col("__abs").desc, col(orderCol).asc)
+    series.crossJoin(broadcast(stats))
+      .withColumn("__c",
+        col("__n") * col(valueCol).cast("long") - col("__s"))
+      .withColumn("cusum", sum(col("__c")).over(cum))
+      .withColumn("__abs", abs(col("cusum")))
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col("__n").as("n"), col(orderCol), col("cusum"),
+        col("__abs").as("abs_cusum"))
+  }
+
   /** Per-row SEASONALLY-ADJUSTED residual — the classical
     * decomposition's remainder term, the input an anomaly ranker
     * actually wants ("how far is this day from what trend + weekday

@@ -253,6 +253,41 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
   }
 
+  // ---- changepoint ----
+
+  private def runCp(xs: Seq[Long]): (Long, Long, Long, Long) = {
+    val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    val r = SeriesStats.changepoint(df, "t", "x").collect().head
+    (r.getAs[Long]("n"), r.getAs[Long]("t"), r.getAs[Long]("cusum"),
+      r.getAs[Long]("abs_cusum"))
+  }
+
+  test("changepoint: a clean step lands exactly on the last pre-shift point") {
+    // 10 at t=0..11, 20 at t=12..29: the |CUSUM| max is at t=11
+    val xs = (0 until 30).map(t => if (t < 12) 10L else 20L)
+    val (n, t, cusum, _) = runCp(xs)
+    assert(n === 30L && t === 11L)
+    // CUSUM_11 = sum of 12 centered values; mean*n = S = 12*10+18*20
+    val s = xs.sum
+    val expected = (0 to 11).map(i => 30L * xs(i) - s).sum
+    assert(cusum === expected && cusum < 0) // left segment below mean
+  }
+
+  test("changepoint: constant series reports the first point, cusum 0") {
+    assert(runCp(Seq.fill(9)(7L)) === ((9L, 0L, 0L, 0L)))
+  }
+
+  test("changepoint matches a driver-side integer replay on a random series") {
+    val rnd = new scala.util.Random(23)
+    val xs = (0 until 40).map(_ => rnd.nextInt(100).toLong)
+    val n = xs.size.toLong
+    val s = xs.sum
+    val cusums = xs.scanLeft(0L)((acc, x) => acc + (n * x - s)).drop(1)
+    val best = cusums.zipWithIndex
+      .maxBy { case (c, i) => (math.abs(c), -i) }
+    assert(runCp(xs) === ((n, best._2.toLong, best._1, math.abs(best._1))))
+  }
+
   test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
     val amp = Seq(-6L, 0L, 6L)
     val xs = (0 until 30).map(t => 100L + amp(t % 3))
