@@ -157,6 +157,45 @@ object SparkEntry {
                CAST(num // (7 * n_obs) AS BIGINT) AS idx
              FROM g ORDER BY slot"""
 
+  /** Shared by a15 and its streaming twin w25: inject the +50
+    * midpoint level shift into a (day, x) daily series (g40's
+    * injected-drift discipline — the located point is semantically
+    * pinned) and run the CUSUM locator. */
+  private def changepointDailyTail(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("__d0"),
+      max(col("day")).as("__d1"))
+    val shifted = daily.crossJoin(broadcast(bounds))
+      .withColumn("__split",
+        expr("date_add(__d0, CAST(datediff(__d1, __d0) div 2 AS INT))"))
+      .select(col("day"),
+        (col("x") + when(col("day") >= col("__split"), lit(50L))
+          .otherwise(lit(0L))).as("x"))
+    operators.SeriesStats.changepoint(shifted, "day", "x")
+      .select(col("n"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cusum"), col("abs_cusum"))
+  }
+
+  /** The a15/w25 oracle: replay the daily counts, the injected
+    * midpoint shift, and the integer CUSUM argmax. */
+  private val changepointOracleSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
+             sh AS (SELECT dy, CAST(x + CASE
+                 WHEN dy >= d0 + CAST((d1 - d0) // 2 AS INTEGER) THEN 50
+                 ELSE 0 END AS BIGINT) x
+               FROM d, b),
+             st AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM sh),
+             c AS (SELECT dy, st.n, st.n * x - st.s c FROM sh, st),
+             cu AS (SELECT dy, n,
+               CAST(SUM(c) OVER (ORDER BY dy) AS BIGINT) cusum FROM c),
+             r AS (SELECT *, ROW_NUMBER() OVER
+               (ORDER BY ABS(cusum) DESC, dy) rn FROM cu)
+             SELECT n, strftime(dy, '%Y-%m-%d') AS day, cusum,
+               CAST(ABS(cusum) AS BIGINT) AS abs_cusum
+             FROM r WHERE rn = 1"""
+
   /** events with the hourly aggregates used by the spine queries. */
   private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -9434,39 +9473,87 @@ object SparkEntry {
     // all arithmetic exact int64, argmax tie-broken by day, so the
     // one-row answer is engine-identical. The spec pins exact
     // localization on clean step series.
-    ("a15_changepoint", (s, dir) => {
-      val daily = t(s, dir, "events")
+    ("a15_changepoint", (s, dir) =>
+      changepointDailyTail(t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))),
+      Some(changepointOracleSql)),
+
+    // STREAMING changepoint (a15's twin, w24's maintenance
+    // discipline): daily counts maintained by the streaming
+    // aggregation store across 3 micro-batches — counts are
+    // distributive, so stream == batch EXACTLY and the gate shares
+    // a15's oracle (the w23/w24 parity pin) — then the CUSUM locator
+    // runs on the BOUNDED stored series. A 100 TB event stream gets
+    // live shift location without ever recounting history.
+    ("w25_stream_changepoint", (s, dir) => {
+      val raw = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+          lit(1L).as("one"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w25").toString
+      (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainAggSnapshot(
+        stream, s"$tmp/store", s"$tmp/ckpt", "day", "one")
+      q.awaitTermination()
+      changepointDailyTail(
+        graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+          .select(col("day"), col("n").as("x")))
+    },
+      Some(changepointOracleSql)),
+
+    // GROUPED changepoint (SeriesStats.changepointByKey): WHICH
+    // sources shifted and when — a15's locator per event type, every
+    // window key-partitioned (no global ordered window anywhere; the
+    // a14-over-a13 shape upgrade). Shift injected into ONE type only
+    // ('error' +30 past the midpoint, g40's injected-drift
+    // discipline), so the output shows both regimes: the injected
+    // type locates at the boundary, the others report their natural
+    // (still deterministic) argmax.
+    ("a16_changepoint_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
       val bounds = daily.agg(min(col("day")).as("__d0"),
         max(col("day")).as("__d1"))
       val shifted = daily.crossJoin(broadcast(bounds))
         .withColumn("__split",
           expr("date_add(__d0, CAST(datediff(__d1, __d0) div 2 AS INT))"))
-        .select(col("day"),
-          (col("x") + when(col("day") >= col("__split"), lit(50L))
+        .select(col("event_type"), col("day"),
+          (col("x") + when(col("event_type") === "error" &&
+              col("day") >= col("__split"), lit(30L))
             .otherwise(lit(0L))).as("x"))
-      SeriesStats.changepoint(shifted, "day", "x")
-        .select(col("n"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+      SeriesStats.changepointByKey(shifted, "event_type", "day", "x")
+        .select(col("event_type"), col("n"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("cusum"), col("abs_cusum"))
+        .orderBy("event_type")
     },
-      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
-               FROM events GROUP BY 1),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1, 2),
              b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
-             sh AS (SELECT dy, CAST(x + CASE
-                 WHEN dy >= d0 + CAST((d1 - d0) // 2 AS INTEGER) THEN 50
+             sh AS (SELECT event_type, dy, CAST(x + CASE
+                 WHEN event_type = 'error'
+                   AND dy >= d0 + CAST((d1 - d0) // 2 AS INTEGER) THEN 30
                  ELSE 0 END AS BIGINT) x
                FROM d, b),
-             st AS (SELECT CAST(COUNT(*) AS BIGINT) n,
-               CAST(SUM(x) AS BIGINT) s FROM sh),
-             c AS (SELECT dy, st.n, st.n * x - st.s c FROM sh, st),
-             cu AS (SELECT dy, n,
-               CAST(SUM(c) OVER (ORDER BY dy) AS BIGINT) cusum FROM c),
-             r AS (SELECT *, ROW_NUMBER() OVER
-               (ORDER BY ABS(cusum) DESC, dy) rn FROM cu)
-             SELECT n, strftime(dy, '%Y-%m-%d') AS day, cusum,
-               CAST(ABS(cusum) AS BIGINT) AS abs_cusum
-             FROM r WHERE rn = 1"""))
+             st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM sh GROUP BY 1),
+             c AS (SELECT sh.event_type, dy, st.n, st.n * x - st.s c
+               FROM sh JOIN st USING (event_type)),
+             cu AS (SELECT event_type, dy, n,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dy)
+                 AS BIGINT) cusum FROM c),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ABS(cusum) DESC, dy) rn FROM cu)
+             SELECT event_type, n, strftime(dy, '%Y-%m-%d') AS day,
+               cusum, CAST(ABS(cusum) AS BIGINT) AS abs_cusum
+             FROM r WHERE rn = 1 ORDER BY event_type"""))
   )
 
   // ---------- driver contract ----------

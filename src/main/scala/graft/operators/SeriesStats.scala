@@ -320,6 +320,36 @@ object SeriesStats {
         col("__abs").as("abs_cusum"))
   }
 
+  /** Grouped [[changepoint]]: the CUSUM locator per key — "WHICH
+    * sources/users shifted, and when", the fleet form of the single
+    * question. Every window is PARTITIONED by the key (no global
+    * ordered window anywhere), so the pass is embarrassingly parallel
+    * across keys — the same shape upgrade as [[theilSenByKey]] over
+    * [[theilSen]]. One row per key; single-point keys report their
+    * one point with cusum 0 (n·x − S = 0 at n = 1). */
+  def changepointByKey(series: DataFrame, keyCol: String, orderCol: String,
+                       valueCol: String): DataFrame = {
+    val stats = series.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col(valueCol).cast("long")).as("__s"))
+    val cum = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.partitionBy(keyCol)
+      .orderBy(col("__abs").desc, col(orderCol).asc)
+    // plain equi-join, NOT a forced broadcast: the stats table is
+    // key-domain-sized, which at fleet scale (per-user keys) can be
+    // millions of rows — let AQE broadcast it when it actually fits
+    series.join(stats, Seq(keyCol))
+      .withColumn("__c",
+        col("__n") * col(valueCol).cast("long") - col("__s"))
+      .withColumn("cusum", sum(col("__c")).over(cum))
+      .withColumn("__abs", abs(col("cusum")))
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col(keyCol), col("__n").as("n"), col(orderCol), col("cusum"),
+        col("__abs").as("abs_cusum"))
+  }
+
   /** Per-row SEASONALLY-ADJUSTED residual — the classical
     * decomposition's remainder term, the input an anomaly ranker
     * actually wants ("how far is this day from what trend + weekday

@@ -409,6 +409,17 @@ object syntax {
                       valueCol: String): DataFrame =
       SeriesStats.theilSenByKey(df, keyCol, orderCol, valueCol)
 
+    /** CUSUM mean-shift changepoint of this ordered series; see
+      * [[SeriesStats.changepoint]]. */
+    def changepoint(orderCol: String, valueCol: String): DataFrame =
+      SeriesStats.changepoint(df, orderCol, valueCol)
+
+    /** Per-key CUSUM changepoint (key-partitioned windows); see
+      * [[SeriesStats.changepointByKey]]. */
+    def changepointByKey(keyCol: String, orderCol: String,
+                         valueCol: String): DataFrame =
+      SeriesStats.changepointByKey(df, keyCol, orderCol, valueCol)
+
     /** TextRank keyword centrality over this document table; see
       * [[Retrieval.textRank]]. */
     def textRank(textCol: String, rounds: Int, minLen: Int = 4,

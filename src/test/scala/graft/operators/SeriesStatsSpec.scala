@@ -288,6 +288,27 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(runCp(xs) === ((n, best._2.toLong, best._1, math.abs(best._1))))
   }
 
+  test("changepointByKey equals per-key changepoint; one-point key reports cusum 0") {
+    val a = (0 until 20).map(t => ("a", t.toLong, if (t < 8) 5L else 15L))
+    val b = (0 until 15).map(t => ("b", t.toLong, (t % 4).toLong))
+    val single = Seq(("c", 3L, 9L))
+    val df = (a ++ b ++ single).toDF("k", "t", "x")
+    val got = SeriesStats.changepointByKey(df, "k", "t", "x").collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("t"), r.getAs[Long]("cusum"),
+          r.getAs[Long]("abs_cusum")))).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    for ((k, rows) <- Seq("a" -> a, "b" -> b)) {
+      val one = SeriesStats.changepoint(
+        rows.map { case (_, t, x) => (t, x) }.toDF("t", "x"), "t", "x")
+        .collect().head
+      assert(got(k) === ((one.getAs[Long]("n"), one.getAs[Long]("t"),
+        one.getAs[Long]("cusum"), one.getAs[Long]("abs_cusum"))), s"key $k")
+    }
+    assert(got("c") === ((1L, 3L, 0L, 0L)))
+    assert(got("a")._2 === 7L) // the step key locates the boundary
+  }
+
   test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
     val amp = Seq(-6L, 0L, 6L)
     val xs = (0 until 30).map(t => 100L + amp(t % 3))
