@@ -80,11 +80,17 @@ object Bfs {
   def weightedDistances(edges: DataFrame, sources: DataFrame,
                         rounds: Int): DataFrame = {
     require(rounds >= 0)
+    // the edge list is scanned once PER ROUND: pin it, or every round
+    // re-evaluates the caller's whole edge-derivation lineage (g53's
+    // orders-lineitem join ran 4x before round 10 — most of its wall)
+    val e = if (rounds > 1) Checkpoints.pin(
+        edges.select(col("src"), col("dst"), col("w")))
+      else edges.select(col("src"), col("dst"), col("w"))
     var dist = Checkpoints.pin(
       sources.select(col("id")).distinct()
         .select(col("id"), lit(0L).as("dist")))
     for (_ <- 1 to rounds) {
-      val relaxed = dist.join(edges, dist("id") === edges("src"))
+      val relaxed = dist.join(e, dist("id") === e("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = Checkpoints.pin(
         dist.union(relaxed).groupBy("id").agg(min("dist").as("dist")))
