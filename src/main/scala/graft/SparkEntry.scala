@@ -5718,13 +5718,9 @@ object SparkEntry {
     // cut per round. Oracle: recursive CTE whose UNION dedup bounds
     // the walk states to nodes × hops.
     ("g27_bfs_hops", (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      // the memoized trade graph (g41/g49/g51's persisted edge list) —
+      // g27 derived an identical ad-hoc copy before round 10
+      val edges = tradeEdgesCached(s, dir)
       val sources = t(s, dir, "supplier").filter(col("s_suppkey") <= 2)
         .select((col("s_suppkey") * 2 + 1).as("id"))
       operators.Bfs.hopDistances(edges, sources, 3)

@@ -31,6 +31,12 @@ object Bfs {
   def hopDistances(edges: DataFrame, sources: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0)
+    // pin the edge list once: it is scanned every hop, and an un-pinned
+    // edge DataFrame re-evaluates the caller's derivation lineage per
+    // round (the weightedDistances round-10 fix, same cause)
+    val e = if (maxHops > 1) Checkpoints.pin(
+        edges.select(col("src"), col("dst")))
+      else edges.select(col("src"), col("dst"))
     var dist = Checkpoints.pin(
       sources.select(col("id")).distinct()
         .select(col("id"), lit(0L).as("dist")))
@@ -39,7 +45,7 @@ object Bfs {
     var live = true
     while (h <= maxHops && live) {
       val next = Checkpoints.pin(
-        frontier.join(edges, frontier("id") === edges("src"))
+        frontier.join(e, frontier("id") === e("src"))
           .select(col("dst").as("id"))
           .distinct()
           .join(dist.select(col("id").as("__seen")),
