@@ -9549,7 +9549,49 @@ object SparkEntry {
                ORDER BY ABS(cusum) DESC, dy) rn FROM cu)
              SELECT event_type, n, strftime(dy, '%Y-%m-%d') AS day,
                cusum, CAST(ABS(cusum) AS BIGINT) AS abs_cusum
-             FROM r WHERE rn = 1 ORDER BY event_type"""))
+             FROM r WHERE rn = 1 ORDER BY event_type""")),
+
+    // Dominant-period detection (SeriesStats.dominantPeriod): the
+    // strongest-ACF lag in 2..14 over the daily event series — g48
+    // reports the ACF at lags the caller names; this answers the
+    // prior question ("weekly or daily, and which"). Lag-1 excluded
+    // by the minLag=2 contract (momentum, not periodicity). The
+    // candidate ratios are exact int64 ppm, so the argmax is
+    // engine-identical; the oracle unrolls all 13 lags and replays
+    // the rank pick.
+    ("a17_dominant_period", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      SeriesStats.dominantPeriod(daily, "day", "x", 2, 14)
+    },
+      Some {
+        val lags = 2 to 14
+        val lagCols = lags.map(k => s"lag(c, $k) OVER (ORDER BY dy) c$k")
+          .mkString(", ")
+        val nums = lags
+          .map(k => s"CAST(COALESCE(SUM(c * c$k), 0) AS BIGINT) n$k")
+          .mkString(", ")
+        val rows = lags
+          .map(k => s"SELECT CAST($k AS BIGINT) lg, n, n$k num, den FROM a")
+          .mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             st AS (SELECT COUNT(*) n, CAST(SUM(x) AS BIGINT) s FROM d),
+             c AS (SELECT dy, n, CAST(n * x - s AS BIGINT) c FROM d, st),
+             l AS (SELECT n, c, $lagCols FROM c),
+             a AS (SELECT MAX(n) n, CAST(SUM(c * c) AS BIGINT) den,
+               $nums FROM l),
+             u AS ($rows),
+             v AS (SELECT lg, n, num, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(num * 1000000 // den AS BIGINT) END r_ppm
+               FROM u),
+             r AS (SELECT *, ROW_NUMBER() OVER
+               (ORDER BY r_ppm DESC, lg) rn FROM v WHERE r_ppm IS NOT NULL)
+             SELECT lg AS period, n, num, den, r_ppm
+             FROM r WHERE rn = 1"""
+      })
   )
 
   // ---------- driver contract ----------

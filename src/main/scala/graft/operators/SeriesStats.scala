@@ -67,6 +67,33 @@ object SeriesStats {
                 ELSE coalesce(num, 0L) * 1000000 div den END""").as("r_ppm"))
   }
 
+  /** Dominant-period detector: the lag with the strongest
+    * autocorrelation in [minLag, maxLag] — "IS this metric weekly or
+    * daily periodic, and which", the question [[autocorr]] at chosen
+    * lags assumes the caller already answered. Start minLag at 2 for
+    * periodicity hunting: lag-1 measures momentum/trend, and any
+    * trending series maximizes it without being periodic.
+    *
+    * Exactness: the candidate r_ppm values are [[autocorr]]'s exact
+    * int64 ratios, so the argmax (ties -> smallest lag; NULL r_ppm
+    * i.e. constant series excluded — no period is definable) is
+    * engine-identical. One row: (period, n, num, den, r_ppm); empty
+    * when every candidate is NULL. The rank window sees at most
+    * maxLag-minLag+1 rows. */
+  def dominantPeriod(series: DataFrame, orderCol: String,
+                     valueCol: String, minLag: Int,
+                     maxLag: Int): DataFrame = {
+    require(minLag >= 1 && maxLag >= minLag,
+      s"need 1 <= minLag <= maxLag (got $minLag..$maxLag)")
+    val ac = autocorr(series, orderCol, valueCol, minLag to maxLag)
+    val pick = Window.orderBy(col("r_ppm").desc, col("lag").asc)
+    ac.filter(col("r_ppm").isNotNull)
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col("lag").as("period"), col("n"), col("num"), col("den"),
+        col("r_ppm"))
+  }
+
   /** Classical additive seasonal decomposition, reduced to the part a
     * pipeline dashboard actually stores: the per-slot SEASONAL INDEX
     * (how far a Monday / an hour-17 / a q4-week sits above or below

@@ -409,6 +409,12 @@ object syntax {
                       valueCol: String): DataFrame =
       SeriesStats.theilSenByKey(df, keyCol, orderCol, valueCol)
 
+    /** Dominant period (strongest-ACF lag in [minLag, maxLag]); see
+      * [[SeriesStats.dominantPeriod]]. */
+    def dominantPeriod(orderCol: String, valueCol: String, minLag: Int,
+                       maxLag: Int): DataFrame =
+      SeriesStats.dominantPeriod(df, orderCol, valueCol, minLag, maxLag)
+
     /** CUSUM mean-shift changepoint of this ordered series; see
       * [[SeriesStats.changepoint]]. */
     def changepoint(orderCol: String, valueCol: String): DataFrame =

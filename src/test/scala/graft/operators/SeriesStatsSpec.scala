@@ -309,6 +309,21 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(got("a")._2 === 7L) // the step key locates the boundary
   }
 
+  test("dominantPeriod finds the true period; constant series -> empty") {
+    // clean period-7 signal over 70 points
+    val xs = (0 until 70).map(i => 100L + Seq(0L, 8L, -3L, 5L, -9L, 2L, -3L)(i % 7))
+    val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    val got = SeriesStats.dominantPeriod(df, "t", "x", 2, 14).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("period") === 7L)
+    // trend-only series must NOT report lag-1 (excluded by minLag=2)
+    val trend = (0 until 50).map(i => (i.toLong, i.toLong * 3)).toDF("t", "x")
+    val p = SeriesStats.dominantPeriod(trend, "t", "x", 2, 14).collect()
+    assert(p.length === 1 && p.head.getAs[Long]("period") >= 2L)
+    val const = Seq.fill(30)(5L).zipWithIndex
+      .map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    assert(SeriesStats.dominantPeriod(const, "t", "x", 2, 14).count() === 0L)
+  }
+
   test("seasonalResiduals: a pure periodic series has zero residuals everywhere") {
     val amp = Seq(-6L, 0L, 6L)
     val xs = (0 until 30).map(t => 100L + amp(t % 3))
