@@ -7057,7 +7057,10 @@ object SparkEntry {
     // <= 2^-k, k=5 -> 3.1%) is itself hash-pinned. The exact side is
     // the gate's audit apparatus only — the production consumer binds
     // bin boundaries from the stored sketch and never sorts the
-    // corpus.
+    // corpus. Its global window runs on the DISTINCT-VALUE table,
+    // which is money-domain-sized (cents values the price schema can
+    // produce), not corpus-sized — the d32 bounded-truth-window
+    // argument, with the domain bound coming from the schema.
     ("o26_binning_sketch", (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(cents(col("l_extendedprice")).as("price_c"))
