@@ -3973,6 +3973,90 @@ object SparkEntry {
            LEFT JOIN na ON na.qid = e.qid LEFT JOIN h ON h.qid = e.qid
            ORDER BY e.qid""")),
 
+    // EMBEDDING-distribution drift (n17 × g40): PSI between two
+    // snapshots' embedding distributions, computed entirely in the
+    // integer domain — JL-project to 1-D (exact int64, n17's
+    // deterministic sign matrix), zigzag-encode the signed projection
+    // (2p / −2p−1: magnitude-preserving nonneg map, pure integer, any
+    // engine replays it), then g40's engine-exact base-2 buckets +
+    // PSI. The retraining trigger an embedding pipeline gates on:
+    // "did the corpus move in embedding space since the codebook/
+    // index was built" — n20 measures the recall COST of staleness,
+    // this detects the DRIFT before paying for that eval. Two
+    // regimes (g40's discipline): 'control' = disjoint halves
+    // (near-zero PSI), 'shifted' = the cur side scaled ×4 (every
+    // nonzero value provably changes bucket — large PSI).
+    ("n21_embedding_drift", (s, dir) => {
+      import s.implicits._
+      val proj = operators.Pca.randomProjection(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 1)
+      def zig(c: org.apache.spark.sql.Column) =
+        when(c >= 0, c * 2).otherwise(-c * 2 - 1)
+      val ref = proj.filter(col("vec_id") % 2 === 0)
+        .select(zig(col("proj_0")).as("z"))
+      val curBase = proj.filter(col("vec_id") % 2 === 1)
+      val cur = curBase
+        .select(lit("control").as("grp"), zig(col("proj_0")).as("z"))
+        .unionByName(curBase.select(lit("shifted").as("grp"),
+          zig(col("proj_0") * 4).as("z")))
+      val refG = ref.crossJoin(
+        broadcast(Seq("control", "shifted").toDF("grp")))
+      // k=2 (not g40's 3): 250 samples/side over zigzag's wide value
+      // domain already make ~60 top-4-bit buckets, and add-one
+      // smoothing alone reads as PSI ~0.2 on the UNDRIFTED control;
+      // the coarser grid puts control at ~0.1 vs ~1.6 for the x4
+      // shift - bucket count must track sample size (g40's rule)
+      operators.Drift.psi(refG, cur, Seq("grp"), "z", 2)
+        .select(col("grp"), col("n_ref"), col("n_cur"), col("n_buckets"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("grp")
+    },
+      Some("""WITH u AS (SELECT vec_id, embedding e FROM embeddings),
+           x0 AS (SELECT vec_id, UNNEST([{'j': i - 1,
+               'q': CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)}
+             for i in generate_series(1, len(e))]) st FROM u),
+           x AS (SELECT vec_id, st.j j, st.q q FROM x0),
+           pj AS (SELECT vec_id, CAST(SUM(
+               CASE WHEN ((j * 73856093) % 83) % 2 = 0 THEN q ELSE -q END)
+             AS BIGINT) p FROM x GROUP BY 1),
+           r0 AS (SELECT CASE WHEN p >= 0 THEN 2*p ELSE -2*p - 1 END z
+             FROM pj WHERE vec_id % 2 = 0),
+           refg AS (SELECT g.grp, r0.z FROM r0,
+             (SELECT 'control' grp UNION ALL SELECT 'shifted') g),
+           cur AS (SELECT 'control' grp,
+               CASE WHEN p >= 0 THEN 2*p ELSE -2*p - 1 END z
+             FROM pj WHERE vec_id % 2 = 1
+             UNION ALL
+             SELECT 'shifted',
+               CASE WHEN p >= 0 THEN 8*p ELSE -8*p - 1 END
+             FROM pj WHERE vec_id % 2 = 1),
+           rb AS (SELECT grp, CASE WHEN z < 8 THEN z
+               ELSE (z >> (length(bin(z)) - 3)) << (length(bin(z)) - 3)
+               END lo, CAST(COUNT(*) AS BIGINT) n_ref
+             FROM refg GROUP BY 1, 2),
+           cb AS (SELECT grp, CASE WHEN z < 8 THEN z
+               ELSE (z >> (length(bin(z)) - 3)) << (length(bin(z)) - 3)
+               END lo, CAST(COUNT(*) AS BIGINT) n_cur
+             FROM cur GROUP BY 1, 2),
+           jn AS (SELECT COALESCE(rb.grp, cb.grp) grp,
+             COALESCE(rb.lo, cb.lo) lo,
+             COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
+             COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
+             FROM rb FULL OUTER JOIN cb
+               ON rb.grp = cb.grp AND rb.lo = cb.lo),
+           w AS (SELECT grp, n_ref, n_cur,
+             CAST(SUM(n_ref) OVER (PARTITION BY grp) AS BIGINT) tot_ref,
+             CAST(SUM(n_cur) OVER (PARTITION BY grp) AS BIGINT) tot_cur,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) b
+             FROM jn)
+           SELECT grp, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
+             MAX(b) AS n_buckets,
+             ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
+                 - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
+               * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
+                 / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
+           FROM w GROUP BY 1 ORDER BY 1""")),
+
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small
     // codes per vector, scores are 2 LUT lookups summed. The memory
