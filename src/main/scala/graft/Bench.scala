@@ -378,7 +378,12 @@ object Bench {
     val rerunMin = sys.env.getOrElse("SPARK_GRAFT_RERUN_MIN", "3.0").toDouble
     val tailReruns = scala.collection.mutable.LinkedHashMap[String, Double]()
     results.filter(_._2 >= rerunMin).sortBy(_._2).foreach { case (name, best) =>
-      if (remainingSec > 90) {
+      // reserve 10x the prior wall on top of the 90 s floor: a rerun
+      // launched into a still-active load episode can itself inflate
+      // ~10x (d25: 10.2 s vs 1.6 s receipt), and an un-watchdogged
+      // overrun here would eat the grace reserve and truncate the
+      // final artifact — the round-7 failure this file guards against
+      if (remainingSec > 90 + 10 * best) {
         val t0 = System.nanoTime()
         val t = try {
           SparkEntry.queries(name)(spark, sfDir).count()

@@ -161,12 +161,17 @@ object SparkEntry {
     * midpoint level shift into a (day, x) daily series (g40's
     * injected-drift discipline — the located point is semantically
     * pinned) and run the CUSUM locator. */
-  private def changepointDailyTail(daily: DataFrame): DataFrame = {
-    val bounds = daily.agg(min(col("day")).as("__d0"),
-      max(col("day")).as("__d1"))
-    val shifted = daily.crossJoin(broadcast(bounds))
+  /** `daily` (a table with a `day` column, plus any key columns) with
+    * the whole-table midpoint date attached as `__split` — the
+    * injection scaffold shared by a15/a16/w25. */
+  private def withMidpointSplit(daily: DataFrame): DataFrame =
+    daily.crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
+        max(col("day")).as("__d1"))))
       .withColumn("__split",
         expr("date_add(__d0, CAST(datediff(__d1, __d0) div 2 AS INT))"))
+
+  private def changepointDailyTail(daily: DataFrame): DataFrame = {
+    val shifted = withMidpointSplit(daily)
       .select(col("day"),
         (col("x") + when(col("day") >= col("__split"), lit(50L))
           .otherwise(lit(0L))).as("x"))
@@ -9602,11 +9607,7 @@ object SparkEntry {
       val daily = t(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
-      val bounds = daily.agg(min(col("day")).as("__d0"),
-        max(col("day")).as("__d1"))
-      val shifted = daily.crossJoin(broadcast(bounds))
-        .withColumn("__split",
-          expr("date_add(__d0, CAST(datediff(__d1, __d0) div 2 AS INT))"))
+      val shifted = withMidpointSplit(daily)
         .select(col("event_type"), col("day"),
           (col("x") + when(col("event_type") === "error" &&
               col("day") >= col("__split"), lit(30L))
@@ -9675,7 +9676,8 @@ object SparkEntry {
                  ELSE CAST(num * 1000000 // den AS BIGINT) END r_ppm
                FROM u),
              r AS (SELECT *, ROW_NUMBER() OVER
-               (ORDER BY r_ppm DESC, lg) rn FROM v WHERE r_ppm IS NOT NULL)
+               (ORDER BY r_ppm DESC, lg) rn FROM v
+               WHERE r_ppm IS NOT NULL AND lg < n)
              SELECT lg AS period, n, num, den, r_ppm
              FROM r WHERE rn = 1"""
       })

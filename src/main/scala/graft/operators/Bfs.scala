@@ -33,9 +33,12 @@ object Bfs {
     require(maxHops >= 0)
     // pin the edge list once: it is scanned every hop, and an un-pinned
     // edge DataFrame re-evaluates the caller's derivation lineage per
-    // round (the weightedDistances round-10 fix, same cause)
-    val e = if (maxHops > 1) Checkpoints.pin(
-        edges.select(col("src"), col("dst")))
+    // round (the weightedDistances round-10 fix, same cause). A caller
+    // that already persisted its edges (the memoized trade graph)
+    // keeps its copy — a second checkpoint would double the storage.
+    val e = if (maxHops > 1 &&
+        edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      Checkpoints.pin(edges.select(col("src"), col("dst")))
       else edges.select(col("src"), col("dst"))
     var dist = Checkpoints.pin(
       sources.select(col("id")).distinct()
@@ -88,9 +91,11 @@ object Bfs {
     require(rounds >= 0)
     // the edge list is scanned once PER ROUND: pin it, or every round
     // re-evaluates the caller's whole edge-derivation lineage (g53's
-    // orders-lineitem join ran 4x before round 10 — most of its wall)
-    val e = if (rounds > 1) Checkpoints.pin(
-        edges.select(col("src"), col("dst"), col("w")))
+    // orders-lineitem join ran 4x before round 10 — most of its wall).
+    // Already-persisted edges keep the caller's copy (no double pin).
+    val e = if (rounds > 1 &&
+        edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      Checkpoints.pin(edges.select(col("src"), col("dst"), col("w")))
       else edges.select(col("src"), col("dst"), col("w"))
     var dist = Checkpoints.pin(
       sources.select(col("id")).distinct()

@@ -87,7 +87,11 @@ object SeriesStats {
       s"need 1 <= minLag <= maxLag (got $minLag..$maxLag)")
     val ac = autocorr(series, orderCol, valueCol, minLag to maxLag)
     val pick = Window.orderBy(col("r_ppm").desc, col("lag").asc)
-    ac.filter(col("r_ppm").isNotNull)
+    // lag < n: a lag at or past the series length has ZERO overlapping
+    // pairs — autocorr reports it as num=0 (r_ppm=0), which would
+    // otherwise beat every genuinely-negative real lag and report a
+    // "period" no observation supports (round-10 review finding)
+    ac.filter(col("r_ppm").isNotNull && col("lag") < col("n"))
       .withColumn("__r", row_number().over(pick))
       .filter(col("__r") === 1)
       .select(col("lag").as("period"), col("n"), col("num"), col("den"),
@@ -324,6 +328,10 @@ object SeriesStats {
     * point of the left segment. CUSUM_n = 0 by construction, so a
     * constant series reports its first point with cusum 0.
     *
+    * Distinct order values are an EXECUTABLE contract (the theilSen
+    * guard, same class): duplicates make the cumulative sum
+    * tie-order-dependent and oracle-divergent — the plan raises.
+    *
     * Int64 envelope: |c_t| ≤ n·max|x| and |CUSUM| ≤ n²·max|x|; daily
     * counts for 30 years (~10⁴ points) of 10⁹-row days stay 10⁴ off
     * the edge. Scale shape: one aggregate broadcast + one ordered
@@ -332,13 +340,15 @@ object SeriesStats {
   def changepoint(series: DataFrame, orderCol: String,
                   valueCol: String): DataFrame = {
     val stats = series.agg(count(lit(1)).cast("long").as("__n"),
-      sum(col(valueCol).cast("long")).as("__s"))
+      sum(col(valueCol).cast("long")).as("__s"),
+      count_distinct(col(orderCol)).as("__nd"))
     val cum = Window.orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pick = Window.orderBy(col("__abs").desc, col(orderCol).asc)
     series.crossJoin(broadcast(stats))
       .withColumn("__c",
-        col("__n") * col(valueCol).cast("long") - col("__s"))
+        col("__n") * col(valueCol).cast("long") - col("__s") +
+          distinctOrderGuard("changepoint"))
       .withColumn("cusum", sum(col("__c")).over(cum))
       .withColumn("__abs", abs(col("cusum")))
       .withColumn("__r", row_number().over(pick))
@@ -346,6 +356,21 @@ object SeriesStats {
       .select(col("__n").as("n"), col(orderCol), col("cusum"),
         col("__abs").as("abs_cusum"))
   }
+
+  /** Executable distinct-order contract for the changepoint family
+    * (theilSen's guard, same class): a duplicate order value makes
+    * the ROWS-frame cumulative sum depend on arbitrary intra-tie row
+    * order (nondeterministic run to run) and diverge from a RANGE-
+    * frame oracle (which gives every tied row the tie group's full
+    * sum) — raise instead. Rides inside the consumed `__c` expression
+    * (assert_true is NULL when `__n == __nd` holds; + coalesce leaves
+    * the centered value untouched) so Catalyst cannot prune it. */
+  private def distinctOrderGuard(op: String) =
+    coalesce(assert_true(col("__n") === col("__nd"),
+      lit(s"$op: duplicate order values make the cumulative sum " +
+        "tie-order-dependent (nondeterministic, oracle-divergent); " +
+        "aggregate to one row per order value first")).cast("long"),
+      lit(0L))
 
   /** Grouped [[changepoint]]: the CUSUM locator per key — "WHICH
     * sources/users shifted, and when", the fleet form of the single
@@ -358,7 +383,8 @@ object SeriesStats {
                        valueCol: String): DataFrame = {
     val stats = series.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("__n"),
-        sum(col(valueCol).cast("long")).as("__s"))
+        sum(col(valueCol).cast("long")).as("__s"),
+        count_distinct(col(orderCol)).as("__nd"))
     val cum = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pick = Window.partitionBy(keyCol)
@@ -368,7 +394,8 @@ object SeriesStats {
     // millions of rows — let AQE broadcast it when it actually fits
     series.join(stats, Seq(keyCol))
       .withColumn("__c",
-        col("__n") * col(valueCol).cast("long") - col("__s"))
+        col("__n") * col(valueCol).cast("long") - col("__s") +
+          distinctOrderGuard("changepointByKey"))
       .withColumn("cusum", sum(col("__c")).over(cum))
       .withColumn("__abs", abs(col("cusum")))
       .withColumn("__r", row_number().over(pick))

@@ -39,7 +39,10 @@ object GramianWidthReceipt {
                  k -> CAST((((id * 37 + k * 17) % 101) - 50) / 7.0 AS DOUBLE))""")
         .as("embedding"))
 
-  private def explodeCovariance(em: DataFrame, d: Int): DataFrame = {
+  /** The round-8 explode-structs covariance formulation — kept as the
+    * REFERENCE implementation (this receipt tool and PcaSpec's
+    * bit-parity test both use this one definition). */
+  def explodeCovariance(em: DataFrame, d: Int): DataFrame = {
     val e = em.select(Similarity.toDoubleArray(col("embedding")).as("e"))
     e.select(explode(expr(
         s"""flatten(transform(sequence(0, ${d - 1}), i ->

@@ -115,7 +115,6 @@ class PcaSpec extends AnyFunSuite {
     // transposed triangle index cannot pass. (Multi-partition runs
     // differ only by float summation order; the gates' tolerance
     // story covers that, bit-parity here pins the arithmetic.)
-    import org.apache.spark.sql.functions.{avg, col => c, explode, expr => ex}
     val d = 64
     val n = 500
     val wide = (0 until n).map { i =>
@@ -124,17 +123,9 @@ class PcaSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding").coalesce(1)
     val got = Pca.covariance(wide, "embedding", d).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
-    val e = wide.select(graft.functions.Similarity.toDoubleArray(
-      c("embedding")).as("e"))
-    val ref = e.select(explode(ex(
-        s"""flatten(transform(sequence(0, ${d - 1}), i ->
-              transform(sequence(i, ${d - 1}), j ->
-                named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-                  'p', e[i] * e[j], 'ei', e[i], 'ej', e[j]))))""")).as("x"))
-      .select(c("x.i").as("i"), c("x.j").as("j"), c("x.p").as("p"),
-        c("x.ei").as("ei"), c("x.ej").as("ej"))
-      .groupBy("i", "j")
-      .agg((avg(c("p")) - avg(c("ei")) * avg(c("ej"))).as("cov"))
+    // the ONE reference definition of the explode-structs form (shared
+    // with the GramianWidthReceipt measurement tool)
+    val ref = graft.tools.GramianWidthReceipt.explodeCovariance(wide, d)
       .collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
     assert(got.size === d * (d + 1) / 2 && ref.size === got.size)

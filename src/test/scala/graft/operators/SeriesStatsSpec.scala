@@ -277,6 +277,32 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(runCp(Seq.fill(9)(7L)) === ((9L, 0L, 0L, 0L)))
   }
 
+  test("changepoint: duplicate order values RAISE (tie-order-dependent sum)") {
+    val df = Seq((1L, 5L), (1L, 9L), (2L, 3L)).toDF("t", "x")
+    val e = intercept[Exception] {
+      SeriesStats.changepoint(df, "t", "x").collect()
+    }
+    assert(messageChain(e).contains("duplicate order values"))
+    val ek = intercept[Exception] {
+      SeriesStats.changepointByKey(
+        Seq(("a", 1L, 5L), ("a", 1L, 9L)).toDF("k", "t", "x"),
+        "k", "t", "x").collect()
+    }
+    assert(messageChain(ek).contains("duplicate order values"))
+  }
+
+  test("dominantPeriod: zero-pair lags (lag >= n) can never win the argmax") {
+    // n=4 monotone decline: every REAL lag has negative autocorrelation,
+    // and lags 4..14 have zero overlapping pairs (num coalesced to 0) —
+    // before the round-10 fix one of those won with r_ppm=0
+    val df = Seq(9L, 5L, 1L, 0L).zipWithIndex
+      .map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    val got = SeriesStats.dominantPeriod(df, "t", "x", 2, 14).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("period") < 4L)
+    assert(got.head.getAs[Long]("r_ppm") < 0L)
+  }
+
   test("changepoint matches a driver-side integer replay on a random series") {
     val rnd = new scala.util.Random(23)
     val xs = (0 until 40).map(_ => rnd.nextInt(100).toLong)
