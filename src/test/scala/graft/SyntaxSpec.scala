@@ -156,4 +156,24 @@ class SyntaxSpec extends AnyFunSuite {
     assert(adocs.tokenBudgetAllocated(alloc).collect().toSet ==
       Sampling.tokenBudgetAllocated(adocs, alloc).collect().toSet)
   }
+
+  test("round-10 façades match direct calls") {
+    import spark.implicits._
+    import graft.operators.SeriesStats
+    val kts = (Seq(("a", 0L, 1L), ("a", 1L, 5L), ("a", 2L, 9L)) ++
+      Seq(("b", 0L, 9L), ("b", 1L, 4L), ("b", 2L, 2L)))
+      .toDF("k", "t", "y")
+    assert(kts.theilSenByKey("k", "t", "y").collect().toSet ==
+      SeriesStats.theilSenByKey(kts, "k", "t", "y").collect().toSet)
+    val cp = Seq((0L, 2L), (1L, 2L), (2L, 9L), (3L, 9L)).toDF("t", "x")
+    assert(cp.changepoint("t", "x").collect().toSet ==
+      SeriesStats.changepoint(cp, "t", "x").collect().toSet)
+    val kcp = kts.withColumnRenamed("y", "x")
+    assert(kcp.changepointByKey("k", "t", "x").collect().toSet ==
+      SeriesStats.changepointByKey(kcp, "k", "t", "x").collect().toSet)
+    val per = (0 until 24).map(i => (i.toLong, (i % 3).toLong * 4 + 7))
+      .toDF("t", "x")
+    assert(per.dominantPeriod("t", "x", 2, 6).collect().toSet ==
+      SeriesStats.dominantPeriod(per, "t", "x", 2, 6).collect().toSet)
+  }
 }
