@@ -5129,6 +5129,54 @@ object SparkEntry {
         }.mkString("", " UNION ALL ", " ORDER BY column_name")
       }),
 
+    // SKETCH-BACKED profile (x6's documented 100 TB swap made
+    // executable — the o26-over-o16 / g34-over-g28 discipline): the
+    // data profile with HLL++ (approx_count_distinct) estimates next
+    // to the exact distinct counts, per column, with g4's
+    // bounded-error boolean (|approx−exact| <= 3·rsd·exact) hash-
+    // pinned. The exact column here is the gate's audit apparatus:
+    // the production profile drops it, and with ONLY the HLL
+    // aggregates the plan has NO Expand — one pass over the corpus
+    // regardless of how many columns are profiled, the shape x6's
+    // comment promises at 100 TB.
+    ("x15_profile_sketch", (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val cols = Seq("user_id", "event_type", "day")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        count_distinct(col(c)).as(s"${c}__d"),
+        approx_count_distinct(col(c), 0.05).as(s"${c}__a"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx")))
+      val one = ev.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}__n, ${c}__d, " +
+          s"CAST(abs(${c}__a - ${c}__d) <= ${c}__d * 0.15 AS BOOLEAN), " +
+          s"${c}__mn, ${c}__mx").mkString(", ")
+      one.select(expr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_nonnull, n_distinct, approx_within_bound, " +
+        "min_s, max_s)"))
+        .orderBy("column_name")
+    },
+      Some {
+        val defs = Seq(
+          "user_id" -> "user_id",
+          "event_type" -> "event_type",
+          "day" -> "strftime(ts, '%Y-%m-%d')")
+        defs.map { case (name, e) =>
+          s"""SELECT '$name' AS column_name,
+             CAST(COUNT(x) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct,
+             TRUE AS approx_within_bound,
+             CAST(MIN(x) AS VARCHAR) AS min_s,
+             CAST(MAX(x) AS VARCHAR) AS max_s
+             FROM (SELECT $e x FROM events)"""
+        }.mkString("", " UNION ALL ", " ORDER BY column_name")
+      }),
+
     // Streaming maintenance of the g18 aggregate snapshot (EventStream
     // .maintainAggSnapshot) — the streaming twin of g18 exactly as w12
     // is d21's: the events table arrives as FOUR micro-batches

@@ -234,6 +234,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!qe.contains("collect_list"), "a5 must use the prefix-sum kernel")
   }
 
+  test("x15 production form: an HLL-only profile plans with NO Expand") {
+    // the x15 gate carries exact count_distinct next to the HLL
+    // estimates as its audit apparatus, which plans one Expand (rows
+    // x distinct-columns through the aggregation); the production
+    // profile drops the exact columns, and the plan must then be a
+    // single no-Expand pass over the corpus — the 100 TB shape x6's
+    // comment promises. Pinned both ways so a Spark planning change
+    // (or a gate edit) that breaks the swap is visible.
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(1000).select(col("id").as("a"), (col("id") % 7).as("b"))
+    val exact = ev.agg(count_distinct(col("a")).as("da"),
+      count_distinct(col("b")).as("db"), count(col("a")).as("n"))
+    val hllOnly = ev.agg(approx_count_distinct(col("a"), 0.05).as("da"),
+      approx_count_distinct(col("b"), 0.05).as("db"),
+      count(col("a")).as("n"), min(col("b")).cast("string").as("mn"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "multi-column exact distinct should Expand (the audit form's price)")
+    assert(!hllOnly.queryExecution.executedPlan.toString.contains("Expand"),
+      "HLL-only profile must be a single no-Expand pass")
+  }
+
   test("q18 final AQE plan: facts never reshuffled, no forced broadcast hint") {
     // the survivor set's size is data-dependent, so q18 carries no
     // broadcast() hint — AQE must still settle on a plan whose ONLY
