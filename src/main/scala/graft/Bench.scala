@@ -30,12 +30,24 @@ import org.apache.spark.sql.SparkSession
   * in "failed" and the process exits nonzero, so a regression can never
   * masquerade as a fast partial run.
   *
-  * LOAD SHIELDING (round 10): the compact line carries the 1-minute
+  * LOAD SHIELDING (round 10/11): the compact line carries the 1-minute
   * loadavg at [launch, post-light, end] plus `reruns_fixed`; after the
-  * heavy tier every multi-second light query gets one tail rerun
-  * (cheapest first, budget permitting) and the record keeps the min —
-  * a co-tenant episode mid-run self-corrects instead of reading as a
-  * regression (it mooted the round-7/8/9 driver artifacts).
+  * heavy tier every multi-second light query gets tail reruns —
+  * up to three passes, each revisiting only the still-outlying
+  * entries, so the effort is proportional to the outliers standing
+  * (cheapest first, budget permitting) — and the record keeps the
+  * min: a co-tenant episode mid-run self-corrects instead of reading
+  * as a regression (it mooted the round-7/8/9 driver artifacts).
+  *
+  * HEAVY RESERVE (round 11): the light tier runs against its OWN
+  * budget (total minus SPARK_GRAFT_HEAVY_RESERVE, default 430 s when
+  * the heavy tier is on) — under co-tenant load it first sheds its
+  * best-of-2 repeats (pace guard), then its tail queries, so the
+  * heavy forks always inherit the time the round-10 driver run
+  * starved them of (3/25 members at loadavg 5.5). Heavy members the
+  * latest driver artifact never measured rotate to the FRONT of their
+  * tier, so even a half-shed fork completes the roster across two
+  * driver rounds.
   *
   * The "heavy" section re-times the scale-sensitive queries on an
   * sf1-equivalent input ([[HeavyData]]: key-offset copies of the sf0.1
@@ -100,6 +112,45 @@ object Bench {
   private def loadAvg: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Heavy members the LATEST driver artifact actually measured (keys
+    * of its parsed summary's "heavy" object). Drives the round-11
+    * rotation: members the last official run never reached move to the
+    * FRONT of their tier so budget shedding always drops something
+    * that already has an official number — a 900 s driver budget then
+    * covers the full roster over at most two rounds even when one run
+    * sheds half the tier. Best-effort: no artifact / no parse -> empty
+    * set -> the documented cheapest-first order stands unchanged.
+    * (The artifact's raw "tail" section escapes its quotes, so the
+    * regex below matches only the driver-parsed summary object.) */
+  private[graft] def lastMeasuredHeavy(dir: String = "."): Set[String] =
+    try {
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) Set.empty
+      else {
+        val latest = files.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        val src = scala.io.Source.fromFile(latest)
+        val txt = try src.mkString finally src.close()
+        val m = java.util.regex.Pattern
+          .compile("\"heavy\"\\s*:\\s*\\{([^}]*)\\}").matcher(txt)
+        if (m.find())
+          "\"([A-Za-z0-9_]+)\"\\s*:".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSet
+        else Set.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** `tier` with the members absent from the latest driver artifact
+    * rotated to the front (stable within both halves, so the
+    * cheapest-first receipts order is preserved as the tiebreak). */
+  private[graft] def rotateUnmeasuredFirst(tier: Seq[String],
+                                    measured: Set[String]): Seq[String] = {
+    val (unmeasured, had) = tier.partition(q => !measured.contains(q))
+    unmeasured ++ had
+  }
+
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
     val loadStart = loadAvg
@@ -107,6 +158,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val heavyCopies = sys.env.getOrElse("SPARK_GRAFT_HEAVY", "10").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
+    // HEAVY RESERVE (round 11): the round-10 driver artifact measured
+    // 3/25 heavy members because a loadavg-5.5 light tier ate the
+    // budget the forks needed — the light tier now yields. Quiet-box
+    // receipts: both forks (2x JVM+session ~30 s, first-touch ~20 s,
+    // 25 warm passes ~60 s, 25 single warm-class runs ~250 s) fit in
+    // ~400 s, so the default reserve is 430 s and the light tier's own
+    // budget is what remains (floored at 30% of the total so a tiny
+    // budget still produces a light record). Degradation order under
+    // load: light repeats drop first (pace guard), then light tail
+    // queries shed — each light value has four rounds of receipt
+    // history while a shed heavy member has none, which is why the
+    // forks now outrank light precision.
+    val heavyReserveSec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_RESERVE",
+      if (heavyCopies > 1) "430" else "0").toDouble
+    val lightBudgetSec = math.max(budgetSec - heavyReserveSec, budgetSec * 0.3)
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     def remainingSec: Double = budgetSec - elapsedSec
     val spark = SparkSession.builder()
@@ -153,9 +219,13 @@ object Bench {
     // budget floor (60 s) only trips when the box is pathologically
     // loaded. ----
     val lightNames = SparkEntry.queries.keys.toSeq.sorted
-    val results = lightNames.flatMap { name =>
-      if (remainingSec < 60) { skipped += name; None }
-      else once(name, sfDir).flatMap { t1 =>
+    var lightWallSum = 0.0 // running run-1 mean drives the pace guard
+    var lightRunCount = 0
+    val results = lightNames.zipWithIndex.flatMap { case (name, idx) =>
+      if (remainingSec < 60 || elapsedSec > lightBudgetSec - 5) {
+        skipped += name; None
+      } else once(name, sfDir).flatMap { t1 =>
+        lightWallSum += t1; lightRunCount += 1
         // best-of-TWO: a single sample right after an expensive
         // neighbor reads its GC/page-cache shadow (observed: d25
         // one-shot 10.2 s vs 1.6 s in back-to-back driver-style runs),
@@ -176,7 +246,19 @@ object Bench {
         // run IS shadow-inflated lands >= 0.5 s and still gets its
         // repeat.) At ~180 floor queries this funds the heavy
         // worst-case fork the round-8 driver run had to shed.
-        val extra = if (t1 >= 0.5 && t1 < 8.0) 1 else 0
+        //
+        // PACE GUARD (round 11): repeats are the first thing a loaded
+        // box sheds. If finishing the remaining queries at one run
+        // each (projected at the running mean) would already spend
+        // 90% of the light budget, every remaining repeat is skipped —
+        // under the round-10 driver's loadavg 5.5 this converts "light
+        // tier eats the heavy forks' reserve" into "light values lose
+        // their second sample", and the tail rerun + four rounds of
+        // receipt history absorb the precision loss.
+        val remainingEst =
+          (lightNames.size - idx - 1) * (lightWallSum / lightRunCount)
+        val paceOk = elapsedSec + remainingEst + t1 < lightBudgetSec * 0.9
+        val extra = if (paceOk && t1 >= 0.5 && t1 < 8.0) 1 else 0
         val more = (1 to extra).flatMap(_ => once(name, sfDir))
         if (more.size < extra) None // a later run failed -> no timing
         else {
@@ -198,7 +280,8 @@ object Bench {
     // run cannot be interrupted politely once a Spark job is in
     // flight). ----
     case class HeavyResult(name: String, walls: Seq[Double], gcs: Seq[Double],
-                           loads: Seq[Double], cpus: Seq[Double], ios: Seq[Double])
+                           loads: Seq[Double], cpus: Seq[Double],
+                           ios: Seq[Double], warm: Seq[Double])
     val heavyN = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "2").toInt
     val graceSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRACE", "150").toDouble
 
@@ -220,6 +303,10 @@ object Bench {
         heavyDir, nRuns.toString) ++ queries
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_HEAVY_DEADLINE_MS", deadlineMs.toString)
+      // the fork pre-warms each query with one untimed pass at the
+      // LIGHT scale dir before timing it at heavy scale (kills the
+      // e3/n5 first-touch JIT/codegen cold run — round-10 verdict)
+      pb.environment().put("SPARK_GRAFT_WARM_DIR", sfDir)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       // Distinguishes OUR deadline kill (budget exhaustion -> skipped,
@@ -265,9 +352,10 @@ object Bench {
           } else if (line.startsWith("HEAVY\t")) {
             val f = line.split("\t")
             def series(i: Int) = f.lift(i)
-              .map(_.split(",").toSeq.map(_.toDouble)).getOrElse(Seq.empty)
+              .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
+              .getOrElse(Seq.empty)
             val r = HeavyResult(f(1), series(2), series(3), series(4),
-              series(5), series(6))
+              series(5), series(6), series(7))
             seen += r.name; out += r
             println(f"""{"q":"${r.name}","heavy_sec":${r.walls.min}%.3f,""" +
               s""""runs":${r.walls.mkString("[", ",", "]")}}""")
@@ -319,11 +407,13 @@ object Bench {
         // receipt), which reads as a regression it isn't. A shed tail
         // member with a standing BENCH_NOTES receipt beats a measured
         // member with a misleading number.
-        Seq((heavyCanaries, heavyN), (heavyWorstCases, heavyN)).flatMap {
-          case (group, n) =>
+        val measured = lastMeasuredHeavy()
+        Seq((rotateUnmeasuredFirst(heavyCanaries, measured), heavyN),
+            (rotateUnmeasuredFirst(heavyWorstCases, measured), heavyN))
+          .flatMap { case (group, n) =>
             if (remainingForkSec < 60) { skipped ++= group; Seq.empty }
             else runHeavyFork(heavyDir, cp, javaBin, group, n)
-        }
+          }
       } else {
         System.err.println("[bench] no classes dir; heavy tier in-session")
         SparkEntry.clearCaches(spark)
@@ -359,7 +449,8 @@ object Bench {
             if (runs.nonEmpty) {
               println(f"""{"q":"$n","heavy_sec":${runs.min}%.3f}""")
               Console.out.flush()
-              Some(HeavyResult(n, runs, Seq.empty, Seq.empty, Seq.empty, Seq.empty))
+              Some(HeavyResult(n, runs, Seq.empty, Seq.empty, Seq.empty,
+                Seq.empty, Seq.empty))
             } else None
           }
         }
@@ -370,34 +461,56 @@ object Bench {
     // co-tenant load episode reads as a regression it isn't (rounds
     // 7-9: three driver artifacts mooted; d23 21.3 s vs a 3.6 s quiet
     // receipt). By the tail the episode has usually passed, so every
-    // multi-second light query gets ONE more sample (cheapest first —
-    // a budget cut drops the single most expensive retry), and the
-    // record keeps the min. Self-correcting, no external state; a
-    // rerun that throws is ignored (the query already succeeded — the
-    // retry exists only to refine its number). ----
+    // multi-second light query gets more samples (cheapest first — a
+    // budget cut drops the single most expensive retry), and the
+    // record keeps the min. Round 11: the effort is PROPORTIONAL to
+    // the outliers still standing — up to three passes, each revisiting
+    // only the entries whose corrected wall is still >= rerunMin, and
+    // a pass that improves nothing ends the loop (the episode either
+    // passed, in which case pass 1 fixed everything fixable, or it is
+    // still running, in which case more samples only burn the grace
+    // reserve). The round-10 driver shape fixed 2/5 outliers with its
+    // single fixed pass; o16's 21.9 s stood.
+    //
+    // Self-correcting, no external state; a rerun that throws is
+    // ignored (the query already succeeded — the retry exists only to
+    // refine its number; NonFatal only, so an OOM propagates instead
+    // of being swallowed into a half-dead JVM — round-10 advice).
     val rerunMin = sys.env.getOrElse("SPARK_GRAFT_RERUN_MIN", "3.0").toDouble
     val tailReruns = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results.filter(_._2 >= rerunMin).sortBy(_._2).foreach { case (name, best) =>
-      // reserve 10x the prior wall on top of the 90 s floor: a rerun
-      // launched into a still-active load episode can itself inflate
-      // ~10x (d25: 10.2 s vs 1.6 s receipt), and an un-watchdogged
-      // overrun here would eat the grace reserve and truncate the
-      // final artifact — the round-7 failure this file guards against
-      if (remainingSec > 90 + 10 * best) {
-        val t0 = System.nanoTime()
-        val t = try {
-          SparkEntry.queries(name)(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-        t.filter(_ < best).foreach { v =>
-          tailReruns(name) = v
-          println(f"""{"q":"$name","sec":$v%.3f,"tail_rerun":true}""")
-          Console.out.flush()
+    def correctedBest(name: String, b: Double): Double =
+      math.min(b, tailReruns.getOrElse(name, b))
+    var pass = 0
+    var improvedThisPass = true
+    while (pass < 3 && improvedThisPass) {
+      improvedThisPass = false
+      pass += 1
+      results.map { case (n, b) => n -> correctedBest(n, b) }
+        .filter(_._2 >= rerunMin).sortBy(_._2)
+        .foreach { case (name, best) =>
+          // reserve 10x the prior wall on top of the 90 s floor: a
+          // rerun launched into a still-active load episode can itself
+          // inflate ~10x (d25: 10.2 s vs 1.6 s receipt), and an
+          // unbounded overrun here would eat the grace reserve and
+          // truncate the final artifact — the round-7 failure this
+          // file guards against. The grace+30 floor additionally stops
+          // ALL reruns once the final print's reserve is at risk.
+          if (remainingSec > math.max(90 + 10 * best, graceSec + 30)) {
+            val t0 = System.nanoTime()
+            val t = try {
+              SparkEntry.queries(name)(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case scala.util.control.NonFatal(_) => None }
+            t.filter(_ < best).foreach { v =>
+              tailReruns(name) = v
+              improvedThisPass = true
+              println(f"""{"q":"$name","sec":$v%.3f,"tail_rerun":true}""")
+              Console.out.flush()
+            }
+          }
         }
-      }
     }
-    val corrected = results.map { case (n, b) =>
-      n -> math.min(b, tailReruns.getOrElse(n, b)) }
+    val corrected = results.map { case (n, b) => n -> correctedBest(n, b) }
     val loadEnd = loadAvg
 
     def obj(kv: Seq[(String, Double)]) =
@@ -434,7 +547,8 @@ object Bench {
       s""""heavy_gc_runs":${arrObj(heavy.map(h => h.name -> h.gcs))},""" +
       s""""heavy_load_runs":${arrObj(heavy.map(h => h.name -> h.loads))},""" +
       s""""heavy_cpu_runs":${arrObj(heavy.map(h => h.name -> h.cpus))},""" +
-      s""""heavy_io_runs":${arrObj(heavy.map(h => h.name -> h.ios))}}""")
+      s""""heavy_io_runs":${arrObj(heavy.map(h => h.name -> h.ios))},""" +
+      s""""heavy_warm":${arrObj(heavy.map(h => h.name -> h.warm))}}""")
     // FINAL line: a compact summary that must fit the driver's bounded
     // stdout tail window (~2.2 KB observed, which also has to hold
     // sbt's trailing "[success]" line) — rounds 1-7 all produced

@@ -157,13 +157,12 @@ object SparkEntry {
                CAST(num // (7 * n_obs) AS BIGINT) AS idx
              FROM g ORDER BY slot"""
 
-  /** Shared by a15 and its streaming twin w25: inject the +50
-    * midpoint level shift into a (day, x) daily series (g40's
-    * injected-drift discipline — the located point is semantically
-    * pinned) and run the CUSUM locator. */
   /** `daily` (a table with a `day` column, plus any key columns) with
     * the whole-table midpoint date attached as `__split` — the
-    * injection scaffold shared by a15/a16/w25. */
+    * injection scaffold shared by a15 and its streaming twin w25 (and
+    * a16): inject the +50 midpoint level shift into a (day, x) daily
+    * series (g40's injected-drift discipline — the located point is
+    * semantically pinned) and run the CUSUM locator downstream. */
   private def withMidpointSplit(daily: DataFrame): DataFrame =
     daily.crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
         max(col("day")).as("__d1"))))

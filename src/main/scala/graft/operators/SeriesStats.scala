@@ -45,10 +45,18 @@ object SeriesStats {
     require(lags.nonEmpty && lags.forall(_ >= 1),
       "lags must be >= 1 and non-empty")
     val stats = series.agg(count(lit(1)).as("__n"),
-      sum(col(valueCol)).as("__s"))
+      sum(col(valueCol)).as("__s"),
+      count(col(orderCol)).as("__nn"),
+      count_distinct(col(orderCol)).as("__nd"))
+    // The ordered lag() window has the changepoint family's failure
+    // class: a duplicate (or NULL) order value makes every lagged pair
+    // tie-order-dependent — nondeterministic run to run and divergent
+    // from the oracle's deterministic ORDER BY. Same executable guard,
+    // riding inside the consumed centered value so it cannot be pruned.
     val c = series.crossJoin(broadcast(stats))
       .select(col(orderCol), col("__n"),
-        (col("__n") * col(valueCol) - col("__s")).as("__c"))
+        (col("__n") * col(valueCol) - col("__s") +
+          orderContractGuard("autocorr")).as("__c"))
     val w = Window.orderBy(orderCol)
     val withLags = lags.foldLeft(c) { (df, k) =>
       df.withColumn(s"__c$k", lag(col("__c"), k).over(w))
@@ -341,6 +349,7 @@ object SeriesStats {
                   valueCol: String): DataFrame = {
     val stats = series.agg(count(lit(1)).cast("long").as("__n"),
       sum(col(valueCol).cast("long")).as("__s"),
+      count(col(orderCol)).as("__nn"),
       count_distinct(col(orderCol)).as("__nd"))
     val cum = Window.orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -348,7 +357,7 @@ object SeriesStats {
     series.crossJoin(broadcast(stats))
       .withColumn("__c",
         col("__n") * col(valueCol).cast("long") - col("__s") +
-          distinctOrderGuard("changepoint"))
+          orderContractGuard("changepoint"))
       .withColumn("cusum", sum(col("__c")).over(cum))
       .withColumn("__abs", abs(col("cusum")))
       .withColumn("__r", row_number().over(pick))
@@ -357,20 +366,31 @@ object SeriesStats {
         col("__abs").as("abs_cusum"))
   }
 
-  /** Executable distinct-order contract for the changepoint family
-    * (theilSen's guard, same class): a duplicate order value makes
-    * the ROWS-frame cumulative sum depend on arbitrary intra-tie row
-    * order (nondeterministic run to run) and diverge from a RANGE-
-    * frame oracle (which gives every tied row the tie group's full
-    * sum) — raise instead. Rides inside the consumed `__c` expression
-    * (assert_true is NULL when `__n == __nd` holds; + coalesce leaves
-    * the centered value untouched) so Catalyst cannot prune it. */
-  private def distinctOrderGuard(op: String) =
-    coalesce(assert_true(col("__n") === col("__nd"),
-      lit(s"$op: duplicate order values make the cumulative sum " +
+  /** Executable order-column contract for the ordered-window family
+    * (autocorr/dominantPeriod, changepoint/changepointByKey —
+    * theilSen's guard, same class), expecting the enclosing stats to
+    * carry `__n` = count(*), `__nn` = count(orderCol) and `__nd` =
+    * count_distinct(orderCol). Two distinct diagnoses (round-10
+    * advice: count(*) vs count_distinct alone misreports a NULL order
+    * value as "duplicates", and a NULL silently sorts first):
+    * NULL order values raise first, then duplicates — either makes
+    * the ordered window tie-order-dependent (nondeterministic,
+    * oracle-divergent). Rides inside the consumed centered-value
+    * expression (assert_true is NULL when its predicate holds;
+    * + coalesce leaves the value untouched) so Catalyst cannot
+    * prune it. */
+  private def orderContractGuard(op: String) = {
+    val nullOk = assert_true(col("__n") === col("__nn"),
+      lit(s"$op: NULL order values cannot be ordered deterministically " +
+        "(Spark sorts them first, the oracle's ORDER BY may not); " +
+        "filter or impute the order column first"))
+    val distinctOk = assert_true(col("__nn") === col("__nd"),
+      lit(s"$op: duplicate order values make the ordered window " +
         "tie-order-dependent (nondeterministic, oracle-divergent); " +
-        "aggregate to one row per order value first")).cast("long"),
-      lit(0L))
+        "aggregate to one row per order value first"))
+    coalesce(nullOk.cast("long"), lit(0L)) +
+      coalesce(distinctOk.cast("long"), lit(0L))
+  }
 
   /** Grouped [[changepoint]]: the CUSUM locator per key — "WHICH
     * sources/users shifted, and when", the fleet form of the single
@@ -384,6 +404,7 @@ object SeriesStats {
     val stats = series.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("__n"),
         sum(col(valueCol).cast("long")).as("__s"),
+        count(col(orderCol)).as("__nn"),
         count_distinct(col(orderCol)).as("__nd"))
     val cum = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -395,7 +416,7 @@ object SeriesStats {
     series.join(stats, Seq(keyCol))
       .withColumn("__c",
         col("__n") * col(valueCol).cast("long") - col("__s") +
-          distinctOrderGuard("changepointByKey"))
+          orderContractGuard("changepointByKey"))
       .withColumn("cusum", sum(col("__c")).over(cum))
       .withColumn("__abs", abs(col("cusum")))
       .withColumn("__r", row_number().over(pick))

@@ -253,6 +253,17 @@ object HeavyRunner {
     // nothing (round 5: rc 124, parsed null, zero evidence).
     val deadlineMs = sys.env.get("SPARK_GRAFT_HEAVY_DEADLINE_MS").map(_.toLong)
     def pastDeadline: Boolean = deadlineMs.exists(System.currentTimeMillis() > _)
+    def msLeft: Long = deadlineMs.map(_ - System.currentTimeMillis())
+      .getOrElse(Long.MaxValue)
+    // Light-scale dir for the per-query warm pass (round-11): one
+    // untimed pass of the SAME resolved query at sf0.1 compiles its
+    // whole codegen/JIT path before run 1 is timed at heavy scale —
+    // the e3/n5 "fork-cold run 1" penalty (19.7 s vs 7.2 s warm,
+    // round-10 receipts) was JIT, not I/O (firstTouch already warms
+    // the page cache). Costs ~1-4 s per query at sf0.1; buys back
+    // 2-12 s on every first timed run of a JIT-heavy member.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .filter(d => new java.io.File(d).isDirectory)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-heavy")
@@ -275,19 +286,44 @@ object HeavyRunner {
     System.err.println(f"[heavy] first-touch ${touchedBytes / 1e6}%.0f MB " +
       f"in $touchSec%.1f s")
 
-    for (q <- queries) {
+    for ((q, qi) <- queries.zipWithIndex) {
       if (pastDeadline) {
         println(s"HEAVYSKIP\t$q")
         Console.out.flush()
       } else {
         val fn = resolve(q)
+        // Untimed warm pass at light scale (see warmDir above). Errors
+        // are ignored here — the timed run reports them with a named
+        // HEAVYFAIL line; a warm-pass-only failure (e.g. a fixture
+        // that exists only in the heavy dir) must not mask a healthy
+        // heavy measurement.
+        val warmSec: Option[Double] = warmDir.flatMap { wd =>
+          try {
+            val t0 = System.nanoTime()
+            resolve(q)(spark, wd).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
         // A query that throws must still leave a NAMED line on stdout —
         // a data-drift failure in the heavy tier has to be visible in
         // the bench artifact, not just interleaved stderr (round 6: six
         // NTZ casualties were invisible until the judge re-ran by hand).
         var error: Option[String] = None
+        var firstWallMs = 0L
+        // Run i>1 yields to COVERAGE (round-11): a repeat is only
+        // taken when the time it costs (~run 1's wall) plus one run of
+        // each still-waiting query (estimated at max(run-1 wall, 3 s)
+        // apiece) fits the deadline — a roster member with one warm
+        // measurement beats a repeat of a member that already has one
+        // (the warm pass makes run 1 warm-class, so min-of-2 adds
+        // variance data, not correctness).
+        def repeatRoom: Boolean = {
+          val reserve = (queries.size - qi - 1) *
+            math.max(firstWallMs, 3000L)
+          msLeft > firstWallMs + reserve
+        }
         val runs = (1 to n).flatMap { i =>
-          if (error.nonEmpty || (i > 1 && pastDeadline)) None
+          if (error.nonEmpty || (i > 1 && (pastDeadline || !repeatRoom))) None
           else try {
             // BETWEEN runs (untimed): trigger reference processing so the
             // ContextCleaner can drop the previous run's shuffle/broadcast
@@ -304,6 +340,7 @@ object HeavyRunner {
             val t0 = System.nanoTime()
             fn(spark, dir).write.format("noop").mode("overwrite").save()
             val wall = (System.nanoTime() - t0) / 1e9
+            if (i == 1) firstWallMs = (wall * 1000).toLong
             receipts.foreach(_.drain(s"$q run$i"))
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
               (diskReadBytes - i0) / 1e6))
@@ -319,7 +356,8 @@ object HeavyRunner {
             s"\t${runs.map(r => f"${r._2}%.3f").mkString(",")}" +
             s"\t${runs.map(r => f"${r._3}%.2f").mkString(",")}" +
             s"\t${runs.map(r => f"${r._4}%.1f").mkString(",")}" +
-            s"\t${runs.map(r => f"${r._5}%.1f").mkString(",")}"
+            s"\t${runs.map(r => f"${r._5}%.1f").mkString(",")}" +
+            s"\t${warmSec.map(w => f"$w%.3f").getOrElse("")}"
         error match {
           case Some(msg) =>
             // A failure at run i>1 must not discard run 1..i-1's valid

@@ -291,6 +291,35 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(messageChain(ek).contains("duplicate order values"))
   }
 
+  test("changepoint: NULL order values RAISE with their OWN diagnosis") {
+    // round-10 advice: count(*) vs count_distinct alone misreported a
+    // NULL order value as "duplicates" (count_distinct skips NULLs)
+    val df = Seq((Some(1L), 5L), (None, 9L), (Some(2L), 3L)).toDF("t", "x")
+    val e = intercept[Exception] {
+      SeriesStats.changepoint(df, "t", "x").collect()
+    }
+    assert(messageChain(e).contains("NULL order values"))
+  }
+
+  test("autocorr/dominantPeriod: duplicate and NULL order values RAISE") {
+    // the lag() window has the same tie-order failure class as the
+    // cumulative-sum family; round-10 advice left it unguarded
+    val dup = Seq((1L, 5L), (1L, 9L), (2L, 3L)).toDF("t", "x")
+    val e = intercept[Exception] {
+      SeriesStats.autocorr(dup, "t", "x", Seq(1)).collect()
+    }
+    assert(messageChain(e).contains("duplicate order values"))
+    val ed = intercept[Exception] {
+      SeriesStats.dominantPeriod(dup, "t", "x", 1, 2).collect()
+    }
+    assert(messageChain(ed).contains("duplicate order values"))
+    val nul = Seq((Some(1L), 5L), (None, 9L), (Some(2L), 3L)).toDF("t", "x")
+    val en = intercept[Exception] {
+      SeriesStats.autocorr(nul, "t", "x", Seq(1)).collect()
+    }
+    assert(messageChain(en).contains("NULL order values"))
+  }
+
   test("dominantPeriod: zero-pair lags (lag >= n) can never win the argmax") {
     // n=4 monotone decline: every REAL lag has negative autocorrelation,
     // and lags 4..14 have zero overlapping pairs (num coalesced to 0) —
