@@ -300,6 +300,105 @@ object SparkEntry {
   /** Gate query predicate: the probe set is the 5 lowest vec_ids. */
   private val annQueryPred: Column = col("vec_id") < 5
 
+  /** n20's dataflow, shared with the n22 policy gate: IVF search with
+    * the STALE codebook (trained on the stored 3/4 split, frozen, the
+    * batch folded in by n10's ingest path) scored against fresh
+    * brute-force truth over the full corpus — recall@5 per query in
+    * exact ppm, the recall COST of index staleness. */
+  private def staleRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    val staleCb = Ann.kmeansCentroids(em.filter(col("vec_id") % 4 =!= 0), 5, 2)
+    val approx = Ann.ivfTopK(em, staleCb, annQueryPred, 5, 2)
+    val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
+    Ann.recallAtK(approx, exact, 5)
+  }
+
+  /** n21's dataflow, shared with the n22 policy gate: PSI between two
+    * snapshots' embedding distributions in the integer domain —
+    * JL-project to 1-D (exact int64), zigzag-encode, base-2 buckets.
+    * Two regimes (g40's discipline): 'control' = disjoint halves,
+    * 'shifted' = the cur side scaled ×4. */
+  private def embeddingDriftEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = operators.Pca.randomProjection(
+      t(s, dir, "embeddings"), "vec_id", "embedding", 1)
+    def zig(c: org.apache.spark.sql.Column) =
+      when(c >= 0, c * 2).otherwise(-c * 2 - 1)
+    val ref = proj.filter(col("vec_id") % 2 === 0)
+      .select(zig(col("proj_0")).as("z"))
+    val curBase = proj.filter(col("vec_id") % 2 === 1)
+    val cur = curBase
+      .select(lit("control").as("grp"), zig(col("proj_0")).as("z"))
+      .unionByName(curBase.select(lit("shifted").as("grp"),
+        zig(col("proj_0") * 4).as("z")))
+    val refG = ref.crossJoin(
+      broadcast(Seq("control", "shifted").toDF("grp")))
+    // k=2 (not g40's 3): 250 samples/side over zigzag's wide value
+    // domain already make ~60 top-4-bit buckets, and add-one
+    // smoothing alone reads as PSI ~0.2 on the UNDRIFTED control;
+    // the coarser grid puts control at ~0.1 vs ~1.6 for the x4
+    // shift - bucket count must track sample size (g40's rule)
+    operators.Drift.psi(refG, cur, Seq("grp"), "z", 2)
+      .select(col("grp"), col("n_ref"), col("n_cur"), col("n_buckets"),
+        round(col("psi"), 6).as("psi"))
+  }
+
+  /** [[embeddingDriftEval]]'s oracle CTE chain with every CTE name
+    * prefixed by `p` — composable beside other chains (n22 puts it
+    * next to the n20 kmeans fixture, whose names include `u`) without
+    * collisions. Ends with the `<p>w` per-bucket table;
+    * [[driftOracleSelect]] is its matching final aggregate. */
+  private def driftOracleCtes(p: String): String =
+    s"""${p}u AS (SELECT vec_id, embedding e FROM embeddings),
+           ${p}x0 AS (SELECT vec_id, UNNEST([{'j': i - 1,
+               'q': CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)}
+             for i in generate_series(1, len(e))]) st FROM ${p}u),
+           ${p}x AS (SELECT vec_id, st.j j, st.q q FROM ${p}x0),
+           ${p}pj AS (SELECT vec_id, CAST(SUM(
+               CASE WHEN ((j * 73856093) % 83) % 2 = 0 THEN q ELSE -q END)
+             AS BIGINT) p FROM ${p}x GROUP BY 1),
+           ${p}r0 AS (SELECT CASE WHEN p >= 0 THEN 2*p ELSE -2*p - 1 END z
+             FROM ${p}pj WHERE vec_id % 2 = 0),
+           ${p}refg AS (SELECT g.grp, ${p}r0.z FROM ${p}r0,
+             (SELECT 'control' grp UNION ALL SELECT 'shifted') g),
+           ${p}cur AS (SELECT 'control' grp,
+               CASE WHEN p >= 0 THEN 2*p ELSE -2*p - 1 END z
+             FROM ${p}pj WHERE vec_id % 2 = 1
+             UNION ALL
+             SELECT 'shifted',
+               CASE WHEN p >= 0 THEN 8*p ELSE -8*p - 1 END
+             FROM ${p}pj WHERE vec_id % 2 = 1),
+           ${p}rb AS (SELECT grp, CASE WHEN z < 8 THEN z
+               ELSE (z >> (length(bin(z)) - 3)) << (length(bin(z)) - 3)
+               END lo, CAST(COUNT(*) AS BIGINT) n_ref
+             FROM ${p}refg GROUP BY 1, 2),
+           ${p}cb AS (SELECT grp, CASE WHEN z < 8 THEN z
+               ELSE (z >> (length(bin(z)) - 3)) << (length(bin(z)) - 3)
+               END lo, CAST(COUNT(*) AS BIGINT) n_cur
+             FROM ${p}cur GROUP BY 1, 2),
+           ${p}jn AS (SELECT COALESCE(${p}rb.grp, ${p}cb.grp) grp,
+             COALESCE(${p}rb.lo, ${p}cb.lo) lo,
+             COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
+             COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
+             FROM ${p}rb FULL OUTER JOIN ${p}cb
+               ON ${p}rb.grp = ${p}cb.grp AND ${p}rb.lo = ${p}cb.lo),
+           ${p}w AS (SELECT grp, n_ref, n_cur,
+             CAST(SUM(n_ref) OVER (PARTITION BY grp) AS BIGINT) tot_ref,
+             CAST(SUM(n_cur) OVER (PARTITION BY grp) AS BIGINT) tot_cur,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) b
+             FROM ${p}jn)"""
+
+  /** The final per-regime PSI aggregate over [[driftOracleCtes]]'s
+    * `<p>w` table (no ORDER BY — the composer appends or wraps). */
+  private def driftOracleSelect(p: String): String =
+    s"""SELECT grp, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
+             MAX(b) AS n_buckets,
+             ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
+                 - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
+               * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
+                 / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
+           FROM ${p}w GROUP BY 1"""
+
 
   private val stopwords = TextQuality.defaultStopwords
   private val langMarkers: Seq[(String, Seq[String])] = TextQuality.defaultLangMarkers
@@ -3938,13 +4037,8 @@ object SparkEntry {
     // maintenance pipeline gates retraining on: "how much recall has
     // codebook staleness cost since the last rebuild". The oracle
     // replays the stale-codebook IVF chain and the brute chain.
-    ("n20_ann_incremental_recall", (s, dir) => {
-      val em = t(s, dir, "embeddings")
-      val staleCb = Ann.kmeansCentroids(em.filter(col("vec_id") % 4 =!= 0), 5, 2)
-      val approx = Ann.ivfTopK(em, staleCb, annQueryPred, 5, 2)
-      val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
-      Ann.recallAtK(approx, exact, 5).orderBy("qid")
-    },
+    ("n20_ann_incremental_recall", (s, dir) =>
+      staleRecallEval(s, dir).orderBy("qid"),
       Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")},
            probes AS (SELECT vec_id qid, cluster FROM rk
              WHERE vec_id < 5 AND r <= 2),
@@ -3990,76 +4084,80 @@ object SparkEntry {
     // regimes (g40's discipline): 'control' = disjoint halves
     // (near-zero PSI), 'shifted' = the cur side scaled ×4 (every
     // nonzero value provably changes bucket — large PSI).
-    ("n21_embedding_drift", (s, dir) => {
-      import s.implicits._
-      val proj = operators.Pca.randomProjection(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 1)
-      def zig(c: org.apache.spark.sql.Column) =
-        when(c >= 0, c * 2).otherwise(-c * 2 - 1)
-      val ref = proj.filter(col("vec_id") % 2 === 0)
-        .select(zig(col("proj_0")).as("z"))
-      val curBase = proj.filter(col("vec_id") % 2 === 1)
-      val cur = curBase
-        .select(lit("control").as("grp"), zig(col("proj_0")).as("z"))
-        .unionByName(curBase.select(lit("shifted").as("grp"),
-          zig(col("proj_0") * 4).as("z")))
-      val refG = ref.crossJoin(
-        broadcast(Seq("control", "shifted").toDF("grp")))
-      // k=2 (not g40's 3): 250 samples/side over zigzag's wide value
-      // domain already make ~60 top-4-bit buckets, and add-one
-      // smoothing alone reads as PSI ~0.2 on the UNDRIFTED control;
-      // the coarser grid puts control at ~0.1 vs ~1.6 for the x4
-      // shift - bucket count must track sample size (g40's rule)
-      operators.Drift.psi(refG, cur, Seq("grp"), "z", 2)
-        .select(col("grp"), col("n_ref"), col("n_cur"), col("n_buckets"),
-          round(col("psi"), 6).as("psi"))
+    ("n21_embedding_drift", (s, dir) =>
+      embeddingDriftEval(s, dir).orderBy("grp"),
+      Some(s"""WITH ${driftOracleCtes("")}
+           ${driftOracleSelect("")} ORDER BY 1""")),
+
+    // INDEX-MAINTENANCE POLICY (n20 x n21, e11's manifest
+    // discipline): the two diagnostics above are measured separately;
+    // the production question is "rebuild the IVF index NOW or not".
+    // This gate JOINS them — the drift detector's PSI per regime
+    // against the staleness eval's fleet-average recall loss — and
+    // emits the rebuild decision row: rebuild when PSI >= 0.25 (the
+    // classic population-stability alarm threshold) OR the average
+    // recall loss exceeds 10% (100k ppm). Both inputs are the exact
+    // gated dataflows (shared helpers), so the decision is
+    // engine-identical; the oracle composes both oracle chains
+    // (drift CTEs prefixed d_ to avoid fixture-name collisions).
+    ("n22_index_policy", (s, dir) => {
+      val rec = staleRecallEval(s, dir)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_ppm")).as("__sum"))
+        .select(col("n_queries"),
+          expr("__sum div n_queries").as("avg_recall_ppm"))
+        .withColumn("recall_loss_ppm",
+          lit(1000000L) - col("avg_recall_ppm"))
+      embeddingDriftEval(s, dir)
+        .select(col("grp"), col("psi"))
+        .crossJoin(broadcast(rec))
+        .select(col("grp"), col("psi"), col("n_queries"),
+          col("avg_recall_ppm"), col("recall_loss_ppm"),
+          (col("psi") >= 0.25).as("psi_drifted"),
+          (col("recall_loss_ppm") >= 100000L).as("recall_degraded"))
+        .withColumn("rebuild",
+          col("psi_drifted") || col("recall_degraded"))
         .orderBy("grp")
     },
-      Some("""WITH u AS (SELECT vec_id, embedding e FROM embeddings),
-           x0 AS (SELECT vec_id, UNNEST([{'j': i - 1,
-               'q': CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)}
-             for i in generate_series(1, len(e))]) st FROM u),
-           x AS (SELECT vec_id, st.j j, st.q q FROM x0),
-           pj AS (SELECT vec_id, CAST(SUM(
-               CASE WHEN ((j * 73856093) % 83) % 2 = 0 THEN q ELSE -q END)
-             AS BIGINT) p FROM x GROUP BY 1),
-           r0 AS (SELECT CASE WHEN p >= 0 THEN 2*p ELSE -2*p - 1 END z
-             FROM pj WHERE vec_id % 2 = 0),
-           refg AS (SELECT g.grp, r0.z FROM r0,
-             (SELECT 'control' grp UNION ALL SELECT 'shifted') g),
-           cur AS (SELECT 'control' grp,
-               CASE WHEN p >= 0 THEN 2*p ELSE -2*p - 1 END z
-             FROM pj WHERE vec_id % 2 = 1
-             UNION ALL
-             SELECT 'shifted',
-               CASE WHEN p >= 0 THEN 8*p ELSE -8*p - 1 END
-             FROM pj WHERE vec_id % 2 = 1),
-           rb AS (SELECT grp, CASE WHEN z < 8 THEN z
-               ELSE (z >> (length(bin(z)) - 3)) << (length(bin(z)) - 3)
-               END lo, CAST(COUNT(*) AS BIGINT) n_ref
-             FROM refg GROUP BY 1, 2),
-           cb AS (SELECT grp, CASE WHEN z < 8 THEN z
-               ELSE (z >> (length(bin(z)) - 3)) << (length(bin(z)) - 3)
-               END lo, CAST(COUNT(*) AS BIGINT) n_cur
-             FROM cur GROUP BY 1, 2),
-           jn AS (SELECT COALESCE(rb.grp, cb.grp) grp,
-             COALESCE(rb.lo, cb.lo) lo,
-             COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
-             COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
-             FROM rb FULL OUTER JOIN cb
-               ON rb.grp = cb.grp AND rb.lo = cb.lo),
-           w AS (SELECT grp, n_ref, n_cur,
-             CAST(SUM(n_ref) OVER (PARTITION BY grp) AS BIGINT) tot_ref,
-             CAST(SUM(n_cur) OVER (PARTITION BY grp) AS BIGINT) tot_cur,
-             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) b
-             FROM jn)
-           SELECT grp, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
-             MAX(b) AS n_buckets,
-             ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
-                 - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
-               * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
-                 / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
-           FROM w GROUP BY 1 ORDER BY 1""")),
+      Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")},
+           probes AS (SELECT vec_id qid, cluster FROM rk
+             WHERE vec_id < 5 AND r <= 2),
+           q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                    FROM probes p JOIN q ON q.qid = p.qid
+                    JOIN member m ON m.cluster = p.cluster
+                    JOIN u e ON e.vec_id = m.vec_id AND e.vec_id <> p.qid),
+           rr AS (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_r DESC, neighbor_id) rnk FROM cand),
+           ap AS (SELECT qid, neighbor_id FROM rr WHERE rnk <= 5),
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+           h AS (SELECT ap.qid, COUNT(*) n_hits FROM ap
+             JOIN ex ON ap.qid = ex.qid AND ap.neighbor_id = ex.nid
+             GROUP BY 1),
+           recall AS (SELECT e.qid,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 rp
+             FROM (SELECT DISTINCT qid FROM ex) e
+             LEFT JOIN h ON h.qid = e.qid),
+           ragg AS (SELECT CAST(COUNT(*) AS BIGINT) n_queries,
+             CAST(SUM(rp) // COUNT(*) AS BIGINT) avg_recall_ppm
+             FROM recall),
+           ${driftOracleCtes("d_")},
+           drift AS (${driftOracleSelect("d_")})
+           SELECT d.grp, d.psi, r.n_queries, r.avg_recall_ppm,
+             CAST(1000000 - r.avg_recall_ppm AS BIGINT) AS recall_loss_ppm,
+             d.psi >= 0.25 AS psi_drifted,
+             (1000000 - r.avg_recall_ppm) >= 100000 AS recall_degraded,
+             (d.psi >= 0.25) OR ((1000000 - r.avg_recall_ppm) >= 100000)
+               AS rebuild
+           FROM drift d, ragg r ORDER BY d.grp""")),
 
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small
@@ -9727,7 +9825,81 @@ object SparkEntry {
                WHERE r_ppm IS NOT NULL AND lg < n)
              SELECT lg AS period, n, num, den, r_ppm
              FROM r WHERE rn = 1"""
-      })
+      }),
+
+    // MULTI-changepoint by greedy binary segmentation
+    // (SeriesStats.changepoints, Vostrikova 1981): a15 answers "when
+    // did it shift ONCE"; real corpora shift repeatedly (the
+    // reference's own watermark quirk at main.py:138-140 is a regime
+    // boundary). TWO shifts injected at the series' third points
+    // (+50 then -80, asymmetric so the greedy order is pinned); k=2
+    // rounds, each an exact-int64 CUSUM argmax, so the whole greedy
+    // sequence — which point, in which order — is engine-identical.
+    // The oracle unrolls both rounds; the spec pins exact
+    // localization of both shifts on clean steps plus the early-stop.
+    ("a18_changepoints", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val shifted = daily
+        .crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
+          max(col("day")).as("__d1"))))
+        .withColumn("__t1",
+          expr("date_add(__d0, CAST(datediff(__d1, __d0) div 3 AS INT))"))
+        .withColumn("__t2",
+          expr("date_add(__d0, CAST(2 * datediff(__d1, __d0) div 3 AS INT))"))
+        .select(col("day"),
+          (col("x") +
+            when(col("day") >= col("__t1"), lit(50L)).otherwise(lit(0L)) +
+            when(col("day") >= col("__t2"), lit(-80L)).otherwise(lit(0L)))
+            .as("x"))
+      SeriesStats.changepoints(shifted, "day", "x", 2)
+        .select(col("step"), col("n"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cusum"), col("abs_cusum"))
+        .orderBy("step")
+    },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
+             sh AS (SELECT dy, CAST(x
+                 + CASE WHEN dy >= d0 + CAST((d1 - d0) // 3 AS INTEGER)
+                     THEN 50 ELSE 0 END
+                 + CASE WHEN dy >= d0 + CAST(2 * (d1 - d0) // 3 AS INTEGER)
+                     THEN -80 ELSE 0 END AS BIGINT) x
+               FROM d, b),
+             st1 AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM sh),
+             c1 AS (SELECT dy, st1.n, st1.n * x - st1.s c FROM sh, st1),
+             cu1 AS (SELECT dy, n,
+               CAST(SUM(c) OVER (ORDER BY dy) AS BIGINT) cusum FROM c1),
+             p1 AS (SELECT dy, n, cusum FROM
+               (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY ABS(cusum) DESC, dy) rn FROM cu1)
+               WHERE rn = 1),
+             seg AS (SELECT sh.dy, sh.x,
+               CASE WHEN sh.dy <= p1.dy THEN 0 ELSE 1 END g FROM sh, p1),
+             st2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM seg GROUP BY 1),
+             c2 AS (SELECT seg.dy, seg.g, st2.n, st2.n * seg.x - st2.s c
+               FROM seg JOIN st2 USING (g)),
+             cu2 AS (SELECT dy, g, n,
+               CAST(SUM(c) OVER (PARTITION BY g ORDER BY dy) AS BIGINT) cusum
+               FROM c2),
+             r2 AS (SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY g ORDER BY ABS(cusum) DESC, dy) rn FROM cu2),
+             p2 AS (SELECT dy, n, cusum FROM
+               (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY ABS(cusum) DESC, dy) rn2 FROM r2 WHERE rn = 1)
+               WHERE rn2 = 1),
+             u AS (SELECT CAST(1 AS BIGINT) AS step, n,
+                 strftime(dy, '%Y-%m-%d') AS day, cusum,
+                 CAST(ABS(cusum) AS BIGINT) AS abs_cusum FROM p1
+               UNION ALL SELECT CAST(2 AS BIGINT), n,
+                 strftime(dy, '%Y-%m-%d'), cusum,
+                 CAST(ABS(cusum) AS BIGINT) FROM p2)
+             SELECT step, n, day, cusum, abs_cusum FROM u
+             WHERE abs_cusum > 0 ORDER BY step"""))
   )
 
   // ---------- driver contract ----------

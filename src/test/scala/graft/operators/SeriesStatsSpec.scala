@@ -320,6 +320,45 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(messageChain(en).contains("NULL order values"))
   }
 
+  // ---- changepoints (greedy binary segmentation) ----
+
+  private def runCps(xs: Seq[Long], k: Int): Seq[(Long, Long, Long)] = {
+    val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    SeriesStats.changepoints(df, "t", "x", k).orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("t"),
+        r.getAs[Long]("abs_cusum")))
+  }
+
+  test("changepoints: two clean steps localize EXACTLY, strongest first") {
+    // 10 for t=0..9, 60 for t=10..19, 40 for t=20..29: boundaries are
+    // the last pre-shift points t=9 and t=19; the +50 step dominates
+    val xs = (0 until 30).map(t => if (t < 10) 10L else if (t < 20) 60L
+      else 40L)
+    val got = runCps(xs, 3)
+    assert(got.map(_._2) === Seq(9L, 19L)) // both found, nothing else
+    assert(got.map(_._1) === Seq(1L, 2L))  // discovery order = strength
+    assert(got(0)._3 > got(1)._3)          // first pick is the stronger
+  }
+
+  test("changepoints: clean single step stops after one row at any k") {
+    val xs = (0 until 24).map(t => if (t < 7) 5L else 25L)
+    val got = runCps(xs, 8)
+    assert(got === Seq((1L, 6L, got.head._3)))
+  }
+
+  test("changepoints: constant series -> empty (no zero-strength rows)") {
+    assert(runCps(Seq.fill(12)(7L), 4).isEmpty)
+    assert(runCps(Seq.empty, 2).isEmpty)
+  }
+
+  test("changepoints: k=1 equals the single-changepoint locator") {
+    val xs = (0 until 30).map(t => if (t < 12) 10L else 20L)
+    val (_, t1, cusum, _) = runCp(xs)
+    val got = runCps(xs, 1)
+    assert(got.size === 1 && got.head._2 === t1 &&
+      got.head._3 === math.abs(cusum))
+  }
+
   test("dominantPeriod: zero-pair lags (lag >= n) can never win the argmax") {
     // n=4 monotone decline: every REAL lag has negative autocorrelation,
     // and lags 4..14 have zero overlapping pairs (num coalesced to 0) —
