@@ -230,11 +230,18 @@ object SeriesStats {
     * (default [[TheilSenMaxPoints]]) the plan raises instead of
     * exploding — pre-aggregate coarser (weekly) first; the estimator
     * is scale-equivariant. Duplicate order values also raise (they
-    * would make den=0 pairs: NULL in Spark, an error in DuckDB). */
+    * would make den=0 pairs: NULL in Spark, an error in DuckDB).
+    * `coarsen=true` is both raises' escape hatch as code
+    * ([[coarsenToBound]]): equal-width order-axis buckets, lower
+    * medians per bucket — identity on a distinct-order series that
+    * already fits the bound. */
   def theilSen(series: DataFrame, orderCol: String,
                valueCol: String,
-               maxPoints: Int = TheilSenMaxPoints): DataFrame = {
-    val pts = series.agg(
+               maxPoints: Int = TheilSenMaxPoints,
+               coarsen: Boolean = false): DataFrame = {
+    val in = if (coarsen) coarsenToBound(series, Nil, orderCol, valueCol,
+      maxPoints) else series
+    val pts = in.agg(
       sort_array(collect_list(struct(col(orderCol).cast("long").as("t"),
         col(valueCol).cast("long").as("y")))).as("pts"))
     val pairs = pts
@@ -259,6 +266,59 @@ object SeriesStats {
     * Past it, pre-aggregate the series coarser (weekly) — the
     * estimator is scale-equivariant. */
   val TheilSenMaxPoints: Int = 16384
+
+  /** The Theil-Sen family's documented escape hatch made code (round-10
+    * verdict item 7): pre-aggregate `series` to AT MOST `maxPoints`
+    * points (per key, when `keyCols` is non-empty) by slicing the
+    * order axis into equal-width integer buckets and taking the
+    * LOWER MEDIAN of order and value inside each bucket — the exact,
+    * engine-replayable form of "aggregate weekly first", keeping the
+    * estimator's robustness (a bucket median is itself outlier-proof).
+    *
+    * Width is data-conditional inside the plan, never a branch: when
+    * the (per-key) point count already fits the bound the width is 1
+    * and a distinct-order series passes through EXACTLY (bucket ==
+    * order value, median of one point == the point); past the bound
+    * `width = span div maxPoints + 1`, which caps occupied buckets at
+    * `span/width + 1 <= maxPoints`. Duplicate order values are merged
+    * into their bucket's median rather than raising — `coarsen=true`
+    * IS the "aggregate to one point per order value" the guard's
+    * message prescribes.
+    *
+    * Output columns are `orderCol`/`valueCol` as int64 (the pair
+    * transform casts to long anyway). Scale shape: one stats
+    * aggregate (broadcast back, or an equi-join on the key for the
+    * grouped form — fleet-sized key domains must not force a
+    * broadcast, changepointByKey's rule) and one groupBy over the
+    * bounded series. */
+  private def coarsenToBound(series: DataFrame, keyCols: Seq[String],
+                             orderCol: String, valueCol: String,
+                             maxPoints: Int): DataFrame = {
+    val t = col(orderCol).cast("long")
+    val joined = if (keyCols.isEmpty) {
+      val st = series.agg(min(t).as("__t0"), max(t).as("__t1"),
+        count(lit(1)).as("__cnt"))
+      series.crossJoin(broadcast(st))
+    } else {
+      val st = series.groupBy(keyCols.map(col): _*)
+        .agg(min(t).as("__t0"), max(t).as("__t1"),
+          count(lit(1)).as("__cnt"))
+      series.join(st, keyCols)
+    }
+    joined
+      .withColumn("__w",
+        when(col("__cnt") <= maxPoints, lit(1L))
+          .otherwise(expr(s"(__t1 - __t0) div ${maxPoints}L + 1L")))
+      .withColumn("__b", expr(s"(CAST($orderCol AS LONG) - __t0) div __w"))
+      .groupBy((keyCols :+ "__b").map(col): _*)
+      .agg(sort_array(collect_list(t)).as("__ts"),
+        sort_array(collect_list(col(valueCol).cast("long"))).as("__ys"))
+      .select((keyCols.map(col) ++ Seq(
+        expr("element_at(__ts, CAST((size(__ts) + 1) div 2 AS INT))")
+          .as(orderCol),
+        expr("element_at(__ys, CAST((size(__ys) + 1) div 2 AS INT))")
+          .as(valueCol))): _*)
+  }
 
   /** The O(n²/2) i<j pair set as ONE in-row transform over the
     * collected, sorted point array — never a series self-join. */
@@ -304,8 +364,11 @@ object SeriesStats {
     * contracts are executable exactly as in [[theilSen]]. */
   def theilSenByKey(series: DataFrame, keyCol: String, orderCol: String,
                     valueCol: String,
-                    maxPoints: Int = TheilSenMaxPoints): DataFrame = {
-    val pts = series.groupBy(col(keyCol))
+                    maxPoints: Int = TheilSenMaxPoints,
+                    coarsen: Boolean = false): DataFrame = {
+    val in = if (coarsen) coarsenToBound(series, Seq(keyCol), orderCol,
+      valueCol, maxPoints) else series
+    val pts = in.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col(orderCol).cast("long").as("t"),
         col(valueCol).cast("long").as("y")))).as("pts"))
     val pairs = pts

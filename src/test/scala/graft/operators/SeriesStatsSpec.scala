@@ -220,6 +220,57 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(messageChain(e).contains("duplicate order values"))
   }
 
+  test("theilSen coarsen=true: a 10x over-bound series estimates within tolerance") {
+    // 640 points against a 64-point bound; y = 7t with every 10th
+    // point an extreme outlier (+5000) — the bucket medians absorb the
+    // outliers and the coarsened Theil-Sen recovers the true slope
+    val df = (0L until 640L)
+      .map(t => (t, 7 * t + (if (t % 10 == 0) 5000L else 0L)))
+      .toDF("t", "y")
+    // plain form raises past the bound; coarsen runs
+    intercept[Exception] {
+      SeriesStats.theilSen(df, "t", "y", maxPoints = 64).collect()
+    }
+    val r = SeriesStats.theilSen(df, "t", "y", maxPoints = 64,
+      coarsen = true).collect().head
+    assert(r.getAs[Long]("n") <= 64L) // the bound held post-coarsen
+    val slope = r.getAs[Long]("slope_micros")
+    assert(math.abs(slope - 7000000L) <= 70000L, s"slope_micros=$slope")
+  }
+
+  test("theilSen coarsen=true: identity when a distinct-order series fits the bound") {
+    val df = (0L until 9L).map(t => (t, 3 * t + (t % 3))).toDF("t", "y")
+    val plain = SeriesStats.theilSen(df, "t", "y").collect().head
+    val co = SeriesStats.theilSen(df, "t", "y", coarsen = true)
+      .collect().head
+    assert(co.toSeq === plain.toSeq)
+  }
+
+  test("theilSen coarsen=true: duplicate order values merge to their bucket median") {
+    // duplicates raise in the plain form; coarsen aggregates them to
+    // one point per order value (the guard message's own prescription)
+    val df = Seq((0L, 0L), (1L, 7L), (1L, 9L), (1L, 11L), (2L, 18L))
+      .toDF("t", "y")
+    val r = SeriesStats.theilSen(df, "t", "y", coarsen = true)
+      .collect().head
+    // coarsened points: (0,0), (1, 9=median), (2,18) -> slope 9
+    assert(r.getAs[Long]("n") === 3L &&
+      r.getAs[Long]("slope_micros") === 9000000L)
+  }
+
+  test("theilSenByKey coarsen=true: per-key bound, per-key identity") {
+    val big = (0L until 200L).map(t => ("big", t, 5 * t))
+    val small = (0L until 6L).map(t => ("small", t, 11 * t))
+    val df = (big ++ small).toDF("k", "t", "y")
+    val got = SeriesStats.theilSenByKey(df, "k", "t", "y", maxPoints = 50,
+      coarsen = true).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("slope_micros")))).toMap
+    assert(got("big")._1 <= 50L && got("big")._2 === 5000000L)
+    // the small key fits the bound -> untouched exact slope
+    assert(got("small") === ((6L, 11000000L)))
+  }
+
   test("theilSenByKey equals per-key theilSen; single-point keys absent") {
     val a = (0L until 9L).map(t => ("a", t, 3 * t + (t % 3)))
     val b = (0L until 7L).map(t => ("b", t * 2, 50 - 4 * t))
