@@ -212,13 +212,16 @@ object SparkEntry {
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
 
-  /** Rolling triangular means (A3) at windows 5 and 10, unrounded. */
+  /** Rolling triangular means (A3) at windows 5 and 10, unrounded —
+    * through the round-11 Kahan ring-buffer kernel (O(1)/row, shared
+    * with a5; TriangularRollingSpec pins bit parity against the exact
+    * collect-based fold). */
   private def rollingTriang(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     t(s, dir, "events").select(
       col("event_id"), col("user_id"), col("value"),
-      TriangularRolling.triangMean(col("value"), w, 5).as("tri5"),
-      TriangularRolling.triangMean(col("value"), w, 10).as("tri10"))
+      TriangularRolling.triangMeanKahan(col("value"), w, 5).as("tri5"),
+      TriangularRolling.triangMeanKahan(col("value"), w, 10).as("tri10"))
   }
 
 
@@ -747,7 +750,7 @@ object SparkEntry {
         cents(col("value")).as("vc"),
         length(col("props")).cast("long").as("pl"),
         (col("event_id") % 97).as("em"))
-      val rolled = TriangularRolling.triangMeansFast(
+      val rolled = TriangularRolling.triangMeansKahan(
         base, Seq("event_type"), Seq("ts", "event_id"),
         Seq("vc", "pl", "em"), Seq(20, 120, 1200))
       val triCols = for { ch <- Seq("vc", "pl", "em"); n <- Seq(20, 120, 1200) }

@@ -58,6 +58,39 @@ object TriangularRolling {
     when(size(arr) === n && !isnan(mean), mean)
   }
 
+  /** The round-11 kernel — O(1)/row AND exact-class: the trailing
+    * triangular mean as a custom window aggregate
+    * ([[graft.functions.TriangRollingKahan]]) over the RUNNING frame,
+    * whose state is a ring buffer of the last `n` values with
+    * Neumaier-compensated sliding sums. Same pinned pandas semantics
+    * as [[triangMean]] (null until `n` rows; NaN/null poisons while
+    * inside the window), bit-EQUAL to it on integer-valued inputs
+    * (every update exact below 2^53 — the a5 gate discipline) and
+    * ulp-class on floats with NO dependence on partition length
+    * (unlike the prefix-sum kernel's difference-of-cumsum
+    * cancellation, every running quantity here is window-local).
+    * All (channel, window) columns over the same `w` share ONE
+    * partition sort/exchange, like every other frame. */
+  def triangMeanKahan(value: Column, w: WindowSpec, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.TriangRollingKahan(
+        Bridge.expression(value.cast("double")), n).toAggregateExpression())
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
+  /** [[triangMeanKahan]] for every (channel, window) pair — the
+    * drop-in signature twin of [[triangMeansFast]], sharing one
+    * partition sort across all output columns. */
+  def triangMeansKahan(df: DataFrame, partitionCols: Seq[String],
+                       orderCols: Seq[String], channels: Seq[String],
+                       ns: Seq[Int], outPrefix: String = "tri"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val outCols = for { ch <- channels; n <- ns }
+      yield triangMeanKahan(col(ch), w, n).as(s"${outPrefix}_${ch}_$n")
+    df.select(df.columns.map(col).toSeq ++ outCols: _*)
+  }
+
   /** O(1)-per-row triangular rolling means via prefix-sum decomposition
     * — the 100 TB path for the reference's windows up to 1200 rows.
     *

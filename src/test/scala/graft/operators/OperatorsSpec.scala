@@ -73,6 +73,81 @@ class TriangularRollingSpec extends AnyFunSuite {
     assert(got == Seq(None, None, None, None, None, Some(5.0), Some(6.0)))
   }
 
+  test("Kahan ring kernel: BIT parity with the exact fold on integer values") {
+    // the a5 gate discipline: integer-valued channels make every
+    // sliding update exact below 2^53, so the O(1) kernel must equal
+    // the O(n) collect-based fold BITWISE — not within tolerance
+    val rng = new scala.util.Random(7)
+    val vals: Seq[Option[Double]] = (0 until 500).map { _ =>
+      if (rng.nextDouble() < 0.06) None
+      else Some(rng.nextInt(100000).toDouble)
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong % 3, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val ns = Seq(1, 2, 4, 5, 10, 45, 120)
+    val w = Window.partitionBy("k").orderBy("t")
+    val slow = df.select(Seq(col("k"), col("t")) ++
+      ns.map(n => TriangularRolling.triangMean(col("v"), w, n).as(s"slow_$n")): _*)
+    val fast = TriangularRolling.triangMeansKahan(df, Seq("k"), Seq("t"),
+      Seq("v"), ns)
+    val joined = slow.join(fast, Seq("k", "t")).orderBy("k", "t").collect()
+    joined.foreach { r =>
+      ns.foreach { n =>
+        val si = r.fieldIndex(s"slow_$n"); val fi = r.fieldIndex(s"tri_v_$n")
+        (r.isNullAt(si), r.isNullAt(fi)) match {
+          case (true, true) => // both null: agree
+          case (false, false) =>
+            assert(java.lang.Double.doubleToLongBits(r.getDouble(si)) ===
+              java.lang.Double.doubleToLongBits(r.getDouble(fi)),
+              s"n=$n k=${r.getLong(0)} t=${r.getLong(1)}: " +
+                s"${r.getDouble(si)} vs ${r.getDouble(fi)}")
+          case other => fail(s"null mismatch n=$n t=${r.getLong(1)}: $other")
+        }
+      }
+    }
+  }
+
+  test("Kahan ring kernel: ulp-class on floats, pandas nulls, long partitions") {
+    // float values: parity within ulps regardless of partition length
+    // (the prefix kernel's cancellation class is absent by design)
+    val rng = new scala.util.Random(13)
+    val vals: Seq[Option[Double]] = (0 until 1200).map { _ =>
+      if (rng.nextDouble() < 0.05) None
+      else Some(rng.nextDouble() * 1e6 - 5e5)
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (0L, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val ns = Seq(5, 20, 300)
+    val w = Window.partitionBy("k").orderBy("t")
+    val slow = df.select(Seq(col("k"), col("t")) ++
+      ns.map(n => TriangularRolling.triangMean(col("v"), w, n).as(s"slow_$n")): _*)
+    val fast = TriangularRolling.triangMeansKahan(df, Seq("k"), Seq("t"),
+      Seq("v"), ns)
+    val joined = slow.join(fast, Seq("k", "t")).orderBy("t").collect()
+    joined.foreach { r =>
+      ns.foreach { n =>
+        val si = r.fieldIndex(s"slow_$n"); val fi = r.fieldIndex(s"tri_v_$n")
+        (r.isNullAt(si), r.isNullAt(fi)) match {
+          case (true, true) =>
+          case (false, false) =>
+            val (a, b) = (r.getDouble(si), r.getDouble(fi))
+            assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+              s"n=$n t=${r.getLong(1)}: $a vs $b")
+          case other => fail(s"null mismatch n=$n t=${r.getLong(1)}: $other")
+        }
+      }
+    }
+  }
+
+  test("Kahan ring kernel: one window exchange/sort for all columns, no collect_list") {
+    val df = (0L until 50L).map(i => (i % 2, i, i.toDouble)).toDF("k", "t", "v")
+    val plan = TriangularRolling.triangMeansKahan(df, Seq("k"), Seq("t"),
+      Seq("v"), Seq(5, 10, 20)).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("Sort \\[".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("collect_list"), plan)
+  }
+
   test("prefix-sum fast kernel agrees with the exact kernel (incl. nulls, multiple windows)") {
     val rng = new scala.util.Random(42)
     val vals: Seq[Option[Double]] = (0 until 400).map { _ =>
