@@ -169,6 +169,78 @@ object SparkEntry {
       .withColumn("__split",
         expr("date_add(__d0, CAST(datediff(__d1, __d0) div 2 AS INT))"))
 
+  /** a18/w26 shared tail: inject TWO level shifts at the series'
+    * third points (+50 then -80 — asymmetric so the greedy discovery
+    * order is pinned) and run the k=2 binary-segmentation locator.
+    * `daily` is the (day, x) daily-count series — built by a batch
+    * groupBy (a18) or read from the streaming aggregation store
+    * (w26), whose count parity w25 already pins. */
+  private def changepointsDailyTail(daily: DataFrame): DataFrame = {
+    val shifted = daily
+      .crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
+        max(col("day")).as("__d1"))))
+      .withColumn("__t1",
+        expr("date_add(__d0, CAST(datediff(__d1, __d0) div 3 AS INT))"))
+      .withColumn("__t2",
+        expr("date_add(__d0, CAST(2 * datediff(__d1, __d0) div 3 AS INT))"))
+      .select(col("day"),
+        (col("x") +
+          when(col("day") >= col("__t1"), lit(50L)).otherwise(lit(0L)) +
+          when(col("day") >= col("__t2"), lit(-80L)).otherwise(lit(0L)))
+          .as("x"))
+    operators.SeriesStats.changepoints(shifted, "day", "x", 2)
+      .select(col("step"), col("n"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cusum"), col("abs_cusum"))
+      .orderBy("step")
+  }
+
+  /** The a18/w26 oracle: replay the daily counts, both injected
+    * shifts, and BOTH unrolled greedy rounds (round 2 splits on round
+    * 1's pick). */
+  private val changepointsOracleSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1),
+             b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
+             sh AS (SELECT dy, CAST(x
+                 + CASE WHEN dy >= d0 + CAST((d1 - d0) // 3 AS INTEGER)
+                     THEN 50 ELSE 0 END
+                 + CASE WHEN dy >= d0 + CAST(2 * (d1 - d0) // 3 AS INTEGER)
+                     THEN -80 ELSE 0 END AS BIGINT) x
+               FROM d, b),
+             st1 AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM sh),
+             c1 AS (SELECT dy, st1.n, st1.n * x - st1.s c FROM sh, st1),
+             cu1 AS (SELECT dy, n,
+               CAST(SUM(c) OVER (ORDER BY dy) AS BIGINT) cusum FROM c1),
+             p1 AS (SELECT dy, n, cusum FROM
+               (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY ABS(cusum) DESC, dy) rn FROM cu1)
+               WHERE rn = 1),
+             seg AS (SELECT sh.dy, sh.x,
+               CASE WHEN sh.dy <= p1.dy THEN 0 ELSE 1 END g FROM sh, p1),
+             st2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM seg GROUP BY 1),
+             c2 AS (SELECT seg.dy, seg.g, st2.n, st2.n * seg.x - st2.s c
+               FROM seg JOIN st2 USING (g)),
+             cu2 AS (SELECT dy, g, n,
+               CAST(SUM(c) OVER (PARTITION BY g ORDER BY dy) AS BIGINT) cusum
+               FROM c2),
+             r2 AS (SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY g ORDER BY ABS(cusum) DESC, dy) rn FROM cu2),
+             p2 AS (SELECT dy, n, cusum FROM
+               (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY ABS(cusum) DESC, dy) rn2 FROM r2 WHERE rn = 1)
+               WHERE rn2 = 1),
+             u AS (SELECT CAST(1 AS BIGINT) AS step, n,
+                 strftime(dy, '%Y-%m-%d') AS day, cusum,
+                 CAST(ABS(cusum) AS BIGINT) AS abs_cusum FROM p1
+               UNION ALL SELECT CAST(2 AS BIGINT), n,
+                 strftime(dy, '%Y-%m-%d'), cusum,
+                 CAST(ABS(cusum) AS BIGINT) FROM p2)
+             SELECT step, n, day, cusum, abs_cusum FROM u
+             WHERE abs_cusum > 0 ORDER BY step"""
+
   private def changepointDailyTail(daily: DataFrame): DataFrame = {
     val shifted = withMidpointSplit(daily)
       .select(col("day"),
@@ -9840,69 +9912,40 @@ object SparkEntry {
     // sequence — which point, in which order — is engine-identical.
     // The oracle unrolls both rounds; the spec pins exact
     // localization of both shifts on clean steps plus the early-stop.
-    ("a18_changepoints", (s, dir) => {
-      val daily = t(s, dir, "events")
+    ("a18_changepoints", (s, dir) =>
+      changepointsDailyTail(t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-      val shifted = daily
-        .crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
-          max(col("day")).as("__d1"))))
-        .withColumn("__t1",
-          expr("date_add(__d0, CAST(datediff(__d1, __d0) div 3 AS INT))"))
-        .withColumn("__t2",
-          expr("date_add(__d0, CAST(2 * datediff(__d1, __d0) div 3 AS INT))"))
-        .select(col("day"),
-          (col("x") +
-            when(col("day") >= col("__t1"), lit(50L)).otherwise(lit(0L)) +
-            when(col("day") >= col("__t2"), lit(-80L)).otherwise(lit(0L)))
-            .as("x"))
-      SeriesStats.changepoints(shifted, "day", "x", 2)
-        .select(col("step"), col("n"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("cusum"), col("abs_cusum"))
-        .orderBy("step")
+        .agg(count(lit(1)).as("x"))),
+      Some(changepointsOracleSql)),
+
+    // STREAMING multi-changepoint (a18's twin at ingest, w25's
+    // discipline one level up): daily counts maintained by the
+    // streaming aggregation store across 3 micro-batches, then the
+    // greedy binary-segmentation locator runs its k bounded rounds on
+    // the BOUNDED stored series — a 100 TB event stream gets live
+    // multi-shift location without ever recounting history. Counts
+    // are distributive, so stream == batch EXACTLY and the gate
+    // shares a18's oracle (the w23/w24/w25 shared-oracle parity pin).
+    ("w26_stream_changepoints", (s, dir) => {
+      val raw = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+          lit(1L).as("one"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w26").toString
+      (0 to 2).foreach(i => raw.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainAggSnapshot(
+        stream, s"$tmp/store", s"$tmp/ckpt", "day", "one")
+      q.awaitTermination()
+      changepointsDailyTail(
+        graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+          .select(col("day"), col("n").as("x")))
     },
-      Some("""WITH d AS (SELECT CAST(ts AS DATE) dy, COUNT(*) x
-               FROM events GROUP BY 1),
-             b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
-             sh AS (SELECT dy, CAST(x
-                 + CASE WHEN dy >= d0 + CAST((d1 - d0) // 3 AS INTEGER)
-                     THEN 50 ELSE 0 END
-                 + CASE WHEN dy >= d0 + CAST(2 * (d1 - d0) // 3 AS INTEGER)
-                     THEN -80 ELSE 0 END AS BIGINT) x
-               FROM d, b),
-             st1 AS (SELECT CAST(COUNT(*) AS BIGINT) n,
-               CAST(SUM(x) AS BIGINT) s FROM sh),
-             c1 AS (SELECT dy, st1.n, st1.n * x - st1.s c FROM sh, st1),
-             cu1 AS (SELECT dy, n,
-               CAST(SUM(c) OVER (ORDER BY dy) AS BIGINT) cusum FROM c1),
-             p1 AS (SELECT dy, n, cusum FROM
-               (SELECT *, ROW_NUMBER() OVER
-                  (ORDER BY ABS(cusum) DESC, dy) rn FROM cu1)
-               WHERE rn = 1),
-             seg AS (SELECT sh.dy, sh.x,
-               CASE WHEN sh.dy <= p1.dy THEN 0 ELSE 1 END g FROM sh, p1),
-             st2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
-               CAST(SUM(x) AS BIGINT) s FROM seg GROUP BY 1),
-             c2 AS (SELECT seg.dy, seg.g, st2.n, st2.n * seg.x - st2.s c
-               FROM seg JOIN st2 USING (g)),
-             cu2 AS (SELECT dy, g, n,
-               CAST(SUM(c) OVER (PARTITION BY g ORDER BY dy) AS BIGINT) cusum
-               FROM c2),
-             r2 AS (SELECT *, ROW_NUMBER() OVER
-               (PARTITION BY g ORDER BY ABS(cusum) DESC, dy) rn FROM cu2),
-             p2 AS (SELECT dy, n, cusum FROM
-               (SELECT *, ROW_NUMBER() OVER
-                  (ORDER BY ABS(cusum) DESC, dy) rn2 FROM r2 WHERE rn = 1)
-               WHERE rn2 = 1),
-             u AS (SELECT CAST(1 AS BIGINT) AS step, n,
-                 strftime(dy, '%Y-%m-%d') AS day, cusum,
-                 CAST(ABS(cusum) AS BIGINT) AS abs_cusum FROM p1
-               UNION ALL SELECT CAST(2 AS BIGINT), n,
-                 strftime(dy, '%Y-%m-%d'), cusum,
-                 CAST(ABS(cusum) AS BIGINT) FROM p2)
-             SELECT step, n, day, cusum, abs_cusum FROM u
-             WHERE abs_cusum > 0 ORDER BY step"""))
+      Some(changepointsOracleSql))
   )
 
   // ---------- driver contract ----------

@@ -281,6 +281,9 @@ object HeavyRunner {
         Some(r)
       } else None
 
+    // run-1 walls observed so far in THIS fork (ms) — feeds repeatRoom
+    val run1Walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val (touchedBytes, touchSec) = firstTouch(dir) // page cache, untimed
     Tables.load(spark, dir, "lineitem").count()    // footers/codegen warm
     System.err.println(f"[heavy] first-touch ${touchedBytes / 1e6}%.0f MB " +
@@ -312,14 +315,20 @@ object HeavyRunner {
         var firstWallMs = 0L
         // Run i>1 yields to COVERAGE (round-11): a repeat is only
         // taken when the time it costs (~run 1's wall) plus one run of
-        // each still-waiting query (estimated at max(run-1 wall, 3 s)
-        // apiece) fits the deadline — a roster member with one warm
-        // measurement beats a repeat of a member that already has one
-        // (the warm pass makes run 1 warm-class, so min-of-2 adds
-        // variance data, not correctness).
+        // each still-waiting query fits the deadline — a roster member
+        // with one warm measurement beats a repeat of a member that
+        // already has one. The per-waiting-member estimate is the MEAN
+        // of the fork's PRIOR run-1 walls (3 s floor), not the current
+        // member's own wall: a cache-building first member (e6 in the
+        // round-11 official run: 31.4 s cold build, ~2 s warm) would
+        // otherwise project its one-off cost onto every waiting member
+        // and shed exactly the warm repeat that corrects its number.
         def repeatRoom: Boolean = {
+          val prior = run1Walls.dropRight(1) // exclude this member's own
+          val priorMean =
+            if (prior.isEmpty) 3000.0 else prior.sum / prior.size
           val reserve = (queries.size - qi - 1) *
-            math.max(firstWallMs, 3000L)
+            math.max(priorMean, 3000.0)
           msLeft > firstWallMs + reserve
         }
         val runs = (1 to n).flatMap { i =>
@@ -340,7 +349,10 @@ object HeavyRunner {
             val t0 = System.nanoTime()
             fn(spark, dir).write.format("noop").mode("overwrite").save()
             val wall = (System.nanoTime() - t0) / 1e9
-            if (i == 1) firstWallMs = (wall * 1000).toLong
+            if (i == 1) {
+              firstWallMs = (wall * 1000).toLong
+              run1Walls += wall * 1000
+            }
             receipts.foreach(_.drain(s"$q run$i"))
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
               (diskReadBytes - i0) / 1e6))
