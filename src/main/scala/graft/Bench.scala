@@ -294,7 +294,8 @@ object Bench {
     def remainingForkSec: Double = remainingSec - graceSec - 15.0
 
     def runHeavyFork(heavyDir: String, cp: String, javaBin: String,
-                     queries: Seq[String], nRuns: Int): Seq[HeavyResult] = {
+                     queries: Seq[String], nRuns: Int,
+                     warmPass: Boolean): Seq[HeavyResult] = {
       val deadlineMs = System.currentTimeMillis() +
         (math.max(remainingForkSec, 1.0) * 1000).toLong
       val cmd = Seq(javaBin) ++ tools.HeavyRunner.jdk17AddOpens ++ Seq(
@@ -303,10 +304,16 @@ object Bench {
         heavyDir, nRuns.toString) ++ queries
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_HEAVY_DEADLINE_MS", deadlineMs.toString)
-      // the fork pre-warms each query with one untimed pass at the
-      // LIGHT scale dir before timing it at heavy scale (kills the
-      // e3/n5 first-touch JIT/codegen cold run — round-10 verdict)
-      pb.environment().put("SPARK_GRAFT_WARM_DIR", sfDir)
+      // CANARY fork only: pre-warm each query with one untimed pass at
+      // the LIGHT scale dir before timing it at heavy scale — kills
+      // the e3/n5 first-touch JIT/codegen cold run (round-10 verdict;
+      // official r11 proof: e3 19.0 -> 6.5 s). The WORST-CASE fork
+      // runs without it: its members are cache-build/saturation-bound,
+      // and the warm pass measurably inflates them (d5 receipts:
+      // [16.8, 6.6] bare vs [29, 26] warmed, ~4x the cpu-s — the
+      // light-scale pass's dead shuffle/broadcast state competes with
+      // the saturated verify even after a cache drop + GC).
+      if (warmPass) pb.environment().put("SPARK_GRAFT_WARM_DIR", sfDir)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       // Distinguishes OUR deadline kill (budget exhaustion -> skipped,
@@ -408,11 +415,11 @@ object Bench {
         // member with a standing BENCH_NOTES receipt beats a measured
         // member with a misleading number.
         val measured = lastMeasuredHeavy()
-        Seq((rotateUnmeasuredFirst(heavyCanaries, measured), heavyN),
-            (rotateUnmeasuredFirst(heavyWorstCases, measured), heavyN))
-          .flatMap { case (group, n) =>
+        Seq((rotateUnmeasuredFirst(heavyCanaries, measured), heavyN, true),
+            (rotateUnmeasuredFirst(heavyWorstCases, measured), heavyN, false))
+          .flatMap { case (group, n, warm) =>
             if (remainingForkSec < 60) { skipped ++= group; Seq.empty }
-            else runHeavyFork(heavyDir, cp, javaBin, group, n)
+            else runHeavyFork(heavyDir, cp, javaBin, group, n, warm)
           }
       } else {
         System.err.println("[bench] no classes dir; heavy tier in-session")

@@ -307,6 +307,13 @@ object HeavyRunner {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case scala.util.control.NonFatal(_) => None }
         }
+        // The warm pass is for JIT/codegen ONLY: its light-scale
+        // persisted indexes (sig/pair caches keyed per (session, dir))
+        // must not ride into the timed heavy runs — measured: d5 with
+        // the sf0.1 caches left live read [98, 30] s against its
+        // [17.6, 8.7] no-warm-pass band (storage eviction churn),
+        // while JIT warmth survives the drop.
+        if (warmSec.nonEmpty) SparkEntry.clearCaches(spark)
         // A query that throws must still leave a NAMED line on stdout —
         // a data-drift failure in the heavy tier has to be visible in
         // the bench artifact, not just interleaved stderr (round 6: six

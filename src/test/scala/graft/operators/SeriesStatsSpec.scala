@@ -402,6 +402,47 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(runCps(Seq.empty, 2).isEmpty)
   }
 
+  test("changepoints: random series matches a driver-side greedy integer replay") {
+    val rng = new scala.util.Random(1123)
+    val xs = Seq.fill(40)(rng.nextInt(200).toLong)
+    // exact greedy replay in BigInt: per segment compute the CUSUM
+    // argmax (ties -> smallest t), pick the global strongest, split
+    def segArgmax(pts: Seq[(Long, Long)]): (Long, BigInt, Long) = {
+      val n = BigInt(pts.size)
+      val s = BigInt(pts.map(_._2).sum)
+      var cum = BigInt(0)
+      var best: (BigInt, Long, BigInt) = null // (abs, t, cusum)
+      pts.sortBy(_._1).foreach { case (t, x) =>
+        cum += n * x - s
+        val a = cum.abs
+        if (best == null || a > best._1 ||
+          (a == best._1 && t < best._2)) best = (a, t, cum)
+      }
+      (best._2, best._3, pts.size.toLong)
+    }
+    def replay(pts: Seq[(Long, Long)], k: Int): Seq[(Long, Long, Long, Long)] = {
+      var bounds = Seq.empty[Long]
+      (1 to k).flatMap { step =>
+        val segs = pts.groupBy { case (t, _) => bounds.count(_ < t) }
+        val picks = segs.values.map(segArgmax)
+          .filter { case (_, cusum, _) => cusum != 0 }
+        if (picks.isEmpty) None
+        else {
+          val (t, cusum, n) = picks.maxBy { case (t, c, _) => (c.abs, -t) }
+          bounds = bounds :+ t
+          Some((step.toLong, n, t, cusum.toLong))
+        }
+      }
+    }
+    val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    val got = SeriesStats.changepoints(df, "t", "x", 4).orderBy("step")
+      .collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("n"),
+        r.getAs[Long]("t"), r.getAs[Long]("cusum")))
+    val want = replay(xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }, 4)
+    assert(got.toSeq === want)
+  }
+
   test("changepoints: k=1 equals the single-changepoint locator") {
     val xs = (0 until 30).map(t => if (t < 12) 10L else 20L)
     val (_, t1, cusum, _) = runCp(xs)
