@@ -9945,7 +9945,90 @@ object SparkEntry {
         graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
           .select(col("day"), col("n").as("x")))
     },
-      Some(changepointsOracleSql))
+      Some(changepointsOracleSql)),
+
+    // GROUPED multi-changepoint (functions.GreedyChangepoints via
+    // SeriesStats.changepointsByKey): "WHICH sources shifted
+    // repeatedly, and when" — a18's recursion per key with ZERO
+    // driver iterations: the whole greedy binary segmentation runs
+    // in-row over each key's collected sorted series (theilSen's
+    // in-row discipline applied to the recursion; a per-key driver
+    // loop would serialize a million-key fleet). Two shifts injected
+    // into the 'error' type only (+50/−80 at the global third
+    // points), so the output shows both regimes: the injected type
+    // locates its two boundaries, the others their natural (still
+    // deterministic) strongest pair. Oracle: the a18 unroll
+    // PARTITIONED by event_type.
+    ("a19_changepoints_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val shifted = daily
+        .crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
+          max(col("day")).as("__d1"))))
+        .withColumn("__t1",
+          expr("date_add(__d0, CAST(datediff(__d1, __d0) div 3 AS INT))"))
+        .withColumn("__t2",
+          expr("date_add(__d0, CAST(2 * datediff(__d1, __d0) div 3 AS INT))"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("td"),
+          (col("x") +
+            when(col("event_type") === "error" &&
+              col("day") >= col("__t1"), lit(50L)).otherwise(lit(0L)) +
+            when(col("event_type") === "error" &&
+              col("day") >= col("__t2"), lit(-80L)).otherwise(lit(0L)))
+            .as("x"))
+      SeriesStats.changepointsByKey(shifted, "event_type", "td", "x", 2)
+        .orderBy("event_type", "step")
+    },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1, 2),
+             b AS (SELECT MIN(dy) d0, MAX(dy) d1 FROM d),
+             sh AS (SELECT event_type,
+                 CAST(dy - DATE '1970-01-01' AS BIGINT) td,
+                 CAST(x
+                 + CASE WHEN event_type = 'error'
+                     AND dy >= d0 + CAST((d1 - d0) // 3 AS INTEGER)
+                     THEN 50 ELSE 0 END
+                 + CASE WHEN event_type = 'error'
+                     AND dy >= d0 + CAST(2 * (d1 - d0) // 3 AS INTEGER)
+                     THEN -80 ELSE 0 END AS BIGINT) x
+               FROM d, b),
+             st1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM sh GROUP BY 1),
+             c1 AS (SELECT sh.event_type, td, st1.n,
+               st1.n * x - st1.s c FROM sh JOIN st1 USING (event_type)),
+             cu1 AS (SELECT event_type, td, n,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY td)
+                 AS BIGINT) cusum FROM c1),
+             p1 AS (SELECT event_type, td, n, cusum FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY ABS(cusum) DESC, td) rn FROM cu1)
+               WHERE rn = 1),
+             seg AS (SELECT sh.event_type, sh.td, sh.x,
+               CASE WHEN sh.td <= p1.td THEN 0 ELSE 1 END g
+               FROM sh JOIN p1 USING (event_type)),
+             st2 AS (SELECT event_type, g, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x) AS BIGINT) s FROM seg GROUP BY 1, 2),
+             c2 AS (SELECT seg.event_type, seg.td, seg.g, st2.n,
+               st2.n * seg.x - st2.s c
+               FROM seg JOIN st2 ON seg.event_type = st2.event_type
+                 AND seg.g = st2.g),
+             cu2 AS (SELECT event_type, td, g, n,
+               CAST(SUM(c) OVER (PARTITION BY event_type, g ORDER BY td)
+                 AS BIGINT) cusum FROM c2),
+             r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, g
+               ORDER BY ABS(cusum) DESC, td) rn FROM cu2),
+             p2 AS (SELECT event_type, td, n, cusum FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY ABS(cusum) DESC, td) rn2 FROM r2 WHERE rn = 1)
+               WHERE rn2 = 1),
+             u AS (SELECT event_type, CAST(1 AS BIGINT) AS step, n, td,
+                 cusum, CAST(ABS(cusum) AS BIGINT) AS abs_cusum FROM p1
+               UNION ALL SELECT event_type, CAST(2 AS BIGINT), n, td,
+                 cusum, CAST(ABS(cusum) AS BIGINT) FROM p2)
+             SELECT event_type, step, n, td, cusum, abs_cusum FROM u
+             WHERE abs_cusum > 0 ORDER BY event_type, step"""))
   )
 
   // ---------- driver contract ----------

@@ -563,6 +563,53 @@ object SeriesStats {
     spark.createDataFrame(picks.toSeq.asJava, schema)
   }
 
+  /** Default per-key point bound for [[changepointsByKey]]: the
+    * greedy pass is O(k·n) in-row (never explosive like theilSen's
+    * pairs), so the bound guards only the collected array's memory —
+    * 2^20 points × 16 B = 16 MB per key. */
+  val ChangepointsMaxPoints: Int = 1 << 20
+
+  /** GROUPED [[changepoints]] — "WHICH sources shifted repeatedly,
+    * and when", the fleet form. The single-series operator's k driver
+    * rounds are the right shape for ONE series; a per-key driver loop
+    * would serialize the fleet, so here the whole greedy recursion
+    * runs IN-ROW over each key's collected sorted series
+    * ([[graft.functions.GreedyChangepoints]], O(k·n) per key —
+    * theilSen's in-row discipline applied to the recursion): one
+    * groupBy, one projection, no window, no join, no driver
+    * iteration; embarrassingly parallel across keys.
+    *
+    * Same engine-exact semantics as [[changepoints]], per key
+    * (SeriesStatsSpec pins the parity); the expression raises on
+    * duplicate/NULL order values (the family's executable contract)
+    * and the size bound rides inside the consumed array expression.
+    * Keys whose series is constant locate nothing and are absent.
+    * Output: (keyCol, step, n, orderCol, cusum, abs_cusum), orderCol
+    * as int64. */
+  def changepointsByKey(series: DataFrame, keyCol: String,
+                        orderCol: String, valueCol: String, k: Int,
+                        maxPoints: Int = ChangepointsMaxPoints): DataFrame = {
+    val pts = series.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("y")))).as("pts"))
+    // executable size bound, consumed inside the array the expression
+    // reads (slice(pts, 1, size + 0) == pts; theilSenGuardedN's trick)
+    val sizeOk = coalesce(
+      assert_true(size(col("pts")) <= lit(maxPoints),
+        concat(lit("changepointsByKey: series of "),
+          size(col("pts")).cast("string"),
+          lit(s" points exceeds the $maxPoints per-key bound; " +
+            "pre-aggregate the series coarser first"))).cast("int"),
+      lit(0))
+    val guarded = slice(col("pts"), lit(1), size(col("pts")) + sizeOk)
+    pts
+      .select(col(keyCol),
+        explode(graft.functions.GreedyChangepoints.of(guarded, k)).as("cp"))
+      .select(col(keyCol), col("cp.step").as("step"), col("cp.n").as("n"),
+        col("cp.t").as(orderCol), col("cp.cusum").as("cusum"),
+        col("cp.abs_cusum").as("abs_cusum"))
+  }
+
   /** Per-row SEASONALLY-ADJUSTED residual — the classical
     * decomposition's remainder term, the input an anomaly ranker
     * actually wants ("how far is this day from what trend + weekday

@@ -451,6 +451,44 @@ class SeriesStatsSpec extends AnyFunSuite {
       got.head._3 === math.abs(cusum))
   }
 
+  test("changepointsByKey equals per-key changepoints; constant keys absent") {
+    val rng = new scala.util.Random(31)
+    val a = (0 until 35).map(t => ("a", t.toLong, rng.nextInt(120).toLong))
+    val b = (0 until 25).map(t =>
+      ("b", t.toLong, if (t < 11) 10L else 60L))
+    val const = (0 until 9).map(t => ("c", t.toLong, 7L))
+    val df = (a ++ b ++ const).toDF("k", "t", "x")
+    val got = SeriesStats.changepointsByKey(df, "k", "t", "x", 3)
+      .orderBy("k", "step").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("step"),
+        r.getAs[Long]("n"), r.getAs[Long]("t"), r.getAs[Long]("cusum"),
+        r.getAs[Long]("abs_cusum")))
+    assert(!got.exists(_._1 == "c")) // constant key locates nothing
+    for ((key, rows) <- Seq("a" -> a, "b" -> b)) {
+      val single = SeriesStats.changepoints(
+        rows.map { case (_, t, x) => (t, x) }.toDF("t", "x"), "t", "x", 3)
+        .orderBy("step").collect()
+        .map(r => (key, r.getAs[Long]("step"), r.getAs[Long]("n"),
+          r.getAs[Long]("t"), r.getAs[Long]("cusum"),
+          r.getAs[Long]("abs_cusum")))
+      assert(got.filter(_._1 == key).toSeq === single.toSeq, s"key $key")
+    }
+  }
+
+  test("changepointsByKey: duplicate order values RAISE; size bound RAISES") {
+    val dup = Seq(("a", 1L, 5L), ("a", 1L, 9L), ("a", 2L, 3L)).toDF("k", "t", "x")
+    val e = intercept[Exception] {
+      SeriesStats.changepointsByKey(dup, "k", "t", "x", 2).collect()
+    }
+    assert(messageChain(e).contains("duplicate"))
+    val big = (0L until 10L).map(t => ("a", t, t)).toDF("k", "t", "x")
+    val eb = intercept[Exception] {
+      SeriesStats.changepointsByKey(big, "k", "t", "x", 2, maxPoints = 5)
+        .collect()
+    }
+    assert(messageChain(eb).contains("exceeds the 5 per-key bound"))
+  }
+
   test("dominantPeriod: zero-pair lags (lag >= n) can never win the argmax") {
     // n=4 monotone decline: every REAL lag has negative autocorrelation,
     // and lags 4..14 have zero overlapping pairs (num coalesced to 0) —
