@@ -475,6 +475,19 @@ class SeriesStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("changepointsByKey plan: one groupBy exchange, no window, no join") {
+    // the fleet-form contract: the whole recursion is in-row, so the
+    // plan is scan -> partial agg -> ONE exchange -> final agg ->
+    // project/explode — a Window or Join here means the recursion
+    // leaked out of the expression
+    val df = (0L until 40L).map(i => (i % 4, i, i % 7)).toDF("k", "t", "x")
+    val plan = SeriesStats.changepointsByKey(df, "k", "t", "x", 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("changepointsByKey: duplicate order values RAISE; size bound RAISES") {
     val dup = Seq(("a", 1L, 5L), ("a", 1L, 9L), ("a", 2L, 3L)).toDF("k", "t", "x")
     val e = intercept[Exception] {
