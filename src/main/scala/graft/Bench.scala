@@ -283,7 +283,21 @@ object Bench {
                            loads: Seq[Double], cpus: Seq[Double],
                            ios: Seq[Double], warm: Seq[Double])
     val heavyN = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "2").toInt
-    val graceSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRACE", "150").toDouble
+    // 150 -> 120 (round 11): the worst observed fork overrun past its
+    // deadline is 17 s (round 7); 120 s still covers a hung Spark job
+    // by 7x and hands the freed 30 s to the forks.
+    val graceSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRACE", "120").toDouble
+    // FORK-2 SUB-RESERVE (round 11): runs 3-4 of the official shape
+    // showed the failure mode the per-tier split alone cannot fix —
+    // a long light tier plus a full canary fork leaves fork 2 with
+    // < 60 s and it never LAUNCHES (0/8 worst cases, twice). Capping
+    // fork 1's deadline so fork 2 always inherits at least this many
+    // seconds converts that into fork 1 shedding its rotation-TAIL
+    // (exactly the members the latest driver artifact already
+    // measured) while fork 2 measures ~5 bare members at quiet walls
+    // (firstTouch ~15 s + e6/d19/d21/d20/d12 ~ 20 s/member min-of-2).
+    val fork2ReserveSec =
+      sys.env.getOrElse("SPARK_GRAFT_FORK2_RESERVE", "120").toDouble
 
     // The grace period and the final print are RESERVED INSIDE the
     // budget: forks get budget - grace - 15 s, the watchdog kills at
@@ -295,9 +309,9 @@ object Bench {
 
     def runHeavyFork(heavyDir: String, cp: String, javaBin: String,
                      queries: Seq[String], nRuns: Int,
-                     warmPass: Boolean): Seq[HeavyResult] = {
+                     warmPass: Boolean, reserveAfterSec: Double): Seq[HeavyResult] = {
       val deadlineMs = System.currentTimeMillis() +
-        (math.max(remainingForkSec, 1.0) * 1000).toLong
+        (math.max(remainingForkSec - reserveAfterSec, 1.0) * 1000).toLong
       val cmd = Seq(javaBin) ++ tools.HeavyRunner.jdk17AddOpens ++ Seq(
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
         "-cp", cp, "graft.tools.HeavyRunner",
@@ -415,11 +429,14 @@ object Bench {
         // member with a standing BENCH_NOTES receipt beats a measured
         // member with a misleading number.
         val measured = lastMeasuredHeavy()
-        Seq((rotateUnmeasuredFirst(heavyCanaries, measured), heavyN, true),
-            (rotateUnmeasuredFirst(heavyWorstCases, measured), heavyN, false))
-          .flatMap { case (group, n, warm) =>
+        Seq((rotateUnmeasuredFirst(heavyCanaries, measured), heavyN, true,
+              fork2ReserveSec),
+            (rotateUnmeasuredFirst(heavyWorstCases, measured), heavyN, false,
+              0.0))
+          .flatMap { case (group, n, warm, reserveAfter) =>
             if (remainingForkSec < 60) { skipped ++= group; Seq.empty }
-            else runHeavyFork(heavyDir, cp, javaBin, group, n, warm)
+            else runHeavyFork(heavyDir, cp, javaBin, group, n, warm,
+              reserveAfter)
           }
       } else {
         System.err.println("[bench] no classes dir; heavy tier in-session")
