@@ -10028,7 +10028,54 @@ object SparkEntry {
                UNION ALL SELECT event_type, CAST(2 AS BIGINT), n, td,
                  cusum, CAST(ABS(cusum) AS BIGINT) FROM p2)
              SELECT event_type, step, n, td, cusum, abs_cusum FROM u
-             WHERE abs_cusum > 0 ORDER BY event_type, step"""))
+             WHERE abs_cusum > 0 ORDER BY event_type, step""")),
+
+    // GROUPED dominant-period detection (SeriesStats.dominantPeriodByKey):
+    // "WHICH metrics are periodic, and at what period" — a17 per event
+    // type with every lag window KEY-PARTITIONED (no global ordered
+    // window; the a14/a16/a19 shape applied to the ACF family). Exact
+    // int64 ppm candidates, per-key argmax over <= 13 rows. The oracle
+    // unrolls all 13 lags per key and replays the per-key rank pick.
+    ("a20_dominant_period_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      SeriesStats.dominantPeriodByKey(daily, "event_type", "day", "x", 2, 14)
+        .orderBy("event_type")
+    },
+      Some {
+        val lags = 2 to 14
+        val lagCols = lags
+          .map(k => s"lag(c, $k) OVER win c$k").mkString(", ")
+        val nums = lags
+          .map(k => s"CAST(COALESCE(SUM(c * c$k), 0) AS BIGINT) n$k")
+          .mkString(", ")
+        val rows = lags
+          .map(k => s"SELECT event_type, CAST($k AS BIGINT) lg, n, " +
+            s"n$k num, den FROM a")
+          .mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1, 2),
+             st AS (SELECT event_type, COUNT(*) n, CAST(SUM(x) AS BIGINT) s
+               FROM d GROUP BY 1),
+             c AS (SELECT d.event_type, dy, n, CAST(n * x - s AS BIGINT) c
+               FROM d JOIN st USING (event_type)),
+             l AS (SELECT event_type, n, c, $lagCols FROM c
+               WINDOW win AS (PARTITION BY event_type ORDER BY dy)),
+             a AS (SELECT event_type, MAX(n) n,
+               CAST(SUM(c * c) AS BIGINT) den, $nums
+               FROM l GROUP BY 1),
+             u AS ($rows),
+             v AS (SELECT event_type, lg, n, num, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(num * 1000000 // den AS BIGINT) END r_ppm
+               FROM u),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY r_ppm DESC, lg) rn FROM v
+               WHERE r_ppm IS NOT NULL AND lg < n)
+             SELECT event_type, lg AS period, n, num, den, r_ppm
+             FROM r WHERE rn = 1 ORDER BY event_type"""
+      })
   )
 
   // ---------- driver contract ----------

@@ -109,6 +109,64 @@ object SeriesStats {
         col("r_ppm"))
   }
 
+  /** Grouped [[autocorr]]: the exact-int64 ACF per key — every lag
+    * window PARTITIONED by the key (no global ordered window; the
+    * family's standing shape upgrade), stats attached by a plain
+    * equi-join (AQE broadcasts when the key domain fits —
+    * [[changepointByKey]]'s rule). Same order-column contract,
+    * per key. Output: one row per (key, lag). */
+  def autocorrByKey(series: DataFrame, keyCol: String, orderCol: String,
+                    valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      "lags must be >= 1 and non-empty")
+    val stats = series.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+      sum(col(valueCol)).as("__s"),
+      count(col(orderCol)).as("__nn"),
+      count_distinct(col(orderCol)).as("__nd"))
+    val c = series.join(stats, Seq(keyCol))
+      .select(col(keyCol), col(orderCol), col("__n"),
+        (col("__n") * col(valueCol) - col("__s") +
+          orderContractGuard("autocorrByKey")).as("__c"))
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val withLags = lags.foldLeft(c) { (df, k) =>
+      df.withColumn(s"__c$k", lag(col("__c"), k).over(w))
+    }
+    val aggs =
+      max(col("__n")).as("n") +:
+        sum(col("__c") * col("__c")).as("den") +:
+        lags.map(k => sum(col("__c") * col(s"__c$k")).as(s"__num$k"))
+    val a = withLags.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val stacked = lags.map(k => s"${k}L, __num$k").mkString(", ")
+    a.select(col(keyCol),
+        expr(s"stack(${lags.size}, $stacked) AS (lag, num)"),
+        col("n"), col("den"))
+      .select(col(keyCol), col("lag"), col("n"),
+        coalesce(col("num"), lit(0L)).as("num"), col("den"),
+        expr("""CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+                ELSE coalesce(num, 0L) * 1000000 div den END""").as("r_ppm"))
+  }
+
+  /** Grouped [[dominantPeriod]]: the strongest-ACF lag per key —
+    * "WHICH metrics are periodic, and at what period", the fleet form
+    * (a14/a16/a19's shape, applied to a17). The per-key rank window
+    * sees at most maxLag−minLag+1 rows; constant keys (every
+    * candidate NULL) are absent. */
+  def dominantPeriodByKey(series: DataFrame, keyCol: String,
+                          orderCol: String, valueCol: String,
+                          minLag: Int, maxLag: Int): DataFrame = {
+    require(minLag >= 1 && maxLag >= minLag,
+      s"need 1 <= minLag <= maxLag (got $minLag..$maxLag)")
+    val ac = autocorrByKey(series, keyCol, orderCol, valueCol,
+      minLag to maxLag)
+    val pick = Window.partitionBy(keyCol)
+      .orderBy(col("r_ppm").desc, col("lag").asc)
+    ac.filter(col("r_ppm").isNotNull && col("lag") < col("n"))
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col(keyCol), col("lag").as("period"), col("n"), col("num"),
+        col("den"), col("r_ppm"))
+  }
+
   /** Classical additive seasonal decomposition, reduced to the part a
     * pipeline dashboard actually stores: the per-slot SEASONAL INDEX
     * (how far a Monday / an hour-17 / a q4-week sits above or below

@@ -502,6 +502,31 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(messageChain(eb).contains("exceeds the 5 per-key bound"))
   }
 
+  test("dominantPeriodByKey equals per-key dominantPeriod; constant keys absent") {
+    val rng = new scala.util.Random(97)
+    val p3 = (0 until 30).map(t => ("p3", t.toLong, Seq(5L, 20L, 50L)(t % 3)))
+    val noisy = (0 until 40).map(t => ("nz", t.toLong, rng.nextInt(90).toLong))
+    val const = (0 until 12).map(t => ("c", t.toLong, 4L))
+    val df = (p3 ++ noisy ++ const).toDF("k", "t", "x")
+    val got = SeriesStats.dominantPeriodByKey(df, "k", "t", "x", 2, 8)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("period"),
+        r.getAs[Long]("n"), r.getAs[Long]("num"), r.getAs[Long]("den"),
+        r.getAs[Long]("r_ppm")))
+    assert(!got.exists(_._1 == "c"))
+    assert(got.find(_._1 == "p3").map(_._2) === Some(3L)) // true period
+    for ((key, rows) <- Seq("p3" -> p3, "nz" -> noisy)) {
+      val single = SeriesStats.dominantPeriod(
+        rows.map { case (_, t, x) => (t, x) }.toDF("t", "x"),
+        "t", "x", 2, 8).collect().head
+      val g = got.find(_._1 == key).get
+      assert((g._2, g._3, g._4, g._5, g._6) ===
+        ((single.getAs[Long]("period"), single.getAs[Long]("n"),
+          single.getAs[Long]("num"), single.getAs[Long]("den"),
+          single.getAs[Long]("r_ppm"))), s"key $key")
+    }
+  }
+
   test("dominantPeriod: zero-pair lags (lag >= n) can never win the argmax") {
     // n=4 monotone decline: every REAL lag has negative autocorrelation,
     // and lags 4..14 have zero overlapping pairs (num coalesced to 0) —
