@@ -338,8 +338,20 @@ object HeavyRunner {
             math.max(priorMean, 3000.0)
           msLeft > firstWallMs + reserve
         }
+        // PER-RUN CAP (round 11): one pathological run must not eat
+        // the fork's roster — the round's official run 6 measured e6
+        // at 216 s SELF-cpu (3627 cpu-s, a cache-state-dependent plan
+        // flip; quiet band 1.4-31 s) and that single run starved all 7
+        // remaining worst cases. Each run executes in its own job
+        // group; a watchdog cancels the group at the cap (default
+        // 150 s — 5x the worst quiet cold receipt on any member) and
+        // the member records as a named cap skip, not a failure.
+        val capMs = sys.env.getOrElse("SPARK_GRAFT_HEAVY_QUERY_CAP_MS",
+          "150000").toLong
+        @volatile var capped = false
         val runs = (1 to n).flatMap { i =>
-          if (error.nonEmpty || (i > 1 && (pastDeadline || !repeatRoom))) None
+          if (error.nonEmpty || capped ||
+            (i > 1 && (pastDeadline || !repeatRoom))) None
           else try {
             // BETWEEN runs (untimed): trigger reference processing so the
             // ContextCleaner can drop the previous run's shuffle/broadcast
@@ -350,11 +362,27 @@ object HeavyRunner {
             System.gc()
             Thread.sleep(200)
             receipts.foreach(_.reset())
+            spark.sparkContext.setJobGroup(s"$q-run$i", q,
+              interruptOnCancel = true)
+            val capper = new Thread(() => {
+              try {
+                Thread.sleep(capMs)
+                capped = true
+                spark.sparkContext.cancelJobGroup(s"$q-run$i")
+              } catch { case _: InterruptedException => }
+            })
+            capper.setDaemon(true)
+            capper.start()
             val g0 = gcMillis
             val c0 = cpuSeconds
             val i0 = diskReadBytes
             val t0 = System.nanoTime()
-            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            try {
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+            } finally {
+              capper.interrupt()
+              spark.sparkContext.clearJobGroup()
+            }
             val wall = (System.nanoTime() - t0) / 1e9
             if (i == 1) {
               firstWallMs = (wall * 1000).toLong
@@ -364,6 +392,10 @@ object HeavyRunner {
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
               (diskReadBytes - i0) / 1e6))
           } catch {
+            case e: Throwable if capped =>
+              System.err.println(s"[heavy] $q run $i cancelled at the " +
+                s"${capMs / 1000} s per-run cap")
+              None
             case e: Throwable =>
               error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
                 .replaceAll("[\\t\\n\\r]", " ").take(200))
@@ -387,6 +419,11 @@ object HeavyRunner {
             // the partial series, same convention as deadline shed).
             if (runs.nonEmpty) println(heavyLine())
             println(s"HEAVYFAIL\t$q\t$msg")
+          case None if runs.isEmpty && capped =>
+            // run 1 hit the per-run cap: the member has no valid
+            // timing — a budget-class SKIP (rc stays 0), never a
+            // failure, and the fork moves on to the rest of the roster
+            println(s"HEAVYSKIP\t$q")
           case None =>
             println(heavyLine())
         }
