@@ -314,6 +314,16 @@ object HeavyRunner {
         // [17.6, 8.7] no-warm-pass band (storage eviction churn),
         // while JIT warmth survives the drop.
         if (warmSec.nonEmpty) SparkEntry.clearCaches(spark)
+        // SPARK_GRAFT_EXPLAIN=1: dump the heavy-scale physical plan to
+        // stderr before timing — the round-12 tool for the e6 plan-flip
+        // investigation (run 6 measured 216 s / 3627 self-cpu-s against
+        // a [22.5, 2.1] / 400-cpu-s normal mode on identical code+data;
+        // a cache-state-dependent join-strategy flip is the hypothesis
+        // and only the flipped run's plan can confirm it).
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+          try System.err.println(s"[plan $q]\n" +
+            fn(spark, dir).queryExecution.executedPlan.toString.take(8000))
+          catch { case scala.util.control.NonFatal(_) => }
         // A query that throws must still leave a NAMED line on stdout —
         // a data-drift failure in the heavy tier has to be visible in
         // the bench artifact, not just interleaved stderr (round 6: six
