@@ -541,6 +541,69 @@ object TextQuality {
         col("sm.dominant").as("dominant"))
   }
 
+  /** T35: FUSED single-scan text-quality PROFILE — t1's stats, t2's
+    * language-ID, t19's hashed-classifier score, t26's character
+    * entropy and t28's script mix emitted together from ONE projection
+    * over ONE scan of the corpus. The per-gate operators each scan
+    * `documents` independently; a 100 TB corpus pays five passes for
+    * what one computes (x15's fused-profile discipline applied to
+    * text). Column-for-column equal to the five per-gate outputs
+    * (TextProfileSpec pins it): every member is either already a
+    * per-row scalar (t1/t2/t26/t28) or re-expressed in-row here —
+    * t19's token explode + groupBy becomes an array fold over the same
+    * word list with the same md5-bucket weights (integer sum, order-
+    * free, so the fold equals the shuffle bitwise) — which also
+    * removes t19's one exchange: the whole profile is exchange-free,
+    * a pure scan-speed projection.
+    *
+    * `scriptCol` lets the caller salt the script-mix input (t28's
+    * fixture discipline) without a second text column in the scan. */
+  def textProfile(docs: DataFrame,
+                  stopwords: Seq[String] = defaultStopwords,
+                  markers: Seq[(String, Seq[String])] = defaultLangMarkers,
+                  scriptCol: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ws = TextAnalysis.words(col("text"))
+    // t1
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val ttr = nDistinct.cast("double") / nWords
+    val avgWlen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val stopRatio = TextAnalysis.markerCount(ws, stopwords).cast("double") / nWords
+    val quality = least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 +
+      ttr * 0.3 + stopRatio * 0.2
+    // t2
+    val scores = langScores(markers)
+    val pred = langPredict(markers)
+    // t19, in-row: same tokenization, same md5 bucket, same stand-in
+    // weight; a sum of int64s is order-free, so the fold == the groupBy
+    val wgts = transform(ws, w =>
+      conv(substring(md5(concat(lit("qc|"), w)), 1, 4), 16, 10)
+        .cast("long") - 32768L)
+    val sumW = aggregate(wgts, lit(0L), (a, x) => a + x)
+    // t26 / t28 native single-pass expressions
+    val ce = Bridge.column(CharEntropy(Bridge.expression(col("text"))))
+    val sm = Bridge.column(ScriptMix(Bridge.expression(scriptCol)))
+    // two-step projection (struct columns first) — Catalyst's collapse
+    // keeps it ONE scan-side projection; TextProfileSpec pins the
+    // single-scan plan
+    docs.withColumn("__ce", ce).withColumn("__sm", sm).select(Seq(
+      col("doc_id"),
+      nWords.as("n_words"), nDistinct.as("n_distinct_words"),
+      ttr.as("ttr"), avgWlen.as("avg_word_len"),
+      stopRatio.as("stop_ratio"), quality.as("quality")) ++
+      scores.map { case (l, sc) => sc.as(s"s_$l") } ++ Seq(
+      pred.as("pred_lang"), (pred === col("lang")).as("matches_label"),
+      nWords.as("n_tokens"), sumW.as("sum_w"), (sumW > 0L).as("keep"),
+      col("__ce.n_chars").as("n_chars"),
+      col("__ce.n_distinct_chars").as("n_distinct_chars"),
+      round(col("__ce.entropy_bits"), 6).as("entropy_bits"),
+      col("__sm.n_latin").as("n_latin"), col("__sm.n_digit").as("n_digit"),
+      col("__sm.n_cyrillic").as("n_cyrillic"), col("__sm.n_cjk").as("n_cjk"),
+      col("__sm.n_other").as("n_other"),
+      col("__sm.dominant").as("dominant")): _*)
+  }
+
   /** Text NORMALIZATION scrub (the C4/CCNet ingest pre-pass that runs
     * before any tokenize/shingle stage): ASCII control characters
     * become spaces, space runs collapse to one, edges trim. Pure

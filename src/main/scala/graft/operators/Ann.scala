@@ -532,6 +532,102 @@ object Ann {
       .select("qid", "rnk", "neighbor_id", "cos_r")
   }
 
+  /** N23: GRAPH-based ANN (HNSW-class beam search, flattened to one
+    * layer and bounded rounds — Malkov & Yashunin 2016's
+    * search-layer loop, Spark-first): the industry-default index
+    * family the IVF/LSH/PQ members don't cover. Two phases:
+    *
+    *  1. INDEX BUILD — a bounded-degree neighbor graph: candidate
+    *     edges from a BANDED signature join (the d25/m11 discipline —
+    *     sign-bit signatures over the `planes` codebook, split into
+    *     two half-codebook bands; nodes sharing a band value are
+    *     candidates, never all-pairs), scored by exact cosine, top-`m`
+    *     out-edges kept per node. Degenerate band buckets are capped
+    *     (`maxBucket`, lshPairs' guard) so one boilerplate bucket
+    *     cannot go quadratic. At 100 TB this graph is a PERSISTED
+    *     index table built once (here pinned via [[graft.operators
+    *     .Checkpoints]] because the search loop references it every
+    *     round — the gate-scale analogue of reading the stored index).
+    *  2. SEARCH — `rounds` bounded BFS-style frontier steps per query
+    *     (Bfs.scala's fixed-round precedent, fully declarative): start
+    *     at the corpus' min-id entry point, each round expand the
+    *     current beam's out-edges, score ONLY never-visited nodes
+    *     against the query (anti-join on the visited set), keep the
+    *     top-`beam` by cosine as the next frontier. The answer is the
+    *     exact cosine top-`k` over everything VISITED — so the oracle
+    *     can replay the whole walk: every pick is a rounded-cosine
+    *     argmax with id tiebreaks, engine-identical.
+    *
+    * Scale shape: the frontier/visited tables are queries × visited
+    * (metadata-sized, broadcast side of every search join); the corpus
+    * is touched only through the edge index and the per-candidate
+    * ue-gather. Recall grows with beam/rounds at a cost in bounded
+    * frontier joins, never corpus scans (AnnRecallSpec pins recall@k
+    * against the IVF gate on the same probes). */
+  def graphTopK(embeddings: DataFrame, planes: Seq[Array[Double]],
+                queryPred: Column, m: Int, beam: Int, rounds: Int,
+                k: Int, maxBucket: Int = 256): DataFrame = {
+    require(planes.size % 2 == 0, "planes must split into two bands")
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val sig = planes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dot(col("ue"), array(p.toIndexedSeq.map(lit): _*)) >= 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val half = 1 << (planes.size / 2)
+    val withSig = em.select(col("vec_id"), sig.as("bucket"))
+    val bands = withSig.select(col("vec_id"), explode(array(
+      struct(lit(0).as("band"), expr(s"bucket div $half").as("bv")),
+      struct(lit(1).as("band"), expr(s"bucket % $half").as("bv")))).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val kept = bands
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("band", "bv")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val cand = kept.as("a").join(kept.as("b"), Seq("band", "bv"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val scored = cand
+      .join(em.select(col("vec_id").as("src"), col("ue").as("us")), Seq("src"))
+      .join(em.select(col("vec_id").as("dst"), col("ue").as("ud")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.dot(col("us"), col("ud")), 6).as("w"))
+    // the persisted graph index: referenced once per search round, so
+    // pin it (production reads the stored table; re-deriving the whole
+    // band join per round would multiply the build cost by `rounds`)
+    val edges = Checkpoints.pin(
+      topKPerGroup(scored, Seq("src"), Seq(col("w").desc, col("dst")), m, "__er")
+        .select("src", "dst"))
+    val q = em.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("ue").as("qu"))
+    val entry = em.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("node"), col("ue").as("un"))
+    var visited = broadcast(q).crossJoin(broadcast(entry))
+      .select(col("qid"), col("node"),
+        round(Similarity.dot(col("qu"), col("un")), 6).as("cos_r"))
+    for (_ <- 1 to rounds) {
+      val frontier = topKPerGroup(visited, Seq("qid"),
+        Seq(col("cos_r").desc, col("node")), beam, "__fr")
+        .select("qid", "node")
+      val fresh = broadcast(frontier)
+        .join(edges, col("node") === col("src"))
+        .select(col("qid"), col("dst").as("node")).distinct()
+        .join(visited.select("qid", "node"), Seq("qid", "node"), "left_anti")
+      val freshScored = broadcast(fresh)
+        .join(em.select(col("vec_id").as("node"), col("ue").as("un")),
+          Seq("node"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("node"),
+          round(Similarity.dot(col("qu"), col("un")), 6).as("cos_r"))
+      visited = visited.unionByName(freshScored)
+    }
+    topKPerGroup(visited.filter(col("node") =!= col("qid")), Seq("qid"),
+      Seq(col("cos_r").desc, col("node")), k, "rnk")
+      .select(col("qid"), col("rnk"), col("node").as("neighbor_id"),
+        col("cos_r"))
+  }
+
   /** Embedding OUTLIER detection — the centroid-distance filter a
     * curation pipeline runs after clustering/labeling: cosine of every
     * unit vector against its own group's mean vector; rows far from

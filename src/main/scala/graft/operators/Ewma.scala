@@ -126,6 +126,98 @@ object Ewma {
     }(Encoders.row(outSchema))
   }
 
+  /** Default per-key point bound for [[holtWintersByKey]]: the fold is
+    * O(n·P) per key in-row; the bound guards the collected array's
+    * memory (2^20 points × ~24 B ≈ 24 MB per key). */
+  val HoltWintersMaxPoints: Int = 1 << 20
+
+  /** GROUPED Holt-Winters FORECAST STATE — the fleet form of
+    * [[holtWinters]] (a14/a16/a19/a20's shape applied to the smoothing
+    * family): per key, the FINAL (level, trend) and the one-step
+    * forecast `level + trend + season[n mod P]`, computed by ONE
+    * in-row array fold over the key's collected, order-sorted series
+    * — one groupBy exchange, no window, no join, no per-key driver
+    * work; embarrassingly parallel across a million-key fleet. The
+    * per-row form [[holtWinters]] remains the right tool when every
+    * intermediate smoothed row is the product; this is the "one
+    * forecast row per key" production ask (capacity planning, anomaly
+    * thresholds), where materializing every intermediate is waste.
+    *
+    * Identical recurrence, identical IEEE op sequence, per key
+    * (HoltWintersSpec pins last-row parity against [[holtWinters]]
+    * bitwise): zero-seeded seasonals, first valid value seeds
+    * (level=v, trend=0), nulls are ignore_na (do not advance, n
+    * counts valid values only). Keys with no valid value emit
+    * n=0 with NULL level/trend/forecast.
+    *
+    * Bounded-series contract is EXECUTABLE (the changepointsByKey
+    * pattern): past `maxPoints` the plan raises — pre-aggregate the
+    * series coarser first.
+    *
+    * `orderCols` must make rows unique within a key (the family's
+    * standing recurrence-order contract). Output: (keyCols*, n,
+    * level, trend, forecast). */
+  def holtWintersByKey(df: DataFrame, keyCols: Seq[String],
+                       orderCols: Seq[String], valueCol: String,
+                       alpha: Double, beta: Double, gamma: Double,
+                       period: Int,
+                       maxPoints: Int = HoltWintersMaxPoints): DataFrame = {
+    require(period >= 2, "period must be >= 2 (use holt for period-free)")
+    import org.apache.spark.sql.Column
+    val pts = df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)))
+        .as("__pts"))
+    val sizeOk = coalesce(
+      assert_true(size(col("__pts")) <= lit(maxPoints),
+        concat(lit("holtWintersByKey: series of "),
+          size(col("__pts")).cast("string"),
+          lit(s" points exceeds the $maxPoints per-key bound; " +
+            "pre-aggregate the series coarser first"))).cast("int"),
+      lit(0))
+    val guarded = slice(col("__pts"), lit(1), size(col("__pts")) + sizeOk)
+    val init = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      array_repeat(lit(0.0), period).as("s"), lit(0L).as("n"),
+      lit(false).as("sd"))
+    def step(acc: Column, x: Column): Column = {
+      val v = x.getField("__v")
+      val n1 = acc.getField("n") + lit(1L)
+      val idx = ((n1 - 1) % period).cast("int")
+      val sPrev = element_at(acc.getField("s"), idx + 1)
+      val l0 = acc.getField("l")
+      val b0 = acc.getField("b")
+      val sd = acc.getField("sd")
+      // newL is re-evaluated inside newB/newS: identical IEEE inputs
+      // give identical bits, and the oracle recursion re-evaluates the
+      // same way (a8's CTE) — determinism by construction, per key
+      val newL = when(!sd, v)
+        .otherwise(lit(alpha) * (v - sPrev) + lit(1 - alpha) * (l0 + b0))
+      val newB = when(!sd, lit(0.0))
+        .otherwise(lit(beta) * (newL - l0) + lit(1 - beta) * b0)
+      val newS = when(!sd, sPrev)
+        .otherwise(lit(gamma) * (v - newL) + lit(1 - gamma) * sPrev)
+      when(v.isNull, acc).otherwise(struct(
+        newL.as("l"), newB.as("b"),
+        transform(acc.getField("s"),
+          (e, i) => when(i === idx, newS).otherwise(e)).as("s"),
+        n1.as("n"), lit(true).as("sd")))
+    }
+    def fin(acc: Column): Column = {
+      val sNext = element_at(acc.getField("s"),
+        (acc.getField("n") % period).cast("int") + 1)
+      struct(acc.getField("n").as("n"),
+        when(acc.getField("sd"), acc.getField("l")).as("level"),
+        when(acc.getField("sd"), acc.getField("b")).as("trend"),
+        when(acc.getField("sd"),
+          acc.getField("l") + acc.getField("b") + sNext).as("forecast"))
+    }
+    pts
+      .withColumn("__hw", aggregate(guarded, init, step, fin))
+      .select((keyCols.map(col) ++ Seq(col("__hw.n").as("n"),
+        col("__hw.level").as("level"), col("__hw.trend").as("trend"),
+        col("__hw.forecast").as("forecast"))): _*)
+  }
+
   /** Holt linear-trend (double exponential) smoothing per key — the
     * level+trend recurrence:
     * `l_1 = v_1, b_1 = 0;`

@@ -328,10 +328,18 @@ object SeriesStats {
   /** The Theil-Sen family's documented escape hatch made code (round-10
     * verdict item 7): pre-aggregate `series` to AT MOST `maxPoints`
     * points (per key, when `keyCols` is non-empty) by slicing the
-    * order axis into equal-width integer buckets and taking the
-    * LOWER MEDIAN of order and value inside each bucket — the exact,
+    * order axis into equal-width integer buckets and emitting each
+    * bucket's MEDIAN-BY-ORDER ROW AS A UNIT (lower median of the
+    * (order, value) structs sorted by order then value) — the exact,
     * engine-replayable form of "aggregate weekly first", keeping the
-    * estimator's robustness (a bucket median is itself outlier-proof).
+    * estimator's robustness (a median row is itself outlier-proof in
+    * the order dimension, and value outliers are absorbed by the
+    * downstream pairwise-slope median). The emitted point is always a
+    * ROW THAT EXISTS in the data: taking independent medians of the
+    * order and value columns (the round-11 shape) could pair a t and
+    * a y that never co-occurred, synthesizing points off the data
+    * manifold whenever value order is not aligned with time order
+    * (round-11 advice).
     *
     * Width is data-conditional inside the plan, never a branch: when
     * the (per-key) point count already fits the bound the width is 1
@@ -369,13 +377,12 @@ object SeriesStats {
           .otherwise(expr(s"(__t1 - __t0) div ${maxPoints}L + 1L")))
       .withColumn("__b", expr(s"(CAST($orderCol AS LONG) - __t0) div __w"))
       .groupBy((keyCols :+ "__b").map(col): _*)
-      .agg(sort_array(collect_list(t)).as("__ts"),
-        sort_array(collect_list(col(valueCol).cast("long"))).as("__ys"))
+      .agg(sort_array(collect_list(struct(t.as("t"),
+        col(valueCol).cast("long").as("y")))).as("__pts"))
+      .withColumn("__m",
+        expr("element_at(__pts, CAST((size(__pts) + 1) div 2 AS INT))"))
       .select((keyCols.map(col) ++ Seq(
-        expr("element_at(__ts, CAST((size(__ts) + 1) div 2 AS INT))")
-          .as(orderCol),
-        expr("element_at(__ys, CAST((size(__ys) + 1) div 2 AS INT))")
-          .as(valueCol))): _*)
+        col("__m.t").as(orderCol), col("__m.y").as(valueCol))): _*)
   }
 
   /** The O(n²/2) i<j pair set as ONE in-row transform over the

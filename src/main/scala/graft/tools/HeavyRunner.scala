@@ -24,12 +24,20 @@ import graft.{HeavyData, SparkEntry, Tables}
   *
   * Output: one tab-separated line per query on stdout:
   *   HEAVY\t<query>\t<wall,...>\t<gcSec,...>\t<loadAvg,...>\t<cpuSec,...>
-  * or, when past the deadline / the query threw:
-  *   HEAVYSKIP\t<query>        |        HEAVYFAIL\t<query>\t<error>
+  *     \t<ioMB,...>\t<warmSec>\t<loadAtStart,...>\t<ctxtSwitchDelta,...>
+  * or, when the query never produced a valid timing:
+  *   HEAVYSKIP\t<query>   — not started by the budget deadline
+  *   HEAVYCAP\t<query>    — run 1 cancelled at the per-run cap
+  *   HEAVYFAIL\t<query>\t<error> — the query threw
   * — every query the fork was handed produces exactly one named line,
   * so failures are artifact-visible, not stderr-only. cpuSec/(wall*
   * cores) is the run's CPU utilization — the co-tenant-starvation
-  * discriminator (see [[cpuSeconds]]).
+  * discriminator (see [[cpuSeconds]]); the per-run involuntary
+  * context-switch delta ([[invCtxtSwitches]]) plus the loadavg pair
+  * sampled at run START and END is the in-artifact adjudicator for an
+  * anomalous wall: a ctxt-switch delta that scales with the cpu-second
+  * tail says contended cores inflated cpu-time, a flat delta says the
+  * work itself grew (escalate to SPARK_GRAFT_EXPLAIN).
   */
 object HeavyRunner {
 
@@ -138,6 +146,35 @@ object HeavyRunner {
         os.getProcessCpuTime / 1e9 // nanoseconds on HotSpot
       case _ => -1.0
     }
+
+  /** Sum of `nonvoluntary_ctxt_switches` across every live thread of
+    * THIS process (/proc/self/task/<tid>/status — /proc/self/status
+    * alone reports only the MAIN thread, and Spark's work happens on
+    * executor-pool threads). The per-run delta is the round-12
+    * contention adjudicator the e6 anomaly lacked: an involuntary
+    * switch means the scheduler evicted a runnable thread — co-tenant
+    * core pressure — so a delta that scales with an inflated
+    * cpu-second tail is contention, a flat delta under the same
+    * inflation is real extra work. Caveat (documented, acceptable):
+    * counters of threads that EXIT between the two samples are lost,
+    * so a delta can under-count; Spark's executor pool is long-lived
+    * within a fork, and the signal is a ratio, not an audit. -1 when
+    * /proc is unavailable. */
+  private def invCtxtSwitches: Long =
+    try {
+      val tasks = new java.io.File("/proc/self/task").listFiles()
+      if (tasks == null) -1L
+      else tasks.map { t =>
+        try {
+          val src = scala.io.Source.fromFile(new java.io.File(t, "status"))
+          try src.getLines()
+            .collectFirst { case l if l.startsWith("nonvoluntary_ctxt_switches:") =>
+              l.substring(l.indexOf(':') + 1).trim.toLong }
+            .getOrElse(0L)
+          finally src.close()
+        } catch { case _: Throwable => 0L } // thread exited mid-walk
+      }.sum
+    } catch { case _: Throwable => -1L }
 
   /** Actual block-device bytes read by THIS process so far
     * (`/proc/self/io` read_bytes — page-cache hits don't count). The
@@ -359,9 +396,27 @@ object HeavyRunner {
         val capMs = sys.env.getOrElse("SPARK_GRAFT_HEAVY_QUERY_CAP_MS",
           "150000").toLong
         @volatile var capped = false
+        // true iff e's cause chain says the Spark job group was
+        // cancelled — the ONLY failure class the per-run cap may
+        // swallow. A genuine failure racing the watchdog (data drift
+        // surfacing near the 150 s mark) must keep its named HEAVYFAIL
+        // line; the old `if capped` catch-all attributed ANY exception
+        // to the cap once the watchdog had fired (round-11 advice).
+        def isCancellation(e: Throwable): Boolean =
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .exists { c =>
+              val m = Option(c.getMessage).getOrElse("").toLowerCase
+              m.contains("cancel") || c.isInstanceOf[InterruptedException]
+            }
         val runs = (1 to n).flatMap { i =>
           if (error.nonEmpty || capped ||
-            (i > 1 && (pastDeadline || !repeatRoom))) None
+            (i > 1 && (pastDeadline || !repeatRoom))) {
+            // a silent short series reads as deadline shed — name it
+            if (capped && error.isEmpty && i > 1)
+              System.err.println(s"[heavy] $q runs $i..$n skipped: " +
+                "previous run hit the per-run cap")
+            None
+          }
           else try {
             // BETWEEN runs (untimed): trigger reference processing so the
             // ContextCleaner can drop the previous run's shuffle/broadcast
@@ -374,11 +429,19 @@ object HeavyRunner {
             receipts.foreach(_.reset())
             spark.sparkContext.setJobGroup(s"$q-run$i", q,
               interruptOnCancel = true)
+            // `done` closes the capper race (round-11 advice): a timed
+            // run completing within ~ms of the cap could otherwise see
+            // the capper wake between job completion and interrupt(),
+            // set capped, and silently skip the remaining repeats of a
+            // run that finished UNDER the cap.
+            @volatile var done = false
             val capper = new Thread(() => {
               try {
                 Thread.sleep(capMs)
-                capped = true
-                spark.sparkContext.cancelJobGroup(s"$q-run$i")
+                if (!done) {
+                  capped = true
+                  spark.sparkContext.cancelJobGroup(s"$q-run$i")
+                }
               } catch { case _: InterruptedException => }
             })
             capper.setDaemon(true)
@@ -386,10 +449,13 @@ object HeavyRunner {
             val g0 = gcMillis
             val c0 = cpuSeconds
             val i0 = diskReadBytes
+            val x0 = invCtxtSwitches
+            val l0 = loadAvg
             val t0 = System.nanoTime()
             try {
               fn(spark, dir).write.format("noop").mode("overwrite").save()
             } finally {
+              done = true
               capper.interrupt()
               spark.sparkContext.clearJobGroup()
             }
@@ -400,9 +466,9 @@ object HeavyRunner {
             }
             receipts.foreach(_.drain(s"$q run$i"))
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
-              (diskReadBytes - i0) / 1e6))
+              (diskReadBytes - i0) / 1e6, l0, invCtxtSwitches - x0))
           } catch {
-            case e: Throwable if capped =>
+            case e: Throwable if capped && isCancellation(e) =>
               System.err.println(s"[heavy] $q run $i cancelled at the " +
                 s"${capMs / 1000} s per-run cap")
               None
@@ -418,7 +484,9 @@ object HeavyRunner {
             s"\t${runs.map(r => f"${r._3}%.2f").mkString(",")}" +
             s"\t${runs.map(r => f"${r._4}%.1f").mkString(",")}" +
             s"\t${runs.map(r => f"${r._5}%.1f").mkString(",")}" +
-            s"\t${warmSec.map(w => f"$w%.3f").getOrElse("")}"
+            s"\t${warmSec.map(w => f"$w%.3f").getOrElse("")}" +
+            s"\t${runs.map(r => f"${r._6}%.2f").mkString(",")}" +
+            s"\t${runs.map(r => r._7.toString).mkString(",")}"
         error match {
           case Some(msg) =>
             // A failure at run i>1 must not discard run 1..i-1's valid
@@ -431,9 +499,12 @@ object HeavyRunner {
             println(s"HEAVYFAIL\t$q\t$msg")
           case None if runs.isEmpty && capped =>
             // run 1 hit the per-run cap: the member has no valid
-            // timing — a budget-class SKIP (rc stays 0), never a
-            // failure, and the fork moves on to the rest of the roster
-            println(s"HEAVYSKIP\t$q")
+            // timing — a budget-class outcome (rc stays 0), never a
+            // failure, and the fork moves on to the rest of the
+            // roster. HEAVYCAP, not HEAVYSKIP (round-11 advice): the
+            // artifact must distinguish "over budget, never started"
+            // from "started and pathological under the cap".
+            println(s"HEAVYCAP\t$q")
           case None =>
             println(heavyLine())
         }
