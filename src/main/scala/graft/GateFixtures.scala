@@ -510,31 +510,45 @@ object GateFixtures {
     * chain degenerates to the shared n5/d16 oracle exactly; n10 passes
     * the stored-corpus split to gate frozen-codebook incremental
     * maintenance. */
-  private[graft] def kmeansMemberCtesTrainedOn(trainPred: String): String = {
+  private[graft] def kmeansMemberCtesTrainedOn(trainPred: String): String =
+    kmeansMemberCtesPrefixed("", trainPred)
+
+  /** [[kmeansMemberCtesTrainedOn]] with every CTE name prefixed by
+    * `p`, so TWO codebook chains (a stale 3/4-trained one and a fresh
+    * full-corpus one) can coexist in ONE oracle query — n24's rebuild
+    * gate needs exactly that. With p = "" this is byte-identical to
+    * the unprefixed chain every existing n/d oracle composes with. */
+  private[graft] def kmeansMemberCtesPrefixed(p: String, trainPred: String): String = {
     def lloyd(centIn: String, n: Int): String =
-      s"""s$n AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
-            FROM dimsT d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
-         a$n AS (SELECT vec_id, cluster FROM
+      s"""${p}s$n AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+            FROM ${p}dimsT d JOIN $centIn c ON d.i = c.i GROUP BY 1, 2),
+         ${p}a$n AS (SELECT vec_id, cluster FROM
             (SELECT vec_id, cluster,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
-             FROM s$n) WHERE r = 1),
-         c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
-            FROM dimsT d JOIN a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
-    s"""$oracleUnitCte,
-       dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM u),
-       dimsT AS (SELECT * FROM dims WHERE $trainPred),
-       seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
-                 FROM (SELECT DISTINCT vec_id FROM dimsT) ORDER BY vec_id LIMIT 5),
-       c0 AS (SELECT s.cluster, d.i, ROUND(d.v, 6) c
-              FROM dimsT d JOIN seeds s USING (vec_id)),
-       ${lloyd("c0", 1)},
-       ${lloyd("c1", 2)},
-       sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
-              FROM dims d JOIN c2 c ON d.i = c.i GROUP BY 1, 2),
-       rk AS (SELECT vec_id, cluster,
+             FROM ${p}s$n) WHERE r = 1),
+         ${p}c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
+            FROM ${p}dimsT d JOIN ${p}a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
+    val unit =
+      if (p.isEmpty) oracleUnitCte
+      else s"""${p}u AS (SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
+         FROM embeddings)"""
+    s"""$unit,
+       ${p}dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM ${p}u),
+       ${p}dimsT AS (SELECT * FROM ${p}dims WHERE $trainPred),
+       ${p}seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+                 FROM (SELECT DISTINCT vec_id FROM ${p}dimsT) ORDER BY vec_id LIMIT 5),
+       ${p}c0 AS (SELECT s.cluster, d.i, ROUND(d.v, 6) c
+              FROM ${p}dimsT d JOIN ${p}seeds s USING (vec_id)),
+       ${lloyd(s"${p}c0", 1)},
+       ${lloyd(s"${p}c1", 2)},
+       ${p}sf AS (SELECT d.vec_id, c.cluster, ROUND(SUM(d.v * c.c), 6) score
+              FROM ${p}dims d JOIN ${p}c2 c ON d.i = c.i GROUP BY 1, 2),
+       ${p}rk AS (SELECT vec_id, cluster,
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) r
-              FROM sf),
-       member AS (SELECT vec_id, cluster FROM rk WHERE r = 1)"""
+              FROM ${p}sf),
+       ${p}member AS (SELECT vec_id, cluster FROM ${p}rk WHERE r = 1)"""
   }
 
   /** Per-subspace CTE chain for the PQ gate (n8): unit-normalized
@@ -605,4 +619,84 @@ object GateFixtures {
        ${annLshChainCtes(hamming1)}
        SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
        ORDER BY qid, rnk"""
+
+  /** Oracle twin of [[Ann.graphTopK]] (the n23 graph-ANN gate): the
+    * banded-signature edge build, then the `rounds` beam-search rounds
+    * UNROLLED CTE by CTE — every pick is a rounded-cosine argmax with
+    * id tiebreaks, so both engines walk the identical frontier. */
+  private[graft] def annGraphOracleSql(m: Int, beam: Int, rounds: Int,
+                                       k: Int, maxBucket: Int): String = {
+    val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
+      val plane = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val half = 1 << (rpPlanes.size / 2)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""gf${r - 1} AS MATERIALIZED (SELECT qid, node, cos_r FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_r DESC, node) rr
+            FROM gv${r - 1} v WHERE NOT EXISTS (SELECT 1 FROM gx${r - 1} x
+              WHERE x.qid = v.qid AND x.node = v.node))
+           WHERE rr <= $beam),
+         gx$r AS MATERIALIZED (SELECT qid, node FROM gx${r - 1}
+                 UNION SELECT qid, node FROM gf${r - 1}),
+         gn$r AS MATERIALIZED (SELECT DISTINCT f.qid, e.dst node FROM gf${r - 1} f
+                 JOIN gedges e ON e.src = f.node
+                 WHERE NOT EXISTS (SELECT 1 FROM gv${r - 1} v
+                   WHERE v.qid = f.qid AND v.node = e.dst)),
+         gs$r AS MATERIALIZED (SELECT n.qid, n.node,
+                 ROUND(list_dot_product(q.qu, un.ue), 6) cos_r
+                 FROM gn$r n JOIN gq q ON q.qid = n.qid
+                 JOIN u un ON un.vec_id = n.node),
+         gv$r AS MATERIALIZED (SELECT * FROM gv${r - 1} UNION ALL SELECT * FROM gs$r)"""
+    }.mkString(",\n")
+    s"""WITH $oracleUnitCte,
+       gsig AS (SELECT vec_id, $sigSql AS bucket FROM u),
+       gb0 AS (SELECT vec_id, UNNEST([
+           {'band': 0, 'bv': bucket // $half},
+           {'band': 1, 'bv': bucket % $half}]) bk FROM gsig),
+       gb AS (SELECT vec_id, bk.band band, bk.bv bv FROM gb0),
+       gkept AS (SELECT vec_id, band, bv FROM
+         (SELECT *, COUNT(*) OVER (PARTITION BY band, bv) bn FROM gb)
+         WHERE bn <= $maxBucket),
+       gcand AS (SELECT DISTINCT a.vec_id src, b.vec_id dst
+         FROM gkept a JOIN gkept b ON a.band = b.band AND a.bv = b.bv
+           AND a.vec_id <> b.vec_id),
+       ges0 AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
+         FROM gcand c JOIN u ua ON ua.vec_id = c.src
+         JOIN u ub ON ub.vec_id = c.dst),
+       gedges0 AS MATERIALIZED (SELECT src, dst FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
+          FROM ges0) WHERE r <= $m),
+       ghop2 AS (SELECT x.src, y.dst FROM gedges0 x JOIN gedges0 y
+         ON x.dst = y.src WHERE x.src <> y.dst),
+       gcand2 AS (SELECT src, dst FROM gcand
+         UNION SELECT src, dst FROM ghop2),
+       ges1 AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
+         FROM gcand2 c JOIN u ua ON ua.vec_id = c.src
+         JOIN u ub ON ub.vec_id = c.dst),
+       gedges1 AS MATERIALIZED (SELECT src, dst FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
+          FROM ges1) WHERE r <= $m),
+       ghop2b AS (SELECT x.src, y.dst FROM gedges1 x JOIN gedges1 y
+         ON x.dst = y.src WHERE x.src <> y.dst),
+       gcand3 AS (SELECT src, dst FROM gcand
+         UNION SELECT src, dst FROM ghop2b),
+       ges AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
+         FROM gcand3 c JOIN u ua ON ua.vec_id = c.src
+         JOIN u ub ON ub.vec_id = c.dst),
+       gedges AS MATERIALIZED (SELECT src, dst FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
+          FROM ges) WHERE r <= $m),
+       gq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+       gv0 AS MATERIALIZED (SELECT qid, qid AS node,
+         ROUND(list_dot_product(qu, qu), 6) cos_r FROM gq),
+       gx0 AS (SELECT qid, node FROM gv0 WHERE FALSE),
+       $roundCtes,
+       gres AS (SELECT qid, node neighbor_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, node) rnk
+         FROM gv$rounds WHERE node <> qid)
+       SELECT qid, rnk, neighbor_id, cos_r FROM gres WHERE rnk <= $k
+       ORDER BY qid, rnk"""
+  }
 }

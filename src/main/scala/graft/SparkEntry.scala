@@ -918,6 +918,49 @@ object SparkEntry {
            FROM r ORDER BY event_id"""
       }),
 
+    // GROUPED Holt-Winters forecast state (Ewma.holtWintersByKey):
+    // the smoothing family's fleet form (a14/a16/a19/a20's shape) —
+    // one in-row array fold per key over the collected ordered series,
+    // emitting the FINAL (level, trend) and one-step forecast
+    // level + trend + season[n mod 3]. Identical recurrence and IEEE
+    // sequence as a8 (HoltWintersSpec pins last-row parity bitwise);
+    // the oracle reuses a8's recursion and picks each key's last row.
+    ("a21_holt_winters_grouped", (s, dir) =>
+      Ewma.holtWintersByKey(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        0.5, 0.25, 0.25, 3)
+        .orderBy("user_id"),
+      Some {
+        val sPrev = "CASE (e.rn - 1) % 3 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 ELSE r.s2 END"
+        val newL = s"0.5 * (e.value - ($sPrev)) + 0.5 * (r.l + r.b)"
+        val newB = s"0.25 * (($newL) - r.l) + 0.75 * r.b"
+        val newS = s"0.25 * (e.value - ($newL)) + 0.75 * ($sPrev)"
+        s"""WITH RECURSIVE e AS (SELECT event_id, user_id, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+              FROM events),
+           r(user_id, rn, l, b, s0, s1, s2) AS (
+             SELECT user_id, rn, value, CAST(0 AS DOUBLE),
+               CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+             FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.user_id, e.rn,
+               $newL,
+               $newB,
+               CASE WHEN (e.rn - 1) % 3 = 0 THEN $newS ELSE r.s0 END,
+               CASE WHEN (e.rn - 1) % 3 = 1 THEN $newS ELSE r.s1 END,
+               CASE WHEN (e.rn - 1) % 3 = 2 THEN $newS ELSE r.s2 END
+             FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+           lastr AS (SELECT user_id, MAX(rn) mx FROM e GROUP BY 1)
+           SELECT r.user_id, CAST(r.rn AS BIGINT) AS n, r.l AS level,
+             r.b AS trend,
+             r.l + r.b + (CASE r.rn % 3 WHEN 0 THEN r.s0
+               WHEN 1 THEN r.s1 ELSE r.s2 END) AS forecast
+           FROM r JOIN lastr ON r.user_id = lastr.user_id AND r.rn = lastr.mx
+           ORDER BY r.user_id"""
+      }),
+
     // R6/R7: rows -> ordered series per key (nested array analogue,
     // serialized as a string for engine-portable comparison).
     ("r6_nest_series", (s, dir) =>
@@ -4234,6 +4277,120 @@ object SparkEntry {
                AS rebuild
            FROM drift d, ragg r ORDER BY d.grp""")),
 
+    // GRAPH-based ANN (Ann.graphTopK) — the HNSW-class index family
+    // (bounded-degree neighbor graph from a banded signature join;
+    // beam search by 3 bounded frontier rounds from the min-id entry
+    // point; exact cosine re-rank over the visited set). Every pick is
+    // a rounded-cosine argmax with id tiebreaks, so the oracle unrolls
+    // the identical walk. Recall@5 >= the IVF gate's on the same
+    // probes (AnnRecallSpec pins it).
+    ("n23_ann_graph", (s, dir) =>
+      Ann.graphTopK(t(s, dir, "embeddings"), rpPlanes, annQueryPred,
+        m = 10, beam = 16, rounds = 6, k = 5).orderBy("qid", "rnk"),
+      Some(GateFixtures.annGraphOracleSql(m = 10, beam = 16, rounds = 6,
+        k = 5, maxBucket = 256))),
+
+    // INDEX REBUILD EXECUTED (n20 x n22 -> action): n22 only EMITS the
+    // rebuild decision; this gate executes it — measure the stale
+    // codebook's fleet recall (n20's exact dataflow), and WHEN the
+    // loss breaches n22's 100k-ppm threshold, retrain the codebook on
+    // the full corpus (n5's training path — the rebuild the incremental
+    // ingest deferred) and re-measure recall post-rebuild. The
+    // 'rebuilt' row exists only because the decision fired (both
+    // engines evaluate the same predicate), and `meets_threshold` on
+    // that row is the "recall restored" receipt. At 100 TB the
+    // retrain is the same sample-train + broadcast-codebook shape n5
+    // argues; the decision gate means the expensive re-embed/re-assign
+    // pass is only paid when drift/recall says so.
+    ("n24_index_rebuild", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      def agg(recall: DataFrame): DataFrame = recall
+        .agg(count(lit(1)).as("n_queries"), sum(col("recall_ppm")).as("__sum"))
+        .select(col("n_queries"), expr("__sum div n_queries").as("avg_recall_ppm"))
+        .withColumn("recall_loss_ppm", lit(1000000L) - col("avg_recall_ppm"))
+      val staleAgg = agg(staleRecallEval(s, dir))
+      val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
+      val freshApprox = Ann.ivfTopK(em, Ann.kmeansCentroids(em, 5, 2),
+        annQueryPred, 5, 2)
+      val freshAgg = agg(Ann.recallAtK(freshApprox, exact, 5))
+      def shape(a: DataFrame, phase: String, applied: Boolean): DataFrame = a
+        .select(lit(phase).as("phase"), col("n_queries"),
+          col("avg_recall_ppm"), col("recall_loss_ppm"),
+          lit(applied).as("rebuild_applied"),
+          (col("recall_loss_ppm") < 100000L).as("meets_threshold"))
+      val rebuilt = shape(freshAgg, "rebuilt", applied = true)
+        .crossJoin(broadcast(staleAgg
+          .select(col("recall_loss_ppm").as("__stale_loss"))))
+        .filter(col("__stale_loss") >= 100000L) // the EXECUTED decision
+        .drop("__stale_loss")
+      shape(staleAgg, "stale", applied = false).unionByName(rebuilt)
+        .orderBy("phase")
+    },
+      Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")},
+           probes AS (SELECT vec_id qid, cluster FROM rk
+             WHERE vec_id < 5 AND r <= 2),
+           q AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                    FROM probes p JOIN q ON q.qid = p.qid
+                    JOIN member m ON m.cluster = p.cluster
+                    JOIN u e ON e.vec_id = m.vec_id AND e.vec_id <> p.qid),
+           rr AS (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_r DESC, neighbor_id) rnk FROM cand),
+           ap AS (SELECT qid, neighbor_id FROM rr WHERE rnk <= 5),
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+           h AS (SELECT ap.qid, COUNT(*) n_hits FROM ap
+             JOIN ex ON ap.qid = ex.qid AND ap.neighbor_id = ex.nid
+             GROUP BY 1),
+           recall AS (SELECT e.qid,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 rp
+             FROM (SELECT DISTINCT qid FROM ex) e
+             LEFT JOIN h ON h.qid = e.qid),
+           sagg AS (SELECT CAST(COUNT(*) AS BIGINT) n_queries,
+             CAST(SUM(rp) // COUNT(*) AS BIGINT) avg_recall_ppm
+             FROM recall),
+           ${GateFixtures.kmeansMemberCtesPrefixed("f_", "TRUE")},
+           fprobes AS (SELECT vec_id qid, cluster FROM f_rk
+             WHERE vec_id < 5 AND r <= 2),
+           fcand AS (SELECT p.qid, e.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                    FROM fprobes p JOIN q ON q.qid = p.qid
+                    JOIN f_member m ON m.cluster = p.cluster
+                    JOIN u e ON e.vec_id = m.vec_id AND e.vec_id <> p.qid),
+           frr AS (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_r DESC, neighbor_id) rnk FROM fcand),
+           fap AS (SELECT qid, neighbor_id FROM frr WHERE rnk <= 5),
+           fh AS (SELECT fap.qid, COUNT(*) n_hits FROM fap
+             JOIN ex ON fap.qid = ex.qid AND fap.neighbor_id = ex.nid
+             GROUP BY 1),
+           frecall AS (SELECT e.qid,
+             COALESCE(fh.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 rp
+             FROM (SELECT DISTINCT qid FROM ex) e
+             LEFT JOIN fh ON fh.qid = e.qid),
+           fagg AS (SELECT CAST(COUNT(*) AS BIGINT) n_queries,
+             CAST(SUM(rp) // COUNT(*) AS BIGINT) avg_recall_ppm
+             FROM frecall)
+           SELECT 'stale' AS phase, s.n_queries, s.avg_recall_ppm,
+             CAST(1000000 - s.avg_recall_ppm AS BIGINT) AS recall_loss_ppm,
+             FALSE AS rebuild_applied,
+             (1000000 - s.avg_recall_ppm) < 100000 AS meets_threshold
+           FROM sagg s
+           UNION ALL
+           SELECT 'rebuilt', f.n_queries, f.avg_recall_ppm,
+             CAST(1000000 - f.avg_recall_ppm AS BIGINT),
+             TRUE, (1000000 - f.avg_recall_ppm) < 100000
+           FROM fagg f, sagg s
+           WHERE (1000000 - s.avg_recall_ppm) >= 100000
+           ORDER BY phase""")),
+
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small
     // codes per vector, scores are 2 LUT lookups summed. The memory
@@ -5606,6 +5763,133 @@ object SparkEntry {
                  WHEN n_cjk >= n_other THEN 'cjk'
                  ELSE 'other' END AS dominant
              FROM f ORDER BY doc_id""")),
+
+    // FUSED single-scan text profile (TextQuality.textProfile): t1's
+    // stats + t2's langid + t19's classifier + t26's entropy + t28's
+    // script mix from ONE exchange-free projection over ONE scan —
+    // a 100 TB corpus otherwise pays five passes (and t19's shuffle)
+    // for what one computes. Column-for-column equal to the five
+    // per-gate outputs (TextProfileSpec pins equality AND the
+    // single-scan plan); t28's salt rides as a projection on the same
+    // scanned text column. Oracle: the five oracle chains composed on
+    // doc_id.
+    ("t35_text_profile", (s, dir) => {
+      val salted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+          .otherwise(lit("")))
+      TextQuality.textProfile(t(s, dir, "documents"), stopwords,
+        langMarkers, salted).orderBy("doc_id")
+    },
+      Some {
+        val marks = langMarkers.map { case (l, ms) =>
+          l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
+        }
+        val scoreCols = marks.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")
+        val chain = marks.init.map { case (l, e) =>
+          val others = marks.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        val sCols = marks.map { case (l, _) => s"p2.s_$l" }.mkString(", ")
+        s"""WITH base AS (SELECT doc_id, lang, text, string_split(text, ' ') w
+               FROM documents),
+           p1 AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len,
+             CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+             LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
+               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+               + (CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w)) * 0.2 AS quality
+             FROM base),
+           p2 AS (SELECT doc_id, $scoreCols,
+             CASE $chain ELSE '${langMarkers.last._1}' END AS pred_lang,
+             (CASE $chain ELSE '${langMarkers.last._1}' END) = lang AS matches_label
+             FROM base),
+           ptok AS (SELECT doc_id, md5('qc|' || UNNEST(w)) h FROM base),
+           pwgt AS (SELECT doc_id,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS wv
+             FROM ptok),
+           p19 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(wv) AS BIGINT) AS sum_w, SUM(wv) > 0 AS keep
+             FROM pwgt GROUP BY doc_id),
+           ec AS (SELECT doc_id, len(text) L,
+             UNNEST([substr(text, i, 1) FOR i IN generate_series(1, len(text))]) ch
+             FROM base),
+           eg AS (SELECT doc_id, ANY_VALUE(L) L, ch,
+             CAST(COUNT(*) AS BIGINT) n FROM ec GROUP BY doc_id, ch),
+           ea AS (SELECT doc_id, CAST(ANY_VALUE(L) AS BIGINT) n_chars,
+             CAST(COUNT(*) AS BIGINT) n_distinct_chars,
+             ROUND(0 - SUM(CAST(n AS DOUBLE)/L * log2(CAST(n AS DOUBLE)/L)), 6)
+               entropy_bits
+             FROM eg GROUP BY doc_id),
+           sd AS (SELECT doc_id, text ||
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ' привет мир'
+               WHEN 1 THEN ' 你好世界' ELSE '' END t
+             FROM base),
+           scx AS (SELECT doc_id,
+             UNNEST([unicode(substr(t, i, 1)) FOR i IN generate_series(1, len(t))]) cp
+             FROM sd),
+           sg AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90)
+               OR (cp BETWEEN 97 AND 122) THEN 1 ELSE 0 END) AS BIGINT) n_latin,
+             CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57
+               THEN 1 ELSE 0 END) AS BIGINT) n_digit,
+             CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279
+               THEN 1 ELSE 0 END) AS BIGINT) n_cyrillic,
+             CAST(SUM(CASE WHEN cp BETWEEN 19968 AND 40959
+               THEN 1 ELSE 0 END) AS BIGINT) n_cjk,
+             CAST(SUM(CASE WHEN NOT ((cp BETWEEN 65 AND 90)
+               OR (cp BETWEEN 97 AND 122) OR (cp BETWEEN 48 AND 57)
+               OR (cp BETWEEN 1024 AND 1279)
+               OR (cp BETWEEN 19968 AND 40959))
+               THEN 1 ELSE 0 END) AS BIGINT) n_other
+             FROM scx GROUP BY 1),
+           sfin AS (SELECT sd.doc_id, sd.t,
+             COALESCE(sg.n_latin, CAST(0 AS BIGINT)) n_latin,
+             COALESCE(sg.n_digit, CAST(0 AS BIGINT)) n_digit,
+             COALESCE(sg.n_cyrillic, CAST(0 AS BIGINT)) n_cyrillic,
+             COALESCE(sg.n_cjk, CAST(0 AS BIGINT)) n_cjk,
+             COALESCE(sg.n_other, CAST(0 AS BIGINT)) n_other
+             FROM sd LEFT JOIN sg USING (doc_id))
+           SELECT b.doc_id,
+             p1.n_words, p1.n_distinct_words, p1.ttr, p1.avg_word_len,
+             p1.stop_ratio, p1.quality,
+             $sCols, p2.pred_lang, p2.matches_label,
+             p19.n_tokens, p19.sum_w, p19.keep,
+             CASE WHEN b.text IS NULL THEN NULL
+               ELSE COALESCE(ea.n_chars, CAST(0 AS BIGINT)) END AS n_chars,
+             CASE WHEN b.text IS NULL THEN NULL
+               ELSE COALESCE(ea.n_distinct_chars, CAST(0 AS BIGINT))
+               END AS n_distinct_chars,
+             CASE WHEN b.text IS NULL THEN NULL
+               ELSE COALESCE(ea.entropy_bits, CAST(0 AS DOUBLE))
+               END AS entropy_bits,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_latin END AS n_latin,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_digit END AS n_digit,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_cyrillic END AS n_cyrillic,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_cjk END AS n_cjk,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_other END AS n_other,
+             CASE WHEN sfin.t IS NULL THEN NULL
+               WHEN sfin.n_latin >= sfin.n_digit AND sfin.n_latin >= sfin.n_cyrillic
+                 AND sfin.n_latin >= sfin.n_cjk AND sfin.n_latin >= sfin.n_other
+                 THEN 'latin'
+               WHEN sfin.n_digit >= sfin.n_cyrillic AND sfin.n_digit >= sfin.n_cjk
+                 AND sfin.n_digit >= sfin.n_other THEN 'digit'
+               WHEN sfin.n_cyrillic >= sfin.n_cjk AND sfin.n_cyrillic >= sfin.n_other
+                 THEN 'cyrillic'
+               WHEN sfin.n_cjk >= sfin.n_other THEN 'cjk'
+               ELSE 'other' END AS dominant
+           FROM base b
+           JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+           JOIN p19 USING (doc_id)
+           LEFT JOIN ea USING (doc_id) JOIN sfin USING (doc_id)
+           ORDER BY b.doc_id"""
+      }),
 
     // Token-MASS length quantiles (functions.WeightedLogHistogram):
     // "the doc length below which half the corpus TOKENS sit" — the

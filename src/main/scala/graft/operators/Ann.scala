@@ -549,14 +549,17 @@ object Ann {
     *     .Checkpoints]] because the search loop references it every
     *     round — the gate-scale analogue of reading the stored index).
     *  2. SEARCH — `rounds` bounded BFS-style frontier steps per query
-    *     (Bfs.scala's fixed-round precedent, fully declarative): start
-    *     at the corpus' min-id entry point, each round expand the
-    *     current beam's out-edges, score ONLY never-visited nodes
-    *     against the query (anti-join on the visited set), keep the
-    *     top-`beam` by cosine as the next frontier. The answer is the
-    *     exact cosine top-`k` over everything VISITED — so the oracle
-    *     can replay the whole walk: every pick is a rounded-cosine
-    *     argmax with id tiebreaks, engine-identical.
+    *     (Bfs.scala's fixed-round precedent, fully declarative): seed
+    *     at the query's OWN node (queries here are corpus members —
+    *     the NN-expansion form; an external query seeds from its LSH
+    *     bucket via [[lshTopK]]'s probe instead, same walk), each
+    *     round expand the current beam's out-edges, score ONLY
+    *     never-visited nodes against the query (anti-join on the
+    *     visited set), keep the top-`beam` by cosine as the next
+    *     frontier. The answer is the exact cosine top-`k` over
+    *     everything VISITED — so the oracle can replay the whole
+    *     walk: every pick is a rounded-cosine argmax with id
+    *     tiebreaks, engine-identical.
     *
     * Scale shape: the frontier/visited tables are queries × visited
     * (metadata-sized, broadcast side of every search join); the corpus
@@ -588,28 +591,57 @@ object Ann {
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       .distinct()
-    val scored = cand
+    def score(c: DataFrame): DataFrame = c
       .join(em.select(col("vec_id").as("src"), col("ue").as("us")), Seq("src"))
       .join(em.select(col("vec_id").as("dst"), col("ue").as("ud")), Seq("dst"))
       .select(col("src"), col("dst"),
         round(Similarity.dot(col("us"), col("ud")), 6).as("w"))
-    // the persisted graph index: referenced once per search round, so
-    // pin it (production reads the stored table; re-deriving the whole
-    // band join per round would multiply the build cost by `rounds`)
-    val edges = Checkpoints.pin(
+    def topM(scored: DataFrame): DataFrame =
       topKPerGroup(scored, Seq("src"), Seq(col("w").desc, col("dst")), m, "__er")
-        .select("src", "dst"))
+        .select("src", "dst")
+    // TWO NN-descent refinement rounds (Dong et al., WWW 2011): band
+    // collisions alone miss the edges of signature-"unlucky" nodes —
+    // a true neighbor that never shares a band is unreachable no
+    // matter how the search walks. Neighbors-of-neighbors fix exactly
+    // that (a near node's near nodes are near), at a bounded m² per
+    // node per round, so the candidate set stays linear in the
+    // corpus; NN-descent converges in a few rounds and two suffice
+    // here (AnnRecallSpec's bar). Each intermediate graph is pinned —
+    // the 2-hop self-join reads it twice.
+    def refine(g: DataFrame): DataFrame = {
+      val hop2 = g.as("x").join(g.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Checkpoints.pin(topM(score(cand.unionByName(hop2).distinct())))
+    }
+    // the persisted graph index: referenced once per search round, so
+    // it is pinned (production reads the stored table; re-deriving the
+    // whole band join per round would multiply the build cost by
+    // `rounds`)
+    val edges = refine(refine(Checkpoints.pin(topM(score(cand)))))
     val q = em.filter(queryPred)
       .select(col("vec_id").as("qid"), col("ue").as("qu"))
-    val entry = em.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("node"), col("ue").as("un"))
-    var visited = broadcast(q).crossJoin(broadcast(entry))
-      .select(col("qid"), col("node"),
-        round(Similarity.dot(col("qu"), col("un")), 6).as("cos_r"))
+    var visited = broadcast(q)
+      .select(col("qid"), col("qid").as("node"),
+        round(Similarity.dot(col("qu"), col("qu")), 6).as("cos_r"))
+    // best-first: each round EXPANDS the top-`beam` visited nodes not
+    // yet expanded (HNSW's candidate queue, batched) — re-expanding
+    // the same global top-beam every round would stall the walk after
+    // two rounds (measured: recall frozen at 0.76 regardless of
+    // rounds)
+    var expanded = visited.select("qid", "node").filter(lit(false))
+    // per-round lineage pins (labelPropagate's discipline): visited /
+    // expanded / frontier are each referenced twice per round, so an
+    // unpinned unroll re-executes the whole prior walk per reference —
+    // plan growth, not data, is what kills iterative loops. All three
+    // frames are queries x visited (metadata-sized), so the pins are
+    // bounded eager sub-jobs like e6's CC dispatch.
     for (_ <- 1 to rounds) {
-      val frontier = topKPerGroup(visited, Seq("qid"),
-        Seq(col("cos_r").desc, col("node")), beam, "__fr")
-        .select("qid", "node")
+      val frontier = Checkpoints.pin(topKPerGroup(
+        visited.join(expanded, Seq("qid", "node"), "left_anti"),
+        Seq("qid"), Seq(col("cos_r").desc, col("node")), beam, "__fr")
+        .select("qid", "node"))
+      expanded = Checkpoints.pin(expanded.unionByName(frontier))
       val fresh = broadcast(frontier)
         .join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node")).distinct()
@@ -620,7 +652,7 @@ object Ann {
         .join(broadcast(q), Seq("qid"))
         .select(col("qid"), col("node"),
           round(Similarity.dot(col("qu"), col("un")), 6).as("cos_r"))
-      visited = visited.unionByName(freshScored)
+      visited = Checkpoints.pin(visited.unionByName(freshScored))
     }
     topKPerGroup(visited.filter(col("node") =!= col("qid")), Seq("qid"),
       Seq(col("cos_r").desc, col("node")), k, "rnk")

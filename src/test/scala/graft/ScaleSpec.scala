@@ -136,6 +136,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(meanCos > 0.15, s"PQ picks average true cosine $meanCos — near random")
   }
 
+  test("graph ANN (n23) recall@5 >= the IVF gate's on the same probes") {
+    // the round-12 bar: the HNSW-class member must not trail the
+    // engine's own IVF path on the shared probe set (vec_id < 5)
+    val dir = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("n1_ann_topk")
+    val ivf = pairs("n5_ann_kmeans")
+    val graph = pairs("n23_ann_graph")
+    assert(graph.size == truth.size, "graph path must fill every top-k slot")
+    val rGraph = (graph & truth).size
+    val rIvf = (ivf & truth).size
+    assert(rGraph >= rIvf,
+      s"graph recall $rGraph < IVF recall $rIvf of ${truth.size}")
+  }
+
   test("learned-kmeans IVF (n5) recall vs brute force") {
     val dir = "/root/testdata/sf0.001"
     def pairs(q: String): Set[(Long, Long)] =

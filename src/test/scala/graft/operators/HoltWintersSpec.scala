@@ -82,4 +82,81 @@ class HoltWintersSpec extends AnyFunSuite {
     assert(out(2).getDouble(3) === ref(1)._1)
     assert(out(2).getDouble(5) === ref(1)._3)
   }
+
+  test("holtWintersByKey: per-key final state BIT-equals the per-row form's last row") {
+    // a21's parity pin (the a19 pattern): the in-row array fold and the
+    // secondary-sort pass must walk the identical IEEE sequence
+    val series = Map(
+      1L -> Seq(10.0, 14.0, 6.0, 11.0, 15.0, 7.0, 12.0),
+      2L -> Seq(5.0, 5.5, 4.5, 5.25),
+      3L -> Seq(42.0)) // single point: level=v, trend=0, forecast=v
+    val rows = for {
+      (k, vs) <- series.toSeq; (v, i) <- vs.zipWithIndex
+    } yield (k, i.toLong, v)
+    val df = rows.toDF("key", "ord", "v").repartition(5)
+    val perRow = Ewma.holtWinters(df, Seq("key"), Seq("ord"), "v",
+      A, B, G, P, "l", "b", "s").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.maxBy(_.getLong(1)) }
+    val grouped = Ewma.holtWintersByKey(df, Seq("key"), Seq("ord"), "v",
+      A, B, G, P).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((k, vs) <- series) {
+      val g = grouped(k)
+      val last = perRow(k)
+      assert(g.getLong(1) == vs.size, s"key $k n")
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(last.getDouble(3)), s"key $k level")
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(last.getDouble(4)), s"key $k trend")
+      // forecast = level + trend + season[n mod P] — recompute the
+      // reference's next-slot seasonal to pin the published forecast
+      val (l, b, sArr) = {
+        var l0 = 0.0; var b0 = 0.0; val s0 = Array.fill(P)(0.0)
+        vs.zipWithIndex.foreach { case (v, i) =>
+          val idx = i % P
+          if (i == 0) { l0 = v; b0 = 0.0 }
+          else {
+            val sPrev = s0(idx); val prev = l0
+            l0 = A * (v - sPrev) + (1 - A) * (l0 + b0)
+            b0 = B * (l0 - prev) + (1 - B) * b0
+            s0(idx) = G * (v - l0) + (1 - G) * sPrev
+          }
+        }
+        (l0, b0, s0)
+      }
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(l + b + sArr(vs.size % P)),
+        s"key $k forecast")
+    }
+  }
+
+  test("holtWintersByKey: nulls are ignore_na; empty key emits n=0 with NULLs") {
+    val df = Seq((1L, 0L, Some(10.0)), (1L, 1L, None), (1L, 2L, Some(14.0)),
+      (2L, 0L, Option.empty[Double]))
+      .toDF("key", "ord", "v")
+    val got = Ewma.holtWintersByKey(df, Seq("key"), Seq("ord"), "v",
+      A, B, G, P).collect().map(r => r.getLong(0) -> r).toMap
+    // key 1: nulls do not advance — final state == reference over the
+    // two valid values
+    val ref = reference(Seq(10.0, 14.0)).last
+    assert(got(1L).getLong(1) == 2L)
+    assert(got(1L).getDouble(2) == ref._1)
+    // key 2: no valid value -> n=0, NULL level/trend/forecast
+    assert(got(2L).getLong(1) == 0L)
+    assert(got(2L).isNullAt(2) && got(2L).isNullAt(3) && got(2L).isNullAt(4))
+  }
+
+  test("holtWintersByKey: the per-key point bound raises, never explodes") {
+    val df = (0 until 40).map(i => (1L, i.toLong, i.toDouble))
+      .toDF("key", "ord", "v")
+    val e = intercept[Exception] {
+      Ewma.holtWintersByKey(df, Seq("key"), Seq("ord"), "v",
+        A, B, G, P, maxPoints = 10).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("per-key bound"))
+  }
 }
