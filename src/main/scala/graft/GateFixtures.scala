@@ -624,13 +624,62 @@ object GateFixtures {
     * banded-signature edge build, then the `rounds` beam-search rounds
     * UNROLLED CTE by CTE — every pick is a rounded-cosine argmax with
     * id tiebreaks, so both engines walk the identical frontier. */
-  private[graft] def annGraphOracleSql(m: Int, beam: Int, rounds: Int,
-                                       k: Int, maxBucket: Int): String = {
-    val sigSql = rpPlanes.zipWithIndex.map { case (p, j) =>
-      val plane = p.mkString("[", ", ", "]")
+  /** The kNN-graph BUILD as composable CTEs, every name prefixed by
+    * `p`: banded sign-bit candidates over `corpusPred`'s slice of the
+    * corpus (src side additionally restricted by `srcPred`, an
+    * a-aliased predicate — the incremental gate's batch filter), exact
+    * scoring, top-`m` per src, then `refineRounds` unrolled NN-descent
+    * rounds. Ends with `<p>edges(src, dst)`. MATERIALIZED per stage:
+    * DuckDB's default CTE inlining re-expands the multi-reference
+    * chain exponentially (measured: "Too many open files" from one
+    * query). Assumes [[oracleUnitCte]]'s `u` precedes. */
+  private[graft] def annGraphBuildCtes(p: String, corpusPred: String,
+                                       srcPred: String, m: Int,
+                                       maxBucket: Int,
+                                       refineRounds: Int): String = {
+    val sigSql = rpPlanes.zipWithIndex.map { case (pl, j) =>
+      val plane = pl.mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(ue, $plane) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     val half = 1 << (rpPlanes.size / 2)
+    def topm(r: String, from: String) =
+      s"""$r AS MATERIALIZED (SELECT src, dst FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
+          FROM $from) WHERE r <= $m)"""
+    def scored(r: String, from: String) =
+      s"""$r AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
+         FROM $from c JOIN u ua ON ua.vec_id = c.src
+         JOIN u ub ON ub.vec_id = c.dst)"""
+    val rounds = (1 to refineRounds).map { r =>
+      s"""${p}h$r AS (SELECT x.src, y.dst FROM ${p}e${r - 1} x JOIN ${p}e${r - 1} y
+           ON x.dst = y.src WHERE x.src <> y.dst),
+         ${p}cd$r AS (SELECT src, dst FROM ${p}cand
+           UNION SELECT src, dst FROM ${p}h$r),
+         ${scored(s"${p}es$r", s"${p}cd$r")},
+         ${topm(s"${p}e$r", s"${p}es$r")}"""
+    }.mkString(",\n")
+    s"""${p}sig AS (SELECT vec_id, $sigSql AS bucket FROM u WHERE $corpusPred),
+       ${p}b0 AS (SELECT vec_id, UNNEST([
+           {'band': 0, 'bv': bucket // $half},
+           {'band': 1, 'bv': bucket % $half}]) bk FROM ${p}sig),
+       ${p}b AS (SELECT vec_id, bk.band band, bk.bv bv FROM ${p}b0),
+       ${p}kept AS (SELECT vec_id, band, bv FROM
+         (SELECT *, COUNT(*) OVER (PARTITION BY band, bv) bn FROM ${p}b)
+         WHERE bn <= $maxBucket),
+       ${p}cand AS (SELECT DISTINCT a.vec_id src, b.vec_id dst
+         FROM ${p}kept a JOIN ${p}kept b ON a.band = b.band AND a.bv = b.bv
+           AND a.vec_id <> b.vec_id AND ($srcPred)),
+       ${scored(s"${p}es0", s"${p}cand")},
+       ${topm(s"${p}e0", s"${p}es0")}${if (refineRounds > 0) ",\n" + rounds else ""},
+       ${p}edges AS (SELECT src, dst FROM ${p}e$refineRounds)"""
+  }
+
+  /** Oracle twin of [[Ann.graphTopK]] (the n23 graph-ANN gate): the
+    * banded-signature edge build, then the `rounds` beam-search rounds
+    * UNROLLED CTE by CTE — every pick is a rounded-cosine argmax with
+    * id tiebreaks, so both engines walk the identical frontier. */
+  private[graft] def annGraphOracleSql(m: Int, beam: Int, rounds: Int,
+                                       k: Int, maxBucket: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""gf${r - 1} AS MATERIALIZED (SELECT qid, node, cos_r FROM
            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -651,43 +700,7 @@ object GateFixtures {
          gv$r AS MATERIALIZED (SELECT * FROM gv${r - 1} UNION ALL SELECT * FROM gs$r)"""
     }.mkString(",\n")
     s"""WITH $oracleUnitCte,
-       gsig AS (SELECT vec_id, $sigSql AS bucket FROM u),
-       gb0 AS (SELECT vec_id, UNNEST([
-           {'band': 0, 'bv': bucket // $half},
-           {'band': 1, 'bv': bucket % $half}]) bk FROM gsig),
-       gb AS (SELECT vec_id, bk.band band, bk.bv bv FROM gb0),
-       gkept AS (SELECT vec_id, band, bv FROM
-         (SELECT *, COUNT(*) OVER (PARTITION BY band, bv) bn FROM gb)
-         WHERE bn <= $maxBucket),
-       gcand AS (SELECT DISTINCT a.vec_id src, b.vec_id dst
-         FROM gkept a JOIN gkept b ON a.band = b.band AND a.bv = b.bv
-           AND a.vec_id <> b.vec_id),
-       ges0 AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
-         FROM gcand c JOIN u ua ON ua.vec_id = c.src
-         JOIN u ub ON ub.vec_id = c.dst),
-       gedges0 AS MATERIALIZED (SELECT src, dst FROM
-         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
-          FROM ges0) WHERE r <= $m),
-       ghop2 AS (SELECT x.src, y.dst FROM gedges0 x JOIN gedges0 y
-         ON x.dst = y.src WHERE x.src <> y.dst),
-       gcand2 AS (SELECT src, dst FROM gcand
-         UNION SELECT src, dst FROM ghop2),
-       ges1 AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
-         FROM gcand2 c JOIN u ua ON ua.vec_id = c.src
-         JOIN u ub ON ub.vec_id = c.dst),
-       gedges1 AS MATERIALIZED (SELECT src, dst FROM
-         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
-          FROM ges1) WHERE r <= $m),
-       ghop2b AS (SELECT x.src, y.dst FROM gedges1 x JOIN gedges1 y
-         ON x.dst = y.src WHERE x.src <> y.dst),
-       gcand3 AS (SELECT src, dst FROM gcand
-         UNION SELECT src, dst FROM ghop2b),
-       ges AS (SELECT c.src, c.dst, ROUND(list_dot_product(ua.ue, ub.ue), 6) w
-         FROM gcand3 c JOIN u ua ON ua.vec_id = c.src
-         JOIN u ub ON ub.vec_id = c.dst),
-       gedges AS MATERIALIZED (SELECT src, dst FROM
-         (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) r
-          FROM ges) WHERE r <= $m),
+       ${annGraphBuildCtes("g", "TRUE", "TRUE", m, maxBucket, 2)},
        gq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
        gv0 AS MATERIALIZED (SELECT qid, qid AS node,
          ROUND(list_dot_product(qu, qu), 6) cos_r FROM gq),

@@ -475,6 +475,121 @@ object SparkEntry {
            FROM ${p}w GROUP BY 1"""
 
 
+  /** The t35 fused-profile oracle — the five oracle chains composed on
+    * doc_id. Shared verbatim by the batch gate and its streaming twin
+    * (w27): the profile is a stateless per-row projection, so stream
+    * == batch exactly (the w12/w25 shared-oracle discipline). */
+  private lazy val t35OracleSql: String = {
+
+        val marks = langMarkers.map { case (l, ms) =>
+          l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
+        }
+        val scoreCols = marks.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")
+        val chain = marks.init.map { case (l, e) =>
+          val others = marks.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        val sCols = marks.map { case (l, _) => s"p2.s_$l" }.mkString(", ")
+        s"""WITH base AS (SELECT doc_id, lang, text, string_split(text, ' ') w
+               FROM documents),
+           p1 AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len,
+             CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+             LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
+               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+               + (CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w)) * 0.2 AS quality
+             FROM base),
+           p2 AS (SELECT doc_id, $scoreCols,
+             CASE $chain ELSE '${langMarkers.last._1}' END AS pred_lang,
+             (CASE $chain ELSE '${langMarkers.last._1}' END) = lang AS matches_label
+             FROM base),
+           ptok AS (SELECT doc_id, md5('qc|' || UNNEST(w)) h FROM base),
+           pwgt AS (SELECT doc_id,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS wv
+             FROM ptok),
+           p19 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(wv) AS BIGINT) AS sum_w, SUM(wv) > 0 AS keep
+             FROM pwgt GROUP BY doc_id),
+           ec AS (SELECT doc_id, len(text) L,
+             UNNEST([substr(text, i, 1) FOR i IN generate_series(1, len(text))]) ch
+             FROM base),
+           eg AS (SELECT doc_id, ANY_VALUE(L) L, ch,
+             CAST(COUNT(*) AS BIGINT) n FROM ec GROUP BY doc_id, ch),
+           ea AS (SELECT doc_id, CAST(ANY_VALUE(L) AS BIGINT) n_chars,
+             CAST(COUNT(*) AS BIGINT) n_distinct_chars,
+             ROUND(0 - SUM(CAST(n AS DOUBLE)/L * log2(CAST(n AS DOUBLE)/L)), 6)
+               entropy_bits
+             FROM eg GROUP BY doc_id),
+           sd AS (SELECT doc_id, text ||
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ' привет мир'
+               WHEN 1 THEN ' 你好世界' ELSE '' END t
+             FROM base),
+           scx AS (SELECT doc_id,
+             UNNEST([unicode(substr(t, i, 1)) FOR i IN generate_series(1, len(t))]) cp
+             FROM sd),
+           sg AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90)
+               OR (cp BETWEEN 97 AND 122) THEN 1 ELSE 0 END) AS BIGINT) n_latin,
+             CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57
+               THEN 1 ELSE 0 END) AS BIGINT) n_digit,
+             CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279
+               THEN 1 ELSE 0 END) AS BIGINT) n_cyrillic,
+             CAST(SUM(CASE WHEN cp BETWEEN 19968 AND 40959
+               THEN 1 ELSE 0 END) AS BIGINT) n_cjk,
+             CAST(SUM(CASE WHEN NOT ((cp BETWEEN 65 AND 90)
+               OR (cp BETWEEN 97 AND 122) OR (cp BETWEEN 48 AND 57)
+               OR (cp BETWEEN 1024 AND 1279)
+               OR (cp BETWEEN 19968 AND 40959))
+               THEN 1 ELSE 0 END) AS BIGINT) n_other
+             FROM scx GROUP BY 1),
+           sfin AS (SELECT sd.doc_id, sd.t,
+             COALESCE(sg.n_latin, CAST(0 AS BIGINT)) n_latin,
+             COALESCE(sg.n_digit, CAST(0 AS BIGINT)) n_digit,
+             COALESCE(sg.n_cyrillic, CAST(0 AS BIGINT)) n_cyrillic,
+             COALESCE(sg.n_cjk, CAST(0 AS BIGINT)) n_cjk,
+             COALESCE(sg.n_other, CAST(0 AS BIGINT)) n_other
+             FROM sd LEFT JOIN sg USING (doc_id))
+           SELECT b.doc_id,
+             p1.n_words, p1.n_distinct_words, p1.ttr, p1.avg_word_len,
+             p1.stop_ratio, p1.quality,
+             $sCols, p2.pred_lang, p2.matches_label,
+             p19.n_tokens, p19.sum_w, p19.keep,
+             CASE WHEN b.text IS NULL THEN NULL
+               ELSE COALESCE(ea.n_chars, CAST(0 AS BIGINT)) END AS n_chars,
+             CASE WHEN b.text IS NULL THEN NULL
+               ELSE COALESCE(ea.n_distinct_chars, CAST(0 AS BIGINT))
+               END AS n_distinct_chars,
+             CASE WHEN b.text IS NULL THEN NULL
+               ELSE COALESCE(ea.entropy_bits, CAST(0 AS DOUBLE))
+               END AS entropy_bits,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_latin END AS n_latin,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_digit END AS n_digit,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_cyrillic END AS n_cyrillic,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_cjk END AS n_cjk,
+             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_other END AS n_other,
+             CASE WHEN sfin.t IS NULL THEN NULL
+               WHEN sfin.n_latin >= sfin.n_digit AND sfin.n_latin >= sfin.n_cyrillic
+                 AND sfin.n_latin >= sfin.n_cjk AND sfin.n_latin >= sfin.n_other
+                 THEN 'latin'
+               WHEN sfin.n_digit >= sfin.n_cyrillic AND sfin.n_digit >= sfin.n_cjk
+                 AND sfin.n_digit >= sfin.n_other THEN 'digit'
+               WHEN sfin.n_cyrillic >= sfin.n_cjk AND sfin.n_cyrillic >= sfin.n_other
+                 THEN 'cyrillic'
+               WHEN sfin.n_cjk >= sfin.n_other THEN 'cjk'
+               ELSE 'other' END AS dominant
+           FROM base b
+           JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+           JOIN p19 USING (doc_id)
+           LEFT JOIN ea USING (doc_id) JOIN sfin USING (doc_id)
+           ORDER BY b.doc_id"""
+  }
+
   private val stopwords = TextQuality.defaultStopwords
   private val langMarkers: Seq[(String, Seq[String])] = TextQuality.defaultLangMarkers
 
@@ -4391,6 +4506,33 @@ object SparkEntry {
            WHERE (1000000 - s.avg_recall_ppm) >= 100000
            ORDER BY phase""")),
 
+    // INCREMENTAL kNN-graph maintenance (Ann.incrementalGraphEdges) —
+    // the graph index's member of the incremental family (d15/d18/
+    // d21/n10): stored nodes' edge lists pass through bit-for-bit
+    // (append-only, the n10 frozen-at-ingest contract); each batch
+    // node gets its top-m out-edges from one banded probe + exact
+    // scoring of its own collisions only — history is never
+    // re-scored. NN-descent rebalancing is compaction's business
+    // (d21's rule); the stored graph here is the full n23 build on
+    // the 3/4 split. Oracle: the stored build chain and the batch
+    // probe chain side by side (annGraphBuildCtes, prefixed).
+    ("n25_ann_graph_incremental", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val stored = Ann.knnGraphEdges(
+        em.filter(col("vec_id") % 4 =!= 0), rpPlanes, 10)
+      Ann.incrementalGraphEdges(stored, em, col("vec_id") % 4 === 0,
+        rpPlanes, 10)
+        .orderBy("src", "dst")
+    },
+      Some(s"""WITH ${GateFixtures.oracleUnitCte},
+           ${GateFixtures.annGraphBuildCtes("st", "vec_id % 4 <> 0",
+             "TRUE", 10, 256, 2)},
+           ${GateFixtures.annGraphBuildCtes("bt", "TRUE",
+             "a.vec_id % 4 = 0", 10, 256, 0)}
+           SELECT src, dst FROM stedges
+           UNION ALL SELECT src, dst FROM btedges
+           ORDER BY src, dst""")),
+
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small
     // codes per vector, scores are 2 LUT lookups summed. The memory
@@ -5781,115 +5923,7 @@ object SparkEntry {
       TextQuality.textProfile(t(s, dir, "documents"), stopwords,
         langMarkers, salted).orderBy("doc_id")
     },
-      Some {
-        val marks = langMarkers.map { case (l, ms) =>
-          l -> s"len(list_filter(w, x -> list_contains([${ms.map(m => s"'$m'").mkString(",")}], x)))"
-        }
-        val scoreCols = marks.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")
-        val chain = marks.init.map { case (l, e) =>
-          val others = marks.filter(_._1 != l).map(_._2)
-          s"WHEN ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
-        }.mkString(" ")
-        val sCols = marks.map { case (l, _) => s"p2.s_$l" }.mkString(", ")
-        s"""WITH base AS (SELECT doc_id, lang, text, string_split(text, ' ') w
-               FROM documents),
-           p1 AS (SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
-             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
-             CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len,
-             CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w) AS stop_ratio,
-             LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
-               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
-               + (CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w)) * 0.2 AS quality
-             FROM base),
-           p2 AS (SELECT doc_id, $scoreCols,
-             CASE $chain ELSE '${langMarkers.last._1}' END AS pred_lang,
-             (CASE $chain ELSE '${langMarkers.last._1}' END) = lang AS matches_label
-             FROM base),
-           ptok AS (SELECT doc_id, md5('qc|' || UNNEST(w)) h FROM base),
-           pwgt AS (SELECT doc_id,
-             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS wv
-             FROM ptok),
-           p19 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(wv) AS BIGINT) AS sum_w, SUM(wv) > 0 AS keep
-             FROM pwgt GROUP BY doc_id),
-           ec AS (SELECT doc_id, len(text) L,
-             UNNEST([substr(text, i, 1) FOR i IN generate_series(1, len(text))]) ch
-             FROM base),
-           eg AS (SELECT doc_id, ANY_VALUE(L) L, ch,
-             CAST(COUNT(*) AS BIGINT) n FROM ec GROUP BY doc_id, ch),
-           ea AS (SELECT doc_id, CAST(ANY_VALUE(L) AS BIGINT) n_chars,
-             CAST(COUNT(*) AS BIGINT) n_distinct_chars,
-             ROUND(0 - SUM(CAST(n AS DOUBLE)/L * log2(CAST(n AS DOUBLE)/L)), 6)
-               entropy_bits
-             FROM eg GROUP BY doc_id),
-           sd AS (SELECT doc_id, text ||
-             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ' привет мир'
-               WHEN 1 THEN ' 你好世界' ELSE '' END t
-             FROM base),
-           scx AS (SELECT doc_id,
-             UNNEST([unicode(substr(t, i, 1)) FOR i IN generate_series(1, len(t))]) cp
-             FROM sd),
-           sg AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90)
-               OR (cp BETWEEN 97 AND 122) THEN 1 ELSE 0 END) AS BIGINT) n_latin,
-             CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57
-               THEN 1 ELSE 0 END) AS BIGINT) n_digit,
-             CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279
-               THEN 1 ELSE 0 END) AS BIGINT) n_cyrillic,
-             CAST(SUM(CASE WHEN cp BETWEEN 19968 AND 40959
-               THEN 1 ELSE 0 END) AS BIGINT) n_cjk,
-             CAST(SUM(CASE WHEN NOT ((cp BETWEEN 65 AND 90)
-               OR (cp BETWEEN 97 AND 122) OR (cp BETWEEN 48 AND 57)
-               OR (cp BETWEEN 1024 AND 1279)
-               OR (cp BETWEEN 19968 AND 40959))
-               THEN 1 ELSE 0 END) AS BIGINT) n_other
-             FROM scx GROUP BY 1),
-           sfin AS (SELECT sd.doc_id, sd.t,
-             COALESCE(sg.n_latin, CAST(0 AS BIGINT)) n_latin,
-             COALESCE(sg.n_digit, CAST(0 AS BIGINT)) n_digit,
-             COALESCE(sg.n_cyrillic, CAST(0 AS BIGINT)) n_cyrillic,
-             COALESCE(sg.n_cjk, CAST(0 AS BIGINT)) n_cjk,
-             COALESCE(sg.n_other, CAST(0 AS BIGINT)) n_other
-             FROM sd LEFT JOIN sg USING (doc_id))
-           SELECT b.doc_id,
-             p1.n_words, p1.n_distinct_words, p1.ttr, p1.avg_word_len,
-             p1.stop_ratio, p1.quality,
-             $sCols, p2.pred_lang, p2.matches_label,
-             p19.n_tokens, p19.sum_w, p19.keep,
-             CASE WHEN b.text IS NULL THEN NULL
-               ELSE COALESCE(ea.n_chars, CAST(0 AS BIGINT)) END AS n_chars,
-             CASE WHEN b.text IS NULL THEN NULL
-               ELSE COALESCE(ea.n_distinct_chars, CAST(0 AS BIGINT))
-               END AS n_distinct_chars,
-             CASE WHEN b.text IS NULL THEN NULL
-               ELSE COALESCE(ea.entropy_bits, CAST(0 AS DOUBLE))
-               END AS entropy_bits,
-             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_latin END AS n_latin,
-             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_digit END AS n_digit,
-             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_cyrillic END AS n_cyrillic,
-             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_cjk END AS n_cjk,
-             CASE WHEN sfin.t IS NULL THEN NULL ELSE sfin.n_other END AS n_other,
-             CASE WHEN sfin.t IS NULL THEN NULL
-               WHEN sfin.n_latin >= sfin.n_digit AND sfin.n_latin >= sfin.n_cyrillic
-                 AND sfin.n_latin >= sfin.n_cjk AND sfin.n_latin >= sfin.n_other
-                 THEN 'latin'
-               WHEN sfin.n_digit >= sfin.n_cyrillic AND sfin.n_digit >= sfin.n_cjk
-                 AND sfin.n_digit >= sfin.n_other THEN 'digit'
-               WHEN sfin.n_cyrillic >= sfin.n_cjk AND sfin.n_cyrillic >= sfin.n_other
-                 THEN 'cyrillic'
-               WHEN sfin.n_cjk >= sfin.n_other THEN 'cjk'
-               ELSE 'other' END AS dominant
-           FROM base b
-           JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
-           JOIN p19 USING (doc_id)
-           LEFT JOIN ea USING (doc_id) JOIN sfin USING (doc_id)
-           ORDER BY b.doc_id"""
-      }),
+      Some(t35OracleSql)),
 
     // Token-MASS length quantiles (functions.WeightedLogHistogram):
     // "the doc length below which half the corpus TOKENS sit" — the
@@ -10230,6 +10264,43 @@ object SparkEntry {
           .select(col("day"), col("n").as("x")))
     },
       Some(changepointsOracleSql)),
+
+    // STREAMING fused text profile — t35's twin at ingest (w12's
+    // stateless discipline): the profile is a pure per-row projection,
+    // so it runs unchanged on a file stream (3 doc_id-split batches,
+    // maxFilesPerTrigger=1) and the union of batch outputs must equal
+    // the batch gate exactly — the oracle IS t35's (shared-oracle
+    // parity pin). This is the shape a 100 TB ingest actually wants:
+    // quality/langid/entropy/script columns attached AT ARRIVAL, one
+    // scan, zero exchanges, no state store at all.
+    ("w27_stream_text_profile", (s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w27").toString
+      (0 to 2).foreach(i => raw.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val salted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+          .otherwise(lit("")))
+      val name = s"w27_sink_${streamGateSeq.incrementAndGet()}"
+      val q = TextQuality.textProfile(stream, stopwords, langMarkers, salted)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name).orderBy("doc_id")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some(t35OracleSql)),
 
     // GROUPED multi-changepoint (functions.GreedyChangepoints via
     // SeriesStats.changepointsByKey): "WHICH sources shifted

@@ -570,55 +570,13 @@ object Ann {
   def graphTopK(embeddings: DataFrame, planes: Seq[Array[Double]],
                 queryPred: Column, m: Int, beam: Int, rounds: Int,
                 k: Int, maxBucket: Int = 256): DataFrame = {
-    require(planes.size % 2 == 0, "planes must split into two bands")
     val em = embeddings
       .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
-    val sig = planes.zipWithIndex.map { case (p, j) =>
-      when(Similarity.dot(col("ue"), array(p.toIndexedSeq.map(lit): _*)) >= 0,
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val half = 1 << (planes.size / 2)
-    val withSig = em.select(col("vec_id"), sig.as("bucket"))
-    val bands = withSig.select(col("vec_id"), explode(array(
-      struct(lit(0).as("band"), expr(s"bucket div $half").as("bv")),
-      struct(lit(1).as("band"), expr(s"bucket % $half").as("bv")))).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val kept = bands
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy("band", "bv")))
-      .filter(col("__n") <= maxBucket).drop("__n")
-    val cand = kept.as("a").join(kept.as("b"), Seq("band", "bv"))
-      .filter(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct()
-    def score(c: DataFrame): DataFrame = c
-      .join(em.select(col("vec_id").as("src"), col("ue").as("us")), Seq("src"))
-      .join(em.select(col("vec_id").as("dst"), col("ue").as("ud")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        round(Similarity.dot(col("us"), col("ud")), 6).as("w"))
-    def topM(scored: DataFrame): DataFrame =
-      topKPerGroup(scored, Seq("src"), Seq(col("w").desc, col("dst")), m, "__er")
-        .select("src", "dst")
-    // TWO NN-descent refinement rounds (Dong et al., WWW 2011): band
-    // collisions alone miss the edges of signature-"unlucky" nodes —
-    // a true neighbor that never shares a band is unreachable no
-    // matter how the search walks. Neighbors-of-neighbors fix exactly
-    // that (a near node's near nodes are near), at a bounded m² per
-    // node per round, so the candidate set stays linear in the
-    // corpus; NN-descent converges in a few rounds and two suffice
-    // here (AnnRecallSpec's bar). Each intermediate graph is pinned —
-    // the 2-hop self-join reads it twice.
-    def refine(g: DataFrame): DataFrame = {
-      val hop2 = g.as("x").join(g.as("y"), col("x.dst") === col("y.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      Checkpoints.pin(topM(score(cand.unionByName(hop2).distinct())))
-    }
     // the persisted graph index: referenced once per search round, so
-    // it is pinned (production reads the stored table; re-deriving the
-    // whole band join per round would multiply the build cost by
-    // `rounds`)
-    val edges = refine(refine(Checkpoints.pin(topM(score(cand)))))
+    // it is pinned inside knnGraphEdges (production reads the stored
+    // table; re-deriving the whole band join per round would multiply
+    // the build cost by `rounds`)
+    val edges = knnGraphEdges(embeddings, planes, m, maxBucket)
     val q = em.filter(queryPred)
       .select(col("vec_id").as("qid"), col("ue").as("qu"))
     var visited = broadcast(q)
@@ -630,18 +588,21 @@ object Ann {
     // two rounds (measured: recall frozen at 0.76 regardless of
     // rounds)
     var expanded = visited.select("qid", "node").filter(lit(false))
-    // per-round lineage pins (labelPropagate's discipline): visited /
-    // expanded / frontier are each referenced twice per round, so an
-    // unpinned unroll re-executes the whole prior walk per reference —
-    // plan growth, not data, is what kills iterative loops. All three
-    // frames are queries x visited (metadata-sized), so the pins are
-    // bounded eager sub-jobs like e6's CC dispatch.
+    // ONE lineage pin per round (labelPropagate's discipline): an
+    // unpinned unroll re-executes the whole prior walk per reference
+    // (the round-12 first cut timed out — plan growth, not data, is
+    // what kills iterative loops). Pinning `visited` alone suffices:
+    // frontier and expanded are shallow derivations over the PINNED
+    // visited frames (a window + a union of <= rounds tiny frames),
+    // so their lineage depth stays O(rounds) without their own pins —
+    // 6 eager sub-jobs instead of 18 on the gate config (the light-
+    // tier wall is construction-dominated).
     for (_ <- 1 to rounds) {
-      val frontier = Checkpoints.pin(topKPerGroup(
+      val frontier = topKPerGroup(
         visited.join(expanded, Seq("qid", "node"), "left_anti"),
         Seq("qid"), Seq(col("cos_r").desc, col("node")), beam, "__fr")
-        .select("qid", "node"))
-      expanded = Checkpoints.pin(expanded.unionByName(frontier))
+        .select("qid", "node")
+      expanded = expanded.unionByName(frontier)
       val fresh = broadcast(frontier)
         .join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node")).distinct()
@@ -658,6 +619,102 @@ object Ann {
       Seq(col("cos_r").desc, col("node")), k, "rnk")
       .select(col("qid"), col("rnk"), col("node").as("neighbor_id"),
         col("cos_r"))
+  }
+
+  /** Sign-bit band table of `em` (vec_id, ue) vs the `planes`
+    * codebook: one row per (vec_id, band, bv), two half-codebook
+    * bands, degenerate buckets capped at `maxBucket` (lshPairs'
+    * guard — one boilerplate bucket must not go quadratic). Shared by
+    * the graph build and its incremental maintenance. */
+  private def signatureBands(em: DataFrame, planes: Seq[Array[Double]],
+                             maxBucket: Int): DataFrame = {
+    require(planes.size % 2 == 0, "planes must split into two bands")
+    val sig = planes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dot(col("ue"), array(p.toIndexedSeq.map(lit): _*)) >= 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val half = 1 << (planes.size / 2)
+    val bands = em.select(col("vec_id"), sig.as("bucket"))
+      .select(col("vec_id"), explode(array(
+        struct(lit(0).as("band"), expr(s"bucket div $half").as("bv")),
+        struct(lit(1).as("band"), expr(s"bucket % $half").as("bv")))).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+  }
+
+  /** Exact-cosine edge weights for a candidate (src, dst) set. */
+  private def scoreEdges(em: DataFrame, c: DataFrame): DataFrame = c
+    .join(em.select(col("vec_id").as("src"), col("ue").as("us")), Seq("src"))
+    .join(em.select(col("vec_id").as("dst"), col("ue").as("ud")), Seq("dst"))
+    .select(col("src"), col("dst"),
+      round(Similarity.dot(col("us"), col("ud")), 6).as("w"))
+
+  private def topMEdges(scored: DataFrame, m: Int): DataFrame =
+    topKPerGroup(scored, Seq("src"), Seq(col("w").desc, col("dst")), m, "__er")
+      .select("src", "dst")
+
+  /** The bounded-degree kNN GRAPH INDEX build (n23's phase 1, as its
+    * own operator — at 100 TB this is the persisted table the searches
+    * read): candidate edges from the banded signature join (never
+    * all-pairs), exact-cosine scoring, top-`m` out-edges per node,
+    * then `refineRounds` NN-descent rounds (Dong et al., WWW 2011) —
+    * band collisions alone miss the edges of signature-"unlucky"
+    * nodes, and neighbors-of-neighbors fix exactly that (a near
+    * node's near nodes are near) at a bounded m² candidates per node
+    * per round. Each intermediate graph is pinned (the 2-hop
+    * self-join reads it twice). Returns (src, dst). */
+  def knnGraphEdges(embeddings: DataFrame, planes: Seq[Array[Double]],
+                    m: Int, maxBucket: Int = 256,
+                    refineRounds: Int = 2): DataFrame = {
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val kept = signatureBands(em, planes, maxBucket)
+    val cand = kept.as("a").join(kept.as("b"), Seq("band", "bv"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    def refine(g: DataFrame): DataFrame = {
+      val hop2 = g.as("x").join(g.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Checkpoints.pin(topMEdges(
+        scoreEdges(em, cand.unionByName(hop2).distinct()), m))
+    }
+    (1 to refineRounds).foldLeft(
+      Checkpoints.pin(topMEdges(scoreEdges(em, cand), m)))((g, _) => refine(g))
+  }
+
+  /** N25: INCREMENTAL kNN-graph maintenance — the graph index's member
+    * of the incremental family (d15 signatures, d18 clusters, d21
+    * grams, n10 IVF membership): an arriving batch is folded into the
+    * persisted edge table WITHOUT re-scoring history. Stored nodes'
+    * edge lists pass through bit-for-bit (append-only — the n10
+    * frozen-at-ingest contract); each batch node gets its top-`m`
+    * out-edges from ONE banded probe against the full corpus's
+    * signature index plus exact scoring of its own collisions only.
+    * NN-descent refinement of the merged graph is deliberately NOT
+    * run at ingest — like d21's gram index, rebalancing is the
+    * compaction job's business (a full [[knnGraphEdges]] rebuild),
+    * and the search still reaches batch nodes through their band
+    * edges. At 100 TB the stored side is read once for the union and
+    * the band index it already persists; the batch pays its own
+    * signatures + a bucket-bounded join. Returns the updated
+    * (src, dst) edge table. */
+  def incrementalGraphEdges(storedEdges: DataFrame, embeddings: DataFrame,
+                            batchPred: Column, planes: Seq[Array[Double]],
+                            m: Int, maxBucket: Int = 256): DataFrame = {
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val kept = signatureBands(em, planes, maxBucket)
+    val cand = kept.filter(batchPred).as("a")
+      .join(kept.as("b"), Seq("band", "bv"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    storedEdges.select(col("src"), col("dst"))
+      .unionByName(topMEdges(scoreEdges(em, cand), m))
   }
 
   /** Embedding OUTLIER detection — the centroid-distance filter a
