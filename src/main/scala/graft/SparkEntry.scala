@@ -5925,6 +5925,81 @@ object SparkEntry {
     },
       Some(t35OracleSql)),
 
+    // TOKEN-distribution drift (g40/n21's PSI discipline applied to
+    // VOCABULARY): PSI between two corpus slices over md5-hashed token
+    // values (3 hex nibbles -> 0..4095, the e5 hash-extraction rule)
+    // in LogHistogram's engine-exact base-2 buckets — "did the
+    // vocabulary move between ingest runs" (a scraper change, new
+    // boilerplate, a language mix shift), which value-level drift
+    // (w21) and embedding drift (n21) both miss. Two regimes (g40's
+    // fixture discipline): 'control' = the natural even/odd halves
+    // (PSI ~ smoothing floor), 'shifted' = the odd half with every
+    // token rewritten (rehash -> near-total redistribution, large
+    // PSI). Scale: token explode -> bounded bucket tables; at 100 TB
+    // both sides are persisted bucket tables and the PSI reads no raw
+    // text (Drift.psiFromBuckets).
+    ("t36_token_drift", (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("tok"))
+      def z(c: Column) =
+        conv(substring(md5(concat(lit("td|"), c)), 1, 3), 16, 10).cast("long")
+      val ref = toks.filter(col("doc_id") % 2 === 0).select(z(col("tok")).as("z"))
+      val curBase = toks.filter(col("doc_id") % 2 === 1)
+      val cur = curBase.select(lit("control").as("grp"), z(col("tok")).as("z"))
+        .unionByName(curBase.select(lit("shifted").as("grp"),
+          z(concat(lit("t_"), col("tok"))).as("z")))
+      val refG = ref.crossJoin(broadcast(Seq("control", "shifted").toDF("grp")))
+      operators.Drift.psi(refG, cur, Seq("grp"), "z", 3)
+        .select(col("grp"), col("n_ref"), col("n_cur"), col("n_buckets"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("grp")
+    },
+      Some("""WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) tok
+               FROM documents),
+             zc AS (SELECT doc_id, md5('td|' || tok) h,
+               md5('td|' || 't_' || tok) hs FROM tk),
+             zv AS (SELECT doc_id,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) AS z,
+               (instr('0123456789abcdef', substr(hs, 1, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substr(hs, 2, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(hs, 3, 1)) - 1) AS zs
+               FROM zc),
+             r0 AS (SELECT z FROM zv WHERE doc_id % 2 = 0),
+             refg AS (SELECT g.grp, r0.z FROM r0,
+               (SELECT 'control' grp UNION ALL SELECT 'shifted') g),
+             cur AS (SELECT 'control' grp, z FROM zv WHERE doc_id % 2 = 1
+               UNION ALL
+               SELECT 'shifted', zs FROM zv WHERE doc_id % 2 = 1),
+             rb AS (SELECT grp, CASE WHEN z < 16 THEN z
+                 ELSE (z >> (length(bin(z)) - 4)) << (length(bin(z)) - 4)
+                 END lo, CAST(COUNT(*) AS BIGINT) n_ref
+               FROM refg GROUP BY 1, 2),
+             cb AS (SELECT grp, CASE WHEN z < 16 THEN z
+                 ELSE (z >> (length(bin(z)) - 4)) << (length(bin(z)) - 4)
+                 END lo, CAST(COUNT(*) AS BIGINT) n_cur
+               FROM cur GROUP BY 1, 2),
+             jn AS (SELECT COALESCE(rb.grp, cb.grp) grp,
+               COALESCE(rb.lo, cb.lo) lo,
+               COALESCE(n_ref, CAST(0 AS BIGINT)) n_ref,
+               COALESCE(n_cur, CAST(0 AS BIGINT)) n_cur
+               FROM rb FULL OUTER JOIN cb
+                 ON rb.grp = cb.grp AND rb.lo = cb.lo),
+             w AS (SELECT grp, n_ref, n_cur,
+               CAST(SUM(n_ref) OVER (PARTITION BY grp) AS BIGINT) tot_ref,
+               CAST(SUM(n_cur) OVER (PARTITION BY grp) AS BIGINT) tot_cur,
+               CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) b
+               FROM jn)
+             SELECT grp, MAX(tot_ref) AS n_ref, MAX(tot_cur) AS n_cur,
+               MAX(b) AS n_buckets,
+               ROUND(SUM((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b)
+                   - CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b))
+                 * ln((CAST(n_ref + 1 AS DOUBLE)/(tot_ref + b))
+                   / (CAST(n_cur + 1 AS DOUBLE)/(tot_cur + b)))), 6) AS psi
+             FROM w GROUP BY 1 ORDER BY 1""")),
+
     // Token-MASS length quantiles (functions.WeightedLogHistogram):
     // "the doc length below which half the corpus TOKENS sit" — the
     // statistic that sizes sequence-packing capacity. The unweighted
@@ -7758,6 +7833,74 @@ object SparkEntry {
                  AS within_bound
              FROM w ORDER BY decile_pct""")),
 
+    // Loss-aware MIXTURE REWEIGHTING (Sampling.mixtureReweight): the
+    // DoReMi-shaped domain-weight update (Xie et al. 2023 — upweight
+    // sources whose excess loss over the corpus mean is largest) in
+    // engine-exact integers; the loss proxy is t17's bigram
+    // familiarity (loss = 1e6 - familiarity_ppm, the LM-quality proxy
+    // the e7 bucketing already trusts). exp(η·excess) is replaced by
+    // a clamped linear multiplier (documented estimator choice — see
+    // the operator scaladoc). Feeds o10/o18's samplers: the output
+    // new_w_ppm IS their weight table for the next epoch. The
+    // fixture injects gibberish (unique tokens, near-zero corpus
+    // familiarity) into every 4th source (t22/a15's injection
+    // discipline), so both lanes are live: 5 degraded sources hit the
+    // 2x trust-region clamp (mult 2000 -> 80000 ppm), 15 healthy ones
+    // stay at the base step (40000 ppm). eta = 1 sizes the step to
+    // t17's ppm-scale losses.
+    ("o27_mixture_reweight", (s, dir) => {
+      val raw = t(s, dir, "documents")
+      val gib = concat_ws(" ", transform(sequence(lit(0), lit(19)),
+        i => concat(lit("g"), col("doc_id").cast("string"), lit("w"),
+          i.cast("string"))))
+      val docs = raw.select(col("doc_id"), col("source"),
+        when(expr("CAST(substring(source, 4) AS INT) % 4 = 0"), gib)
+          .otherwise(col("text")).as("text"))
+      val scored = TextQuality.bigramFamiliarity(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"),
+          (lit(1000000L) - col("familiarity_ppm")).as("loss_ppm"))
+      Sampling.mixtureReweight(scored, "source", "loss_ppm", etaDivisor = 1L)
+        .orderBy("source")
+    },
+      Some("""WITH gjb AS (SELECT doc_id, source, text,
+               array_to_string(['g' || CAST(doc_id AS VARCHAR) || 'w'
+                 || CAST(i AS VARCHAR) for i in generate_series(0, 19)], ' ')
+                 AS gib
+               FROM documents),
+             dj AS (SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 0
+                 THEN gib ELSE text END AS text
+               FROM gjb),
+             w AS (SELECT doc_id, string_split(text, ' ') w FROM dj),
+             bi AS (SELECT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]) sh
+               FROM w),
+             c AS (SELECT sh, COUNT(*) c FROM bi GROUP BY 1),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) total FROM c),
+             d AS (SELECT doc_id, CAST(SUM(c.c) AS BIGINT) sum_c,
+               COUNT(*) n_bigrams FROM bi JOIN c USING (sh) GROUP BY 1),
+             f AS (SELECT doc_id,
+               sum_c * 1000000 // (n_bigrams * total) AS fam FROM d, tot),
+             l AS (SELECT d2.source,
+               CAST(1000000 - f.fam AS BIGINT) loss
+               FROM f JOIN dj d2 USING (doc_id)),
+             g AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(loss) AS BIGINT) s FROM l GROUP BY 1),
+             cl AS (SELECT CAST(SUM(s) // SUM(n_docs) AS BIGINT) corpus_loss
+               FROM g),
+             st AS (SELECT source, n_docs,
+               CAST(s // n_docs AS BIGINT) loss_ppm,
+               CAST(GREATEST(0, (s // n_docs) - corpus_loss) AS BIGINT)
+                 excess_ppm
+               FROM g, cl),
+             mt AS (SELECT *, CAST(1000 + LEAST(excess_ppm // 1, 1000)
+               AS BIGINT) mult_milli FROM st),
+             ms AS (SELECT CAST(SUM(mult_milli) AS BIGINT) msum FROM mt)
+             SELECT source, n_docs, loss_ppm, excess_ppm, mult_milli,
+               CAST(mult_milli * 1000000 // msum AS BIGINT) AS new_w_ppm
+             FROM mt, ms ORDER BY source""")),
+
     // Sliding distinct VIA SKETCH (g28's documented 100 TB swap made
     // executable): the same explode-to-covering-windows shape, but the
     // per-window aggregate is the mergeable KMV sketch instead of
@@ -8655,6 +8798,49 @@ object SparkEntry {
              FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
              WHERE bit_count(xor(a.phash, b2.phash)) <= 1
              ORDER BY doc_a, doc_b""")),
+
+    // 64-bit DIFFERENCE-hash image dedup (Multimodal
+    // .imageDifferenceHashes): Krawetz's dHash — decode, 9x8
+    // nearest-neighbor luma grid, one gradient bit per adjacent cell
+    // pair — the structure-sensitive complement to m7/m11's
+    // mean-threshold aHash (a bright region drags aHash's global mean
+    // and saturates its bits; gradients keep local detail). Dedup =
+    // d1's shape on the hash: duplicate GROUPS with their canonical.
+    // Oracle: the closed-form pixel formula replayed at the grid
+    // points; the 64-bit pack folds as HUGEINT powers with an explicit
+    // two's-complement wrap (DuckDB raises on BIGINT 1<<63).
+    ("m13_image_dhash_dup", (s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.imageDifferenceHashes(
+        GateFixtures.pngMedia(s, dir)).toDF()
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .withColumnRenamed("phash", "dhash")
+        .orderBy("dhash")
+    },
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) w,
+               CAST(8 + doc_id % 3 AS BIGINT) h FROM documents),
+             rs AS (SELECT UNNEST([i for i in generate_series(0, 7)]) r),
+             cs AS (SELECT UNNEST([i for i in generate_series(0, 7)]) c),
+             cells AS (SELECT doc_id, r, c,
+               (doc_id + 11*((w*c)//9) + 17*((h*r)//8)) % 256 AS v0,
+               (doc_id + 11*((w*(c+1))//9) + 17*((h*r)//8)) % 256 AS v1
+               FROM g, rs, cs),
+             s AS (SELECT doc_id,
+               SUM(CASE WHEN v0 < v1
+                 THEN CAST(1 AS HUGEINT) << CAST(r*8+c AS INT)
+                 ELSE CAST(0 AS HUGEINT) END) AS hs
+               FROM cells GROUP BY doc_id),
+             b AS (SELECT doc_id,
+               CAST(CASE WHEN hs >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN hs - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE hs END AS BIGINT) AS dhash
+               FROM s)
+             SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc
+             FROM b GROUP BY dhash HAVING COUNT(*) > 1
+             ORDER BY dhash""")),
 
     // STREAMING data-quality audit (x13's rules at INGEST, w14's
     // staging discipline): DataQuality.auditAggs folds the per-rule

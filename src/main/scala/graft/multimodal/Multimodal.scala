@@ -135,6 +135,46 @@ object Multimodal {
       }
   }
 
+  /** 64-bit DIFFERENCE hash (dHash, Krawetz's gradient hash): decode,
+    * resample the luma plane to a 9x8 grid (cell (r,c) = luma at
+    * pixel (floor(w*c/9), floor(h*r/8)) — nearest-neighbor, integer-
+    * exact, engine-replayable), then bit (r,c) = 1 iff cell(r,c) <
+    * cell(r,c+1), packed row-major (bit index r*8+c). Gradient bits
+    * capture STRUCTURE where [[imagePerceptualHashes]]' aHash
+    * thresholds against the global mean — a bright region that drags
+    * the mean saturates aHash's bits, while dHash keeps local detail;
+    * the two are the standard complementary blocking keys for image
+    * near-dup. Same dedup/banding shape as aHash/SimHash downstream.
+    * Undecodable payloads hash to -1 (explicit-failure group). */
+  def imageDifferenceHashes(media: DataFrame): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val b = if (payload == null) Array.emptyByteArray else payload
+          ImageIoDecoder.decodeImage(b) match {
+            case Some((w, h, luma)) if w > 0 && h > 0 =>
+              def cell(r: Int, c: Int): Int =
+                luma((h * r / 8) * w + (w * c / 9))
+              var hsh = 0L
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  if (cell(r, c) < cell(r, c + 1)) hsh |= (1L << (r * 8 + c))
+                  c += 1
+                }
+                r += 1
+              }
+              PerceptualHash(id, hsh)
+            case _ => PerceptualHash(id, -1L)
+          }
+        }
+      }
+  }
+
   /** Resized REAL image row: re-encoded PNG payload + output dims;
     * (-1, -1, empty payload) is the explicit undecodable marker. */
   case class ResizedImage(doc_id: Long, payload: Array[Byte], width: Int,

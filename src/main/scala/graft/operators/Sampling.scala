@@ -308,6 +308,48 @@ object Sampling {
     * Output: (pick_idx, id, radius_sq) in pick order; `radius_sq` is
     * the picked point's distance² to its nearest earlier center (the
     * cover radius achieved as of that pick; NULL for the seed). */
+  /** O27: loss-aware MIXTURE REWEIGHTING — the DoReMi-shaped update
+    * (Xie et al. 2023: upweight domains whose excess loss over the
+    * corpus mean is largest) in engine-exact integer arithmetic. Per
+    * group: `loss = sum(loss_ppm) div n` (the group's mean loss, exact
+    * bigint); `excess = max(0, loss − corpus_loss)`; multiplier
+    * `m = 1000 + min(excess div 100, 1000)` (DoReMi's exp(η·excess)
+    * replaced by a clamped LINEAR step — a documented estimator
+    * choice: exponentials cannot cross the oracle boundary under the
+    * float-parity rules, the clamp bounds any one domain's step at 2×
+    * exactly like DoReMi's per-round trust region, and iterating the
+    * linear step converges to the same fixed-point ordering); new
+    * weight `w_ppm = m * 1e6 div sum(m)` over a UNIFORM prior (a
+    * non-uniform prior multiplies into m upstream). `etaDivisor` is
+    * the learning rate's reciprocal in the loss column's own units —
+    * size it so a meaningful excess lands in 1..1000 milli.
+    *
+    * Scale: one pass over the scored corpus (the loss column arrives
+    * from whatever quality model scored it — t17's familiarity here),
+    * a domain-sized aggregation, and a 1-row total broadcast back —
+    * nothing corpus-sized after the groupBy. Output: (groupCol,
+    * n_docs, loss_ppm, excess_ppm, mult_milli, new_w_ppm). */
+  def mixtureReweight(scored: DataFrame, groupCol: String,
+                      lossCol: String, etaDivisor: Long = 100L): DataFrame = {
+    require(etaDivisor >= 1L, "etaDivisor must be >= 1")
+    val grp = scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(lossCol)).as("__sum"))
+      .select(col(groupCol), col("n_docs"),
+        expr("__sum div n_docs").as("loss_ppm"), col("__sum"))
+    val tot = grp.agg(sum(col("__sum")).as("__ts"), sum(col("n_docs")).as("__tn"))
+      .select(expr("__ts div __tn").as("__corpus_loss"))
+    val stepped = grp.crossJoin(broadcast(tot))
+      .withColumn("excess_ppm",
+        greatest(lit(0L), col("loss_ppm") - col("__corpus_loss")))
+      .withColumn("mult_milli",
+        lit(1000L) + least(expr(s"excess_ppm div ${etaDivisor}L"), lit(1000L)))
+    val norm = stepped.agg(sum(col("mult_milli")).as("__msum"))
+    stepped.crossJoin(broadcast(norm))
+      .select(col(groupCol), col("n_docs"), col("loss_ppm"),
+        col("excess_ppm"), col("mult_milli"),
+        expr("mult_milli * 1000000 div __msum").as("new_w_ppm"))
+  }
+
   def kCenterCoreset(df: DataFrame, idCol: String, coordCols: Seq[String],
                      k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -181,6 +181,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes(16L) == phashOf(16L))
   }
 
+  test("dHash: known-vector replay, undecodable -1, and shift invariance") {
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, graft.GateFixtures.syntheticPng(1L)),
+      (16L, graft.GateFixtures.syntheticPng(16L)),
+      (99L, "corrupt bytes".getBytes))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imageDifferenceHashes(media).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    assert(hashes(99L) == -1L)
+    def dhashOf(id: Long): Long = {
+      val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt
+      def cell(r: Int, c: Int): Long =
+        (id + 11L * (w * c / 9) + 17L * (h * r / 8)) % 256
+      (for (r <- 0 until 8; c <- 0 until 8 if cell(r, c) < cell(r, c + 1))
+        yield 1L << (r * 8 + c)).foldLeft(0L)(_ | _)
+    }
+    assert(hashes(1L) == dhashOf(1L))
+    assert(hashes(16L) == dhashOf(16L))
+    // gradient bits are invariant under a uniform brightness shift
+    // (no wrap): +40 on a <=215-max image leaves every comparison —
+    // and hence the hash — unchanged
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = (x: Int, y: Int) => (x * 13 + y * 7) % 200
+    val shifted = Seq(
+      (1L, png(9, 8, base)),
+      (2L, png(9, 8, (x, y) => base(x, y) + 40)))
+      .toDF("doc_id", "payload")
+    val hs = Multimodal.imageDifferenceHashes(shifted).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    assert(hs(1L) == hs(2L), "uniform brightness shift must not move the dHash")
+  }
+
   test("real image resize: nearest-neighbor samples survive the re-encode") {
     import graft.multimodal.Multimodal
     val id = 13L
