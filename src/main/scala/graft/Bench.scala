@@ -290,7 +290,8 @@ object Bench {
     case class HeavyResult(name: String, walls: Seq[Double], gcs: Seq[Double],
                            loads: Seq[Double], cpus: Seq[Double],
                            ios: Seq[Double], warm: Seq[Double],
-                           loadStarts: Seq[Double], ctxts: Seq[Double])
+                           loadStarts: Seq[Double], ctxts: Seq[Double],
+                           cachedMb: Seq[Double])
     // members whose run 1 was cancelled at the per-run cap — recorded
     // separately from budget skips so the artifact distinguishes "over
     // budget, never started" from "started and pathological"
@@ -405,7 +406,8 @@ object Bench {
               .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
               .getOrElse(Seq.empty)
             val r = HeavyResult(f(1), series(2), series(3), series(4),
-              series(5), series(6), series(7), series(8), series(9))
+              series(5), series(6), series(7), series(8), series(9),
+              series(10))
             seen += r.name; out += r
             println(f"""{"q":"${r.name}","heavy_sec":${r.walls.min}%.3f,""" +
               s""""runs":${r.walls.mkString("[", ",", "]")}}""")
@@ -543,7 +545,7 @@ object Bench {
               println(f"""{"q":"$n","heavy_sec":${runs.min}%.3f}""")
               Console.out.flush()
               Some(HeavyResult(n, runs, Seq.empty, Seq.empty, Seq.empty,
-                Seq.empty, Seq.empty, Seq.empty, Seq.empty))
+                Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty))
             } else None
           }
         }
@@ -647,6 +649,11 @@ object Bench {
       // an inflated cpu tail = contention; flat = real work
       s""""heavy_load_start_runs":${arrObj(heavy.map(h => h.name -> h.loadStarts))},""" +
       s""""heavy_ctxt_runs":${arrObj(heavy.map(h => h.name -> h.ctxts))},""" +
+      // cached-storage MB after each run: the eviction receipt (the
+      // round-12 stress experiment cleared scheduler contention as a
+      // cpu-time inflator — silent index re-execution after eviction
+      // is the live hypothesis for a cpu-inflated firing)
+      s""""heavy_cached_mb_runs":${arrObj(heavy.map(h => h.name -> h.cachedMb))},""" +
       s""""heavy_warm":${arrObj(heavy.map(h => h.name -> h.warm))}}""")
     // FINAL line: a compact summary that must fit the driver's bounded
     // stdout tail window (~2.2 KB observed, which also has to hold

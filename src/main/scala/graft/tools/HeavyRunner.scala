@@ -176,6 +176,22 @@ object HeavyRunner {
       }.sum
     } catch { case _: Throwable => -1L }
 
+  /** MB of block-manager storage currently holding cached/persisted
+    * RDD partitions. The round-12 stress experiment REFUTED the
+    * "contended cores inflate cpu-time" hypothesis (24 busy co-tenant
+    * processes: wall 1.7x, ctxt 4-10x, cpu FLAT), which leaves silent
+    * RE-EXECUTION as the live explanation for a cpu-inflated firing —
+    * and the one mechanism that re-executes without an error is
+    * storage EVICTION of the memoized dedup indexes (every downstream
+    * reference then silently rebuilds the whole chain). A run that
+    * starts with the expected cached MB and ends near zero has its
+    * verdict in the artifact. */
+  private def cachedStorageMb(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    try spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum >> 20
+    catch { case _: Throwable => -1L }
+
   /** Actual block-device bytes read by THIS process so far
     * (`/proc/self/io` read_bytes — page-cache hits don't count). The
     * per-run delta is the I/O receipt the cross-environment story
@@ -466,7 +482,8 @@ object HeavyRunner {
             }
             receipts.foreach(_.drain(s"$q run$i"))
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
-              (diskReadBytes - i0) / 1e6, l0, invCtxtSwitches - x0))
+              (diskReadBytes - i0) / 1e6, l0, invCtxtSwitches - x0,
+              cachedStorageMb(spark)))
           } catch {
             case e: Throwable if capped && isCancellation(e) =>
               System.err.println(s"[heavy] $q run $i cancelled at the " +
@@ -486,7 +503,8 @@ object HeavyRunner {
             s"\t${runs.map(r => f"${r._5}%.1f").mkString(",")}" +
             s"\t${warmSec.map(w => f"$w%.3f").getOrElse("")}" +
             s"\t${runs.map(r => f"${r._6}%.2f").mkString(",")}" +
-            s"\t${runs.map(r => r._7.toString).mkString(",")}"
+            s"\t${runs.map(r => r._7.toString).mkString(",")}" +
+            s"\t${runs.map(r => r._8.toString).mkString(",")}"
         error match {
           case Some(msg) =>
             // A failure at run i>1 must not discard run 1..i-1's valid
