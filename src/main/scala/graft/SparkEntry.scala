@@ -10488,6 +10488,44 @@ object SparkEntry {
     },
       Some(t35OracleSql)),
 
+    // STREAMING ANN-index ingest (EventStream.maintainMembershipStore)
+    // — n10's frozen-codebook incremental maintenance at ARRIVAL: the
+    // persisted membership store seeds with the stored corpus's
+    // assignment, then three vector micro-batches fold in via one
+    // broadcast-codebook scoring pass each, append-only. Membership is
+    // a pure per-vector function of the frozen codebook, so the final
+    // store equals the from-scratch assignment of the union no matter
+    // how the stream batched — the oracle IS n10's (shared-oracle
+    // parity pin, the w25/w27 discipline).
+    ("w28_stream_ann_ingest", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val stored = em.filter(col("vec_id") % 4 =!= 0)
+      // the codebook is a persisted model artifact read by the seed
+      // AND every micro-batch — pinned, or each reference re-runs the
+      // Lloyd chain (the materialized-index rule)
+      val cb = operators.Checkpoints.pin(Ann.kmeansCentroids(stored, 5, 2))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w28").toString
+      graft.sources.VersionedParquetStore.merge(s, s"$tmp/store",
+        Ann.clusterAssignment(stored, cb), "vec_id",
+        combine = (cur, d) => cur.unionByName(d))
+      val batch = em.filter(col("vec_id") % 4 === 0)
+      (0 to 2).foreach(i => batch
+        .filter(expr("(vec_id div 4) % 3") === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainMembershipStore(
+        stream, cb, s"$tmp/store", s"$tmp/ckpt")
+      q.awaitTermination()
+      graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+        .orderBy("vec_id")
+    },
+      Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")}
+           SELECT vec_id, cluster FROM member ORDER BY vec_id""")),
+
     // GROUPED multi-changepoint (functions.GreedyChangepoints via
     // SeriesStats.changepointsByKey): "WHICH sources shifted
     // repeatedly, and when" — a18's recursion per key with ZERO

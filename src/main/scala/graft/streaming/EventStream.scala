@@ -238,6 +238,39 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN-index INGEST (n10's frozen-codebook contract at
+    * arrival, w14's foreachBatch staging discipline): each micro-batch
+    * of new vectors is assigned to its max-cosine centroid against the
+    * FROZEN broadcast codebook ([[graft.operators.Ann
+    * .clusterAssignment]] — a static plan per batch, so the argmax
+    * window is legal) and APPENDED to the persisted membership store.
+    * Stored rows are never re-scored or rewritten logically
+    * (append-only — retraining/rebalancing is n24's decision-gated
+    * rebuild); at gate scale the versioned store rewrites the snapshot
+    * for atomic-swap semantics, while a 100 TB deployment appends a
+    * partition per batch under the same pointer discipline. Because
+    * membership is a pure per-vector function of the frozen codebook,
+    * the final store equals a from-scratch assignment of the union
+    * regardless of how the stream was batched — w28 shares n10's
+    * oracle bit-for-bit. */
+  def maintainMembershipStore(stream: DataFrame, centroids: DataFrame,
+                              storeRoot: String, checkpoint: String)
+                             : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.operators.Ann
+            .clusterAssignment(batch.toDF(), centroids)
+          graft.sources.VersionedParquetStore.merge(
+            batch.sparkSession, storeRoot, delta, "vec_id",
+            combine = (cur: DataFrame, d: DataFrame) => cur.unionByName(d))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class TypedEvent(user_id: Long, us: Long, event_id: Long,
                         event_type: String)
   case class TransitionStep(user_id: Long, prev_type: String,
