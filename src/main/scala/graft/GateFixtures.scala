@@ -528,12 +528,17 @@ object GateFixtures {
              FROM ${p}s$n) WHERE r = 1),
          ${p}c$n AS (SELECT a.cluster, d.i, ROUND(AVG(d.v), 6) c
             FROM ${p}dimsT d JOIN ${p}a$n a ON d.vec_id = a.vec_id GROUP BY 1, 2)"""
+    // ONE source of truth for the unit normalization: the prefixed
+    // chain renames oracleUnitCte's head instead of duplicating its
+    // SQL (a drifted copy would train n24's fresh chain on
+    // differently-normalized vectors than every other oracle)
     val unit =
       if (p.isEmpty) oracleUnitCte
-      else s"""${p}u AS (SELECT vec_id, label,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) ue
-         FROM embeddings)"""
+      else {
+        require(oracleUnitCte.startsWith("u AS "),
+          "oracleUnitCte head changed; update the prefixed rename")
+        p + oracleUnitCte
+      }
     s"""$unit,
        ${p}dims AS (SELECT vec_id, UNNEST(ue) v, generate_subscripts(ue, 1) i FROM ${p}u),
        ${p}dimsT AS (SELECT * FROM ${p}dims WHERE $trainPred),
@@ -620,10 +625,6 @@ object GateFixtures {
        SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
        ORDER BY qid, rnk"""
 
-  /** Oracle twin of [[Ann.graphTopK]] (the n23 graph-ANN gate): the
-    * banded-signature edge build, then the `rounds` beam-search rounds
-    * UNROLLED CTE by CTE — every pick is a rounded-cosine argmax with
-    * id tiebreaks, so both engines walk the identical frontier. */
   /** The kNN-graph BUILD as composable CTEs, every name prefixed by
     * `p`: banded sign-bit candidates over `corpusPred`'s slice of the
     * corpus (src side additionally restricted by `srcPred`, an

@@ -585,7 +585,7 @@ object SparkEntry {
                ELSE 'other' END AS dominant
            FROM base b
            JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
-           JOIN p19 USING (doc_id)
+           LEFT JOIN p19 USING (doc_id)
            LEFT JOIN ea USING (doc_id) JOIN sfin USING (doc_id)
            ORDER BY b.doc_id"""
   }

@@ -588,21 +588,26 @@ object Ann {
     // two rounds (measured: recall frozen at 0.76 regardless of
     // rounds)
     var expanded = visited.select("qid", "node").filter(lit(false))
-    // ONE lineage pin per round (labelPropagate's discipline): an
+    // TWO lineage pins per round (labelPropagate's discipline): an
     // unpinned unroll re-executes the whole prior walk per reference
     // (the round-12 first cut timed out — plan growth, not data, is
-    // what kills iterative loops). Pinning `visited` alone suffices:
-    // frontier and expanded are shallow derivations over the PINNED
-    // visited frames (a window + a union of <= rounds tiny frames),
-    // so their lineage depth stays O(rounds) without their own pins —
-    // 6 eager sub-jobs instead of 18 on the gate config (the light-
-    // tier wall is construction-dominated).
+    // what kills iterative loops). `visited` and `expanded` each
+    // reference themselves twice per round, so both need pins
+    // (expanded unpinned doubles its plan tree per round — exponential
+    // in `rounds`); `frontier` is a shallow single-use derivation over
+    // the two pinned frames and needs none — 12 eager sub-jobs instead
+    // of 18 on the gate config. All pinned frames are queries x
+    // visited (metadata-sized).
     for (_ <- 1 to rounds) {
       val frontier = topKPerGroup(
         visited.join(expanded, Seq("qid", "node"), "left_anti"),
         Seq("qid"), Seq(col("cos_r").desc, col("node")), beam, "__fr")
         .select("qid", "node")
-      expanded = expanded.unionByName(frontier)
+      // expanded references ITSELF in next round's anti-join AND this
+      // union — unpinned, its plan tree doubles per round (exponential
+      // in `rounds`, the construction-stall failure mode); pinned it
+      // stays O(1) per round. Two pins/round total.
+      expanded = Checkpoints.pin(expanded.unionByName(frontier))
       val fresh = broadcast(frontier)
         .join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node")).distinct()

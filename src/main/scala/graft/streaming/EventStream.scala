@@ -261,9 +261,16 @@ object EventStream {
         if (!batch.isEmpty) {
           val delta = graft.operators.Ann
             .clusterAssignment(batch.toDF(), centroids)
+          // dropDuplicates makes the append IDEMPOTENT under
+          // at-least-once micro-batch replay (driver dies between the
+          // store commit and the checkpoint write -> foreachBatch
+          // re-runs the batch): membership is a pure function of the
+          // frozen codebook, so replayed rows are bit-identical and
+          // the dedup is exact, never a choice
           graft.sources.VersionedParquetStore.merge(
             batch.sparkSession, storeRoot, delta, "vec_id",
-            combine = (cur: DataFrame, d: DataFrame) => cur.unionByName(d))
+            combine = (cur: DataFrame, d: DataFrame) =>
+              cur.unionByName(d).dropDuplicates("vec_id"))
           ()
         }
       }

@@ -481,8 +481,14 @@ object HeavyRunner {
               run1Walls += wall * 1000
             }
             receipts.foreach(_.drain(s"$q run$i"))
+            val x1 = invCtxtSwitches
+            // -1 is the 'unavailable' sentinel on either sample — a
+            // raw delta would mix it into a nonsense count (or read as
+            // a genuine 0 on a /proc-less platform), corrupting the
+            // adjudicator signal; preserve the sentinel instead
+            val ctxtDelta = if (x0 < 0 || x1 < 0) -1L else x1 - x0
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
-              (diskReadBytes - i0) / 1e6, l0, invCtxtSwitches - x0,
+              (diskReadBytes - i0) / 1e6, l0, ctxtDelta,
               cachedStorageMb(spark)))
           } catch {
             case e: Throwable if capped && isCancellation(e) =>
