@@ -1076,6 +1076,38 @@ object SparkEntry {
            ORDER BY r.user_id"""
       }),
 
+    // GROUPED seasonal index (SeriesStats.seasonalIndexByKey): the
+    // decomposition family's fleet form — "what is each source's
+    // weekly shape"; every centered window key-partitioned (no global
+    // ordered window), same exact-int arithmetic and full-window edge
+    // rule as a10, per key. Oracle: a10's replay PARTITIONed BY the
+    // key.
+    ("a22_seasonal_index_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      SeriesStats.seasonalIndexByKey(daily, "event_type", "day", "x",
+        "dow", 7)
+        .orderBy("event_type", "slot")
+    },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1, 2),
+             w AS (SELECT event_type, dy, x,
+               COUNT(x) OVER win cnt,
+               CAST(7 * x - SUM(x) OVER win AS BIGINT) dt
+               FROM d
+               WINDOW win AS (PARTITION BY event_type ORDER BY dy
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             g AS (SELECT event_type,
+               CAST(((dy - DATE '1970-01-01') % 7 + 7) % 7 AS BIGINT) AS slot,
+               COUNT(*) n_obs, CAST(SUM(dt) AS BIGINT) num
+               FROM w WHERE cnt = 7 GROUP BY 1, 2)
+             SELECT event_type, slot, n_obs, num,
+               CAST(num // (7 * n_obs) AS BIGINT) AS idx
+             FROM g ORDER BY event_type, slot""")),
+
     // R6/R7: rows -> ordered series per key (nested array analogue,
     // serialized as a string for engine-portable comparison).
     ("r6_nest_series", (s, dir) =>
@@ -4532,6 +4564,38 @@ object SparkEntry {
            SELECT src, dst FROM stedges
            UNION ALL SELECT src, dst FROM btedges
            ORDER BY src, dst""")),
+
+    // ANN DELETIONS (Ann.ivfTopK's tombstone path) — the index
+    // lifecycle's third member next to insert (n10/n25/w28) and
+    // rebuild (n24): deleted ids (vec_id % 7 == 3, incl. query 3
+    // itself — a deleted vector no longer asks) leave the candidate
+    // stream via a search-time anti-join; stored index rows are never
+    // rewritten, physical removal is n24's decision-gated rebuild.
+    // Same codebook chain as n5; the oracle adds the two tombstone
+    // predicates.
+    ("n26_ann_tombstones", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val ts = em.filter(col("vec_id") % 7 === 3).select("vec_id")
+      Ann.ivfTopK(em, Ann.kmeansCentroids(em, 5, 2),
+        col("vec_id") < 5 && col("vec_id") % 7 =!= 3, 5, 2, Some(ts))
+        .orderBy("qid", "rnk")
+    },
+      Some(s"""WITH $kmeansMemberCtes,
+           probes AS (SELECT vec_id qid, cluster FROM rk
+             WHERE vec_id < 5 AND vec_id % 7 <> 3 AND r <= 2),
+           q AS (SELECT vec_id qid, ue qu FROM u
+             WHERE vec_id < 5 AND vec_id % 7 <> 3),
+           cand AS (SELECT p.qid, e.vec_id neighbor_id,
+                    ROUND(list_dot_product(q.qu, e.ue), 6) cos_r
+                    FROM probes p JOIN q ON q.qid = p.qid
+                    JOIN member m ON m.cluster = p.cluster
+                    JOIN u e ON e.vec_id = m.vec_id AND e.vec_id <> p.qid
+                    WHERE e.vec_id % 7 <> 3),
+           r AS (SELECT qid, neighbor_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_r DESC, neighbor_id) rnk FROM cand)
+           SELECT qid, rnk, neighbor_id, cos_r FROM r WHERE rnk <= 5
+           ORDER BY qid, rnk""")),
 
     // Product quantization + ADC (Ann.pqTopK): 2 sub-codebooks of 4
     // centroids over 32-dim slices; the corpus is scanned as 2 small

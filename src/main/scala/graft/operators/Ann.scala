@@ -424,9 +424,20 @@ object Ann {
     * cosine re-rank only inside the probed partitions. Membership =
     * max-cosine centroid per vector (the inverted file). At 100 TB the
     * codebook is broadcast and the corpus is scanned once to build the
-    * file; queries touch nprobe/k of the data. */
+    * file; queries touch nprobe/k of the data.
+    *
+    * N26 — DELETIONS: `tombstones` (a vec_id table) is the index
+    * lifecycle's third member next to insert (n10/n25/w28) and rebuild
+    * (n24): stored index rows are NEVER rewritten on delete — deleted
+    * ids are anti-joined out of the candidate stream at SEARCH time
+    * (and out of the query set: a deleted vector no longer asks), the
+    * same soft-delete contract every production vector store ships.
+    * Physical removal is the decision-gated rebuild's business (n24).
+    * The anti-join runs on the probed-candidate stream, not the
+    * corpus, so a delete costs nothing until its cell is probed. */
   def ivfTopK(embeddings: DataFrame, centroids: DataFrame,
-              queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+              queryPred: Column, k: Int, nprobe: Int,
+              tombstones: Option[DataFrame] = None): DataFrame = {
     val em = embeddings
       .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
     val dims = em.select(col("vec_id"), posexplode(col("ue")))
@@ -442,9 +453,14 @@ object Ann {
       .select(col("vec_id").as("qid"), col("cluster"))
     val q = em.filter(queryPred)
       .select(col("vec_id").as("qid"), col("ue").as("qu"))
-    val cand = broadcast(probes.join(q, "qid"))
+    val candAll = broadcast(probes.join(q, "qid"))
       .join(em.join(member, Seq("vec_id")), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
+    // soft delete: tombstoned ids leave the candidate stream here (a
+    // query that is itself tombstoned is already absent — queryPred
+    // composition is the caller's contract)
+    val cand = tombstones.fold(candAll)(ts =>
+        candAll.join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r"))
     topKPerGroup(cand, Seq("qid"),

@@ -211,17 +211,37 @@ object SeriesStats {
       .agg(count(lit(1)).as("n_obs"), sum(col("__d")).as("num"))
       .withColumn("idx", expr(s"num div ($period * n_obs)"))
 
+  /** Grouped [[seasonalIndex]]: the per-slot seasonal index PER KEY —
+    * "what is each source's weekly shape", the fleet form (a14/a16/
+    * a19/a20/a21's shape applied to the decomposition family). Every
+    * centered window is PARTITIONED by the key (no global ordered
+    * window anywhere), so the detrend is embarrassingly parallel
+    * across keys; the output is keys × slots. Same exact-integer
+    * arithmetic and full-window edge rule as the one-series form,
+    * per key. */
+  def seasonalIndexByKey(series: DataFrame, keyCol: String,
+                         orderCol: String, valueCol: String,
+                         slotCol: String, period: Int): DataFrame =
+    detrended(series, orderCol, valueCol, period, Seq(keyCol))
+      .groupBy(col(keyCol), col(slotCol).as("slot"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__d")).as("num"))
+      .withColumn("idx", expr(s"num div ($period * n_obs)"))
+
   /** The rows-with-a-full-centered-window of `series`, each carrying
     * the period-scaled detrended value
     * `__d = period*v_t - sum(v_{t-h}..v_{t+h})` (exact int64 when the
     * values are). Shared kernel of [[seasonalIndex]] and
     * [[seasonalResiduals]]. */
   private def detrended(series: DataFrame, orderCol: String,
-                        valueCol: String, period: Int): DataFrame = {
+                        valueCol: String, period: Int,
+                        keyCols: Seq[String] = Nil): DataFrame = {
     require(period >= 3 && period % 2 == 1,
       s"period must be odd and >= 3 (got $period)")
     val h = (period - 1) / 2
-    val w = Window.orderBy(orderCol).rowsBetween(-h, h)
+    val base =
+      if (keyCols.isEmpty) Window.orderBy(orderCol)
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+    val w = base.rowsBetween(-h, h)
     series
       .withColumn("__cnt", count(col(valueCol)).over(w))
       .withColumn("__d",

@@ -87,4 +87,37 @@ class AnnStorageSpec extends AnyFunSuite {
       1L -> ((2L, 3L, 1L, 500000L)),   // tie 1-1 -> smaller label 3
       2L -> ((1L, 8L, 1L, 1000000L)))) // unlabeled member dropped
   }
+
+  test("ivfTopK tombstones: deleted ids never returned, slots backfill, base unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val em = graft.Tables.load(spark, dir, "embeddings")
+    val cb = Ann.kmeansCentroids(em, 5, 2)
+    import org.apache.spark.sql.functions.col
+    val pred = col("vec_id") < 5 && col("vec_id") % 7 =!= 3
+    val ts = em.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val base = Ann.ivfTopK(em, cb, pred, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val del = Ann.ivfTopK(em, cb, pred, 5, 2, Some(ts))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(del.forall(_._2 % 7 != 3), "a tombstoned id was returned")
+    // slots backfill: still k rows per query
+    assert(del.groupBy(_._1).values.forall(_.length == 5))
+    // non-vacuous: the base search DID return tombstoned ids
+    assert(base.exists(_._2 % 7 == 3),
+      "fixture vacuous: no tombstoned id in the undeleted top-k")
+    // survivors keep their relative order: deleting ids never changes
+    // the base list's order among non-deleted members
+    val baseOrdered = Ann.ivfTopK(em, cb, pred, 5, 2)
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(2))).filter(_._2 % 7 != 3)
+    val delOrdered = Ann.ivfTopK(em, cb, pred, 5, 2, Some(ts))
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // base's surviving prefix per query must be a prefix of the
+    // tombstoned list (backfilled tail may add new members)
+    for ((q, survivors) <- baseOrdered.groupBy(_._1)) {
+      val d = delOrdered.filter(_._1 == q).map(_._2).toSeq
+      assert(d.startsWith(survivors.map(_._2).toSeq), s"query $q reordered")
+    }
+  }
 }

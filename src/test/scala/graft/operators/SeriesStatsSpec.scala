@@ -110,6 +110,30 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(runSeasonal(Seq(1L, 2L), 3).isEmpty)
   }
 
+  test("seasonalIndexByKey equals per-key seasonalIndex; short keys absent") {
+    val a = Seq(3L, 7L, 2L, 9L, 4L, 4L, 8L, 1L, 6L)
+    val b = Seq(10L, 12L, 8L, 14L, 9L, 11L, 13L)
+    val short = Seq(1L, 2L) // < period: no full window, no rows
+    val rows = Seq("a" -> a, "b" -> b, "s" -> short).flatMap {
+      case (k, xs) => xs.zipWithIndex.map { case (x, t) =>
+        (k, t.toLong, x, (t % 3).toLong) }
+    }
+    val df = rows.toDF("k", "t", "x", "slot").repartition(5)
+    val got = SeriesStats.seasonalIndexByKey(df, "k", "t", "x", "slot", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def single(xs: Seq[Long]) = SeriesStats.seasonalIndex(
+      xs.zipWithIndex.map { case (x, t) => (t.toLong, x, (t % 3).toLong) }
+        .toDF("t", "x", "slot"), "t", "x", "slot", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for ((k, xs) <- Seq("a" -> a, "b" -> b); (slot, v) <- single(xs))
+      assert(got((k, slot)) == v, s"key $k slot $slot")
+    assert(!got.keys.exists(_._1 == "s"), "short key must emit nothing")
+  }
+
   test("seasonalIndex rejects even or tiny periods") {
     intercept[IllegalArgumentException](runSeasonal(Seq(1L, 2L, 3L, 4L), 4))
     intercept[IllegalArgumentException](runSeasonal(Seq(1L, 2L, 3L), 1))
