@@ -534,6 +534,17 @@ object HeavyRunner {
         }
         Console.out.flush()
         SparkEntry.clearCaches(spark)
+        // cleaner settle BETWEEN members (round-12 position experiment:
+        // e6 isolated-cold = 260 cpu-s; e6 run 7th after the dedup
+        // family = 584 cpu-s on a quiet box, same code/data/plans,
+        // cache intact — in-fork accumulated shuffle/broadcast state
+        // amplifies the next member's REAL cpu). clearCaches drops our
+        // references; the gc enqueues them; the pause gives the async
+        // ContextCleaner a head start before the next member's timed
+        // run competes with it. Mitigation, not cure — the receipt
+        // fields adjudicate whatever remains.
+        System.gc()
+        Thread.sleep(250)
       }
     }
     spark.stop()
