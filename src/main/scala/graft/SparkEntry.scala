@@ -10552,6 +10552,58 @@ object SparkEntry {
     },
       Some(t35OracleSql)),
 
+    // STREAMING image-hash ingest — m13's dHash at ARRIVAL (w27's
+    // stateless discipline for the multimodal lane): media payloads
+    // arrive as 3 file batches, the REAL PNG decode + 9x8 gradient
+    // hash runs inside the stream's mapPartitions (the m6 codec seam,
+    // unchanged), one perceptual key per payload, no state store. At
+    // 100 TB this is where the hash belongs: computed once at ingest
+    // and persisted, never by re-decoding the corpus later. Oracle:
+    // m13's closed-form pixel replay, per doc (no grouping — the
+    // dedup election stays m13's batch business).
+    ("w29_stream_image_hash", (s, dir) => {
+      val media = GateFixtures.pngMedia(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w29").toString
+      (0 to 2).foreach(i => media.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val name = s"w29_sink_${streamGateSeq.incrementAndGet()}"
+      val q = graft.multimodal.Multimodal.imageDifferenceHashes(stream)
+        .toDF().withColumnRenamed("phash", "dhash")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val resolved = s.table(name).orderBy("doc_id")
+      val rows = java.util.Arrays.asList(resolved.collect(): _*)
+      val out = s.createDataFrame(rows, resolved.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) w,
+               CAST(8 + doc_id % 3 AS BIGINT) h FROM documents),
+             rs AS (SELECT UNNEST([i for i in generate_series(0, 7)]) r),
+             cs AS (SELECT UNNEST([i for i in generate_series(0, 7)]) c),
+             cells AS (SELECT doc_id, r, c,
+               (doc_id + 11*((w*c)//9) + 17*((h*r)//8)) % 256 AS v0,
+               (doc_id + 11*((w*(c+1))//9) + 17*((h*r)//8)) % 256 AS v1
+               FROM g, rs, cs),
+             s AS (SELECT doc_id,
+               SUM(CASE WHEN v0 < v1
+                 THEN CAST(1 AS HUGEINT) << CAST(r*8+c AS INT)
+                 ELSE CAST(0 AS HUGEINT) END) AS hs
+               FROM cells GROUP BY doc_id)
+             SELECT doc_id,
+               CAST(CASE WHEN hs >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN hs - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE hs END AS BIGINT) AS dhash
+             FROM s ORDER BY doc_id""")),
+
     // STREAMING ANN-index ingest (EventStream.maintainMembershipStore)
     // — n10's frozen-codebook incremental maintenance at ARRIVAL: the
     // persisted membership store seeds with the stored corpus's
