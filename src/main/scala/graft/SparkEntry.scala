@@ -4538,6 +4538,69 @@ object SparkEntry {
            WHERE (1000000 - s.avg_recall_ppm) >= 100000
            ORDER BY phase""")),
 
+    // MATRYOSHKA-style truncation ladder (Kusupati et al. 2022's
+    // evaluation protocol, Spark-first): brute-force recall@5 of
+    // PREFIX-truncated re-normalized embeddings (8/16/32 dims)
+    // against the full-64-dim truth — the storage/recall tradeoff
+    // table an embedding store sizes its tiers with (n6's int8 path
+    // shrinks bytes per dim; this shrinks DIMS). The 64-dim rung is
+    // the identity anchor (recall exactly 1e6). One brute chain per
+    // rung over the same probes; each rung's corpus scan reads d/64
+    // of the vector bytes — the whole ladder is still cheaper than
+    // two full scans.
+    ("n27_matryoshka_recall", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
+      Seq(8, 16, 32, 64).map { d =>
+        val sliced = em.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        Ann.recallAtK(Ann.bruteForceTopK(sliced, annQueryPred, 5), exact, 5)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("recall_ppm")).as("__sum"))
+          .select(lit(d.toLong).as("dims"), col("n_queries"),
+            expr("__sum div n_queries").as("avg_recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("dims")
+    },
+      Some {
+        def rung(d: Int): String =
+          s"""u$d AS (SELECT vec_id,
+               list_transform(sub, x -> x / sqrt(list_dot_product(sub, sub))) ue
+               FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, $d) sub
+                     FROM embeddings)),
+             q$d AS (SELECT vec_id qid, ue qu FROM u$d WHERE vec_id < 5),
+             s$d AS (SELECT qid, u$d.vec_id nid,
+               ROUND(list_dot_product(qu, u$d.ue), 6) cos_r
+               FROM q$d, u$d WHERE u$d.vec_id <> qid),
+             r$d AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_r DESC, nid) rnk FROM s$d),
+             ap$d AS (SELECT qid, nid FROM r$d WHERE rnk <= 5),
+             h$d AS (SELECT ap$d.qid, COUNT(*) n_hits FROM ap$d
+               JOIN ex ON ap$d.qid = ex.qid AND ap$d.nid = ex.nid
+               GROUP BY 1),
+             rec$d AS (SELECT e.qid,
+               COALESCE(h$d.n_hits, CAST(0 AS BIGINT)) * 1000000 // 5 rp
+               FROM (SELECT DISTINCT qid FROM ex) e
+               LEFT JOIN h$d ON h$d.qid = e.qid),
+             agg$d AS (SELECT CAST($d AS BIGINT) dims,
+               CAST(COUNT(*) AS BIGINT) n_queries,
+               CAST(SUM(rp) // COUNT(*) AS BIGINT) avg_recall_ppm
+               FROM rec$d)"""
+        s"""WITH ${GateFixtures.oracleUnitCte},
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+           ${Seq(8, 16, 32, 64).map(rung).mkString(",\n")}
+           SELECT dims, n_queries, avg_recall_ppm FROM agg8
+           UNION ALL SELECT dims, n_queries, avg_recall_ppm FROM agg16
+           UNION ALL SELECT dims, n_queries, avg_recall_ppm FROM agg32
+           UNION ALL SELECT dims, n_queries, avg_recall_ppm FROM agg64
+           ORDER BY dims"""
+      }),
+
     // INCREMENTAL kNN-graph maintenance (Ann.incrementalGraphEdges) —
     // the graph index's member of the incremental family (d15/d18/
     // d21/n10): stored nodes' edge lists pass through bit-for-bit
