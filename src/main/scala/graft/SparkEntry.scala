@@ -9579,6 +9579,51 @@ object SparkEntry {
                  ELSE CAST(n7 * 1000000 // den AS BIGINT) END FROM a
              ORDER BY 1""")),
 
+    // GROUPED autocorrelation table (SeriesStats.autocorrByKey,
+    // gated directly — a20's dominant-period argmax consumes it, but
+    // the fleet ACF TABLE is itself the dashboard artifact: "each
+    // source's lag profile", every lag window key-partitioned, exact
+    // int64 ppm per (key, lag). Oracle: g48's replay PARTITIONed BY
+    // the key.
+    ("g58_autocorr_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      SeriesStats.autocorrByKey(daily, "event_type", "day", "x", Seq(1, 2, 7))
+        .orderBy("event_type", "lag")
+    },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) dy, COUNT(*) x
+               FROM events GROUP BY 1, 2),
+             st AS (SELECT event_type, COUNT(*) n, CAST(SUM(x) AS BIGINT) s
+               FROM d GROUP BY 1),
+             c AS (SELECT d.event_type, dy, st.n,
+               CAST(st.n * x - st.s AS BIGINT) c
+               FROM d JOIN st USING (event_type)),
+             l AS (SELECT event_type, n, c,
+               lag(c, 1) OVER (PARTITION BY event_type ORDER BY dy) c1,
+               lag(c, 2) OVER (PARTITION BY event_type ORDER BY dy) c2,
+               lag(c, 7) OVER (PARTITION BY event_type ORDER BY dy) c7
+               FROM c),
+             a AS (SELECT event_type, MAX(n) n,
+               CAST(SUM(c * c) AS BIGINT) den,
+               CAST(COALESCE(SUM(c * c1), 0) AS BIGINT) n1,
+               CAST(COALESCE(SUM(c * c2), 0) AS BIGINT) n2,
+               CAST(COALESCE(SUM(c * c7), 0) AS BIGINT) n7
+               FROM l GROUP BY 1)
+             SELECT event_type, CAST(1 AS BIGINT) AS "lag", n, n1 AS num, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(n1 * 1000000 // den AS BIGINT) END AS r_ppm
+               FROM a
+             UNION ALL
+             SELECT event_type, CAST(2 AS BIGINT), n, n2, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(n2 * 1000000 // den AS BIGINT) END FROM a
+             UNION ALL
+             SELECT event_type, CAST(7 AS BIGINT), n, n7, den,
+               CASE WHEN den = 0 THEN NULL
+                 ELSE CAST(n7 * 1000000 // den AS BIGINT) END FROM a
+             ORDER BY 1, 2""")),
+
     // Weighted priority sampling (Sampling.prioritySample): top-100
     // documents by deterministic priority w/u with w = n_chars —
     // o5's hash-derived uniform turned into the Duffield-Lund-Thorup
