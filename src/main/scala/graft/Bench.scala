@@ -41,13 +41,15 @@ import org.apache.spark.sql.SparkSession
   *
   * HEAVY RESERVE (round 11): the light tier runs against its OWN
   * budget (total minus SPARK_GRAFT_HEAVY_RESERVE, default 430 s when
-  * the heavy tier is on) — under co-tenant load it first sheds its
-  * best-of-2 repeats (pace guard), then its tail queries, so the
-  * heavy forks always inherit the time the round-10 driver run
-  * starved them of (3/25 members at loadavg 5.5). Heavy members the
-  * latest driver artifact never measured rotate to the FRONT of their
-  * tier, so even a half-shed fork completes the roster across two
-  * driver rounds.
+  * the heavy tier is on). Round 13: the light tier is COVERAGE-FIRST
+  * — pass A times every gate once (light_n == registry size, the
+  * completeness invariant the round-12 driver run broke by shedding
+  * x7/x8/x9), pass B spends whatever light budget remains on
+  * best-of-2 repeats, cheapest first — so under co-tenant load the
+  * tier sheds PRECISION, never gates. Heavy members never measured in
+  * ANY driver artifact rotate to the very front of their tier, then
+  * members missing from the latest artifact, so even a half-shed fork
+  * completes the roster across rounds.
   *
   * The "heavy" section re-times the scale-sensitive queries on an
   * sf1-equivalent input ([[HeavyData]]: key-offset copies of the sf0.1
@@ -112,6 +114,25 @@ object Bench {
   private def loadAvg: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** The "heavy" summary keys of one artifact file — the raw "tail"
+    * section escapes its quotes, so the regex matches only the
+    * driver-parsed summary object. */
+  private def heavyKeysOf(f: java.io.File): Set[String] = {
+    val src = scala.io.Source.fromFile(f)
+    val txt = try src.mkString finally src.close()
+    val m = java.util.regex.Pattern
+      .compile("\"heavy\"\\s*:\\s*\\{([^}]*)\\}").matcher(txt)
+    if (m.find())
+      "\"([A-Za-z0-9_]+)\"\\s*:".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSet
+    else Set.empty[String]
+  }
+
+  private def artifactFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
+
   /** Heavy members the LATEST driver artifact actually measured (keys
     * of its parsed summary's "heavy" object). Drives the round-11
     * rotation: members the last official run never reached move to the
@@ -119,27 +140,15 @@ object Bench {
     * that already has an official number — a 900 s driver budget then
     * covers the full roster over at most two rounds even when one run
     * sheds half the tier. Best-effort: no artifact / no parse -> empty
-    * set -> the documented cheapest-first order stands unchanged.
-    * (The artifact's raw "tail" section escapes its quotes, so the
-    * regex below matches only the driver-parsed summary object.) */
+    * set -> the documented cheapest-first order stands unchanged. */
   private[graft] def lastMeasuredHeavy(dir: String = "."): Set[String] =
     try {
-      val files = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      val files = artifactFiles(dir)
       if (files.isEmpty) Set.empty
       else {
         val latest = files.maxBy(f =>
           "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
-        val src = scala.io.Source.fromFile(latest)
-        val txt = try src.mkString finally src.close()
-        val m = java.util.regex.Pattern
-          .compile("\"heavy\"\\s*:\\s*\\{([^}]*)\\}").matcher(txt)
-        val out =
-          if (m.find())
-            "\"([A-Za-z0-9_]+)\"\\s*:".r.findAllMatchIn(m.group(1))
-              .map(_.group(1)).toSet
-          else Set.empty[String]
+        val out = heavyKeysOf(latest)
         // the derived set size is logged so a silent mis-parse (a
         // future artifact shape with another unescaped "heavy" object
         // before the parsed summary) is visible in the run log instead
@@ -150,6 +159,23 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Set.empty }
 
+  /** Heavy members measured in ANY driver artifact ever — the union
+    * over every BENCH_r*.json "heavy" summary. Round 13: t17/q21/d5
+    * had been skipped in EVERY official run for three rounds while the
+    * latest-artifact rotation kept promoting merely last-round-skipped
+    * members past them; never-in-any-artifact now outranks
+    * not-in-latest. */
+  private[graft] def everMeasuredHeavy(dir: String = "."): Set[String] =
+    try {
+      val out = artifactFiles(dir).flatMap(f =>
+        try heavyKeysOf(f)
+        catch { case scala.util.control.NonFatal(_) => Set.empty[String] })
+        .toSet
+      System.err.println(
+        s"[bench] rotation: ${out.size} heavy members ever measured")
+      out
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
   /** `tier` with the members absent from the latest driver artifact
     * rotated to the front (stable within both halves, so the
     * cheapest-first receipts order is preserved as the tiebreak). */
@@ -157,6 +183,16 @@ object Bench {
                                     measured: Set[String]): Seq[String] = {
     val (unmeasured, had) = tier.partition(q => !measured.contains(q))
     unmeasured ++ had
+  }
+
+  /** Three-band rotation (round 13): members never measured in ANY
+    * driver artifact lead, then members missing from only the latest,
+    * then the rest — each band keeping the cheapest-receipts order as
+    * the tiebreak. */
+  private[graft] def rotateUnmeasuredFirst(tier: Seq[String],
+      latest: Set[String], ever: Set[String]): Seq[String] = {
+    val (neverEver, rest) = tier.partition(q => !ever.contains(q))
+    neverEver ++ rotateUnmeasuredFirst(rest, latest)
   }
 
   def main(args: Array[String]): Unit = {
@@ -214,69 +250,50 @@ object Bench {
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    // ---- light tier: stable order, ADAPTIVE run count, one evidence
-    // line per query the moment it completes. Best-of-3 holds where it
-    // matters — near the overhead floor (sub-2 s), where co-tenant
-    // noise/GC spikes are comparable to the measurement and were
-    // observed surviving best-of-2. Multi-second queries sit far above
-    // the floor: a plan regression there is 2x+, dwarfing run noise,
-    // so 2 runs (or 1 past 8 s) measure it fine — and the saved wall
-    // funds the heavy worst-case fork, which the suite's growth to
-    // 220+ queries had pushed past the budget (round-8 driver run:
-    // all 8 worst cases shed at fixed best-of-3). The light tier's
-    // budget floor (60 s) only trips when the box is pathologically
-    // loaded. ----
+    // ---- light tier: COVERAGE-FIRST two-pass (round 13). The
+    // round-12 driver run shed its three last-sorted gates (x7/x8/x9,
+    // light_n 323/326) because the interleaved best-of-2 repeats ate
+    // the light budget at launch-load 6.5 before the roster tail ever
+    // ran — an incomplete artifact for ~90 s of repeat precision.
+    // PASS A now runs EVERY registered gate exactly once, in sorted
+    // order, one evidence line per query: light_n == registry size is
+    // the completeness invariant, sheddable only by the final-print
+    // reserve itself (45 s — a box that loaded can't produce a
+    // trustworthy number anyway). PASS B adds the best-of-2 repeat
+    // under the old eligibility rule (first run >= 0.5 s proves the
+    // query is off the overhead floor and worth refining; past 8 s
+    // noise is a rounding error on the signal), but only inside the
+    // light budget, cheapest-first so a budget cut sheds the single
+    // most expensive repeat — and a pass-B repeat is better
+    // de-shadowed than the old back-to-back second sample (it no
+    // longer reads its own neighbor's GC/page-cache wake; the
+    // expensive entries it sheds are exactly the ones the tail-rerun
+    // loop revisits after the heavy forks). ----
     val lightNames = SparkEntry.queries.keys.toSeq.sorted
-    var lightWallSum = 0.0 // running run-1 mean drives the pace guard
-    var lightRunCount = 0
-    val results = lightNames.zipWithIndex.flatMap { case (name, idx) =>
-      if (remainingSec < 60 || elapsedSec > lightBudgetSec - 5) {
-        skipped += name; None
-      } else once(name, sfDir).flatMap { t1 =>
-        lightWallSum += t1; lightRunCount += 1
-        // best-of-TWO: a single sample right after an expensive
-        // neighbor reads its GC/page-cache shadow (observed: d25
-        // one-shot 10.2 s vs 1.6 s in back-to-back driver-style runs),
-        // so one repeat is mandatory; a third (round 6's best-of-3
-        // spike guard) no longer fits — at 229 queries it costs
-        // ~100 s that the heavy worst-case fork needs (receipts:
-        // both tiers were budget-shed under load at best-of-3/min-2).
-        // Regression detection now rests on the ensemble: an
-        // occasional spiked best is an isolated blip against the
-        // same query's round-over-round history, while a real
-        // regression moves with its operator family. Past 8 s one
-        // sample stands — at that magnitude noise is a rounding
-        // error on the signal. BELOW 0.5 s one sample also stands:
-        // a measured time is an UPPER bound on the true cost, so a
-        // sub-0.5 s first run already proves the query sits on the
-        // overhead floor — a repeat can only refine a number that
-        // carries no regression signal. (A floor query whose first
-        // run IS shadow-inflated lands >= 0.5 s and still gets its
-        // repeat.) At ~180 floor queries this funds the heavy
-        // worst-case fork the round-8 driver run had to shed.
-        //
-        // PACE GUARD (round 11): repeats are the first thing a loaded
-        // box sheds. If finishing the remaining queries at one run
-        // each (projected at the running mean) would already spend
-        // 90% of the light budget, every remaining repeat is skipped —
-        // under the round-10 driver's loadavg 5.5 this converts "light
-        // tier eats the heavy forks' reserve" into "light values lose
-        // their second sample", and the tail rerun + four rounds of
-        // receipt history absorb the precision loss.
-        val remainingEst =
-          (lightNames.size - idx - 1) * (lightWallSum / lightRunCount)
-        val paceOk = elapsedSec + remainingEst + t1 < lightBudgetSec * 0.9
-        val extra = if (paceOk && t1 >= 0.5 && t1 < 8.0) 1 else 0
-        val more = (1 to extra).flatMap(_ => once(name, sfDir))
-        if (more.size < extra) None // a later run failed -> no timing
-        else {
-          val best = (t1 +: more).min
-          println(f"""{"q":"$name","sec":$best%.3f}""")
-          Console.out.flush()
-          Some(name -> best)
-        }
+    val firstRuns = lightNames.flatMap { name =>
+      if (remainingSec < 45) { skipped += name; None }
+      else once(name, sfDir).map { t1 =>
+        println(f"""{"q":"$name","sec":$t1%.3f}""")
+        Console.out.flush()
+        name -> t1
       }
     }
+    val bests = scala.collection.mutable.LinkedHashMap(firstRuns: _*)
+    firstRuns.filter { case (_, t1) => t1 >= 0.5 && t1 < 8.0 }
+      .sortBy(_._2)
+      .foreach { case (name, t1) =>
+        if (elapsedSec < lightBudgetSec - 5 && remainingSec > 60 + 2 * t1) {
+          // a pass-B failure is still loud (once() records it) but the
+          // pass-A timing stands — same convention as HeavyRunner's
+          // partial-series-then-HEAVYFAIL
+          once(name, sfDir).filter(_ < bests(name)).foreach { v =>
+            bests(name) = v
+            println(f"""{"q":"$name","sec":$v%.3f,"repeat":true}""")
+            Console.out.flush()
+          }
+        }
+      }
+    val results = bests.toSeq
 
     val loadPostLight = loadAvg
 
@@ -460,11 +477,12 @@ object Bench {
         // member with a standing BENCH_NOTES receipt beats a measured
         // member with a misleading number.
         val measured = lastMeasuredHeavy()
+        val ever = everMeasuredHeavy()
         val twoForks = Seq(
-          (rotateUnmeasuredFirst(heavyCanaries, measured), heavyN, true,
+          (rotateUnmeasuredFirst(heavyCanaries, measured, ever), heavyN, true,
             fork2ReserveSec),
-          (rotateUnmeasuredFirst(heavyWorstCases, measured), heavyN, false,
-            0.0))
+          (rotateUnmeasuredFirst(heavyWorstCases, measured, ever), heavyN,
+            false, 0.0))
           .flatMap { case (group, n, warm, reserveAfter) =>
             if (remainingForkSec < 60) { skipped ++= group; Seq.empty }
             else runHeavyFork(heavyDir, cp, javaBin, group, n, warm,
@@ -489,16 +507,21 @@ object Bench {
         val reclaimable = (heavyCanaries ++ heavyWorstCases).filter(q =>
           skipped.contains(q) && !measuredNow.contains(q) &&
             !failed.contains(q) && !capped.contains(q))
-        // the reclaim fork's hang insurance: 45 s covers the worst
-        // observed fork overrun (17 s) by ~3x while leaving most of
-        // the main forks' undrawn 120 s grace spendable on shed
+        // the reclaim fork's hang insurance: 30 s covers the worst
+        // observed fork overrun (17 s) with margin while leaving most
+        // of the main forks' undrawn 120 s grace spendable on shed
         // members (JVM+session+firstTouch costs ~30 s, then quiet
-        // dedup-family members run 3-15 s each)
+        // dedup-family members run 3-15 s each). 45 -> 30 and floor
+        // 40 -> 28 (round 13): the round-12 driver ended with 57.6 s
+        // unused because grace 45 + floor 40 refused to spend it —
+        // at 28 s usable the fork boots and lands at least the
+        // cheapest shed member, which beats leaving the minute on the
+        // table.
         val reclaimGrace =
-          sys.env.getOrElse("SPARK_GRAFT_RECLAIM_GRACE", "45").toDouble
+          sys.env.getOrElse("SPARK_GRAFT_RECLAIM_GRACE", "30").toDouble
         val reclaimUsable = remainingSec - reclaimGrace - 15.0
         val reclaimed =
-          if (reclaimable.nonEmpty && reclaimUsable > 40) {
+          if (reclaimable.nonEmpty && reclaimUsable > 28) {
             System.err.println(s"[bench] reclaim pass: " +
               s"${reclaimable.size} shed members, " +
               f"$reclaimUsable%.0f s usable")

@@ -596,6 +596,15 @@ object GateFixtures {
     * engines; the codebook is data (like model weights). */
   private[graft] lazy val rpPlanes: Seq[Array[Double]] = Ann.randomHyperplanes(8, 64)
 
+  /** 1e6-scaled integer nDCG position discounts, w(p) = round(1e6 /
+    * log2(p+1)) for p = 1..k — the discount table is MODEL DATA like
+    * [[rpPlanes]]: computed once here, inlined as literals into both
+    * engines, so every DCG is an exact int64 Σ rel·w and nDCG one
+    * truncating division (the engine's exact-arithmetic discipline —
+    * a float DCG would drift with summation order). */
+  private[graft] def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(p => math.round(1e6 / (math.log(p + 1.0) / math.log(2.0))))
+
   /** The LSH retrieval chain as composable CTEs (assumes `u` from
     * [[oracleUnitCte]] precedes): yields `r` = ranked candidates per
     * query. Shared by n3/n4's oracles and n16's recall evaluation. */

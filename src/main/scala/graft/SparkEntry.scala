@@ -359,8 +359,21 @@ object SparkEntry {
     lpaCache.getOrElseUpdate((s, dir),
       LabelProp.propagate(tradeEdgesCached(s, dir), 3).persist())
 
+  // The kNN-GRAPH index (n23's phase 1) is a persisted table at 100 TB
+  // — built once, read by every search. Memoized like the dedup
+  // signature index so the n23 batch gate and the w30 streaming search
+  // twin pay the banded build + NN-descent ONCE per (session, corpus)
+  // and each gate times only its own bounded beam walk (round-13: the
+  // gate-time construction cost was the whole light tier's top wall).
+  private val graphEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def graphEdgesCached(s: SparkSession, dir: String): DataFrame =
+    graphEdgesCache.getOrElseUpdate((s, dir),
+      Ann.knnGraphEdges(t(s, dir, "embeddings"), rpPlanes, 10).persist())
+
   def clearCaches(s: SparkSession): Unit = {
-    Seq(sigCache, pairsCache, verifiedCache, edgesCache, lpaCache).foreach { cache =>
+    Seq(sigCache, pairsCache, verifiedCache, edgesCache, lpaCache,
+        graphEdgesCache).foreach { cache =>
       cache.toSeq.filter(_._1._1 eq s).foreach { case (k, df) =>
         df.unpersist(blocking = false)
         cache.remove(k)
@@ -4431,9 +4444,16 @@ object SparkEntry {
     // a rounded-cosine argmax with id tiebreaks, so the oracle unrolls
     // the identical walk. Recall@5 >= the IVF gate's on the same
     // probes (AnnRecallSpec pins it).
+    // Round 13: the gate reads the MEMOIZED persisted index
+    // (graphEdgesCached — built once per session/corpus, shared with
+    // w30's streaming search) and times only the bounded beam walk —
+    // the 100 TB shape, where the build is a stored table (see
+    // Ann.graphTopK's prebuiltEdges seam). Oracle unchanged: the
+    // memoized build is bit-identical to the inline one.
     ("n23_ann_graph", (s, dir) =>
       Ann.graphTopK(t(s, dir, "embeddings"), rpPlanes, annQueryPred,
-        m = 10, beam = 16, rounds = 6, k = 5).orderBy("qid", "rnk"),
+        m = 10, beam = 16, rounds = 6, k = 5,
+        prebuiltEdges = Some(graphEdgesCached(s, dir))).orderBy("qid", "rnk"),
       Some(GateFixtures.annGraphOracleSql(m = 10, beam = 16, rounds = 6,
         k = 5, maxBucket = 256))),
 
@@ -4599,6 +4619,80 @@ object SparkEntry {
            UNION ALL SELECT dims, n_queries, avg_recall_ppm FROM agg32
            UNION ALL SELECT dims, n_queries, avg_recall_ppm FROM agg64
            ORDER BY dims"""
+      }),
+
+    // RETRIEVAL-QUALITY EVAL: nDCG@5 — the standard graded-relevance
+    // metric the retrieval surface (t30 BM25, e15 hybrid RRF, n11
+    // rerank, n16/n20 recall) reports. Relevance grades derive from
+    // the full-dim exact top-5 (rel = 6 − exact rank; 0 otherwise);
+    // two rankers live in the fixture (t36's two-regime pattern): the
+    // exact ranking itself (perfect — nDCG exactly 1e6 ppm on every
+    // query) and the 8-dim Matryoshka-truncated ranking (n27's lowest
+    // rung — degraded: missed items grade 0, misorderings discount).
+    // DCG is EXACT integer arithmetic: the 1/log2(p+1) discounts are
+    // a 1e6-scaled integer literal table (GateFixtures.dcgWeights —
+    // model data inlined into both engines like rpPlanes), so
+    // dcg = Σ rel·w is int64 and ndcg_ppm one truncating division,
+    // bit-stable in any engine and summation order.
+    ("n28_ndcg_eval", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val k = 5
+      val wts = GateFixtures.dcgWeights(k)
+      val idcg = (1 to k).map(p => (k + 1 - p).toLong * wts(p - 1)).sum
+      val exact = Ann.bruteForceTopK(em, annQueryPred, k)
+      val rel = exact.select(col("qid"), col("neighbor_id"),
+        (lit((k + 1).toLong) - col("rnk")).as("rel"))
+      val wExpr = (1 to k).foldLeft(lit(0L): Column) { (acc, p) =>
+        when(col("rnk") === p, lit(wts(p - 1))).otherwise(acc) }
+      def ndcg(ranker: String, ranked: DataFrame): DataFrame = ranked
+        .join(rel, Seq("qid", "neighbor_id"), "left_outer")
+        .select(col("qid"), coalesce(col("rel"), lit(0L)).as("rel"),
+          wExpr.as("w"))
+        .groupBy("qid").agg(sum(col("rel") * col("w")).as("dcg"))
+        .select(lit(ranker).as("ranker"), col("qid"), col("dcg"),
+          expr(s"dcg * 1000000 div ${idcg}L").as("ndcg_ppm"))
+      val trunc8 = em.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+      ndcg("exact", exact)
+        .unionByName(ndcg("trunc8", Ann.bruteForceTopK(trunc8, annQueryPred, k)))
+        .orderBy("ranker", "qid")
+    },
+      Some {
+        val wts = GateFixtures.dcgWeights(5)
+        val idcg = (1 to 5).map(p => (6 - p).toLong * wts(p - 1)).sum
+        val wCase = (1 to 5).map(p =>
+          s"WHEN ${p} THEN CAST(${wts(p - 1)} AS BIGINT)").mkString(" ")
+        s"""WITH ${GateFixtures.oracleUnitCte},
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid, CAST(6 - rnk AS BIGINT) rel
+             FROM br WHERE rnk <= 5),
+           u8 AS (SELECT vec_id,
+             list_transform(sub, x -> x / sqrt(list_dot_product(sub, sub))) ue
+             FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 8) sub
+                   FROM embeddings)),
+           q8 AS (SELECT vec_id qid, ue qu FROM u8 WHERE vec_id < 5),
+           s8 AS (SELECT qid, u8.vec_id nid,
+             ROUND(list_dot_product(qu, u8.ue), 6) cos_r
+             FROM q8, u8 WHERE u8.vec_id <> qid),
+           r8 AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM s8),
+           sr AS (SELECT 'exact' ranker, qid, nid, rnk FROM br WHERE rnk <= 5
+             UNION ALL
+             SELECT 'trunc8' ranker, qid, nid, rnk FROM r8 WHERE rnk <= 5),
+           j AS (SELECT s.ranker, s.qid,
+             COALESCE(e.rel, CAST(0 AS BIGINT)) rel,
+             CASE s.rnk $wCase END w
+             FROM sr s LEFT JOIN ex e ON e.qid = s.qid AND e.nid = s.nid),
+           d AS (SELECT ranker, qid, CAST(SUM(rel * w) AS BIGINT) dcg
+             FROM j GROUP BY 1, 2)
+           SELECT ranker, qid, dcg,
+             CAST(dcg * 1000000 // $idcg AS BIGINT) AS ndcg_ppm
+           FROM d ORDER BY ranker, qid"""
       }),
 
     // INCREMENTAL kNN-graph maintenance (Ann.incrementalGraphEdges) —
@@ -7686,6 +7780,66 @@ object SparkEntry {
                MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
              FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // Compaction EXECUTED (e13 → action, the n22→n24 decision→action
+    // discipline): seed a versioned store with a deliberately
+    // FRAGMENTED snapshot (64 small files), run
+    // Compaction.applyPlan — the greedy first-fit rewrite committed
+    // via the snapshot-swap — then read the store back and gate BOTH
+    // invariants: contents identical (x7's order-independent
+    // md5-sum checksum over every row) and physical layout = plan
+    // (distinct file count == distinct bucket count; the oracle emits
+    // the PLAN's bucket count for both, so a multi-file bucket or a
+    // dropped row is a hash mismatch). CompactionApplySpec pins the
+    // atomic escape: a crash between write and swap leaves readers on
+    // the old snapshot.
+    ("e18_compaction_apply", (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e18").toFile
+      try {
+        val root = new java.io.File(tmp, "store").getPath
+        val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+        graft.sources.VersionedParquetStore.merge(s, root,
+          docs.repartition(64), "doc_id")
+        operators.Compaction.applyPlan(s, root, "doc_id", "n_chars", 4096L)
+        val back = graft.sources.VersionedParquetStore.read(s, root).get
+        val h = md5(concat_ws("|", col("doc_id"), col("n_chars"),
+          md5(col("text"))))
+        val hex32 = (0 until 8).map(c =>
+          (expr(s"instr('0123456789abcdef', substr(__h, ${c + 1}, 1))")
+            .cast("long") - 1L) * lit(1L << (4 * (7 - c)))).reduce(_ + _)
+        val out = back
+          .withColumn("__f", input_file_name())
+          .withColumn("__h", h)
+          .agg(countDistinct(col("bucket")).as("n_buckets"),
+            countDistinct(col("__f")).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            sum(hex32).as("checksum"))
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally rmTree(tmp)
+    },
+      Some {
+        val hex32 = (0 until 8).map(c =>
+          s"(strpos('0123456789abcdef', substr(h, ${c + 1}, 1)) - 1) * ${1L << (4 * (7 - c))}")
+          .mkString(" + ")
+        s"""WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) bytes
+             FROM documents),
+           c AS (SELECT doc_id, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) cum
+             FROM m),
+           nb AS (SELECT CAST(COUNT(DISTINCT cum // 4096) AS BIGINT) n
+             FROM c),
+           r AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' ||
+               CAST(n_chars AS VARCHAR) || '|' || md5(text)) h
+             FROM documents),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+             CAST(SUM($hex32) AS BIGINT) checksum FROM r)
+           SELECT nb.n AS n_buckets, nb.n AS n_files,
+             agg.n_rows, agg.checksum
+           FROM nb, agg"""
+      }),
+
     ("e11_incremental_manifest", (s, dir) => {
       val docs = t(s, dir, "documents")
       val b1 = docs.filter(col("doc_id") % 7 === 0)
@@ -10749,6 +10903,43 @@ object SparkEntry {
     },
       Some(s"""WITH ${GateFixtures.kmeansMemberCtesTrainedOn("vec_id % 4 <> 0")}
            SELECT vec_id, cluster FROM member ORDER BY vec_id""")),
+
+    // STREAMING graph-ANN SEARCH (EventStream.searchGraphIndex) — the
+    // online-retrieval half of a RAG ingest and the graph index's
+    // missing lifecycle member (build n23 / ingest n25 / tombstones
+    // n26 / rebuild n24 / SEARCH-at-arrival w30): the n23 query set
+    // arrives as three vector micro-batches; each batch runs the
+    // bounded beam walk against the STATIC memoized edge index
+    // (graphEdgesCached — the same persisted table n23 reads) and
+    // appends its hits to a versioned store. The index is frozen per
+    // batch and walks are per-query independent, so the store equals
+    // the one-shot search of all queries regardless of batching — w30
+    // shares n23's walk-replay oracle verbatim (w25/w27/w28's
+    // shared-oracle parity discipline).
+    ("w30_stream_ann_search", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val unitEm = em.select(col("vec_id"),
+        graft.functions.Similarity.unit(col("embedding")).as("ue"))
+      val edges = graphEdgesCached(s, dir)
+      val queries = em.filter(annQueryPred)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w30").toString
+      (0 to 2).foreach(i => queries
+        .filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.searchGraphIndex(
+        stream, unitEm, edges, beam = 16, rounds = 6, k = 5,
+        s"$tmp/store", s"$tmp/ckpt")
+      q.awaitTermination()
+      graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+        .orderBy("qid", "rnk")
+    },
+      Some(GateFixtures.annGraphOracleSql(m = 10, beam = 16, rounds = 6,
+        k = 5, maxBucket = 256))),
 
     // GROUPED multi-changepoint (functions.GreedyChangepoints via
     // SeriesStats.changepointsByKey): "WHICH sources shifted

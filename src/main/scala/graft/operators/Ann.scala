@@ -585,16 +585,33 @@ object Ann {
     * against the IVF gate on the same probes). */
   def graphTopK(embeddings: DataFrame, planes: Seq[Array[Double]],
                 queryPred: Column, m: Int, beam: Int, rounds: Int,
-                k: Int, maxBucket: Int = 256): DataFrame = {
+                k: Int, maxBucket: Int = 256,
+                prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     val em = embeddings
       .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
     // the persisted graph index: referenced once per search round, so
     // it is pinned inside knnGraphEdges (production reads the stored
     // table; re-deriving the whole band join per round would multiply
-    // the build cost by `rounds`)
-    val edges = knnGraphEdges(embeddings, planes, m, maxBucket)
+    // the build cost by `rounds`). `prebuiltEdges` is the production
+    // seam made explicit: pass the persisted/memoized index table and
+    // the gate pays ONLY the search — the round-13 n23 split (the
+    // build is SparkEntry's per-(session, dir) memoized index, shared
+    // with the streaming search twin w30).
+    val edges = prebuiltEdges
+      .getOrElse(knnGraphEdges(embeddings, planes, m, maxBucket))
     val q = em.filter(queryPred)
       .select(col("vec_id").as("qid"), col("ue").as("qu"))
+    graphSearch(em, edges, q, beam, rounds, k)
+  }
+
+  /** The SEARCH half of [[graphTopK]], over an explicit query table
+    * `q` (qid, qu unit vector) and an explicit edge index — the form a
+    * stored-index deployment (and the streaming w30 twin) calls: the
+    * index is a table someone else built; each call pays only the
+    * bounded beam walk. `em` is the (vec_id, ue) unit corpus the walk
+    * scores candidates against. */
+  def graphSearch(em: DataFrame, edges: DataFrame, q: DataFrame,
+                  beam: Int, rounds: Int, k: Int): DataFrame = {
     var visited = broadcast(q)
       .select(col("qid"), col("qid").as("node"),
         round(Similarity.dot(col("qu"), col("qu")), 6).as("cos_r"))

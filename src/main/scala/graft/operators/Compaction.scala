@@ -131,4 +131,50 @@ object Compaction {
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
         min(col("id")).as("first_id"), max(col("id")).as("last_id"))
   }
+
+  /** EXECUTE the compaction plan (the n22→n24 decision→action
+    * discipline applied to [[planBuckets]]): rewrite a
+    * [[graft.sources.VersionedParquetStore]]'s current snapshot as
+    * EXACTLY ONE FILE PER PLAN BUCKET — contiguous `idCol` runs of
+    * ~`targetBytes` by the same greedy first-fit arithmetic — and
+    * commit it through the store's snapshot-swap, so a reader sees
+    * either the old fragmented layout or the complete compacted one,
+    * never a half-rewrite. A crash between write and swap
+    * (`beforeCommit`, the injection seam) leaves the pointer — and
+    * every reader — on the OLD snapshot, the orphaned directory never
+    * visible (CompactionApplySpec pins exactly this).
+    *
+    * Scale shape: the bucket assignment is the metadata-sized
+    * manifest prefix sum (the [[withExclusivePrefixSum]] machinery —
+    * never a single-partition window); the data pays ONE hash
+    * exchange on `bucket` plus the linear write. Each bucket value
+    * hashes wholly into one task, so `partitionBy("bucket")` emits
+    * exactly one file per bucket (plain `repartition(col)` is safe
+    * from AQE partition SPLITTING, which applies only to joins and
+    * REBALANCE hints — a split would silently double a bucket's file
+    * count). Nothing is collected on the driver.
+    *
+    * @return the compacted snapshot as committed (carries `bucket`) */
+  def applyPlan(spark: SparkSession, root: String, idCol: String,
+                sizeCol: String, targetBytes: Long,
+                beforeCommit: () => Unit = () => ()): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import graft.sources.VersionedParquetStore
+    val expected = VersionedParquetStore.currentVersion(spark, root)
+    val cur = VersionedParquetStore.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot to compact under $root"))
+    val m = cur.select(col(idCol).cast("long").as("id"),
+      col(sizeCol).cast("long").as("bytes"))
+    val assigned = withExclusivePrefixSum(m, "cum", Seq(col("id")), "bytes")
+      // internal join-key alias: a bare "id" would collide with an
+      // idCol literally named "id" and drop BOTH columns below
+      .select(col("id").as("__cmp_id"),
+        expr(s"cum div ${targetBytes}L").as("bucket"))
+    val rows = cur.join(assigned, cur(idCol) === assigned("__cmp_id"))
+      .drop("__cmp_id")
+    VersionedParquetStore.commitSnapshot(spark, root, expected,
+      path => rows.repartition(col("bucket"))
+        .write.mode("errorifexists").partitionBy("bucket").parquet(path),
+      beforeCommit)
+  }
 }

@@ -56,6 +56,54 @@ object VersionedParquetStore {
     readPointer(fs(spark, root), root)
       .map(v => spark.read.parquet(new Path(root, v).toString))
 
+  /** The pointer value right now — the `expected` a caller passes to
+    * [[commitSnapshot]] after deriving its new snapshot from the
+    * current one (the optimistic-concurrency token). */
+  def currentVersion(spark: SparkSession, root: String): Option[String] =
+    readPointer(fs(spark, root), root)
+
+  /** Write-and-swap a NEW snapshot under the optimistic pointer
+    * discipline, with the snapshot WRITER supplied by the caller —
+    * the layout seam: [[merge]] commits a plain parquet write through
+    * it, [[graft.operators.Compaction.applyPlan]] a bucket-partitioned
+    * rewrite. `expected` is the pointer value the new snapshot was
+    * derived from; a concurrent bump fails the commit loudly and the
+    * orphaned directory is never visible. `beforeCommit` is the test
+    * seam between write and swap (crash injection: the spec proves a
+    * failure there leaves every reader on the old snapshot). */
+  def commitSnapshot(spark: SparkSession, root: String,
+                     expected: Option[String], write: String => Unit,
+                     beforeCommit: () => Unit = () => ()): DataFrame = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    // monotonic version for humans + uuid so two racing writers never
+    // collide on the directory itself — the pointer decides the winner
+    val nextV = "v-%08d-%s".format(
+      expected.map(_.drop(2).takeWhile(_.isDigit).toLong + 1).getOrElse(0L),
+      java.util.UUID.randomUUID.toString.take(8))
+    write(new Path(root, nextV).toString)
+
+    beforeCommit() // test seam: race/crash injection between write and swap
+    // optimistic commit: pointer must not have moved since we read it
+    if (readPointer(f, root) != expected)
+      throw new IllegalStateException(
+        s"concurrent commit detected on $root — aborting pointer swap " +
+          s"(snapshot $nextV left orphaned, never visible)")
+    val tmp = new Path(root, s"$POINTER.tmp")
+    val out = f.create(tmp, true)
+    try out.write(nextV.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(root, POINTER))) {
+      // posix/HDFS rename won't replace an existing file atomically on
+      // all filesystems — delete-then-rename is the portable two-step;
+      // the pointer file is tiny so the non-atomic window is one inode
+      // swap, and a torn read simply resolves the previous snapshot
+      f.delete(new Path(root, POINTER), false)
+      if (!f.rename(tmp, new Path(root, POINTER)))
+        throw new IllegalStateException(s"pointer swap failed on $root")
+    }
+    spark.read.parquet(new Path(root, nextV).toString)
+  }
+
   /** Last-write-wins merge of `updates` into the store (UserStore
     * semantics on `keyCol`), committed as a new snapshot.
     * `combine` is the merge seam: default last-write-wins upsert;
@@ -74,32 +122,8 @@ object VersionedParquetStore {
       case Some(cur) => combine(cur, updates)
       case None      => updates
     }
-    // monotonic version for humans + uuid so two racing writers never
-    // collide on the directory itself — the pointer decides the winner
-    val nextV = "v-%08d-%s".format(
-      before.map(_.drop(2).takeWhile(_.isDigit).toLong + 1).getOrElse(0L),
-      java.util.UUID.randomUUID.toString.take(8))
-    merged.write.mode("errorifexists")
-      .parquet(new Path(root, nextV).toString)
-
-    beforeCommit() // test seam: race injection between write and swap
-    // optimistic commit: pointer must not have moved since we read it
-    if (readPointer(f, root) != before)
-      throw new IllegalStateException(
-        s"concurrent commit detected on $root — aborting pointer swap " +
-          s"(snapshot $nextV left orphaned, never visible)")
-    val tmp = new Path(root, s"$POINTER.tmp")
-    val out = f.create(tmp, true)
-    try out.write(nextV.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, new Path(root, POINTER))) {
-      // posix/HDFS rename won't replace an existing file atomically on
-      // all filesystems — delete-then-rename is the portable two-step;
-      // the pointer file is tiny so the non-atomic window is one inode
-      // swap, and a torn read simply resolves the previous snapshot
-      f.delete(new Path(root, POINTER), false)
-      if (!f.rename(tmp, new Path(root, POINTER)))
-        throw new IllegalStateException(s"pointer swap failed on $root")
-    }
-    spark.read.parquet(new Path(root, nextV).toString)
+    commitSnapshot(spark, root, before,
+      path => merged.write.mode("errorifexists").parquet(path),
+      beforeCommit)
   }
 }

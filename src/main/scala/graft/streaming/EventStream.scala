@@ -278,6 +278,51 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming graph-ANN SEARCH (w30) — the online-retrieval half of a
+    * RAG ingest, closing the graph index's lifecycle (build n23,
+    * incremental ingest n25, tombstones n26, rebuild n24): query
+    * vectors ARRIVE as a stream and each micro-batch runs the bounded
+    * beam walk ([[graft.operators.Ann.graphSearch]]) against the
+    * STATIC persisted edge index + unit corpus — w18's stream-static
+    * discipline, lifted to foreachBatch because the walk is an
+    * iterative bounded loop, not a single streaming-legal join. The
+    * index is frozen per batch and every query's walk is independent,
+    * so the union of per-batch results equals the one-shot search of
+    * all queries no matter how the stream batched — w30 shares n23's
+    * walk-replay oracle verbatim (the w25/w27/w28 shared-oracle
+    * discipline). Results append to a versioned store; dropDuplicates
+    * on (qid, rnk) makes replayed batches idempotent under
+    * at-least-once delivery (search is a pure function of the frozen
+    * index, so replays are bit-identical — w28's argument).
+    *
+    * Scale: the static side is the persisted index table (read-only,
+    * shared across batches); per-batch state is queries × visited —
+    * metadata-sized, the broadcast side of every walk join. No
+    * streaming state at all: watermarks/buffers are unnecessary
+    * because each query is answered entirely at arrival. */
+  def searchGraphIndex(stream: DataFrame, em: DataFrame, edges: DataFrame,
+                       beam: Int, rounds: Int, k: Int,
+                       storeRoot: String, checkpoint: String)
+                      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val q = batch.toDF()
+            .select(col("vec_id").as("qid"),
+              graft.functions.Similarity.unit(col("embedding")).as("qu"))
+          val hits = graft.operators.Ann.graphSearch(em, edges, q,
+            beam, rounds, k)
+          graft.sources.VersionedParquetStore.merge(
+            batch.sparkSession, storeRoot, hits, "qid",
+            combine = (cur: DataFrame, d: DataFrame) =>
+              cur.unionByName(d).dropDuplicates("qid", "rnk"))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class TypedEvent(user_id: Long, us: Long, event_id: Long,
                         event_type: String)
   case class TransitionStep(user_id: Long, prev_type: String,

@@ -37,6 +37,27 @@ class BenchRotationSpec extends AnyFunSuite {
     assert(got === Set("q01_pricing_summary", "e3_pipeline_streams"))
   }
 
+  test("three-band rotation: never-in-ANY-artifact leads, then not-in-latest") {
+    val tier = Seq("a", "b", "c", "d", "e")
+    // ever = {a,b,c,d}: e has never been measured anywhere -> very
+    // front; latest = {a,c}: b,d missing from the latest -> second
+    // band; a,c (have current numbers) -> last. Order stable per band.
+    assert(Bench.rotateUnmeasuredFirst(tier, Set("a", "c"),
+      Set("a", "b", "c", "d")) === Seq("e", "b", "d", "a", "c"))
+    // no history at all: everything is never-measured, order stands
+    assert(Bench.rotateUnmeasuredFirst(tier, Set.empty, Set.empty) === tier)
+  }
+
+  test("everMeasuredHeavy: union over ALL artifacts, not just the latest") {
+    val dir = Files.createTempDirectory("bench_rotation_ever").toFile
+    Files.write(Paths.get(dir.getPath, "BENCH_r9.json"),
+      """{"parsed": {"heavy": {"old_one": 1.0}}}""".getBytes)
+    Files.write(Paths.get(dir.getPath, "BENCH_r10.json"),
+      """{"parsed": {"heavy": {"new_one": 2.0}}}""".getBytes)
+    assert(Bench.everMeasuredHeavy(dir.getPath) === Set("old_one", "new_one"))
+    assert(Bench.lastMeasuredHeavy(dir.getPath) === Set("new_one"))
+  }
+
   test("lastMeasuredHeavy: no artifacts / unreadable dir -> empty (order stands)") {
     val empty = Files.createTempDirectory("bench_rotation_empty").toFile
     assert(Bench.lastMeasuredHeavy(empty.getPath) === Set.empty[String])

@@ -15,6 +15,22 @@ class GraphIndexSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private def em = Tables.load(spark, dir, "embeddings")
 
+  test("graphTopK over a PREBUILT index equals the inline build (the n23 split)") {
+    // the round-13 gate reads the memoized persisted index; search
+    // results must be bit-identical to the build-inline form, or the
+    // split would silently change what n23's oracle verifies
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    val edges = Ann.knnGraphEdges(em, GateFixtures.rpPlanes, 10)
+    val inline = rows(Ann.graphTopK(em, GateFixtures.rpPlanes,
+      col("vec_id") < 5, m = 10, beam = 16, rounds = 6, k = 5))
+    val split = rows(Ann.graphTopK(em, GateFixtures.rpPlanes,
+      col("vec_id") < 5, m = 10, beam = 16, rounds = 6, k = 5,
+      prebuiltEdges = Some(edges)))
+    assert(split == inline)
+  }
+
   test("incremental maintenance: stored edge lists pass through bit-for-bit") {
     val stored = Ann.knnGraphEdges(em.filter(col("vec_id") % 4 =!= 0),
       GateFixtures.rpPlanes, 10)
