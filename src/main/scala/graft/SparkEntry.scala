@@ -11069,6 +11069,302 @@ object SparkEntry {
                WHERE r_ppm IS NOT NULL AND lg < n)
              SELECT event_type, lg AS period, n, num, den, r_ppm
              FROM r WHERE rn = 1 ORDER BY event_type"""
+      }),
+
+    // MRR + MAP@5 retrieval eval (Ann.mrrMap) — the binary-relevance
+    // metrics beside n28's graded nDCG: gold = the full-dim exact
+    // top-5, rankers = the perfect control ('exact' must score
+    // rr=ap=1e6 in integers) and the production-cheap 8-dim
+    // truncation (n27's first rung). All ppm arithmetic is truncating
+    // int64 division replayed verbatim by the oracle's window chain.
+    ("n29_retrieval_mrr_map", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val k = 5
+      val exact = Ann.bruteForceTopK(em, annQueryPred, k)
+      val rel = exact.select("qid", "neighbor_id")
+      val trunc8 = em.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+      def ev(name: String, ranked: DataFrame): DataFrame =
+        Ann.mrrMap(ranked, rel, k)
+          .select(lit(name).as("ranker"), col("qid"), col("rr_ppm"),
+            col("ap_ppm"))
+      ev("exact", exact)
+        .unionByName(ev("trunc8", Ann.bruteForceTopK(trunc8, annQueryPred, k)))
+        .orderBy("ranker", "qid")
+    },
+      Some(s"""WITH $oracleUnitCte,
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+           u8 AS (SELECT vec_id,
+             list_transform(sub, x -> x / sqrt(list_dot_product(sub, sub))) ue
+             FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 8) sub
+                   FROM embeddings)),
+           q8 AS (SELECT vec_id qid, ue qu FROM u8 WHERE vec_id < 5),
+           s8 AS (SELECT qid, u8.vec_id nid,
+             ROUND(list_dot_product(qu, u8.ue), 6) cos_r
+             FROM q8, u8 WHERE u8.vec_id <> qid),
+           r8 AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM s8),
+           sr AS (SELECT 'exact' ranker, qid, nid, rnk FROM br WHERE rnk <= 5
+             UNION ALL
+             SELECT 'trunc8' ranker, qid, nid, rnk FROM r8 WHERE rnk <= 5),
+           h AS (SELECT s.ranker, s.qid, s.rnk,
+             CASE WHEN e.nid IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END hit
+             FROM sr s LEFT JOIN ex e ON e.qid = s.qid AND e.nid = s.nid),
+           c AS (SELECT ranker, qid, rnk, hit,
+             CAST(SUM(hit) OVER (PARTITION BY ranker, qid ORDER BY rnk)
+               AS BIGINT) cum FROM h),
+           a AS (SELECT ranker, qid,
+             MIN(CASE WHEN hit = 1 THEN rnk END) fr,
+             CAST(SUM(CASE WHEN hit = 1 THEN cum * 1000000 // rnk
+                           ELSE 0 END) AS BIGINT) ap_num
+             FROM c GROUP BY 1, 2)
+           SELECT ranker, qid,
+             COALESCE(CAST(1000000 // fr AS BIGINT), CAST(0 AS BIGINT))
+               AS rr_ppm,
+             CAST(ap_num // 5 AS BIGINT) AS ap_ppm
+           FROM a ORDER BY ranker, qid""")),
+
+    // Dedup QUALITY eval (Dedup.pairEval over Dedup.exactPairs gold):
+    // pairwise precision/recall/F1 of the d25 SimHash-Hamming chain
+    // against byte-identical-text gold pairs — "how much does the
+    // near-dup net over-merge beyond the true copies" as one exact
+    // integer report row. The evaluation member of the dedup family
+    // (the chain d2..d8 decides; this gate GRADES the decision, the
+    // d28/o21 pattern applied to dedup itself).
+    ("d33_dedup_pair_eval", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.pairEval(
+        Dedup.simhashHammingJoin(docs, 3).select("doc_a", "doc_b"),
+        Dedup.exactPairs(docs))
+    },
+      Some(s"""WITH $oracleSimhash60Cte,
+           p AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM fp a
+             JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.h, b.h)) <= 3),
+           g AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+             FROM documents a JOIN documents b
+             ON a.doc_id < b.doc_id AND a.text = b.text),
+           j AS (SELECT
+             CASE WHEN p.doc_a IS NOT NULL AND g.doc_a IS NOT NULL
+                  THEN 1 ELSE 0 END tpf,
+             CASE WHEN p.doc_a IS NOT NULL AND g.doc_a IS NULL
+                  THEN 1 ELSE 0 END fpf,
+             CASE WHEN p.doc_a IS NULL AND g.doc_a IS NOT NULL
+                  THEN 1 ELSE 0 END fnf
+             FROM p FULL OUTER JOIN g
+             ON p.doc_a = g.doc_a AND p.doc_b = g.doc_b),
+           m AS (SELECT CAST(SUM(tpf) AS BIGINT) tp,
+             CAST(SUM(fpf) AS BIGINT) fp, CAST(SUM(fnf) AS BIGINT) fn
+             FROM j),
+           r AS (SELECT tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+               END precision_ppm,
+             CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+               END recall_ppm
+             FROM m)
+           SELECT tp, fp, fn, precision_ppm, recall_ppm,
+             CASE WHEN precision_ppm + recall_ppm = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(2 * precision_ppm * recall_ppm
+                         // (precision_ppm + recall_ppm) AS BIGINT)
+               END f1_ppm
+           FROM r""")),
+
+    // Heaps-law vocabulary growth (TextQuality.vocabGrowth): V(N) at
+    // ten doc_id-range checkpoints — new types per decile, cumulative
+    // types vs cumulative tokens, exact-integer TTR ppm. The
+    // "is more of this corpus still adding vocabulary" curve behind
+    // tokenizer sizing and source-exhaustion curation calls; the
+    // bucket cut is arithmetic on the id bounds so no global sort
+    // touches the corpus.
+    ("t37_vocab_growth", (s, dir) =>
+      TextQuality.vocabGrowth(t(s, dir, "documents"), 10)
+        .orderBy("bucket"),
+      Some("""WITH b AS (SELECT MIN(doc_id) mn, MAX(doc_id) mx
+               FROM documents),
+           d AS (SELECT CAST((doc_id - mn) * 10 // (mx - mn + 1)
+                  AS BIGINT) bucket, text FROM documents, b),
+           tk AS (SELECT bucket, UNNEST(string_split(text, ' ')) tok
+                  FROM d),
+           bt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) tokens
+                  FROM tk GROUP BY 1),
+           fb AS (SELECT tok, MIN(bucket) bucket FROM tk GROUP BY 1),
+           nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) new_types
+                  FROM fb GROUP BY 1),
+           c AS (SELECT bt.bucket, bt.tokens,
+                  COALESCE(nt.new_types, CAST(0 AS BIGINT)) new_types
+                  FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket),
+           w AS (SELECT bucket, tokens, new_types,
+                  CAST(SUM(tokens) OVER (ORDER BY bucket) AS BIGINT)
+                    cum_tokens,
+                  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+                    cum_types FROM c)
+           SELECT bucket, tokens, new_types, cum_tokens, cum_types,
+             CAST(cum_types * 1000000 // cum_tokens AS BIGINT) ttr_ppm
+           FROM w ORDER BY bucket""")),
+
+    // Data-constrained epoch allocation (Sampling.epochAllocation,
+    // the Muennighoff et al. 2023 budget split as an executable
+    // contract): per-source whitespace-token supplies, a 60% total
+    // budget, up to 4 epochs at 0.9^e ppm value decay — units taken
+    // in value order under the prefix rule, each taken unit's
+    // decay-discounted effective tokens reported. Exact int64
+    // everywhere (the decay powers are iterated multiply-truncate,
+    // inlined into both engines).
+    ("o28_epoch_allocation", (s, dir) => {
+      val src = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      Sampling.epochAllocation(src, 6, 10, 4, 900000L)
+        .orderBy(col("epoch"), col("tokens").desc, col("source"))
+    },
+      Some {
+        val ws = Seq(1000000L, 900000L, 810000L, 729000L)
+        val epochRows = ws.zipWithIndex.map { case (w, i) =>
+          if (i == 0)
+            s"SELECT CAST(1 AS BIGINT) epoch, CAST($w AS BIGINT) w_ppm"
+          else s"SELECT ${i + 1}, $w"
+        }.mkString(" UNION ALL ")
+        s"""WITH s AS (SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) tokens
+               FROM documents GROUP BY 1),
+             tot AS (SELECT CAST(SUM(tokens) AS BIGINT) t FROM s),
+             e AS ($epochRows),
+             un AS (SELECT source, epoch, tokens, w_ppm,
+               CAST(t * 6 // 10 AS BIGINT) budget FROM s, e, tot),
+             cw AS (SELECT *, CAST(SUM(tokens) OVER (
+                 ORDER BY epoch, tokens DESC, source) AS BIGINT) cum_cost
+               FROM un)
+             SELECT source, epoch, tokens, w_ppm, cum_cost,
+               CAST(CASE WHEN cum_cost <= budget THEN 1 ELSE 0 END
+                    AS BIGINT) taken,
+               CAST(CASE WHEN cum_cost <= budget
+                    THEN tokens * w_ppm // 1000000 ELSE 0 END
+                    AS BIGINT) eff_tokens
+             FROM cw ORDER BY epoch, tokens DESC, source"""
+      }),
+
+    // SCHEMA EVOLUTION roundtrip (x7/x9's format family): a store
+    // written in two generations — v2 adds a price_c column v1 never
+    // had — read back as ONE table via mergeSchema (union-by-name at
+    // the scan, the evolution discipline a 100 TB parquet lake needs:
+    // old files are never rewritten when a column lands). The gate
+    // checksums both generations through the merged scan: row counts,
+    // exact-cents sums, and the pre-evolution null count per flag.
+    ("x16_schema_evolution", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x16").toString
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          cents(col("l_quantity")).as("qty_c"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty_c")).as("qty_sum_c"),
+          coalesce(sum(col("price_c")), lit(0L)).as("price_sum_c"),
+          sum(when(col("price_c").isNull, 1L).otherwise(0L))
+            .as("pre_evolution_rows"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             qty_sum_c,
+           CAST(COALESCE(SUM(CASE WHEN l_orderkey % 2 = 1
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END), 0)
+             AS BIGINT) price_sum_c,
+           CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) pre_evolution_rows
+           FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // STREAMING retrieval-quality eval (EventStream.scoreRetrievalNdcg
+    // — n28's arrival-time twin, the w27/w28 stateless-at-arrival
+    // pattern): queries arrive in micro-batches already in their
+    // cheap production representation (8-dim truncation), are ranked
+    // against the static truncated unit corpus, and scored nDCG@5
+    // against the static full-dim gold — quality-at-arrival for a
+    // live retrieval dashboard. Scores are the n28 integer discount
+    // table, so the streamed store hash-equals the batch gate's
+    // trunc8 rows (shared oracle shape).
+    ("w31_stream_retrieval_eval", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val k = 5
+      val wts = GateFixtures.dcgWeights(k)
+      val idcg = (1 to k).map(p => (k + 1 - p).toLong * wts(p - 1)).sum
+      val rel = Ann.bruteForceTopK(em, annQueryPred, k)
+        .select(col("qid"), col("neighbor_id"),
+          (lit((k + 1).toLong) - col("rnk")).as("rel"))
+      val corpus8 = em.select(col("vec_id"),
+        graft.functions.Similarity.unit(slice(col("embedding"), 1, 8))
+          .as("ue"))
+      val queries8 = em.filter(annQueryPred)
+        .select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-w31").toString
+      (0 to 2).foreach(i => queries8
+        .filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.scoreRetrievalNdcg(
+        stream, corpus8, rel, k, wts, idcg, s"$tmp/store", s"$tmp/ckpt")
+      q.awaitTermination()
+      graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+        .orderBy("qid")
+    },
+      Some {
+        val wts = GateFixtures.dcgWeights(5)
+        val idcg = (1 to 5).map(p => (6 - p).toLong * wts(p - 1)).sum
+        val wCase = (1 to 5).map(p =>
+          s"WHEN ${p} THEN CAST(${wts(p - 1)} AS BIGINT)").mkString(" ")
+        s"""WITH $oracleUnitCte,
+           bq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+           bs AS (SELECT qid, u.vec_id nid,
+             ROUND(list_dot_product(qu, u.ue), 6) cos_r
+             FROM bq, u WHERE u.vec_id <> qid),
+           br AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM bs),
+           ex AS (SELECT qid, nid, CAST(6 - rnk AS BIGINT) rel
+             FROM br WHERE rnk <= 5),
+           u8 AS (SELECT vec_id,
+             list_transform(sub, x -> x / sqrt(list_dot_product(sub, sub))) ue
+             FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 8) sub
+                   FROM embeddings)),
+           q8 AS (SELECT vec_id qid, ue qu FROM u8 WHERE vec_id < 5),
+           s8 AS (SELECT qid, u8.vec_id nid,
+             ROUND(list_dot_product(qu, u8.ue), 6) cos_r
+             FROM q8, u8 WHERE u8.vec_id <> qid),
+           r8 AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, nid) rnk FROM s8),
+           j AS (SELECT s.qid,
+             COALESCE(e.rel, CAST(0 AS BIGINT)) rel,
+             CASE s.rnk $wCase END w
+             FROM (SELECT qid, nid, rnk FROM r8 WHERE rnk <= 5) s
+             LEFT JOIN ex e ON e.qid = s.qid AND e.nid = s.nid),
+           d AS (SELECT qid, CAST(SUM(rel * w) AS BIGINT) dcg
+             FROM j GROUP BY 1)
+           SELECT qid, dcg,
+             CAST(dcg * 1000000 // $idcg AS BIGINT) AS ndcg_ppm
+           FROM d ORDER BY qid"""
       })
   )
 

@@ -656,4 +656,40 @@ object TextQuality {
   def hostOf(u: Column): Column =
     substring_index(
       substring_index(substring_index(u, "://", -1), "/", 1), ":", 1)
+
+  /** Heaps-law vocabulary-growth curve (Heaps 1978): how fast does the
+    * corpus vocabulary V(N) grow as tokens N accumulate — the empirical
+    * input to tokenizer-vocab sizing and "is more of this source still
+    * adding words" curation calls. The corpus is cut into `buckets`
+    * equal doc_id ranges by ARITHMETIC on the id bounds (no global
+    * sort/ntile — a rank-based cut would funnel the whole corpus
+    * through one ordered partition); each token's first-appearance
+    * bucket comes from one groupBy(token) min, so the whole curve
+    * costs one token exchange plus a `buckets`-row cumulative window.
+    * ttr_ppm = cum_types*1e6 div cum_tokens is the exact-integer
+    * type-token ratio per checkpoint — monotonically falling for any
+    * natural corpus; a flat curve means the source is still novel,
+    * a cliff means it repeats itself (cf. t34's Gopher repetition
+    * rule at document granularity). */
+  def vocabGrowth(docs: DataFrame, buckets: Int): DataFrame = {
+    val bounds = docs.agg(min(col("doc_id")).as("__mn"),
+      max(col("doc_id")).as("__mx"))
+    val tok = docs.crossJoin(broadcast(bounds))
+      .select(
+        expr(s"(doc_id - __mn) * $buckets div (__mx - __mn + 1)")
+          .as("bucket"),
+        explode(split(col("text"), " ")).as("tok"))
+    val perBucket = tok.groupBy("bucket").agg(count(lit(1)).as("tokens"))
+    val firstSeen = tok.groupBy("tok").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    // `buckets` rows total: the single-partition ordered window is
+    // bounded by construction, not by data size.
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("ttr_ppm", expr("cum_types * 1000000 div cum_tokens"))
+  }
 }

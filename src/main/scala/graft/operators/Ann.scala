@@ -783,4 +783,53 @@ object Ann {
         round(Similarity.dot(col("ue"), col("centroid")), 6).as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < threshold)
   }
+
+  /** Two-table form of [[bruteForceTopK]]: an EXPLICIT query table
+    * (`qid`, `qu` unit vectors) scored against a pre-unit corpus
+    * (`vec_id`, `ue`) — for callers whose queries arrive separately
+    * from the corpus (streaming micro-batches, cross-corpus eval).
+    * Same broadcast-query discipline, cosine rounding, and
+    * (cos desc, id) tie order as the one-table form, so results are
+    * interchangeable with it. */
+  def bruteForceTopKOf(queries: DataFrame, corpus: DataFrame,
+                       k: Int): DataFrame =
+    topKPerGroup(
+      broadcast(queries).join(corpus, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(Similarity.dot(col("qu"), col("ue")), 6).as("cos_r")),
+      Seq("qid"), Seq(col("cos_r").desc, col("neighbor_id")), k, "rnk")
+      .select("qid", "rnk", "neighbor_id", "cos_r")
+
+  /** MRR and MAP@k of a ranked candidate table against a gold
+    * relevant set — the binary-relevance retrieval metrics (TREC's
+    * mean-average-precision; Voorhees 1999's reciprocal rank) next to
+    * n28's graded nDCG. Exact int64 ppm end to end: rr_ppm = 1e6 div
+    * first-relevant-rank (0 when no relevant item is retrieved),
+    * ap_ppm = (Σ over hit positions p of hits_up_to_p * 1e6 div p)
+    * div relPerQuery — truncating integer divisions both engines
+    * replay bitwise, no float mean anywhere.
+    *
+    * Scale: one hash join of the ranked table against the (top-k-
+    * sized) relevant table on the (qid, neighbor) key, one per-query
+    * window over <= k rows, one per-query aggregate — all keyed by
+    * qid, no global funnel. */
+  def mrrMap(ranked: DataFrame, rel: DataFrame,
+             relPerQuery: Int): DataFrame = {
+    val hits = ranked
+      .join(rel.select(col("qid"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("qid", "neighbor_id"), "left_outer")
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        coalesce(col("__hit"), lit(0L)).as("hit"))
+    val w = Window.partitionBy("qid").orderBy("rnk")
+    hits.withColumn("cum", sum(col("hit")).over(w))
+      .groupBy("qid")
+      .agg(min(when(col("hit") === 1L, col("rnk"))).as("__fr"),
+        sum(when(col("hit") === 1L, expr("cum * 1000000 div rnk"))
+          .otherwise(lit(0L))).as("__ap_num"))
+      .select(col("qid"),
+        coalesce(expr("CAST(1000000 AS BIGINT) div __fr"), lit(0L))
+          .as("rr_ppm"),
+        expr(s"__ap_num div CAST($relPerQuery AS BIGINT)").as("ap_ppm"))
+  }
 }

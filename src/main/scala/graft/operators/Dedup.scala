@@ -969,4 +969,59 @@ object Dedup {
       .select("doc_id")
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
+
+  /** Gold-standard duplicate pairs for dedup EVALUATION: every
+    * (doc_a < doc_b) pair with byte-identical text. One digest
+    * exchange like [[exactDuplicates]], then the pair set is expanded
+    * IN-ROW inside each identical-text family — quadratic only in
+    * family size (duplicate families are small by construction of any
+    * real corpus; a family so large its pair list matters is a
+    * boilerplate artifact [[crossDocGrams]] should have caught
+    * upstream), never in corpus size. */
+  def exactPairs(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("__h"), col("doc_id"))
+      .groupBy("__h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+               struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+
+  /** Pairwise precision/recall/F1 of a predicted duplicate-pair table
+    * against a gold pair table — the standard dedup / entity-
+    * resolution quality report (pairwise metrics per Menestrina,
+    * Whang & Garcia-Molina, PVLDB 2010): did the blocking+verify
+    * chain find the true duplicates (recall), and how much did it
+    * over-merge (precision)? Exact int64 ppm throughout (one
+    * truncating division per ratio, F1 as the ppm harmonic mean) so
+    * both engines agree bitwise.
+    *
+    * Scale: one full-outer join keyed on the pair id — both inputs
+    * are near-dup-rate-sized pair tables (metadata-scale next to the
+    * corpus), and the result is ONE row, so the exchange is the
+    * smallest this report can pay. */
+  def pairEval(predicted: DataFrame, gold: DataFrame): DataFrame = {
+    val p = predicted.select(col("doc_a"), col("doc_b"))
+      .withColumn("__p", lit(1L))
+    val g = gold.select(col("doc_a"), col("doc_b"))
+      .withColumn("__g", lit(1L))
+    p.join(g, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("__p").isNotNull && col("__g").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__p").isNotNull && col("__g").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__p").isNull && col("__g").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .withColumn("precision_ppm", when(col("tp") + col("fp") === 0L, 0L)
+        .otherwise(expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_ppm", when(col("tp") + col("fn") === 0L, 0L)
+        .otherwise(expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") === 0L, 0L)
+          .otherwise(expr(
+            "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
+  }
 }

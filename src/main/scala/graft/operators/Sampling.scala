@@ -382,4 +382,46 @@ object Sampling {
     import spark.implicits._
     out.toSeq.toDF("pick_idx", "id", "radius_sq")
   }
+
+  /** Multi-epoch token allocation under a data constraint (the budget
+    * split of Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models", as an executable contract): when the training
+    * budget exceeds the fresh-token supply, sources are repeated —
+    * but the e-th epoch over the same tokens is worth less than the
+    * first. Each (source, epoch<=maxEpochs) unit carries weight
+    * decayPpm^(e-1) (exact integer ppm powers — iterated
+    * multiply-truncate, no float pow); units are consumed in value
+    * order (epoch ASC since the weights strictly decay, then tokens
+    * DESC, then source) while the cumulative token cost stays within
+    * budget = total * budgetNum div budgetDen (prefix rule — the same
+    * executable-greedy discipline as the waterfill allocator).
+    * eff_tokens is the unit's decay-discounted contribution; the sum
+    * over taken rows is the "effective data" the budget buys.
+    *
+    * Scale: one tiny aggregate per source (map-side combinable), a
+    * sources x maxEpochs cross with two broadcast one-row tables, and
+    * a cumulative window over that BOUNDED unit table (sources are a
+    * curation-level handful; the corpus itself is never re-touched). */
+  def epochAllocation(sourceTokens: DataFrame, budgetNum: Long,
+                      budgetDen: Long, maxEpochs: Int,
+                      decayPpm: Long): DataFrame = {
+    val spark = sourceTokens.sparkSession
+    import spark.implicits._
+    val weights = (1 to maxEpochs).map { e =>
+      (e.toLong, (1 until e).foldLeft(1000000L)((w, _) => w * decayPpm / 1000000L))
+    }
+    val epochs = weights.toDF("epoch", "w_ppm")
+    val total = sourceTokens.agg(sum(col("tokens")).as("__tot"))
+    val w = Window
+      .orderBy(col("epoch"), col("tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sourceTokens.crossJoin(broadcast(epochs)).crossJoin(broadcast(total))
+      .withColumn("__budget", expr(s"__tot * $budgetNum div $budgetDen"))
+      .withColumn("cum_cost", sum(col("tokens")).over(w))
+      .withColumn("taken", (col("cum_cost") <= col("__budget")).cast("long"))
+      .withColumn("eff_tokens", when(col("taken") === 1L,
+        expr("tokens * w_ppm div 1000000")).otherwise(lit(0L)))
+      .select("source", "epoch", "tokens", "w_ppm", "cum_cost", "taken",
+        "eff_tokens")
+  }
 }

@@ -323,6 +323,54 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming retrieval-quality eval (w31 — the arrival-time twin of
+    * the n28 nDCG gate): each micro-batch of arriving queries is
+    * ranked with the CHEAP production-time representation (`corpus`:
+    * pre-unit truncated-dim vectors, static per batch — the w18
+    * stream-static discipline) and scored nDCG@k against the static
+    * offline gold-relevance table `rel(qid, neighbor_id, rel)`; one
+    * (dcg, ndcg_ppm) row per query merges append-only into the
+    * versioned store. The online half of a retrieval dashboard:
+    * quality-at-arrival, not quality-at-audit.
+    *
+    * Exactness: `weights`/`idcg` are the n28 discount table — int64
+    * Σ rel·w and ONE truncating division, so the streamed scores
+    * hash-equal the batch gate's. Idempotent under at-least-once
+    * replay: ndcg is a pure function of (query, static corpus,
+    * static rel), so a replayed batch re-derives identical rows and
+    * dropDuplicates(qid) absorbs them. */
+  def scoreRetrievalNdcg(stream: DataFrame, corpus: DataFrame,
+                         rel: DataFrame, k: Int, weights: Seq[Long],
+                         idcg: Long, storeRoot: String, checkpoint: String)
+                        : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val q = batch.toDF()
+            .select(col("vec_id").as("qid"),
+              graft.functions.Similarity.unit(col("embedding")).as("qu"))
+          val ranked = graft.operators.Ann.bruteForceTopKOf(q, corpus, k)
+          val wExpr = (1 to k).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+            (acc, p) => when(col("rnk") === p, lit(weights(p - 1))).otherwise(acc)
+          }
+          val scored = ranked
+            .join(rel, Seq("qid", "neighbor_id"), "left_outer")
+            .select(col("qid"), coalesce(col("rel"), lit(0L)).as("rel"),
+              wExpr.as("w"))
+            .groupBy("qid").agg(sum(col("rel") * col("w")).as("dcg"))
+            .select(col("qid"), col("dcg"),
+              expr(s"dcg * 1000000 div ${idcg}L").as("ndcg_ppm"))
+          graft.sources.VersionedParquetStore.merge(
+            batch.sparkSession, storeRoot, scored, "qid",
+            combine = (cur: DataFrame, d: DataFrame) =>
+              cur.unionByName(d).dropDuplicates("qid"))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class TypedEvent(user_id: Long, us: Long, event_id: Long,
                         event_type: String)
   case class TransitionStep(user_id: Long, prev_type: String,

@@ -67,11 +67,11 @@ class GlobalRankSpec extends AnyFunSuite {
     val other = (1 to 60).map(i => (i % 5, i.toLong)).toDF("score", "id")
     assert(GlobalRank.withGlobalRank(other, "rk",
       Seq(col("score"), col("id"))).count() == 60)
-    // earlier suites may hold registered checkpoint RDDs (strong refs
-    // the ContextCleaner can never collect) — release both registries
-    // before asserting global emptiness
-    GlobalRank.clear(spark)
-    Checkpoints.clear(spark)
+    // earlier suites may hold registered checkpoint RDDs or memoized
+    // persisted gate inputs (strong refs the ContextCleaner can never
+    // collect) — release every registry and memo cache before
+    // asserting global emptiness
+    graft.SparkEntry.clearCaches(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
@@ -82,8 +82,7 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "global rank must not fall back to a window")
     assert(ranked.count() == 100)
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
-    GlobalRank.clear(spark)
-    Checkpoints.clear(spark)
+    graft.SparkEntry.clearCaches(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "clear() must unpin the sorted input")
   }
