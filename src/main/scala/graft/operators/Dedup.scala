@@ -970,6 +970,31 @@ object Dedup {
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
 
+  /** Dedup-aware token SUPPLY per source (D1's exact dedup composed
+    * with whitespace token counting): raw vs post-dedup docs and
+    * tokens, plus the duplicated-token ppm — the FRESH-data supply
+    * table an epoch allocator budgets against (a source that looks
+    * token-rich but is half copies supplies half the fresh epochs).
+    * Keep = min doc_id per identical-text group ACROSS sources, so a
+    * copy appearing in two sources is fresh in neither. One digest
+    * exchange + one per-source aggregate; the corpus is scanned
+    * once. */
+  def dedupTokenSupply(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("ntok"),
+      md5(col("text")).as("__h"))
+    val keep = d.groupBy("__h").agg(min(col("doc_id")).as("__keep"))
+    d.join(keep, Seq("__h"))
+      .withColumn("__kept", (col("doc_id") === col("__keep")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(col("ntok")).as("raw_tokens"),
+        sum(col("__kept")).as("kept_docs"),
+        sum(col("ntok") * col("__kept")).as("kept_tokens"))
+      .withColumn("dup_token_ppm",
+        expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
+  }
+
   /** Gold-standard duplicate pairs for dedup EVALUATION: every
     * (doc_a < doc_b) pair with byte-identical text. One digest
     * exchange like [[exactDuplicates]], then the pair set is expanded
