@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, IntervalJoin, Intervals, LabelProp, Sampling, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
+import graft.operators.{Ann, AsOfJoin, Behavior, DataQuality, Dedup, GraphStats, IntervalJoin, Intervals, LabelProp, Sampling, SeriesStats, Skyline, Ewma, GlobalRank, Interpolation, Retrieval, Sessionize, SkewSalt, TriangularRolling}
 import graft.functions.{Similarity, TextAnalysis, TextQuality}
 
 /** Driver contract (SURVEY.md §7). Every operator from SURVEY.md §2 —
@@ -7809,13 +7809,20 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e18").toFile
       try {
         val root = new java.io.File(tmp, "store").getPath
-        val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+        // store rows carry the text DIGEST, not the text: the gate
+        // verifies compaction (layout + checksum), and hauling the
+        // full payload through two snapshot writes only taxed the
+        // light tier (round-13: 19 s in-bench) without strengthening
+        // either invariant — the checksum binds the digest exactly as
+        // it bound the text
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("th"), col("n_chars"))
         graft.sources.VersionedParquetStore.merge(s, root,
           docs.repartition(64), "doc_id")
         operators.Compaction.applyPlan(s, root, "doc_id", "n_chars", 4096L)
         val back = graft.sources.VersionedParquetStore.read(s, root).get
         val h = md5(concat_ws("|", col("doc_id"), col("n_chars"),
-          md5(col("text"))))
+          col("th")))
         val hex32 = (0 until 8).map(c =>
           (expr(s"instr('0123456789abcdef', substr(__h, ${c + 1}, 1))")
             .cast("long") - 1L) * lit(1L << (4 * (7 - c)))).reduce(_ + _)
@@ -11471,7 +11478,180 @@ object SparkEntry {
            SELECT source, raw_docs, raw_tokens, kept_docs, kept_tokens,
              CAST((raw_tokens - kept_tokens) * 1000000 // raw_tokens
                AS BIGINT) dup_token_ppm
-           FROM a ORDER BY source"""))
+           FROM a ORDER BY source""")),
+
+    // STREAMING dedup-aware token supply (EventStream
+    // .maintainTokenSupply — o29's incremental twin, the d15/n10/w28
+    // family): documents arrive in three id-range micro-batches; each
+    // batch dedups against the PERSISTED digest index (first-seen
+    // wins — equal to o29's min-doc_id rule because ingest is
+    // id-ordered), appends per-(source, bucket) counters, and indexes
+    // its new digests. History is never rescanned; the aggregated
+    // store must hash-equal the one-shot batch table. Oracle IS
+    // o29's (shared-oracle parity pin, the w28<-n10 discipline).
+    ("w32_stream_token_supply", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(min(col("doc_id")).as("__mn"),
+        max(col("doc_id")).as("__mx"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("source"), col("text"),
+          expr("(doc_id - __mn) * 3 div (__mx - __mn + 1)").as("bucket"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-w32").toString
+      (0 to 2).foreach(i => bucketed.filter(col("bucket") === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainTokenSupply(
+        stream, s"$tmp/digests", s"$tmp/supply", s"$tmp/ckpt")
+      q.awaitTermination()
+      graft.sources.VersionedParquetStore.read(s, s"$tmp/supply").get
+        .groupBy("source")
+        .agg(sum(col("raw_docs")).as("raw_docs"),
+          sum(col("raw_tokens")).as("raw_tokens"),
+          sum(col("kept_docs")).as("kept_docs"),
+          sum(col("kept_tokens")).as("kept_tokens"))
+        .withColumn("dup_token_ppm",
+          expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
+        .orderBy("source")
+    },
+      Some("""WITH d AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
+             md5(text) h FROM documents),
+           k AS (SELECT h, MIN(doc_id) keep FROM d GROUP BY 1),
+           j AS (SELECT d.source, d.ntok,
+             CASE WHEN d.doc_id = k.keep THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END kept
+             FROM d JOIN k ON d.h = k.h),
+           a AS (SELECT source, CAST(COUNT(*) AS BIGINT) raw_docs,
+             CAST(SUM(ntok) AS BIGINT) raw_tokens,
+             CAST(SUM(kept) AS BIGINT) kept_docs,
+             CAST(SUM(ntok * kept) AS BIGINT) kept_tokens
+             FROM j GROUP BY 1)
+           SELECT source, raw_docs, raw_tokens, kept_docs, kept_tokens,
+             CAST((raw_tokens - kept_tokens) * 1000000 // raw_tokens
+               AS BIGINT) dup_token_ppm
+           FROM a ORDER BY source""")),
+
+    // FRESH-supply epoch allocation (o29 ∘ o28 — the composition the
+    // two tables exist FOR): the allocator budgets over post-dedup
+    // kept_tokens instead of raw supply, so a source that is half
+    // copies gets credited for half the fresh epochs — allocating
+    // over raw tokens double-spends duplicated data (the
+    // data-constrained-scaling point of counting only unique tokens).
+    // Same decay/prefix contract as o28; only the supply differs.
+    ("o30_fresh_epoch_allocation", (s, dir) =>
+      Sampling.epochAllocation(
+        Dedup.dedupTokenSupply(t(s, dir, "documents"))
+          .select(col("source"), col("kept_tokens").as("tokens")),
+        6, 10, 4, 900000L)
+        .orderBy(col("epoch"), col("tokens").desc, col("source")),
+      Some {
+        val ws = Seq(1000000L, 900000L, 810000L, 729000L)
+        val epochRows = ws.zipWithIndex.map { case (w, i) =>
+          if (i == 0)
+            s"SELECT CAST(1 AS BIGINT) epoch, CAST($w AS BIGINT) w_ppm"
+          else s"SELECT ${i + 1}, $w"
+        }.mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
+               md5(text) h FROM documents),
+             k AS (SELECT h, MIN(doc_id) keep FROM d GROUP BY 1),
+             j AS (SELECT d.source, d.ntok,
+               CASE WHEN d.doc_id = k.keep THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END kept
+               FROM d JOIN k ON d.h = k.h),
+             s AS (SELECT source, CAST(SUM(ntok * kept) AS BIGINT) tokens
+               FROM j GROUP BY 1),
+             tot AS (SELECT CAST(SUM(tokens) AS BIGINT) t FROM s),
+             e AS ($epochRows),
+             un AS (SELECT source, epoch, tokens, w_ppm,
+               CAST(t * 6 // 10 AS BIGINT) budget FROM s, e, tot),
+             cw AS (SELECT *, CAST(SUM(tokens) OVER (
+                 ORDER BY epoch, tokens DESC, source) AS BIGINT) cum_cost
+               FROM un)
+             SELECT source, epoch, tokens, w_ppm, cum_cost,
+               CAST(CASE WHEN cum_cost <= budget THEN 1 ELSE 0 END
+                    AS BIGINT) taken,
+               CAST(CASE WHEN cum_cost <= budget
+                    THEN tokens * w_ppm // 1000000 ELSE 0 END
+                    AS BIGINT) eff_tokens
+             FROM cw ORDER BY epoch, tokens DESC, source"""
+      }),
+
+    // SNAPSHOT EXPIRY (VersionedParquetStore.vacuum — the
+    // retention/GC member closing the store lifecycle: merge/upsert
+    // K2, compaction e18, evolution x16, EXPIRY x17; cf. Iceberg's
+    // expire_snapshots): four aggregate-merge commits build the
+    // per-source token table, then vacuum(keep=2) deletes the two
+    // oldest snapshots. Gated invariants: CONTENT unchanged through
+    // expiry (per-source sums equal the one-shot aggregation — the
+    // pointer target is exempt unconditionally), exactly 2 expired,
+    // exactly 2 surviving snapshot dirs.
+    ("x17_snapshot_expiry", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x17").toString
+      val root = s"$tmp/store"
+      val sumCombine = (cur: DataFrame, d: DataFrame) =>
+        cur.unionByName(d).groupBy("source")
+          .agg(sum(col("tokens")).as("tokens"))
+      (0 to 3).foreach { i =>
+        val delta = docs.filter(col("doc_id") % 4 === i)
+          .groupBy("source").agg(sum(col("ntok")).as("tokens"))
+        graft.sources.VersionedParquetStore.merge(s, root, delta,
+          "source", combine = sumCombine)
+      }
+      val expired = graft.sources.VersionedParquetStore
+        .vacuum(s, root, keep = 2)
+      val remaining = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isDirectory && f.getName.startsWith("v-"))
+      graft.sources.VersionedParquetStore.read(s, root).get
+        .select(col("source"), col("tokens"),
+          lit(expired.size.toLong).as("n_expired"),
+          lit(remaining.toLong).as("n_snapshots"))
+        .orderBy("source")
+    },
+      Some("""SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) tokens,
+           CAST(2 AS BIGINT) n_expired, CAST(2 AS BIGINT) n_snapshots
+           FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Degree assortativity (GraphStats.degreeAssortativity, Newman
+    // 2002) over the symmetric customer-supplier trade graph the
+    // g41/g49/g51 family shares: do high-degree nodes trade with
+    // other hubs or with leaves — the one-row structural summary
+    // behind partition/skew planning for graph jobs (a strongly
+    // disassortative graph concentrates hub-adjacent work). Exact
+    // int64 moments; r is their one double division, replayed by the
+    // oracle with the identical IEEE op.
+    ("g59_assortativity", (s, dir) =>
+      GraphStats.degreeAssortativity(tradeEdgesCached(s, dir)),
+      Some("""WITH cs AS (SELECT DISTINCT o_custkey * 2 c,
+               l_suppkey * 2 + 1 p
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             e AS (SELECT c src, p dst FROM cs
+               UNION ALL SELECT p, c FROM cs),
+             dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) d
+               FROM e GROUP BY 1),
+             j AS (SELECT a.d dx, b.d dy FROM e
+               JOIN dg a ON e.src = a.src JOIN dg b ON e.dst = b.src),
+             sm AS (SELECT CAST(COUNT(*) AS BIGINT) m,
+               CAST(SUM(dx * dy) AS BIGINT) sxy,
+               CAST(SUM(dx) AS BIGINT) sx,
+               CAST(SUM(dx * dx) AS BIGINT) sxx FROM j)
+             SELECT m, sxy, sx, sxx,
+               CAST(m * sxy - sx * sx AS BIGINT) num,
+               CAST(m * sxx - sx * sx AS BIGINT) den,
+               CAST(m * sxy - sx * sx AS DOUBLE) / (m * sxx - sx * sx)
+                 AS r
+             FROM sm"""))
   )
 
   // ---------- driver contract ----------

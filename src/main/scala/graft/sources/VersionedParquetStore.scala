@@ -126,4 +126,44 @@ object VersionedParquetStore {
       path => merged.write.mode("errorifexists").parquet(path),
       beforeCommit)
   }
+
+  /** Snapshot EXPIRY — the retention/GC half of the snapshot
+    * lifecycle (every snapshot table format ships it; cf. Iceberg's
+    * expire_snapshots): delete every snapshot directory outside the
+    * `keep` most recent by version name, the current pointer target
+    * always among the survivors. Uncommitted orphans (directories a
+    * losing concurrent writer left behind — by construction never
+    * referenced by the pointer) age out of the window like any
+    * snapshot; names are the only evidence of commit status, so an
+    * orphan inside the window survives at most until `keep` further
+    * commits push it out. The pointer file is untouched, so readers
+    * are unaffected: expiry only narrows time travel, never the
+    * present.
+    *
+    * Safety: the pointer is read FIRST and its target is exempted
+    * unconditionally — even `keep = 0` keeps the live snapshot. A
+    * writer committing concurrently can at worst leave its
+    * just-written snapshot in the delete set only if it is OLDER
+    * than the survivors, which the monotonic version numbering rules
+    * out (a new commit is always the max version).
+    * @return names of the deleted snapshot directories, sorted */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
+    val f = fs(spark, root)
+    val current = readPointer(f, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return Seq.empty
+    val dirs = f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .map(_.getPath.getName)
+    // version names sort chronologically (monotonic counter prefix);
+    // survivors = the newest `keep` plus, unconditionally, the
+    // pointer target
+    val newest = dirs.sorted.takeRight(keep).toSet
+    val doomed = dirs
+      .filter(d => !newest.contains(d) && !current.contains(d))
+      .sorted
+    doomed.foreach(d => f.delete(new Path(root, d), true))
+    doomed
+  }
 }

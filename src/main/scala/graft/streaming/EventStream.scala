@@ -371,6 +371,69 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming dedup-aware token-supply maintenance (w32 — o29's
+    * incremental-family twin, the d15/n10/w28 discipline): each
+    * arriving document micro-batch is deduplicated against the
+    * PERSISTED digest index (exact dedup, first-seen-wins: a digest
+    * already in the index makes the arrival a duplicate; within the
+    * batch the min doc_id keeps), per-(source, bucket) supply
+    * counters are APPENDED, and the new digests join the index.
+    * History is never rescanned — each batch pays one store probe.
+    *
+    * Arrival-order contract: first-seen-wins equals o29's
+    * min-doc_id-wins only when ingest is id-ordered (the gate feeds
+    * id-range batches in order) — the same event-time-ordered-ingest
+    * contract every lag-shaped streaming operator here carries.
+    *
+    * Replay idempotency is STRUCTURAL, not statistical: counters are
+    * keyed by (source, bucket) and the merge keeps CURRENT rows,
+    * admitting only never-seen keys (left-anti, not dropDuplicates)
+    * — a replayed batch re-derives a (possibly different, since its
+    * digests are now indexed) delta that is then discarded whole.
+    * The digest index append is the same anti-join shape. */
+  def maintainTokenSupply(stream: DataFrame, digestRoot: String,
+                          supplyRoot: String, checkpoint: String)
+                         : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val d = batch.toDF().select(col("doc_id"), col("source"),
+            col("bucket"),
+            size(split(col("text"), " ")).cast("long").as("ntok"),
+            md5(col("text")).as("h"))
+          val seen = graft.sources.VersionedParquetStore
+            .read(s, digestRoot)
+            .map(_.select(col("h"), lit(1L).as("__seen")))
+          val firstInBatch = d.groupBy("h")
+            .agg(min(col("doc_id")).as("__first"))
+          val joined = d.join(firstInBatch, Seq("h"))
+          val flagged = seen.fold(joined.withColumn("__seen",
+              lit(null).cast("long")))(sn => joined.join(sn, Seq("h"), "left_outer"))
+            .withColumn("kept",
+              (col("__seen").isNull && col("doc_id") === col("__first"))
+                .cast("long"))
+          val delta = flagged.groupBy("source", "bucket").agg(
+            count(lit(1)).as("raw_docs"),
+            sum(col("ntok")).as("raw_tokens"),
+            sum(col("kept")).as("kept_docs"),
+            sum(col("ntok") * col("kept")).as("kept_tokens"))
+          val keyCols = Seq("source", "bucket")
+          graft.sources.VersionedParquetStore.merge(s, supplyRoot, delta,
+            "source",
+            combine = (cur: DataFrame, dd: DataFrame) =>
+              cur.unionByName(dd.join(cur, keyCols, "left_anti")))
+          graft.sources.VersionedParquetStore.merge(s, digestRoot,
+            flagged.filter(col("kept") === 1L).select("h"), "h",
+            combine = (cur: DataFrame, dd: DataFrame) =>
+              cur.unionByName(dd.join(cur, Seq("h"), "left_anti")))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class TypedEvent(user_id: Long, us: Long, event_id: Long,
                         event_type: String)
   case class TransitionStep(user_id: Long, prev_type: String,
