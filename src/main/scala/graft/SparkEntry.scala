@@ -11651,7 +11651,241 @@ object SparkEntry {
                CAST(m * sxx - sx * sx AS BIGINT) den,
                CAST(m * sxy - sx * sx AS DOUBLE) / (m * sxx - sx * sx)
                  AS r
-             FROM sm"""))
+             FROM sm""")),
+
+    // Image dedup eval against CERTAIN gold (d33's discipline in the
+    // multimodal lane): the synthetic PNG is a pure function of
+    // doc_id mod lcm(5, 3, 256) = 3840 (width id%5, height id%3,
+    // pixel (id + 11x + 17y) mod 256), so byte-identical images are
+    // EXACTLY the id%3840-equal pairs — gold derivable by arithmetic,
+    // no decode. Predicted = m11's banded 16-bit phash at
+    // Hamming <= 1. Identical images share a phash, so recall is the
+    // pigeonhole guarantee (1e6, hash-pinned); precision measures the
+    // 16-bit space's perceptual over-merge (d25's saturation lesson,
+    // here QUANTIFIED per corpus instead of narrated).
+    ("m14_image_dup_eval", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = Dedup.hammingNeighborJoin(
+        graft.multimodal.Multimodal.imagePerceptualHashes(
+          GateFixtures.pngMedia(s, dir)).toDF(),
+        "doc_id", "phash", 16, 4, 1)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val gold = Dedup.keyPairs(
+        docs.select((col("doc_id") % 3840).as("k"), col("doc_id")),
+        "k", "doc_id")
+      Dedup.pairEval(pred, gold)
+    },
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) w,
+               CAST(8 + doc_id % 3 AS INT) h FROM documents),
+             c AS (SELECT doc_id, w, h,
+               UNNEST([i for i in generate_series(0, 15)]) i FROM g),
+             v AS (SELECT doc_id, i,
+               (doc_id + 11*(((w*h)*i//16) % w) + 17*(((w*h)*i//16) // w)) % 256 cell
+               FROM c),
+             sm AS (SELECT doc_id, SUM(cell) st FROM v GROUP BY doc_id),
+             b AS (SELECT v.doc_id,
+               CAST(SUM(CASE WHEN 16*cell >= st
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) phash
+               FROM v JOIN sm ON v.doc_id = sm.doc_id GROUP BY v.doc_id),
+             p AS (SELECT a.doc_id doc_a, b2.doc_id doc_b
+               FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+               WHERE bit_count(xor(a.phash, b2.phash)) <= 1),
+             gd AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+               FROM documents a JOIN documents b
+               ON a.doc_id < b.doc_id
+                 AND a.doc_id % 3840 = b.doc_id % 3840),
+             j AS (SELECT
+               CASE WHEN p.doc_a IS NOT NULL AND gd.doc_a IS NOT NULL
+                    THEN 1 ELSE 0 END tpf,
+               CASE WHEN p.doc_a IS NOT NULL AND gd.doc_a IS NULL
+                    THEN 1 ELSE 0 END fpf,
+               CASE WHEN p.doc_a IS NULL AND gd.doc_a IS NOT NULL
+                    THEN 1 ELSE 0 END fnf
+               FROM p FULL OUTER JOIN gd
+               ON p.doc_a = gd.doc_a AND p.doc_b = gd.doc_b),
+             m AS (SELECT CAST(SUM(tpf) AS BIGINT) tp,
+               CAST(SUM(fpf) AS BIGINT) fp, CAST(SUM(fnf) AS BIGINT) fn
+               FROM j),
+             r AS (SELECT tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+                 END precision_ppm,
+               CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+                 END recall_ppm
+               FROM m)
+             SELECT tp, fp, fn, precision_ppm, recall_ppm,
+               CASE WHEN precision_ppm + recall_ppm = 0
+                 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(2 * precision_ppm * recall_ppm
+                           // (precision_ppm + recall_ppm) AS BIGINT)
+                 END f1_ppm
+             FROM r""")),
+
+    // EXPIRY UNDER INGEST (w33 — x17's vacuum running INSIDE w32's
+    // streaming maintenance): every micro-batch ends with
+    // vacuum(keep=2) on both stores, so retention is a side-effect of
+    // the write path (the production posture) instead of a nightly
+    // job. Gated: the visible supply table is UNAFFECTED (same oracle
+    // as o29/w32 — expiry never touches the pointer target) and the
+    // history stays bounded (snapshot count == keep after three
+    // batches of a five-commit-per-store run).
+    ("w33_stream_expiry_ingest", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(min(col("doc_id")).as("__mn"),
+        max(col("doc_id")).as("__mx"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("source"), col("text"),
+          expr("(doc_id - __mn) * 3 div (__mx - __mn + 1)").as("bucket"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-w33").toString
+      (0 to 2).foreach(i => bucketed.filter(col("bucket") === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in/*")
+      val q = graft.streaming.EventStream.maintainTokenSupply(
+        stream, s"$tmp/digests", s"$tmp/supply", s"$tmp/ckpt",
+        vacuumKeep = Some(2))
+      q.awaitTermination()
+      val nSnaps = Option(new java.io.File(s"$tmp/supply").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isDirectory && f.getName.startsWith("v-"))
+      graft.sources.VersionedParquetStore.read(s, s"$tmp/supply").get
+        .groupBy("source")
+        .agg(sum(col("raw_docs")).as("raw_docs"),
+          sum(col("raw_tokens")).as("raw_tokens"),
+          sum(col("kept_docs")).as("kept_docs"),
+          sum(col("kept_tokens")).as("kept_tokens"))
+        .withColumn("dup_token_ppm",
+          expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
+        .withColumn("n_snapshots", lit(nSnaps.toLong))
+        .orderBy("source")
+    },
+      Some("""WITH d AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
+             md5(text) h FROM documents),
+           k AS (SELECT h, MIN(doc_id) keep FROM d GROUP BY 1),
+           j AS (SELECT d.source, d.ntok,
+             CASE WHEN d.doc_id = k.keep THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END kept
+             FROM d JOIN k ON d.h = k.h),
+           a AS (SELECT source, CAST(COUNT(*) AS BIGINT) raw_docs,
+             CAST(SUM(ntok) AS BIGINT) raw_tokens,
+             CAST(SUM(kept) AS BIGINT) kept_docs,
+             CAST(SUM(ntok * kept) AS BIGINT) kept_tokens
+             FROM j GROUP BY 1)
+           SELECT source, raw_docs, raw_tokens, kept_docs, kept_tokens,
+             CAST((raw_tokens - kept_tokens) * 1000000 // raw_tokens
+               AS BIGINT) dup_token_ppm,
+             CAST(2 AS BIGINT) n_snapshots
+           FROM a ORDER BY source""")),
+
+    // Global clustering coefficient (GraphStats
+    // .clusteringCoefficient) over g19's supplier co-order graph —
+    // the transitivity summary beside g59's mixing summary: C =
+    // 3·triangles/wedges, exact integer counts from the SAME
+    // degree-oriented triangle enumeration g19 gates per node (the
+    // canonical simple graph is derived once; no all-pairs work
+    // anywhere). One row: nodes, edges, triangles, wedges, C ppm.
+    ("g60_clustering_coefficient", (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      GraphStats.clusteringCoefficient(edges)
+    },
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+               WHERE l_quantity >= 45),
+             e AS (SELECT DISTINCT a.l_suppkey lo, b.l_suppkey hi
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey),
+             tr AS (SELECT e1.lo a, e1.hi b, e2.hi c
+               FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+               JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+             tt AS (SELECT CAST(COUNT(*) AS BIGINT) triangles FROM tr),
+             dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) d FROM
+               (SELECT lo id FROM e UNION ALL SELECT hi FROM e)
+               GROUP BY 1),
+             wd AS (SELECT CAST(COUNT(*) AS BIGINT) n_nodes,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) wedges FROM dg),
+             ne AS (SELECT CAST(COUNT(*) AS BIGINT) n_edges FROM e)
+             SELECT n_nodes, n_edges, triangles, wedges,
+               CAST(3 * triangles * 1000000 // wedges AS BIGINT) c_ppm
+             FROM wd, ne, tt""")),
+
+    // GROUPED forecast backtest (a9's fleet form — the last singleton
+    // of the smoothing family joins a14/a16/a19/a20/a21/a22's
+    // per-key shape): one-step-ahead Holt vs naive MAE PER EVENT
+    // TYPE — "which series does the model actually beat persistence
+    // on", the model-selection table a dashboard fleet reads. Every
+    // window and the Holt recursion are KEY-partitioned (Ewma.holt
+    // is keyed already; a9 ran it with a constant key); exact-cents
+    // errors, floor'd once for the float forecast exactly as a9.
+    // Oracle: a9's RECURSIVE unroll carrying the key through the
+    // recursion (a21's per-key recursion discipline).
+    ("a23_backtest_grouped", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("dy"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .withColumn("v", col("c").cast("double"))
+      val h = Ewma.holt(daily, Seq("event_type"), Seq("dy"), "v",
+        0.5, 0.5, "level", "trend")
+      val w = Window.partitionBy("event_type").orderBy("dy")
+      val steps = h
+        .withColumn("fc", lag(col("level") + col("trend"), 1).over(w))
+        .withColumn("nv", lag(col("c"), 1).over(w))
+        .filter(col("fc").isNotNull)
+      val holtE = steps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(expr("CAST(FLOOR(ABS(fc - CAST(c AS DOUBLE))) AS BIGINT)"))
+            .as("sum_abs_err"))
+        .select(col("event_type"), lit("holt").as("method"),
+          col("n_steps"), col("sum_abs_err"))
+      val naiveE = steps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(abs(col("c") - col("nv"))).as("sum_abs_err"))
+        .select(col("event_type"), lit("naive").as("method"),
+          col("n_steps"), col("sum_abs_err"))
+      holtE.unionByName(naiveE)
+        .withColumn("mae_cents", expr("sum_abs_err div n_steps"))
+        .orderBy("event_type", "method")
+    },
+      Some("""WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) dy,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) c
+               FROM events GROUP BY 1, 2),
+             e AS (SELECT event_type, dy, c, CAST(c AS DOUBLE) v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dy) rn
+               FROM d),
+             r(k, rn, l, b) AS (
+               SELECT event_type, rn, v, CAST(0 AS DOUBLE)
+               FROM e WHERE rn = 1
+               UNION ALL
+               SELECT e.event_type, e.rn, 0.5 * e.v + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * e.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+               FROM r JOIN e ON e.event_type = r.k AND e.rn = r.rn + 1),
+             st AS (SELECT e.event_type, e.rn, e.c, pr.l + pr.b fc,
+               pe.c nv
+               FROM e
+               JOIN r pr ON pr.k = e.event_type AND pr.rn = e.rn - 1
+               JOIN e pe ON pe.event_type = e.event_type
+                 AND pe.rn = e.rn - 1)
+             SELECT event_type, 'holt' AS method, COUNT(*) n_steps,
+               CAST(SUM(CAST(FLOOR(ABS(fc - CAST(c AS DOUBLE)))
+                 AS BIGINT)) AS BIGINT) AS sum_abs_err,
+               CAST(SUM(CAST(FLOOR(ABS(fc - CAST(c AS DOUBLE)))
+                 AS BIGINT)) // COUNT(*) AS BIGINT) AS mae_cents
+             FROM st GROUP BY 1
+             UNION ALL
+             SELECT event_type, 'naive', COUNT(*),
+               CAST(SUM(ABS(c - nv)) AS BIGINT),
+               CAST(SUM(ABS(c - nv)) // COUNT(*) AS BIGINT)
+             FROM st GROUP BY 1
+             ORDER BY event_type, method"""))
   )
 
   // ---------- driver contract ----------

@@ -995,24 +995,32 @@ object Dedup {
         expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
   }
 
-  /** Gold-standard duplicate pairs for dedup EVALUATION: every
-    * (doc_a < doc_b) pair with byte-identical text. One digest
-    * exchange like [[exactDuplicates]], then the pair set is expanded
-    * IN-ROW inside each identical-text family — quadratic only in
-    * family size (duplicate families are small by construction of any
-    * real corpus; a family so large its pair list matters is a
-    * boilerplate artifact [[crossDocGrams]] should have caught
-    * upstream), never in corpus size. */
-  def exactPairs(docs: DataFrame): DataFrame =
-    docs.select(md5(col("text")).as("__h"), col("doc_id"))
-      .groupBy("__h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  /** All (doc_a < doc_b) id pairs within each equal-key group,
+    * expanded IN-ROW per group — quadratic only in group size
+    * (duplicate families are small by construction of any real
+    * corpus; a family so large its pair list matters is a boilerplate
+    * artifact [[crossDocGrams]] should have caught upstream), never
+    * in corpus size. The generic kernel behind every equality-defined
+    * gold pair set: text digest ([[exactPairs]]), generator
+    * parameters (the image m14 gate), an entity key. One key
+    * exchange. */
+  def keyPairs(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
              transform(slice(ids, i + 2, size(ids) - i - 1), b ->
                struct(a AS doc_a, b AS doc_b))))""")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+
+  /** Gold-standard duplicate pairs for dedup EVALUATION: every
+    * (doc_a < doc_b) pair with byte-identical text — [[keyPairs]] on
+    * the text digest. */
+  def exactPairs(docs: DataFrame): DataFrame =
+    keyPairs(docs.select(md5(col("text")).as("h"), col("doc_id")),
+      "h", "doc_id")
 
   /** Pairwise precision/recall/F1 of a predicted duplicate-pair table
     * against a gold pair table — the standard dedup / entity-

@@ -24,6 +24,35 @@ object GraphStats {
     * bench graph); a corpus beyond that computes the moments in
     * per-partition exact int64 and combines in double, trading ulps
     * for range — the formula is unchanged. */
+  /** Global clustering coefficient C = 3·triangles / wedges (wedges =
+    * Σ_v d(v)(d(v)−1)/2 over the canonical simple graph) — how much
+    * of the graph's two-hop neighborhood closes into triangles, THE
+    * transitivity summary next to [[degreeAssortativity]]'s mixing
+    * summary. Triangle counting delegates to
+    * [[Triangles.triangles]]'s degree-oriented enumeration (never
+    * all-pairs); wedges are one degree aggregation. Exact int64
+    * counts; c_ppm is one truncating division (both counts
+    * non-negative, so `div` and `//` agree). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val deg = und.select(col("lo").as("id"))
+      .unionByName(und.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val tri = Triangles.triangles(edges)
+      .agg(count(lit(1)).as("triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("wedges"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("triangles"),
+        col("wedges"),
+        expr("3 * triangles * 1000000 div wedges").as("c_ppm"))
+  }
+
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val j = edges

@@ -390,9 +390,19 @@ object EventStream {
     * admitting only never-seen keys (left-anti, not dropDuplicates)
     * — a replayed batch re-derives a (possibly different, since its
     * digests are now indexed) delta that is then discarded whole.
-    * The digest index append is the same anti-join shape. */
+    * The digest index append is the same anti-join shape.
+    *
+    * `vacuumKeep` (w33): when set, each batch ends with snapshot
+    * EXPIRY on both stores ([[graft.sources.VersionedParquetStore
+    * .vacuum]]) — maintenance running INSIDE continuous ingest, the
+    * production posture where retention is a side-effect of the
+    * write path, not a nightly job. Expiry never touches the pointer
+    * target, so the visible table is unaffected and the history
+    * stays bounded at `keep` snapshots however long the stream
+    * runs. */
   def maintainTokenSupply(stream: DataFrame, digestRoot: String,
-                          supplyRoot: String, checkpoint: String)
+                          supplyRoot: String, checkpoint: String,
+                          vacuumKeep: Option[Int] = None)
                          : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -427,6 +437,10 @@ object EventStream {
             flagged.filter(col("kept") === 1L).select("h"), "h",
             combine = (cur: DataFrame, dd: DataFrame) =>
               cur.unionByName(dd.join(cur, Seq("h"), "left_anti")))
+          vacuumKeep.foreach { k =>
+            graft.sources.VersionedParquetStore.vacuum(s, supplyRoot, k)
+            graft.sources.VersionedParquetStore.vacuum(s, digestRoot, k)
+          }
           ()
         }
       }

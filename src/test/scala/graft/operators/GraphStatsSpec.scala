@@ -28,6 +28,18 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == -1.0)
   }
 
+  test("clustering coefficient: K3 is exactly 1e6 ppm, P3 is 0") {
+    val k3 = GraphStats.clusteringCoefficient(
+      sym((0L, 1L), (1L, 2L), (0L, 2L))).collect()(0)
+    // 3 nodes, 3 edges, 1 triangle, 3 wedges -> C = 3*1/3 = 1
+    assert((k3.getLong(0), k3.getLong(1), k3.getLong(2), k3.getLong(3),
+      k3.getLong(4)) == ((3L, 3L, 1L, 3L, 1000000L)))
+    val p3 = GraphStats.clusteringCoefficient(
+      sym((0L, 1L), (1L, 2L))).collect()(0)
+    assert(p3.getLong(2) == 0L && p3.getLong(3) == 1L &&
+      p3.getLong(4) == 0L)
+  }
+
   test("path P3 moments are the hand values") {
     // 0-1-2: degrees 1,2,1; directed edges (0,1)(1,0)(1,2)(2,1)
     // dx per edge: 1,2,2,1 ; dy: 2,1,1,2
