@@ -11885,7 +11885,92 @@ object SparkEntry {
                CAST(SUM(ABS(c - nv)) AS BIGINT),
                CAST(SUM(ABS(c - nv)) // COUNT(*) AS BIGINT)
              FROM st GROUP BY 1
-             ORDER BY event_type, method"""))
+             ORDER BY event_type, method""")),
+
+    // RETRIEVAL SYSTEM comparison (e15 × n28 — the eval harness the
+    // retrieval surface reports to): the three rankers a hybrid stack
+    // runs (lexical BM25, dense exact, RRF-fused) each scored
+    // nDCG@10 against the dense gold — 'dense' is the 1e6 anchor by
+    // construction, 'lexical' quantifies how far term overlap sits
+    // from embedding relevance on this corpus, 'fused' quantifies
+    // what fusion trades away from the dense oracle to gain lexical
+    // robustness. Same integer discount table and one truncating
+    // division per score as n28; the three rankings are e15's
+    // dataflows unchanged.
+    ("e19_retrieval_system_eval", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val em = t(s, dir, "embeddings")
+      val k = 10
+      val wts = GateFixtures.dcgWeights(k)
+      val idcg = (1 to k).map(p => (k + 1 - p).toLong * wts(p - 1)).sum
+      val qt = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(TextAnalysis.words(col("text")), 1, 6)).as("word"))
+      val lex = Retrieval.bm25TopK(docs, qt, k)
+        .select("query_id", "doc_id", "rnk")
+      val dense = Ann.bruteForceTopK(em, col("vec_id") % 97 === 0, k)
+        .select(col("qid").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rnk"))
+      val fused = Retrieval.rrfFuse(lex, dense, k)
+        .select("query_id", "doc_id", "rnk")
+      val rel = dense.select(col("query_id"), col("doc_id"),
+        (lit((k + 1).toLong) - col("rnk")).as("rel"))
+      val wExpr = (1 to k).foldLeft(lit(0L): Column) { (acc, p) =>
+        when(col("rnk") === p, lit(wts(p - 1))).otherwise(acc) }
+      def ndcg(ranker: String, ranked: DataFrame): DataFrame = ranked
+        .join(rel, Seq("query_id", "doc_id"), "left_outer")
+        .select(col("query_id"), coalesce(col("rel"), lit(0L)).as("rel"),
+          wExpr.as("w"))
+        .groupBy("query_id").agg(sum(col("rel") * col("w")).as("dcg"))
+        .select(lit(ranker).as("ranker"), col("query_id"), col("dcg"),
+          expr(s"dcg * 1000000 div ${idcg}L").as("ndcg_ppm"))
+      ndcg("dense", dense)
+        .unionByName(ndcg("fused", fused))
+        .unionByName(ndcg("lexical", lex))
+        .orderBy("ranker", "query_id")
+    },
+      Some {
+        val wts = GateFixtures.dcgWeights(10)
+        val idcg = (1 to 10).map(p => (11 - p).toLong * wts(p - 1)).sum
+        val wCase = (1 to 10).map(p =>
+          s"WHEN ${p} THEN CAST(${wts(p - 1)} AS BIGINT)").mkString(" ")
+        s"""WITH $bm25OracleCtes,
+             $oracleUnitCte,
+             hqv AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id % 97 = 0),
+             hsd AS (SELECT qid, u.vec_id nid,
+                     ROUND(list_dot_product(qu, u.ue), 6) cos_r
+                     FROM hqv, u WHERE u.vec_id <> qid),
+             hdr AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cos_r DESC, nid) rnk FROM hsd),
+             hu AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= 10
+                    UNION ALL
+                    SELECT qid, nid, rnk FROM hdr WHERE rnk <= 10),
+             hf AS (SELECT query_id, doc_id, COUNT(*) n_lists,
+                      CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) fused_nano
+                    FROM hu GROUP BY 1, 2),
+             hfr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY fused_nano DESC, doc_id) rnk FROM hf),
+             ex AS (SELECT qid query_id, nid doc_id,
+               CAST(11 - rnk AS BIGINT) rel FROM hdr WHERE rnk <= 10),
+             sr AS (SELECT 'dense' ranker, qid query_id, nid doc_id, rnk
+                      FROM hdr WHERE rnk <= 10
+                    UNION ALL
+                    SELECT 'fused', query_id, doc_id, rnk
+                      FROM hfr WHERE rnk <= 10
+                    UNION ALL
+                    SELECT 'lexical', query_id, doc_id, rnk
+                      FROM bmr WHERE rnk <= 10),
+             jj AS (SELECT s.ranker, s.query_id,
+               COALESCE(e.rel, CAST(0 AS BIGINT)) rel,
+               CASE s.rnk $wCase END w
+               FROM sr s LEFT JOIN ex e ON e.query_id = s.query_id
+                 AND e.doc_id = s.doc_id),
+             dd AS (SELECT ranker, query_id, CAST(SUM(rel * w) AS BIGINT)
+               dcg FROM jj GROUP BY 1, 2)
+             SELECT ranker, query_id, dcg,
+               CAST(dcg * 1000000 // $idcg AS BIGINT) AS ndcg_ppm
+             FROM dd ORDER BY ranker, query_id"""
+      })
   )
 
   // ---------- driver contract ----------
