@@ -50,6 +50,27 @@ object SparkEntry {
     Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** Collect a BOUNDED gate result and rebind it as a driver-local
+    * DataFrame so the gate's temp stores can be deleted in its finally
+    * block before return — a lazily-returned frame would re-read the
+    * deleted path at materialization time (the e18 pattern; every
+    * consumer is a per-source / per-query summary, never corpus-sized). */
+  private def materialized(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** Stamp every file under streaming-input batch dir `base/in/b$i`
+    * with a strictly increasing modification time (one minute apart
+    * per batch index): FileStreamSource with maxFilesPerTrigger=1
+    * picks files in mtime order, and on a coarse-mtime filesystem two
+    * just-written batch files can TIE and process out of write order —
+    * which flips first-seen-wins credit in the w32/w33 token-supply
+    * gates (order-dependent by contract) nondeterministically. */
+  private def stampBatchOrder(base: String, i: Int): Unit = {
+    val d = new java.io.File(s"$base/in/b$i")
+    Option(d.listFiles).foreach(_.foreach(f =>
+      f.setLastModified(1700000000000L + i * 60000L)))
+  }
+
   private def hourStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** Unique memory-sink names for the streaming gate (bench runs each
@@ -11285,24 +11306,26 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-x16").toString
-      li.filter(col("l_orderkey") % 2 === 0)
-        .select(col("l_orderkey"), col("l_returnflag"),
-          cents(col("l_quantity")).as("qty_c"))
-        .write.mode("overwrite").parquet(s"$tmp/v1")
-      li.filter(col("l_orderkey") % 2 === 1)
-        .select(col("l_orderkey"), col("l_returnflag"),
-          cents(col("l_quantity")).as("qty_c"),
-          cents(col("l_extendedprice")).as("price_c"))
-        .write.mode("overwrite").parquet(s"$tmp/v2")
-      s.read.option("mergeSchema", "true")
-        .parquet(s"$tmp/v1", s"$tmp/v2")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("qty_c")).as("qty_sum_c"),
-          coalesce(sum(col("price_c")), lit(0L)).as("price_sum_c"),
-          sum(when(col("price_c").isNull, 1L).otherwise(0L))
-            .as("pre_evolution_rows"))
-        .orderBy("l_returnflag")
+      try {
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            cents(col("l_quantity")).as("qty_c"))
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            cents(col("l_quantity")).as("qty_c"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        materialized(s, s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/v1", s"$tmp/v2")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty_c")).as("qty_sum_c"),
+            coalesce(sum(col("price_c")), lit(0L)).as("price_sum_c"),
+            sum(when(col("price_c").isNull, 1L).otherwise(0L))
+              .as("pre_evolution_rows"))
+          .orderBy("l_returnflag"))
+      } finally rmTree(new java.io.File(tmp))
     },
       Some("""SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) n_rows,
@@ -11339,19 +11362,22 @@ object SparkEntry {
         .select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-w31").toString
-      (0 to 2).foreach(i => queries8
-        .filter(col("vec_id") % 3 === i)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
-      val schema = s.read.parquet(s"$tmp/in/b0").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$tmp/in/*")
-      val q = graft.streaming.EventStream.scoreRetrievalNdcg(
-        stream, corpus8, rel, k, wts, idcg, s"$tmp/store", s"$tmp/ckpt")
-      q.awaitTermination()
-      graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
-        .orderBy("qid")
+      try {
+        (0 to 2).foreach(i => queries8
+          .filter(col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = graft.streaming.EventStream.scoreRetrievalNdcg(
+          stream, corpus8, rel, k, wts, idcg, s"$tmp/store", s"$tmp/ckpt")
+        q.awaitTermination()
+        materialized(s,
+          graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+            .orderBy("qid"))
+      } finally rmTree(new java.io.File(tmp))
     },
       Some {
         val wts = GateFixtures.dcgWeights(5)
@@ -11498,25 +11524,31 @@ object SparkEntry {
           expr("(doc_id - __mn) * 3 div (__mx - __mn + 1)").as("bucket"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-w32").toString
-      (0 to 2).foreach(i => bucketed.filter(col("bucket") === i)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
-      val schema = s.read.parquet(s"$tmp/in/b0").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$tmp/in/*")
-      val q = graft.streaming.EventStream.maintainTokenSupply(
-        stream, s"$tmp/digests", s"$tmp/supply", s"$tmp/ckpt")
-      q.awaitTermination()
-      graft.sources.VersionedParquetStore.read(s, s"$tmp/supply").get
-        .groupBy("source")
-        .agg(sum(col("raw_docs")).as("raw_docs"),
-          sum(col("raw_tokens")).as("raw_tokens"),
-          sum(col("kept_docs")).as("kept_docs"),
-          sum(col("kept_tokens")).as("kept_tokens"))
-        .withColumn("dup_token_ppm",
-          expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
-        .orderBy("source")
+      try {
+        (0 to 2).foreach { i =>
+          bucketed.filter(col("bucket") === i)
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i")
+          stampBatchOrder(tmp, i) // order-DEPENDENT gate: see helper
+        }
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = graft.streaming.EventStream.maintainTokenSupply(
+          stream, s"$tmp/digests", s"$tmp/supply", s"$tmp/ckpt")
+        q.awaitTermination()
+        materialized(s,
+          graft.sources.VersionedParquetStore.read(s, s"$tmp/supply").get
+            .groupBy("source")
+            .agg(sum(col("raw_docs")).as("raw_docs"),
+              sum(col("raw_tokens")).as("raw_tokens"),
+              sum(col("kept_docs")).as("kept_docs"),
+              sum(col("kept_tokens")).as("kept_tokens"))
+            .withColumn("dup_token_ppm",
+              expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
+            .orderBy("source"))
+      } finally rmTree(new java.io.File(tmp))
     },
       Some("""WITH d AS (SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
@@ -11597,26 +11629,29 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("ntok"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-x17").toString
-      val root = s"$tmp/store"
-      val sumCombine = (cur: DataFrame, d: DataFrame) =>
-        cur.unionByName(d).groupBy("source")
-          .agg(sum(col("tokens")).as("tokens"))
-      (0 to 3).foreach { i =>
-        val delta = docs.filter(col("doc_id") % 4 === i)
-          .groupBy("source").agg(sum(col("ntok")).as("tokens"))
-        graft.sources.VersionedParquetStore.merge(s, root, delta,
-          "source", combine = sumCombine)
-      }
-      val expired = graft.sources.VersionedParquetStore
-        .vacuum(s, root, keep = 2)
-      val remaining = Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .count(f => f.isDirectory && f.getName.startsWith("v-"))
-      graft.sources.VersionedParquetStore.read(s, root).get
-        .select(col("source"), col("tokens"),
-          lit(expired.size.toLong).as("n_expired"),
-          lit(remaining.toLong).as("n_snapshots"))
-        .orderBy("source")
+      try {
+        val root = s"$tmp/store"
+        val sumCombine = (cur: DataFrame, d: DataFrame) =>
+          cur.unionByName(d).groupBy("source")
+            .agg(sum(col("tokens")).as("tokens"))
+        (0 to 3).foreach { i =>
+          val delta = docs.filter(col("doc_id") % 4 === i)
+            .groupBy("source").agg(sum(col("ntok")).as("tokens"))
+          graft.sources.VersionedParquetStore.merge(s, root, delta,
+            "source", combine = sumCombine)
+        }
+        val expired = graft.sources.VersionedParquetStore
+          .vacuum(s, root, keep = 2)
+        val remaining = Option(new java.io.File(root).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .count(f => f.isDirectory && f.getName.startsWith("v-"))
+        materialized(s,
+          graft.sources.VersionedParquetStore.read(s, root).get
+            .select(col("source"), col("tokens"),
+              lit(expired.size.toLong).as("n_expired"),
+              lit(remaining.toLong).as("n_snapshots"))
+            .orderBy("source"))
+      } finally rmTree(new java.io.File(tmp))
     },
       Some("""SELECT source,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) tokens,
@@ -11739,30 +11774,36 @@ object SparkEntry {
           expr("(doc_id - __mn) * 3 div (__mx - __mn + 1)").as("bucket"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-w33").toString
-      (0 to 2).foreach(i => bucketed.filter(col("bucket") === i)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
-      val schema = s.read.parquet(s"$tmp/in/b0").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$tmp/in/*")
-      val q = graft.streaming.EventStream.maintainTokenSupply(
-        stream, s"$tmp/digests", s"$tmp/supply", s"$tmp/ckpt",
-        vacuumKeep = Some(2))
-      q.awaitTermination()
-      val nSnaps = Option(new java.io.File(s"$tmp/supply").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .count(f => f.isDirectory && f.getName.startsWith("v-"))
-      graft.sources.VersionedParquetStore.read(s, s"$tmp/supply").get
-        .groupBy("source")
-        .agg(sum(col("raw_docs")).as("raw_docs"),
-          sum(col("raw_tokens")).as("raw_tokens"),
-          sum(col("kept_docs")).as("kept_docs"),
-          sum(col("kept_tokens")).as("kept_tokens"))
-        .withColumn("dup_token_ppm",
-          expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
-        .withColumn("n_snapshots", lit(nSnaps.toLong))
-        .orderBy("source")
+      try {
+        (0 to 2).foreach { i =>
+          bucketed.filter(col("bucket") === i)
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i")
+          stampBatchOrder(tmp, i) // order-DEPENDENT gate: see helper
+        }
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = graft.streaming.EventStream.maintainTokenSupply(
+          stream, s"$tmp/digests", s"$tmp/supply", s"$tmp/ckpt",
+          vacuumKeep = Some(2))
+        q.awaitTermination()
+        val nSnaps = Option(new java.io.File(s"$tmp/supply").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .count(f => f.isDirectory && f.getName.startsWith("v-"))
+        materialized(s,
+          graft.sources.VersionedParquetStore.read(s, s"$tmp/supply").get
+            .groupBy("source")
+            .agg(sum(col("raw_docs")).as("raw_docs"),
+              sum(col("raw_tokens")).as("raw_tokens"),
+              sum(col("kept_docs")).as("kept_docs"),
+              sum(col("kept_tokens")).as("kept_tokens"))
+            .withColumn("dup_token_ppm",
+              expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens"))
+            .withColumn("n_snapshots", lit(nSnaps.toLong))
+            .orderBy("source"))
+      } finally rmTree(new java.io.File(tmp))
     },
       Some("""WITH d AS (SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) ntok,

@@ -387,9 +387,19 @@ object HeavyRunner {
         // HEAVY-scale index staging (see stagers): untimed, AFTER the
         // light-scale cache drop above — these are the heavy-dir
         // memoized indexes the timed run is meant to read
+        // a staging failure must be LOUD: the timed run then silently
+        // measures the cold chain build — exactly the artifact staging
+        // exists to remove — and without a named stderr line that run
+        // is indistinguishable from a staged one (round-13 advice)
         stagers.get(q).foreach { f =>
           try f(spark, dir)
-          catch { case scala.util.control.NonFatal(_) => }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[heavy] UNSTAGED $q: index staging " +
+                s"failed (${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(120)}) — " +
+                "the timed run below measures the cold chain")
+          }
         }
         // SPARK_GRAFT_EXPLAIN=1: dump the heavy-scale physical plan to
         // stderr before timing — the round-12 tool for the e6 plan-flip
