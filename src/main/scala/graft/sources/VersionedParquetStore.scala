@@ -33,6 +33,21 @@ object VersionedParquetStore {
 
   private val POINTER = "_CURRENT"
 
+  /** Optional per-snapshot file: newline-separated ABSOLUTE paths of
+    * partition directories carried forward BY REFERENCE from older
+    * snapshots (the Iceberg-manifest idea at directory granularity).
+    * Written by [[graft.operators.Compaction.applyPlanIncremental]]
+    * so a selective rewrite can re-bucket only fragmented regions
+    * while cold regions keep their physical files — at 100 TB a
+    * compaction that rewrites every byte of the table is the
+    * scale-killer the manifest exists to avoid. References are
+    * FLATTENED at write time (a carried dir is the resolved physical
+    * path, which may itself live two snapshots back), so reads and
+    * [[vacuum]] never recurse. Leading-underscore names are invisible
+    * to the parquet reader, so a manifest never perturbs a plain
+    * directory read. */
+  private val MANIFEST = "_MANIFEST"
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -51,10 +66,77 @@ object VersionedParquetStore {
     }
   }
 
+  private def readLines(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](4096)
+      var n = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Carried-forward partition-dir paths of snapshot `version` (empty
+    * when the snapshot has no manifest — the common, fully-physical
+    * case). */
+  def manifestRefs(spark: SparkSession, root: String,
+                   version: String): Seq[String] = {
+    val f = fs(spark, root)
+    val p = new Path(new Path(root, version), MANIFEST)
+    if (!f.exists(p)) Seq.empty else readLines(f, p)
+  }
+
+  /** Write `refs` as snapshot dir `snapDir`'s manifest — called by the
+    * snapshot WRITER inside [[commitSnapshot]]'s write callback, so
+    * the manifest is in place before the pointer ever swaps. */
+  def writeManifest(spark: SparkSession, snapDir: String,
+                    refs: Seq[String]): Unit = {
+    val p = new Path(snapDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p) // a snapshot may carry EVERYTHING forward (no own data)
+    val out = f.create(new Path(p, MANIFEST), true)
+    try out.write(refs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read one snapshot (own dir + any manifest references), without
+    * touching the pointer. Own-dir data and each referenced dir's
+    * parent snapshot get their own `basePath` so `bucket=`-style
+    * partition columns are recovered identically on both sides; one
+    * read per referenced PARENT dir (bounded by snapshot history
+    * depth — metadata-scale), unioned by name. */
+  def readSnapshot(spark: SparkSession, root: String,
+                   version: String): DataFrame = {
+    val snapDir = new Path(root, version)
+    val refs = manifestRefs(spark, root, version)
+    if (refs.isEmpty) spark.read.parquet(snapDir.toString)
+    else {
+      val f = fs(spark, root)
+      // own data: present unless the snapshot carried everything
+      // (partition dirs, or flat part files — anything that is not a
+      // _-prefixed metadata file)
+      val ownDirs = f.listStatus(snapDir).toSeq
+        .filter(s => s.isDirectory || !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString)
+      val own =
+        if (ownDirs.isEmpty) None
+        else Some(spark.read.option("basePath", snapDir.toString)
+          .parquet(snapDir.toString))
+      val referenced = refs.groupBy(r => new Path(r).getParent.toString)
+        .toSeq.sortBy(_._1)
+        .map { case (parent, dirs) =>
+          spark.read.option("basePath", parent).parquet(dirs.sorted: _*)
+        }
+      (own.toSeq ++ referenced).reduce(_ unionByName _)
+    }
+  }
+
   /** Current snapshot, or None before the first commit. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     readPointer(fs(spark, root), root)
-      .map(v => spark.read.parquet(new Path(root, v).toString))
+      .map(v => readSnapshot(spark, root, v))
 
   /** The pointer value right now — the `expected` a caller passes to
     * [[commitSnapshot]] after deriving its new snapshot from the
@@ -101,7 +183,7 @@ object VersionedParquetStore {
       if (!f.rename(tmp, new Path(root, POINTER)))
         throw new IllegalStateException(s"pointer swap failed on $root")
     }
-    spark.read.parquet(new Path(root, nextV).toString)
+    readSnapshot(spark, root, nextV)
   }
 
   /** Last-write-wins merge of `updates` into the store (UserStore
@@ -145,8 +227,14 @@ object VersionedParquetStore {
     * writer committing concurrently can at worst leave its
     * just-written snapshot in the delete set only if it is OLDER
     * than the survivors, which the monotonic version numbering rules
-    * out (a new commit is always the max version).
-    * @return names of the deleted snapshot directories, sorted */
+    * out (a new commit is always the max version). A snapshot dir
+    * REFERENCED by any survivor's manifest (incremental compaction's
+    * carried-forward cold regions) is likewise exempt: deleting it
+    * would tear the referencing snapshot's data out from under
+    * readers. Exemption closes in ONE pass because manifests are
+    * flattened at write time (no reference chains) — but belt and
+    * braces, the walk iterates to a fixed point anyway so even a
+    * hand-written chained manifest cannot be torn. */
   def vacuum(spark: SparkSession, root: String, keep: Int): Seq[String] = {
     require(keep >= 1, s"keep must be >= 1 (got $keep)")
     val f = fs(spark, root)
@@ -158,11 +246,25 @@ object VersionedParquetStore {
       .map(_.getPath.getName)
     // version names sort chronologically (monotonic counter prefix);
     // survivors = the newest `keep` plus, unconditionally, the
-    // pointer target
-    val newest = dirs.sorted.takeRight(keep).toSet
-    val doomed = dirs
-      .filter(d => !newest.contains(d) && !current.contains(d))
-      .sorted
+    // pointer target, plus everything survivors reference
+    var protect = dirs.sorted.takeRight(keep).toSet ++ current
+    var grew = true
+    while (grew) {
+      val referenced = protect.toSeq
+        .flatMap(v => manifestRefs(spark, root, v))
+        // a reference names a partition dir INSIDE a snapshot dir;
+        // the snapshot dir is its parent (under this root — foreign
+        // paths, were a caller ever to write one, are not ours to keep)
+        .map(r => new Path(r).getParent)
+        .filter(p => p != null && p.getParent != null &&
+          f.makeQualified(p.getParent) == f.makeQualified(rootPath))
+        .map(_.getName)
+        .filter(dirs.contains)
+      val next = protect ++ referenced
+      grew = next.size > protect.size
+      protect = next
+    }
+    val doomed = dirs.filterNot(protect).sorted
     doomed.foreach(d => f.delete(new Path(root, d), true))
     doomed
   }
