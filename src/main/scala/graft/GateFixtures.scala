@@ -684,42 +684,96 @@ object GateFixtures {
        ${p}edges AS (SELECT src, dst FROM ${p}e$refineRounds)"""
   }
 
+  /** Beam-walk CTE chain for ONE (beam, rounds) setting, every CTE
+    * name carrying prefix `p` so several settings can share one WITH
+    * block (and one `gedges`/`gq` build — the Spark side's staged-
+    * index sharing, mirrored). Reads `gq(qid, qu)`, `gedges(src,
+    * dst)`, `u(vec_id, ue)`; ends with `<p>res(qid, neighbor_id,
+    * cos_r, rnk)` — the full visited ranking, caller truncates. */
+  private def annWalkCtes(p: String, beam: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${p}f${r - 1} AS MATERIALIZED (SELECT qid, node, cos_r FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_r DESC, node) rr
+            FROM ${p}v${r - 1} v WHERE NOT EXISTS (SELECT 1 FROM ${p}x${r - 1} x
+              WHERE x.qid = v.qid AND x.node = v.node))
+           WHERE rr <= $beam),
+         ${p}x$r AS MATERIALIZED (SELECT qid, node FROM ${p}x${r - 1}
+                 UNION SELECT qid, node FROM ${p}f${r - 1}),
+         ${p}n$r AS MATERIALIZED (SELECT DISTINCT f.qid, e.dst node FROM ${p}f${r - 1} f
+                 JOIN gedges e ON e.src = f.node
+                 WHERE NOT EXISTS (SELECT 1 FROM ${p}v${r - 1} v
+                   WHERE v.qid = f.qid AND v.node = e.dst)),
+         ${p}s$r AS MATERIALIZED (SELECT n.qid, n.node,
+                 ROUND(list_dot_product(q.qu, un.ue), 6) cos_r
+                 FROM ${p}n$r n JOIN gq q ON q.qid = n.qid
+                 JOIN u un ON un.vec_id = n.node),
+         ${p}v$r AS MATERIALIZED (SELECT * FROM ${p}v${r - 1} UNION ALL SELECT * FROM ${p}s$r)"""
+    }.mkString(",\n")
+    s"""${p}v0 AS MATERIALIZED (SELECT qid, qid AS node,
+         ROUND(list_dot_product(qu, qu), 6) cos_r FROM gq),
+       ${p}x0 AS (SELECT qid, node FROM ${p}v0 WHERE FALSE),
+       $roundCtes,
+       ${p}res AS (SELECT qid, node neighbor_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, node) rnk
+         FROM ${p}v$rounds WHERE node <> qid)"""
+  }
+
   /** Oracle twin of [[Ann.graphTopK]] (the n23 graph-ANN gate): the
     * banded-signature edge build, then the `rounds` beam-search rounds
     * UNROLLED CTE by CTE — every pick is a rounded-cosine argmax with
     * id tiebreaks, so both engines walk the identical frontier. */
   private[graft] def annGraphOracleSql(m: Int, beam: Int, rounds: Int,
-                                       k: Int, maxBucket: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""gf${r - 1} AS MATERIALIZED (SELECT qid, node, cos_r FROM
-           (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cos_r DESC, node) rr
-            FROM gv${r - 1} v WHERE NOT EXISTS (SELECT 1 FROM gx${r - 1} x
-              WHERE x.qid = v.qid AND x.node = v.node))
-           WHERE rr <= $beam),
-         gx$r AS MATERIALIZED (SELECT qid, node FROM gx${r - 1}
-                 UNION SELECT qid, node FROM gf${r - 1}),
-         gn$r AS MATERIALIZED (SELECT DISTINCT f.qid, e.dst node FROM gf${r - 1} f
-                 JOIN gedges e ON e.src = f.node
-                 WHERE NOT EXISTS (SELECT 1 FROM gv${r - 1} v
-                   WHERE v.qid = f.qid AND v.node = e.dst)),
-         gs$r AS MATERIALIZED (SELECT n.qid, n.node,
-                 ROUND(list_dot_product(q.qu, un.ue), 6) cos_r
-                 FROM gn$r n JOIN gq q ON q.qid = n.qid
-                 JOIN u un ON un.vec_id = n.node),
-         gv$r AS MATERIALIZED (SELECT * FROM gv${r - 1} UNION ALL SELECT * FROM gs$r)"""
-    }.mkString(",\n")
+                                       k: Int, maxBucket: Int): String =
     s"""WITH $oracleUnitCte,
        ${annGraphBuildCtes("g", "TRUE", "TRUE", m, maxBucket, 2)},
        gq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
-       gv0 AS MATERIALIZED (SELECT qid, qid AS node,
-         ROUND(list_dot_product(qu, qu), 6) cos_r FROM gq),
-       gx0 AS (SELECT qid, node FROM gv0 WHERE FALSE),
-       $roundCtes,
-       gres AS (SELECT qid, node neighbor_id, cos_r,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, node) rnk
-         FROM gv$rounds WHERE node <> qid)
+       ${annWalkCtes("g", beam, rounds)}
        SELECT qid, rnk, neighbor_id, cos_r FROM gres WHERE rnk <= $k
        ORDER BY qid, rnk"""
+
+  /** Oracle twin of the n31 graph probe sweep: ONE edge build + ONE
+    * brute-force truth table shared by every (beam, rounds) setting
+    * (the n30 one-train-many-probes discipline lifted to the graph
+    * index), each setting's walk unrolled with its own CTE prefix,
+    * recall@k per query, UNION ALL. */
+  private[graft] def annGraphSweepOracleSql(settings: Seq[(Int, Int)],
+                                            m: Int, k: Int,
+                                            maxBucket: Int): String = {
+    def pfx(b: Int, r: Int) = s"w${b}x$r"
+    val walks = settings
+      .map { case (b, r) => annWalkCtes(pfx(b, r), b, r) }.mkString(",\n")
+    val perSetting = settings.map { case (b, r) =>
+      val p = pfx(b, r)
+      s"""${p}a AS (SELECT qid, neighbor_id FROM ${p}res WHERE rnk <= $k),
+         ${p}h AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) n_hits
+           FROM ${p}a a JOIN gex ON a.qid = gex.qid
+             AND a.neighbor_id = gex.nid GROUP BY 1),
+         ${p}nn AS (SELECT qid, CAST(COUNT(*) AS BIGINT) n_approx
+           FROM ${p}a GROUP BY 1)"""
+    }.mkString(",\n")
+    val rows = settings.map { case (b, r) =>
+      val p = pfx(b, r)
+      s"""SELECT CAST($b AS BIGINT) beam, CAST($r AS BIGINT) rounds, e.qid,
+           COALESCE(${p}nn.n_approx, CAST(0 AS BIGINT)) n_approx,
+           COALESCE(${p}h.n_hits, CAST(0 AS BIGINT)) n_hits,
+           COALESCE(${p}h.n_hits, CAST(0 AS BIGINT)) * 1000000 // $k
+             AS recall_ppm
+         FROM (SELECT DISTINCT qid FROM gex) e
+         LEFT JOIN ${p}nn ON ${p}nn.qid = e.qid
+         LEFT JOIN ${p}h ON ${p}h.qid = e.qid"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $oracleUnitCte,
+       ${annGraphBuildCtes("g", "TRUE", "TRUE", m, maxBucket, 2)},
+       gq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+       gbs AS (SELECT qid, u.vec_id nid,
+         ROUND(list_dot_product(qu, u.ue), 6) cos_r
+         FROM gq, u WHERE u.vec_id <> qid),
+       gbr AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         ORDER BY cos_r DESC, nid) rnk FROM gbs),
+       gex AS (SELECT qid, nid FROM gbr WHERE rnk <= $k),
+       $walks,
+       $perSetting
+       SELECT * FROM ($rows) ORDER BY beam, rounds, qid"""
   }
 }

@@ -11565,6 +11565,31 @@ object SparkEntry {
            SELECT * FROM ($rows) ORDER BY nprobe, qid"""
       }),
 
+    // GRAPH-ANN PARAMETER SWEEP (n30's accuracy/cost dial applied to
+    // the graph index): recall@5 vs exact brute force at three
+    // (beam, rounds) settings over the SAME staged edge index
+    // (graphEdgesCached — one build, many walks, the stored-index
+    // posture; searches re-walk, never re-build). (16, 6) is n23's
+    // production setting, so the table shows what the cheaper walks
+    // give up — the tuning curve n22's rebuild policy consumes on
+    // the graph side. GraphProbeSweepSpec pins corpus-observed
+    // monotone average recall across the ladder.
+    ("n31_graph_probe_sweep", (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val edges = graphEdgesCached(s, dir)
+      val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
+      Seq((4, 2), (8, 4), (16, 6)).map { case (beam, rounds) =>
+        Ann.recallAtK(
+          Ann.graphTopK(em, rpPlanes, annQueryPred, m = 10, beam = beam,
+            rounds = rounds, k = 5, prebuiltEdges = Some(edges)),
+          exact, 5)
+          .select(lit(beam.toLong).as("beam"), lit(rounds.toLong).as("rounds"),
+            col("qid"), col("n_approx"), col("n_hits"), col("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("beam", "rounds", "qid")
+    },
+      Some(GateFixtures.annGraphSweepOracleSql(
+        Seq((4, 2), (8, 4), (16, 6)), m = 10, k = 5, maxBucket = 256))),
+
     // Dedup-aware token SUPPLY (d1's exact dedup x t-family token
     // counting, per source): raw vs post-dedup docs and tokens, and
     // the duplicated-token ppm — the FRESH-DATA supply table o28's
