@@ -426,20 +426,25 @@ object GateFixtures {
   }
 
   /** 60-bit twin of [[oracleSimhashCte]] (oracle of
-    * [[graft.operators.Dedup.simhash60]]): CTEs `tok`, `sums`,
-    * `fp(doc_id, h)` over 15 md5 hex digits. Used by d25's all-pairs
-    * popcount verification. */
-  private[graft] val oracleSimhash60Cte: String = {
+    * [[graft.operators.Dedup.simhash60]]) over an arbitrary corpus
+    * CTE/table `corpus(doc_id, text)`: CTEs `tok`, `sums`,
+    * `fp(doc_id, h)` over 15 md5 hex digits. */
+  private[graft] def oracleSimhash60CteOver(corpus: String): String = {
     val sums = (0 until 60).map { j =>
       val ci = j / 4 + 1; val bi = 1 << (j % 4)
       s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $ci, 1)) - 1) // $bi) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(", ")
     val bits = (0 until 60).map(j =>
       s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""tok AS (SELECT doc_id, md5(UNNEST(string_split(text, ' '))) h FROM documents),
+    s"""tok AS (SELECT doc_id, md5(UNNEST(string_split(text, ' '))) h FROM $corpus),
        sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
        fp AS (SELECT doc_id, CAST($bits AS BIGINT) h FROM sums)"""
   }
+
+  /** [[oracleSimhash60CteOver]] over the documents table — d25/d33's
+    * form. */
+  private[graft] val oracleSimhash60Cte: String =
+    oracleSimhash60CteOver("documents")
 
   /** Oracle twin of [[Dedup.lshPairs]] (appends to [[oracleSigCtes]]):
     * CTEs `bands`, `kept`, `pairs(doc_a, doc_b)`. */

@@ -11308,6 +11308,88 @@ object SparkEntry {
                END f1_ppm
            FROM r""")),
 
+    // DEDUP THRESHOLD SWEEP (d33's single-point eval widened to the
+    // operating-point curve — the n30 tuning-table discipline in the
+    // dedup lane): pairwise P/R/F1 vs the exact-copy gold at Hamming
+    // radius 1, 2, 3 over ONE shared signature pass + ONE band join
+    // (the radius-3 candidate set is a superset of every tighter
+    // radius — 4-band pigeonhole recall covers <= 3 — so the sweep
+    // FILTERS the widest join instead of re-joining per radius).
+    // The table a curator reads to pick the radius: precision falls
+    // as the radius opens (more perceptual over-merge), recall of
+    // true copies is the pigeonhole guarantee at every rung. The
+    // eval corpus injects deterministic copies (every 97th doc
+    // re-added under an id-offset — both engines replay the
+    // arithmetic) so the gold is NON-EMPTY by construction on any
+    // testdata generation: the current regeneration has zero natural
+    // byte-identical pairs, which would make the whole curve
+    // vacuously zero.
+    ("d34_dedup_threshold_sweep", (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // bounded driver scalar: the id offset for the injected copies
+      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val docs = base.unionByName(base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+      val pairs = operators.Checkpoints.pin(
+        Dedup.simhashHammingJoin(docs, 3))
+      val gold = operators.Checkpoints.pin(Dedup.exactPairs(docs))
+      Seq(1, 2, 3).map { r =>
+        Dedup.pairEval(
+          pairs.filter(col("hamming") <= r).select("doc_a", "doc_b"), gold)
+          .select(lit(r.toLong).as("radius"), col("tp"), col("fp"),
+            col("fn"), col("precision_ppm"), col("recall_ppm"),
+            col("f1_ppm"))
+      }.reduce(_ unionByName _).orderBy("radius")
+    },
+      Some {
+        val perRadius = Seq(1, 2, 3).map { r =>
+          s"""j$r AS (SELECT
+               CASE WHEN p.doc_a IS NOT NULL AND g.doc_a IS NOT NULL
+                    THEN 1 ELSE 0 END tpf,
+               CASE WHEN p.doc_a IS NOT NULL AND g.doc_a IS NULL
+                    THEN 1 ELSE 0 END fpf,
+               CASE WHEN p.doc_a IS NULL AND g.doc_a IS NOT NULL
+                    THEN 1 ELSE 0 END fnf
+               FROM (SELECT doc_a, doc_b FROM allp WHERE hd <= $r) p
+               FULL OUTER JOIN g
+               ON p.doc_a = g.doc_a AND p.doc_b = g.doc_b),
+             m$r AS (SELECT CAST(SUM(tpf) AS BIGINT) tp,
+               CAST(SUM(fpf) AS BIGINT) fp, CAST(SUM(fnf) AS BIGINT) fn
+               FROM j$r),
+             r$r AS (SELECT tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+                 END precision_ppm,
+               CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+                 END recall_ppm
+               FROM m$r)"""
+        }.mkString(",\n")
+        val rows = Seq(1, 2, 3).map { r =>
+          s"""SELECT CAST($r AS BIGINT) radius, tp, fp, fn,
+               precision_ppm, recall_ppm,
+               CASE WHEN precision_ppm + recall_ppm = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(2 * precision_ppm * recall_ppm
+                           // (precision_ppm + recall_ppm) AS BIGINT)
+                 END f1_ppm
+             FROM r$r"""
+        }.mkString(" UNION ALL ")
+        s"""WITH mx AS (SELECT MAX(doc_id) + 1 idoff FROM documents),
+           corp AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + idoff, text FROM documents, mx
+             WHERE doc_id % 97 = 0),
+           ${GateFixtures.oracleSimhash60CteOver("corp")},
+           allp AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+               bit_count(xor(a.h, b.h)) hd
+             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.h, b.h)) <= 3),
+           g AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+             FROM corp a JOIN corp b
+             ON a.doc_id < b.doc_id AND a.text = b.text),
+           $perRadius
+           SELECT * FROM ($rows) ORDER BY radius"""
+      }),
+
     // Heaps-law vocabulary growth (TextQuality.vocabGrowth): V(N) at
     // ten doc_id-range checkpoints — new types per decile, cumulative
     // types vs cumulative tokens, exact-integer TTR ppm. The
