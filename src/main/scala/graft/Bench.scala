@@ -321,7 +321,8 @@ object Bench {
                            loads: Seq[Double], cpus: Seq[Double],
                            ios: Seq[Double], warm: Seq[Double],
                            loadStarts: Seq[Double], ctxts: Seq[Double],
-                           cachedMb: Seq[Double])
+                           cachedMb: Seq[Double], majflts: Seq[Double],
+                           memAvailMb: Seq[Double])
     // members whose run 1 was cancelled at the per-run cap — recorded
     // separately from budget skips so the artifact distinguishes "over
     // budget, never started" from "started and pathological"
@@ -437,7 +438,7 @@ object Bench {
               .getOrElse(Seq.empty)
             val r = HeavyResult(f(1), series(2), series(3), series(4),
               series(5), series(6), series(7), series(8), series(9),
-              series(10))
+              series(10), series(11), series(12))
             seen += r.name; out += r
             println(f"""{"q":"${r.name}","heavy_sec":${r.walls.min}%.3f,""" +
               s""""runs":${r.walls.mkString("[", ",", "]")}}""")
@@ -581,7 +582,8 @@ object Bench {
               println(f"""{"q":"$n","heavy_sec":${runs.min}%.3f}""")
               Console.out.flush()
               Some(HeavyResult(n, runs, Seq.empty, Seq.empty, Seq.empty,
-                Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty))
+                Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+                Seq.empty, Seq.empty))
             } else None
           }
         }
@@ -690,6 +692,13 @@ object Bench {
       // cpu-time inflator — silent index re-execution after eviction
       // is the live hypothesis for a cpu-inflated firing)
       s""""heavy_cached_mb_runs":${arrObj(heavy.map(h => h.name -> h.cachedMb))},""" +
+      // the round-13 amplification instrument's always-on fields:
+      // per-run major-fault delta (co-tenant memory pressure forces
+      // our own pages back through the block device — the one
+      // mechanism left standing for the d5/e6 firings) and box-wide
+      // MemAvailable MB at run start
+      s""""heavy_majflt_runs":${arrObj(heavy.map(h => h.name -> h.majflts))},""" +
+      s""""heavy_memavail_mb_runs":${arrObj(heavy.map(h => h.name -> h.memAvailMb))},""" +
       s""""heavy_warm":${arrObj(heavy.map(h => h.name -> h.warm))}}""")
     // FINAL line: a compact summary that must fit the driver's bounded
     // stdout tail window (~2.2 KB observed, which also has to hold

@@ -25,6 +25,7 @@ import graft.{HeavyData, SparkEntry, Tables}
   * Output: one tab-separated line per query on stdout:
   *   HEAVY\t<query>\t<wall,...>\t<gcSec,...>\t<loadAvg,...>\t<cpuSec,...>
   *     \t<ioMB,...>\t<warmSec>\t<loadAtStart,...>\t<ctxtSwitchDelta,...>
+  *     \t<cachedMb,...>\t<majfltDelta,...>\t<memAvailMbAtStart,...>
   * or, when the query never produced a valid timing:
   *   HEAVYSKIP\t<query>   — not started by the budget deadline
   *   HEAVYCAP\t<query>    — run 1 cancelled at the per-run cap
@@ -208,6 +209,92 @@ object HeavyRunner {
     try spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum >> 20
     catch { case _: Throwable => -1L }
+
+  /** Major page faults of THIS process so far (/proc/self/stat majflt
+    * — faults that had to hit the block device because the page was
+    * not in memory). The per-run delta is the round-13 amplification
+    * instrument's always-on half: every hypothesis except CO-TENANT
+    * MEMORY PRESSURE is refuted by receipts (contention via the r12
+    * stress test, GC/I-O/cold-build via the artifact fields), and the
+    * signature of that last candidate is precisely major faults —
+    * a neighbor's working set evicting our heap/page-cache pages makes
+    * task threads fault them back in, burning real cpu-time with
+    * caches "warm" and heavy_io flat (read_bytes counts OUR reads;
+    * majflt counts forced re-reads of OUR OWN pages). A firing with
+    * majflt_delta in the tens of thousands is NAMED; one with a flat
+    * delta kills the hypothesis. -1 when /proc is unavailable. */
+  private def majorFaults: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      val s = try src.mkString finally src.close()
+      // comm may contain spaces — fields resume after the last ')':
+      // state ppid pgrp session tty_nr tpgid flags minflt cminflt majflt
+      val rest = s.substring(s.lastIndexOf(')') + 2).trim.split("\\s+")
+      rest(9).toLong
+    } catch { case _: Throwable => -1L }
+
+  /** Selected /proc/meminfo fields in MB (box-wide — the co-tenant
+    * context a per-process counter cannot see). */
+  private def meminfoMb(keys: Seq[String]): Map[String, Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().flatMap { l =>
+        val i = l.indexOf(':')
+        if (i < 0) None
+        else {
+          val k = l.substring(0, i)
+          if (!keys.contains(k)) None
+          else scala.util.Try(
+            l.substring(i + 1).trim.split("\\s+")(0).toLong >> 10).toOption
+            .map(k -> _)
+        }
+      }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
+  /** MemAvailable in MB right now, -1 if unreadable — the one box-wide
+    * number that rides every run's HEAVY line (sampled at run START):
+    * a firing that began at MemAvailable ~0 has its co-tenant receipt
+    * in the artifact itself. */
+  private def memAvailableMb: Long =
+    meminfoMb(Seq("MemAvailable")).getOrElse("MemAvailable", -1L)
+
+  /** The TRIGGERED half of the amplification instrument: called by a
+    * watchdog the moment a run crosses its trigger threshold (3x the
+    * member's in-fork quiet wall, or 45 s on run 1 where no band
+    * exists yet; override with SPARK_GRAFT_AMP_TRIGGER_MS). Dumps, to
+    * stderr, the box-wide memory state plus a grouped sample of every
+    * executor task thread's top stack frames — enough to adjudicate
+    * the firing by MECHANISM in the round artifact: major faults +
+    * collapsed MemAvailable = co-tenant memory pressure (threads will
+    * show ordinary compute frames, faulting invisibly); threads piled
+    * on one lock/shuffle frame = something else entirely. Runs in
+    * milliseconds, touches nothing, never cancels the run. */
+  private def dumpAmplification(tag: String, majfltAtStart: Long): Unit =
+    try {
+      val mi = meminfoMb(Seq("MemTotal", "MemFree", "MemAvailable",
+        "Cached", "Dirty", "Writeback", "SwapFree", "PageTables"))
+      val mj = majorFaults
+      val delta = if (mj < 0 || majfltAtStart < 0) -1L else mj - majfltAtStart
+      System.err.println(s"[amp $tag] meminfo MB: " +
+        mi.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ") +
+        s" | majflt_delta=$delta load=${f"$loadAvg%.1f"}")
+      import scala.jdk.CollectionConverters._
+      val stacks = Thread.getAllStackTraces.asScala.toSeq
+        .filter(_._1.getName.startsWith("Executor task launch"))
+      val grouped = stacks
+        .map { case (t, fr) =>
+          (t.getState.toString,
+            fr.take(3).map(e => s"${e.getClassName}.${e.getMethodName}")
+              .mkString(" <- "))
+        }
+        .groupBy(identity).toSeq.sortBy(-_._2.size).take(6)
+      System.err.println(s"[amp $tag] ${stacks.size} executor threads; " +
+        "top stack groups:")
+      grouped.foreach { case ((st, sig), g) =>
+        System.err.println(s"[amp $tag]   x${g.size} [$st] $sig")
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Actual block-device bytes read by THIS process so far
     * (`/proc/self/io` read_bytes — page-cache hits don't count). The
@@ -501,12 +588,30 @@ object HeavyRunner {
             val i0 = diskReadBytes
             val x0 = invCtxtSwitches
             val l0 = loadAvg
+            val mj0 = majorFaults
+            val ma0 = memAvailableMb
+            // amplification trigger (round-13 brief): 3x the member's
+            // in-fork quiet band — run 1 has no band yet, so a flat
+            // 45 s (above every quiet cold receipt on any member)
+            val ampMs = sys.env.get("SPARK_GRAFT_AMP_TRIGGER_MS")
+              .map(_.toLong).getOrElse(
+                if (i == 1 || firstWallMs == 0) 45000L
+                else math.max(20000L, 3 * firstWallMs))
+            val amp = new Thread(() => {
+              try {
+                Thread.sleep(ampMs)
+                if (!done) dumpAmplification(s"$q run$i @${ampMs / 1000}s", mj0)
+              } catch { case _: InterruptedException => }
+            })
+            amp.setDaemon(true)
+            amp.start()
             val t0 = System.nanoTime()
             try {
               fn(spark, dir).write.format("noop").mode("overwrite").save()
             } finally {
               done = true
               capper.interrupt()
+              amp.interrupt()
               spark.sparkContext.clearJobGroup()
             }
             val wall = (System.nanoTime() - t0) / 1e9
@@ -521,9 +626,11 @@ object HeavyRunner {
             // a genuine 0 on a /proc-less platform), corrupting the
             // adjudicator signal; preserve the sentinel instead
             val ctxtDelta = if (x0 < 0 || x1 < 0) -1L else x1 - x0
+            val mj1 = majorFaults
+            val majfltDelta = if (mj0 < 0 || mj1 < 0) -1L else mj1 - mj0
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
               (diskReadBytes - i0) / 1e6, l0, ctxtDelta,
-              cachedStorageMb(spark)))
+              cachedStorageMb(spark), majfltDelta, ma0))
           } catch {
             case e: Throwable if capped && isCancellation(e) =>
               System.err.println(s"[heavy] $q run $i cancelled at the " +
@@ -544,7 +651,9 @@ object HeavyRunner {
             s"\t${warmSec.map(w => f"$w%.3f").getOrElse("")}" +
             s"\t${runs.map(r => f"${r._6}%.2f").mkString(",")}" +
             s"\t${runs.map(r => r._7.toString).mkString(",")}" +
-            s"\t${runs.map(r => r._8.toString).mkString(",")}"
+            s"\t${runs.map(r => r._8.toString).mkString(",")}" +
+            s"\t${runs.map(r => r._9.toString).mkString(",")}" +
+            s"\t${runs.map(r => r._10.toString).mkString(",")}"
         error match {
           case Some(msg) =>
             // A failure at run i>1 must not discard run 1..i-1's valid
