@@ -392,6 +392,21 @@ object SparkEntry {
     graphEdgesCache.getOrElseUpdate((s, dir),
       Ann.knnGraphEdges(t(s, dir, "embeddings"), rpPlanes, 10).persist())
 
+  // The SERVING-side replica of the same index (adjacency + unit
+  // corpus broadcast per executor — Ann.LocalGraphIndex's scaladoc
+  // argues the regime): w30's at-arrival search and n31's sweep read
+  // it; built once per (session, corpus), exactly like the edge table
+  // it derives from.
+  private val localGraphIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Ann.LocalGraphIndex]
+  private def localGraphIndexCached(s: SparkSession,
+                                    dir: String): Ann.LocalGraphIndex =
+    localGraphIdxCache.getOrElseUpdate((s, dir),
+      Ann.buildLocalGraphIndex(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          graft.functions.Similarity.unit(col("embedding")).as("ue")),
+        graphEdgesCached(s, dir)))
+
   /** Stage the persisted search-index tables UNTIMED — the
     * HeavyData.ensure discipline applied to the light tier: at 100 TB
     * the kNN-graph edge index is a WRITTEN table the search jobs read,
@@ -402,6 +417,7 @@ object SparkEntry {
     * memoized build is bit-identical wherever it's paid. */
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     graphEdgesCached(s, dir).count()
+    localGraphIndexCached(s, dir)
     ()
   }
 
@@ -412,6 +428,11 @@ object SparkEntry {
         df.unpersist(blocking = false)
         cache.remove(k)
       }
+    }
+    localGraphIdxCache.toSeq.filter(_._1._1 eq s).foreach { case (k, idx) =>
+      idx.adj.destroy()
+      idx.units.destroy()
+      localGraphIdxCache.remove(k)
     }
     GlobalRank.clear(s)
     operators.Compaction.clear(s)
@@ -7906,7 +7927,7 @@ object SparkEntry {
         val assigned = operators.Compaction
           .withExclusivePrefixSum(m, "cum", Seq(col("id")), "bytes")
           .select(col("id").as("__cid"),
-            expr("cum div 4096L").as("bucket"))
+            expr("cum div 1048576L").as("bucket"))
         val rows = docs.join(assigned, col("doc_id") === col("__cid"))
           .drop("__cid")
         graft.sources.VersionedParquetStore.commitSnapshot(s, root, None,
@@ -7953,7 +7974,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) cum
              FROM m),
-           nb AS (SELECT CAST(COUNT(DISTINCT cum // 4096) AS BIGINT) n
+           nb AS (SELECT CAST(COUNT(DISTINCT cum // 1048576) AS BIGINT) n
              FROM c),
            r AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' ||
                CAST(n_chars AS VARCHAR) || '|' || md5(text)) h
@@ -11037,34 +11058,37 @@ object SparkEntry {
     // missing lifecycle member (build n23 / ingest n25 / tombstones
     // n26 / rebuild n24 / SEARCH-at-arrival w30): the n23 query set
     // arrives as three vector micro-batches; each batch runs the
-    // bounded beam walk against the STATIC memoized edge index
-    // (graphEdgesCached — the same persisted table n23 reads) and
-    // appends its hits to a versioned store. The index is frozen per
-    // batch and walks are per-query independent, so the store equals
-    // the one-shot search of all queries regardless of batching — w30
-    // shares n23's walk-replay oracle verbatim (w25/w27/w28's
-    // shared-oracle parity discipline).
+    // bounded beam walk against the STATIC serving replica of the
+    // same index (localGraphIndexCached — Ann.LocalGraphIndex, the
+    // per-executor-RAM deployment every online search tier uses;
+    // bit-identical to the distributed walk, GraphLocalParitySpec)
+    // and appends its hits to a versioned store. The index is frozen
+    // per batch and walks are per-query independent, so the store
+    // equals the one-shot search of all queries regardless of
+    // batching — w30 shares n23's walk-replay oracle verbatim
+    // (w25/w27/w28's shared-oracle parity discipline).
     ("w30_stream_ann_search", (s, dir) => {
       val em = t(s, dir, "embeddings")
-      val unitEm = em.select(col("vec_id"),
-        graft.functions.Similarity.unit(col("embedding")).as("ue"))
-      val edges = graphEdgesCached(s, dir)
+      val index = localGraphIndexCached(s, dir)
       val queries = em.filter(annQueryPred)
       val tmp = java.nio.file.Files.createTempDirectory("graft-w30").toString
-      (0 to 2).foreach(i => queries
-        .filter(col("vec_id") % 3 === i)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
-      val schema = s.read.parquet(s"$tmp/in/b0").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$tmp/in/*")
-      val q = graft.streaming.EventStream.searchGraphIndex(
-        stream, unitEm, edges, beam = 16, rounds = 6, k = 5,
-        s"$tmp/store", s"$tmp/ckpt")
-      q.awaitTermination()
-      graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
-        .orderBy("qid", "rnk")
+      try {
+        (0 to 2).foreach(i => queries
+          .filter(col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = graft.streaming.EventStream.searchGraphIndex(
+          stream, index, beam = 16, rounds = 6, k = 5,
+          s"$tmp/store", s"$tmp/ckpt")
+        q.awaitTermination()
+        materialized(s,
+          graft.sources.VersionedParquetStore.read(s, s"$tmp/store").get
+            .orderBy("qid", "rnk"))
+      } finally rmTree(new java.io.File(tmp))
     },
       Some(GateFixtures.annGraphOracleSql(m = 10, beam = 16, rounds = 6,
         k = 5, maxBucket = 256))),
@@ -11649,21 +11673,23 @@ object SparkEntry {
 
     // GRAPH-ANN PARAMETER SWEEP (n30's accuracy/cost dial applied to
     // the graph index): recall@5 vs exact brute force at three
-    // (beam, rounds) settings over the SAME staged edge index
-    // (graphEdgesCached — one build, many walks, the stored-index
-    // posture; searches re-walk, never re-build). (16, 6) is n23's
+    // (beam, rounds) settings over the SAME staged serving index
+    // (localGraphIndexCached — one build, many walks, the
+    // stored-index posture; the local walk is bit-identical to the
+    // distributed n23 walk, GraphLocalParitySpec). (16, 6) is n23's
     // production setting, so the table shows what the cheaper walks
     // give up — the tuning curve n22's rebuild policy consumes on
     // the graph side. GraphProbeSweepSpec pins corpus-observed
     // monotone average recall across the ladder.
     ("n31_graph_probe_sweep", (s, dir) => {
       val em = t(s, dir, "embeddings")
-      val edges = graphEdgesCached(s, dir)
+      val index = localGraphIndexCached(s, dir)
+      val q = em.filter(annQueryPred).select(col("vec_id").as("qid"),
+        graft.functions.Similarity.unit(col("embedding")).as("qu"))
       val exact = Ann.bruteForceTopK(em, annQueryPred, 5)
       Seq((4, 2), (8, 4), (16, 6)).map { case (beam, rounds) =>
         Ann.recallAtK(
-          Ann.graphTopK(em, rpPlanes, annQueryPred, m = 10, beam = beam,
-            rounds = rounds, k = 5, prebuiltEdges = Some(edges)),
+          Ann.graphSearchLocal(index, q, beam, rounds, 5),
           exact, 5)
           .select(lit(beam.toLong).as("beam"), lit(rounds.toLong).as("rounds"),
             col("qid"), col("n_approx"), col("n_hits"), col("recall_ppm"))

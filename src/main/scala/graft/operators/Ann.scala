@@ -632,31 +632,133 @@ object Ann {
     // of 18 on the gate config. All pinned frames are queries x
     // visited (metadata-sized).
     for (_ <- 1 to rounds) {
+      // broadcast the anti-join build sides throughout: every pinned
+      // frame is queries x visited (metadata-sized), but a
+      // checkpointed frame carries no stats and Spark plans a
+      // sort-merge anti-join — two full exchanges per round on data
+      // that fits in one broadcast
       val frontier = topKPerGroup(
-        visited.join(expanded, Seq("qid", "node"), "left_anti"),
+        visited.join(broadcast(expanded), Seq("qid", "node"), "left_anti"),
         Seq("qid"), Seq(col("cos_r").desc, col("node")), beam, "__fr")
         .select("qid", "node")
       // expanded references ITSELF in next round's anti-join AND this
       // union — unpinned, its plan tree doubles per round (exponential
       // in `rounds`, the construction-stall failure mode); pinned it
-      // stays O(1) per round. Two pins/round total.
-      expanded = Checkpoints.pin(expanded.unionByName(frontier))
+      // stays O(1) per round. Two pins/round total — LAZY pins: the
+      // rounds are queries x beam rows, so per-round job dispatch was
+      // the whole wall (5.3 s -> ~1 s at sf0.1, BENCH_NOTES round 14);
+      // the lazy chain executes as one job at the terminal action.
+      expanded = Checkpoints.pinLazy(expanded.unionByName(frontier))
       val fresh = broadcast(frontier)
         .join(edges, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node")).distinct()
-        .join(visited.select("qid", "node"), Seq("qid", "node"), "left_anti")
+        .join(broadcast(visited.select("qid", "node")),
+          Seq("qid", "node"), "left_anti")
       val freshScored = broadcast(fresh)
         .join(em.select(col("vec_id").as("node"), col("ue").as("un")),
           Seq("node"))
         .join(broadcast(q), Seq("qid"))
         .select(col("qid"), col("node"),
           round(Similarity.dot(col("qu"), col("un")), 6).as("cos_r"))
-      visited = Checkpoints.pin(visited.unionByName(freshScored))
+      visited = Checkpoints.pinLazy(visited.unionByName(freshScored))
     }
     topKPerGroup(visited.filter(col("node") =!= col("qid")), Seq("qid"),
       Seq(col("cos_r").desc, col("node")), k, "rnk")
       .select(col("qid"), col("rnk"), col("node").as("neighbor_id"),
         col("cos_r"))
+  }
+
+  /** Broadcastable SERVING-side graph index — adjacency lists plus the
+    * unit corpus, replicated to every executor. This is the production
+    * serving shape for graph ANN (an HNSW serving fleet keeps the
+    * whole graph in RAM on every search node and shards QUERIES, not
+    * the index): [[graphSearch]]'s distributed-join walk is the right
+    * plan when the index exceeds single-node memory; below that line
+    * the per-round join/broadcast dispatch dominates the walk by two
+    * orders of magnitude (measured at sf0.1: 80 Spark jobs, 2.1 s of
+    * stage time, ~5 s wall for microseconds of arithmetic — receipts
+    * in BENCH_NOTES round 14). Build once, search many — the same
+    * build-vs-read split as the persisted edge table itself. The two
+    * collects are the explicitly-documented bounded materialization of
+    * the broadcastable-index regime (the caller asserts the regime by
+    * choosing this operator, exactly like [[graft.plans.LocalTopK]]'s
+    * local twin contract). */
+  final case class LocalGraphIndex(
+      adj: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]],
+      units: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
+
+  /** Collect + broadcast the serving index from the (vec_id, ue) unit
+    * corpus and the persisted (src, dst) edge table. */
+  def buildLocalGraphIndex(em: DataFrame, edges: DataFrame): LocalGraphIndex = {
+    val sc = em.sparkSession.sparkContext
+    val adj = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rows) =>
+        s -> rows.map(_.getLong(1)).sorted // deterministic expansion order
+      }
+    val units = em
+      .select(col("vec_id").cast("long"), col("ue"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    LocalGraphIndex(sc.broadcast(adj), sc.broadcast(units))
+  }
+
+  /** [[graphSearch]]'s walk against a [[LocalGraphIndex]] —
+    * BIT-IDENTICAL semantics (same sequential-fold dot, same
+    * HALF_UP 6-decimal rounding, same (cos desc, node) tiebreaks at
+    * every pick, GraphLocalParitySpec pins the equivalence on the gate
+    * corpus), executed as ONE mapPartitions over the query stream:
+    * queries shard across executors, each walk is a tight in-memory
+    * loop, zero exchanges, zero per-round jobs. */
+  def graphSearchLocal(index: LocalGraphIndex, q: DataFrame,
+                       beam: Int, rounds: Int, k: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val adjB = index.adj
+    val unitB = index.units
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    q.select(col("qid").cast("long"), col("qu").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val adj = adjB.value
+        val units = unitB.value
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        it.flatMap { case (qid, quSeq) =>
+          val qu = quSeq.toArray
+          val visited = scala.collection.mutable.LongMap[Double]()
+          visited(qid) = round6(dot(qu, qu))
+          val expanded = scala.collection.mutable.Set[Long]()
+          for (_ <- 1 to rounds) {
+            val frontier = visited.iterator
+              .filterNot { case (n, _) => expanded.contains(n) }
+              .toArray
+              .sortBy { case (n, c) => (-c, n) }
+              .take(beam).map(_._1)
+            expanded ++= frontier
+            val fresh = frontier.iterator
+              .flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+              .filterNot(visited.contains).toArray.distinct
+            fresh.foreach { n =>
+              units.get(n).foreach(un => visited(n) = round6(dot(qu, un)))
+            }
+          }
+          visited.iterator.filter(_._1 != qid).toArray
+            .sortBy { case (n, c) => (-c, n) }
+            .take(k).zipWithIndex
+            .map { case ((n, c), i) => (qid, (i + 1).toLong, n, c) }
+        }
+      }
+      .toDF("qid", "rnk", "neighbor_id", "cos_r")
   }
 
   /** Sign-bit band table of `em` (vec_id, ue) vs the `planes`

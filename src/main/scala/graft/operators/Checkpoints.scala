@@ -61,6 +61,36 @@ object Checkpoints {
     }
   }
 
+  /** [[pin]] with a LAZY localCheckpoint: the plan is cut (and the
+    * backing RDD registered for [[clear]]) immediately, but nothing
+    * executes until the consumer's own action — which then computes
+    * the whole pinned chain as ONE job, caching each pinned RDD as it
+    * is first materialized. For an iterative loop whose rounds are
+    * TINY (the graph-ANN walk: queries x beam rows per round), the
+    * eager form's per-round job dispatch dominates the actual work —
+    * measured on the n23 walk at sf0.1: 12 eager sub-jobs, ~5.3 s,
+    * vs ~1 s one-job lazy (receipts in BENCH_NOTES round 14). Same
+    * double-reference safety as [[pin]]: the RDD is persisted, so the
+    * second reference inside one job reads the cached blocks. Not for
+    * loops whose rounds are themselves heavy — an eager pin bounds
+    * peak plan size AND gives per-round progress; this trades both
+    * for dispatch count. */
+  def pinLazy(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean &&
+        s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint()
+    else {
+      val c = df.localCheckpoint(eager = false)
+      c.queryExecution.logical match {
+        case lr: LogicalRDD => pinned.add((c.sparkSession, lr.rdd))
+        case _ => // unexpected plan shape: nothing to track, GC reclaims
+      }
+      c
+    }
+  }
+
   /** Unpersist every checkpoint RDD registered on behalf of `s`. */
   def clear(s: SparkSession): Unit = {
     val it = pinned.iterator()

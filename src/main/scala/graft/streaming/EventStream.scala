@@ -282,25 +282,30 @@ object EventStream {
     * RAG ingest, closing the graph index's lifecycle (build n23,
     * incremental ingest n25, tombstones n26, rebuild n24): query
     * vectors ARRIVE as a stream and each micro-batch runs the bounded
-    * beam walk ([[graft.operators.Ann.graphSearch]]) against the
-    * STATIC persisted edge index + unit corpus — w18's stream-static
+    * beam walk against the STATIC index — w18's stream-static
     * discipline, lifted to foreachBatch because the walk is an
     * iterative bounded loop, not a single streaming-legal join. The
-    * index is frozen per batch and every query's walk is independent,
-    * so the union of per-batch results equals the one-shot search of
-    * all queries no matter how the stream batched — w30 shares n23's
-    * walk-replay oracle verbatim (the w25/w27/w28 shared-oracle
-    * discipline). Results append to a versioned store; dropDuplicates
-    * on (qid, rnk) makes replayed batches idempotent under
-    * at-least-once delivery (search is a pure function of the frozen
-    * index, so replays are bit-identical — w28's argument).
+    * index here is the SERVING replica ([[graft.operators.Ann
+    * .LocalGraphIndex]] — adjacency + unit corpus broadcast per
+    * executor, queries sharded), which is how an online search tier
+    * actually deploys: the at-arrival path answers from RAM; the
+    * distributed-join walk ([[graft.operators.Ann.graphSearch]], the
+    * n23 batch gate) remains the shape for indexes beyond single-node
+    * memory. The index is frozen per batch and every query's walk is
+    * independent, so the union of per-batch results equals the
+    * one-shot search of all queries no matter how the stream
+    * batched — w30 shares n23's walk-replay oracle verbatim (the
+    * local walk is bit-identical to the distributed one,
+    * GraphLocalParitySpec). Results append to a versioned store;
+    * dropDuplicates on (qid, rnk) makes replayed batches idempotent
+    * under at-least-once delivery (search is a pure function of the
+    * frozen index, so replays are bit-identical — w28's argument).
     *
-    * Scale: the static side is the persisted index table (read-only,
-    * shared across batches); per-batch state is queries × visited —
-    * metadata-sized, the broadcast side of every walk join. No
-    * streaming state at all: watermarks/buffers are unnecessary
+    * Scale: per-batch state is queries × visited inside each task —
+    * no streaming state at all: watermarks/buffers are unnecessary
     * because each query is answered entirely at arrival. */
-  def searchGraphIndex(stream: DataFrame, em: DataFrame, edges: DataFrame,
+  def searchGraphIndex(stream: DataFrame,
+                       index: graft.operators.Ann.LocalGraphIndex,
                        beam: Int, rounds: Int, k: Int,
                        storeRoot: String, checkpoint: String)
                       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -310,7 +315,7 @@ object EventStream {
           val q = batch.toDF()
             .select(col("vec_id").as("qid"),
               graft.functions.Similarity.unit(col("embedding")).as("qu"))
-          val hits = graft.operators.Ann.graphSearch(em, edges, q,
+          val hits = graft.operators.Ann.graphSearchLocal(index, q,
             beam, rounds, k)
           graft.sources.VersionedParquetStore.merge(
             batch.sparkSession, storeRoot, hits, "qid",

@@ -31,6 +31,7 @@ class GraphSearchStreamSpec extends AnyFunSuite {
 
   test("per-batch streamed search equals the one-shot search of all queries") {
     val edges = Ann.knnGraphEdges(em, GateFixtures.rpPlanes, 10)
+    val index = Ann.buildLocalGraphIndex(unitEm, edges)
     val tmp = java.nio.file.Files.createTempDirectory("graft-w30-spec").toString
     val queries = em.filter(col("vec_id") < 5)
     (0 to 1).foreach(i => queries.filter(col("vec_id") % 2 === i)
@@ -40,7 +41,7 @@ class GraphSearchStreamSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$tmp/in/*")
-    EventStream.searchGraphIndex(stream, unitEm, edges,
+    EventStream.searchGraphIndex(stream, index,
       beam = 16, rounds = 6, k = 5, s"$tmp/store", s"$tmp/ckpt")
       .awaitTermination()
     val streamed = rows(VersionedParquetStore.read(spark, s"$tmp/store").get)
