@@ -339,10 +339,18 @@ object Bench {
     // fork 1's deadline so fork 2 always inherits at least this many
     // seconds converts that into fork 1 shedding its rotation-TAIL
     // (exactly the members the latest driver artifact already
-    // measured) while fork 2 measures ~5 bare members at quiet walls
-    // (firstTouch ~15 s + e6/d19/d21/d20/d12 ~ 20 s/member min-of-2).
+    // measured) while fork 2 measures ~5 bare members at quiet walls.
+    // 120 -> 150 (round 14): the round-13 driver run gave fork 2 its
+    // 120 s and it measured exactly d5+e6, shedding the six mid-tier
+    // d-heavies AGAIN (fourth round running for some). The full
+    // 8-member fork-2 roster measures 119 s quiet end-to-end
+    // (round-14 receipt: boot + firstTouch + 2 runs each, the six
+    // cold members 5.0-9.6 s run 1) — 150 covers that with boot
+    // margin under moderate load, and the 30 s comes out of fork 1's
+    // rotation TAIL, every member of which has an official r13
+    // number and reclaim-pass coverage.
     val fork2ReserveSec =
-      sys.env.getOrElse("SPARK_GRAFT_FORK2_RESERVE", "120").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_FORK2_RESERVE", "150").toDouble
 
     // The grace period and the final print are RESERVED INSIDE the
     // budget: forks get budget - grace - 15 s, the watchdog kills at
