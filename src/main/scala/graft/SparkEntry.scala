@@ -9229,6 +9229,53 @@ object SparkEntry {
              WHERE bit_count(xor(a.phash, b2.phash)) <= 1
              ORDER BY doc_a, doc_b""")),
 
+    // IMAGE KEEP-LIST (m11 ∘ d7 ∘ d8 — the multimodal dedup chain run
+    // to its TERMINAL operator, e6's discipline in the image lane):
+    // perceptual-hash near-dup pairs (banded Hamming <= 1) →
+    // connected-component clusters → keep-list (canonical = min
+    // doc_id). What a curator actually ships is the surviving corpus,
+    // not the pair table; this gates the whole chain end to end. The
+    // 16-bit space's over-merge (m14's measured precision) means the
+    // clusters are aggressive at this width — production runs the
+    // 64-bit hash through the same machinery (m13), identical
+    // dataflow.
+    ("m15_image_keeplist", (s, dir) => {
+      val pairs = Dedup.hammingNeighborJoin(
+        graft.multimodal.Multimodal.imagePerceptualHashes(
+          GateFixtures.pngMedia(s, dir)).toDF(),
+        "doc_id", "phash", 16, 4, 1)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.keepList(s, t(s, dir, "documents").select("doc_id"), pairs)
+        .orderBy("doc_id")
+    },
+      Some("""WITH RECURSIVE g AS (SELECT doc_id,
+               CAST(8 + doc_id % 5 AS INT) w,
+               CAST(8 + doc_id % 3 AS INT) h FROM documents),
+             c AS (SELECT doc_id, w, h,
+               UNNEST([i for i in generate_series(0, 15)]) i FROM g),
+             v AS (SELECT doc_id, i,
+               (doc_id + 11*(((w*h)*i//16) % w) + 17*(((w*h)*i//16) // w)) % 256 cell
+               FROM c),
+             sm AS (SELECT doc_id, SUM(cell) st FROM v GROUP BY doc_id),
+             b AS (SELECT v.doc_id,
+               CAST(SUM(CASE WHEN 16*cell >= st
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) phash
+               FROM v JOIN sm ON v.doc_id = sm.doc_id GROUP BY v.doc_id)
+               ,
+             p AS (SELECT a.doc_id doc_a, b2.doc_id doc_b
+               FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+               WHERE bit_count(xor(a.phash, b2.phash)) <= 1),
+             edges AS (SELECT doc_a src, doc_b dst FROM p
+                       UNION SELECT doc_b, doc_a FROM p),
+             reach(doc_id, lbl) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+             cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id)
+             SELECT d.doc_id FROM documents d
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+             ORDER BY d.doc_id""")),
+
     // 64-bit DIFFERENCE-hash image dedup (Multimodal
     // .imageDifferenceHashes): Krawetz's dHash — decode, 9x8
     // nearest-neighbor luma grid, one gradient bit per adjacent cell
@@ -11878,6 +11925,53 @@ object SparkEntry {
            CAST(2 AS BIGINT) n_expired, CAST(2 AS BIGINT) n_snapshots
            FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // TIME TRAVEL (VersionedParquetStore.readSnapshot — the read-side
+    // complement of x17's expiry, which "narrows time travel, never
+    // the present": every snapshot table format ships read-at-version
+    // next to expire-snapshots): three aggregate-merge commits, then
+    // EVERY historical version is read back by name and must equal
+    // the cumulative prefix of commits it was derived from — the
+    // audit/debug/reproducibility read a curation pipeline runs when
+    // a training set must be rebuilt AS OF a given ingest. Version
+    // resolution is one FS listing (names sort chronologically —
+    // metadata, no data read to decide).
+    ("x18_time_travel", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x18").toString
+      try {
+        val root = s"$tmp/store"
+        val sumCombine = (cur: DataFrame, d: DataFrame) =>
+          cur.unionByName(d).groupBy("source")
+            .agg(sum(col("tokens")).as("tokens"))
+        (0 to 2).foreach { i =>
+          val delta = docs.filter(col("doc_id") % 3 === i)
+            .groupBy("source").agg(sum(col("ntok")).as("tokens"))
+          graft.sources.VersionedParquetStore.merge(s, root, delta,
+            "source", combine = sumCombine)
+        }
+        val versions = Option(new java.io.File(root).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+          .map(_.getName).sorted
+        materialized(s, versions.zipWithIndex.map { case (v, i) =>
+          graft.sources.VersionedParquetStore.readSnapshot(s, root, v)
+            .select(lit(i.toLong).as("version_idx"), col("source"),
+              col("tokens"))
+        }.reduce(_ unionByName _).orderBy("version_idx", "source"))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some {
+        val perVersion = (0 to 2).map(i =>
+          s"""SELECT CAST($i AS BIGINT) version_idx, source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) tokens
+             FROM documents WHERE doc_id % 3 <= $i GROUP BY source""")
+          .mkString(" UNION ALL ")
+        s"""SELECT * FROM ($perVersion) ORDER BY version_idx, source"""
+      }),
+
     // Degree assortativity (GraphStats.degreeAssortativity, Newman
     // 2002) over the symmetric customer-supplier trade graph the
     // g41/g49/g51 family shares: do high-degree nodes trade with
@@ -12043,6 +12137,85 @@ object SparkEntry {
                AS BIGINT) dup_token_ppm,
              CAST(2 AS BIGINT) n_snapshots
            FROM a ORDER BY source""")),
+
+    // STREAMING APPEND + IN-STREAM COMPACTION (EventStream
+    // .appendCompactStore over VersionedParquetStore.appendPartitioned
+    // + Compaction.applyPlanIncremental — the INGEST member closing
+    // the store lifecycle: upsert K2 / append / compact e18+e20 /
+    // evolve x16 / expire x17+w33): three id-range micro-batches
+    // append in O(batch) (previous snapshot carried by manifest
+    // reference, never rewritten), and each batch's maintenance folds
+    // ONLY the buckets that batch fragmented. Gated invariants:
+    // content (checksum), layout at plan (n_files == n_buckets), and
+    // SELECTIVITY — the final files come from one snapshot per
+    // (last-touching batch, ever-fragmented) class
+    // (n_snapshot_sources), which a full-rewrite-per-batch policy
+    // would collapse to 1; both engines derive the class count from
+    // the id arithmetic.
+    ("w34_stream_append_compact", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(min(col("doc_id")).as("__mn"),
+        max(col("doc_id")).as("__mx"))
+      val rows = docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), md5(col("text")).as("th"),
+          expr("(doc_id - __mn) div 500").as("bucket"),
+          expr("(doc_id - __mn) * 3 div (__mx - __mn + 1)").as("batch"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-w34").toString
+      try {
+        (0 to 2).foreach { i =>
+          rows.filter(col("batch") === i).drop("batch")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i")
+          stampBatchOrder(tmp, i) // order-DEPENDENT gate: see helper
+        }
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = graft.streaming.EventStream.appendCompactStore(
+          stream, s"$tmp/store", maxFilesPerBucket = 1, s"$tmp/ckpt")
+        q.awaitTermination()
+        val back = graft.sources.VersionedParquetStore
+          .read(s, s"$tmp/store").get
+        val h = md5(concat_ws("|", col("doc_id"), col("th")))
+        val hex32 = (0 until 8).map(c =>
+          (expr(s"instr('0123456789abcdef', substr(__h, ${c + 1}, 1))")
+            .cast("long") - 1L) * lit(1L << (4 * (7 - c)))).reduce(_ + _)
+        materialized(s, back
+          .withColumn("__f", input_file_name())
+          .withColumn("__h", h)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(hex32).as("checksum"),
+            countDistinct(col("bucket")).as("n_buckets"),
+            countDistinct(col("__f")).as("n_files"),
+            countDistinct(regexp_extract(col("__f"),
+              "(v-[0-9]+-[0-9a-f]+)", 1)).as("n_snapshot_sources")))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some {
+        val hex32 = (0 until 8).map(c =>
+          s"(strpos('0123456789abcdef', substr(h, ${c + 1}, 1)) - 1) * ${1L << (4 * (7 - c))}")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT MIN(doc_id) mn, MAX(doc_id) mx
+             FROM documents),
+           d AS (SELECT doc_id,
+             CAST((doc_id - mn) // 500 AS BIGINT) bucket,
+             CAST((doc_id - mn) * 3 // (mx - mn + 1) AS BIGINT) batch
+             FROM documents, b),
+           per AS (SELECT bucket, MAX(batch) lb,
+             COUNT(DISTINCT batch) nb FROM d GROUP BY 1),
+           snaps AS (SELECT CAST(COUNT(DISTINCT lb * 2 +
+             CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) ns FROM per),
+           nbk AS (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) n FROM d),
+           r AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) h
+             FROM documents),
+           agg AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+             CAST(SUM($hex32) AS BIGINT) checksum FROM r)
+           SELECT agg.n_rows, agg.checksum, nbk.n AS n_buckets,
+             nbk.n AS n_files, snaps.ns AS n_snapshot_sources
+           FROM agg, nbk, snaps"""
+      }),
 
     // Global clustering coefficient (GraphStats
     // .clusteringCoefficient) over g19's supplier co-order graph —

@@ -236,7 +236,17 @@ object Compaction {
       .map(r => f.makeQualified(new Path(r)))
     val fileCount = (d: Path) =>
       f.listStatus(d).count(s => !s.getPath.getName.startsWith("_"))
-    val (frag, cold) = (ownDirs ++ refDirs).partition(fileCount(_) > maxFilesPerBucket)
+    // group by bucket VALUE (dir name): an append-path store
+    // (appendPartitioned) fragments a bucket ACROSS snapshots — one
+    // `bucket=X` dir per contributing snapshot — so the fragmentation
+    // decision must count the bucket's files over all its dirs, and a
+    // rewrite must fold all of them
+    val byBucket = (ownDirs ++ refDirs).distinct.groupBy(_.getName)
+    val (fragB, coldB) = byBucket.toSeq.partition {
+      case (_, dirs) => dirs.map(fileCount).sum > maxFilesPerBucket
+    }
+    val frag = fragB.flatMap(_._2)
+    val cold = coldB.flatMap(_._2)
     if (frag.isEmpty)
       return VersionedParquetStore.readSnapshot(spark, root, expected)
     // read ONLY the fragmented dirs — one read per parent snapshot dir

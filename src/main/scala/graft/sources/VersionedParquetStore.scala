@@ -209,6 +209,47 @@ object VersionedParquetStore {
       beforeCommit)
   }
 
+  /** Fast APPEND — the O(batch) ingest path: write ONLY the arriving
+    * delta (partitioned by `partitionCol`) into the next snapshot dir
+    * and carry the ENTIRE previous snapshot forward by manifest
+    * reference. [[merge]] rewrites the whole merged table per commit
+    * (right for keyed upserts of a dimension; an O(table) scale-killer
+    * as the ingest path of a fact store) — this is the append-only
+    * complement: commit cost tracks the batch, never the table, and
+    * the accumulated small files are exactly what
+    * [[graft.operators.Compaction.applyPlanIncremental]] exists to
+    * fold back to plan (the ingest→fragment→compact lifecycle, w34).
+    *
+    * Contract: the store is partitioned-layout from its first commit
+    * (every snapshot's own data written through `partitionBy` on the
+    * same column) — a manifest reference names a partition DIR, so a
+    * flat-layout previous snapshot cannot be carried. Same optimistic
+    * pointer swap as every commit.
+    * @return the appended snapshot as committed */
+  def appendPartitioned(spark: SparkSession, root: String,
+                        delta: DataFrame, partitionCol: String,
+                        beforeCommit: () => Unit = () => ()): DataFrame = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val before = readPointer(f, root)
+    val prevDirs = before.toSeq.flatMap { v =>
+      val snapDir = f.makeQualified(new Path(root, v))
+      val own = f.listStatus(snapDir).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$partitionCol="))
+        .map(s => f.makeQualified(s.getPath).toString)
+      own ++ manifestRefs(spark, root, v)
+    }
+    commitSnapshot(spark, root, before,
+      path => {
+        delta.write.mode("errorifexists")
+          .partitionBy(partitionCol).parquet(path)
+        if (prevDirs.nonEmpty)
+          writeManifest(spark, path, prevDirs.distinct.sorted)
+      },
+      beforeCommit)
+  }
+
   /** Snapshot EXPIRY — the retention/GC half of the snapshot
     * lifecycle (every snapshot table format ships it; cf. Iceberg's
     * expire_snapshots): delete every snapshot directory outside the

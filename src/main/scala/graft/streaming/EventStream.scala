@@ -453,6 +453,51 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming APPEND + in-stream COMPACTION (w34 — the INGEST half
+    * of the store lifecycle run the way a fact store actually runs
+    * it, closing the loop merge/K2 → append → fragment → compact e18/
+    * e20 → expire x17/w33): each micro-batch is appended in O(batch)
+    * ([[graft.sources.VersionedParquetStore.appendPartitioned]] — the
+    * previous snapshot rides along by manifest reference, never
+    * rewritten), then [[graft.operators.Compaction
+    * .applyPlanIncremental]] folds any bucket the append pushed past
+    * `maxFilesPerBucket` back to plan — and ONLY those buckets; a
+    * bucket whose docs all arrived in one batch keeps its original
+    * file until the day it fragments. At 100 TB this is the whole
+    * point of e20's selectivity: per-batch maintenance cost tracks
+    * the batch's blast radius, not the table.
+    *
+    * Replay idempotency is STRUCTURAL (the w32 discipline): the
+    * arriving batch is anti-joined against the store's ids, so a
+    * replayed batch derives an EMPTY delta — no append commit, and
+    * compaction's no-op fast path commits nothing either (at 100 TB
+    * the anti-join is a key-index probe, d15's shape — here the
+    * store read is the gate-scale stand-in). Batches must carry the
+    * target `bucket` column (the writer owns placement — contiguous
+    * id runs keep min/max file stats selective, e13's argument). */
+  def appendCompactStore(stream: DataFrame, root: String,
+                         maxFilesPerBucket: Int, checkpoint: String)
+                        : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val cur = graft.sources.VersionedParquetStore.read(s, root)
+          val delta = cur.fold(batch.toDF())(c => batch.toDF()
+            .join(c.select("doc_id"), Seq("doc_id"), "left_anti"))
+          if (!delta.isEmpty) {
+            graft.sources.VersionedParquetStore
+              .appendPartitioned(s, root, delta, "bucket")
+            graft.operators.Compaction
+              .applyPlanIncremental(s, root, maxFilesPerBucket)
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class TypedEvent(user_id: Long, us: Long, event_id: Long,
                         event_type: String)
   case class TransitionStep(user_id: Long, prev_type: String,
