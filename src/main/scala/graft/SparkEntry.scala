@@ -5617,6 +5617,56 @@ object SparkEntry {
            SELECT id AS node_id, r AS rank_micros FROM r3 ORDER BY node_id"""
       }),
 
+    // PERSONALIZED PageRank (PageRank.personalizedRanks, Haveliwala
+    // 2002): teleport mass only on a seed set (every-100th customer)
+    // over the shared trade graph — rank as PROXIMITY to trusted
+    // seeds, the graph-side data-selection primitive (expand a
+    // trusted seed corpus along link structure) beside g17's global
+    // centrality. Same unrolled integer stanzas; zero-rank nodes
+    // (outside the 3-hop seed neighborhood) are dropped, so output
+    // size tracks the neighborhood, not the graph.
+    ("g61_personalized_pagerank", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .union(cs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("id"))
+      operators.PageRank.personalizedRanks(edges, seeds, 3)
+        .filter(col("rank_micros") > 0)
+        .select(col("id").as("node_id"), col("rank_micros"))
+        .orderBy("node_id")
+    },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (SELECT e.dst, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) s
+                FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+                GROUP BY e.dst),
+             r$i AS (SELECT n.id,
+                CAST(CASE WHEN sd.id IS NOT NULL THEN 150000 ELSE 0 END
+                  + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) r
+                FROM n LEFT JOIN c$i ON c$i.dst = n.id
+                LEFT JOIN sd ON sd.id = n.id)"""
+        s"""WITH cs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT c src, p dst FROM cs UNION ALL SELECT p src, c dst FROM cs),
+           n AS (SELECT DISTINCT src id FROM e),
+           deg AS (SELECT src, COUNT(*) d FROM e GROUP BY src),
+           sd AS (SELECT DISTINCT c_custkey*2 id FROM customer
+                  WHERE c_custkey % 100 = 0),
+           r0 AS (SELECT n.id,
+                CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000 ELSE 0 END
+                  AS BIGINT) r
+                FROM n LEFT JOIN sd ON sd.id = n.id),
+           ${round(1)}, ${round(2)}, ${round(3)}
+           SELECT id AS node_id, r AS rank_micros FROM r3 WHERE r > 0
+           ORDER BY node_id"""
+      }),
+
     // Z-order data layout (functions.Morton, custom codegen
     // expression): Morton-interleave two bucketed dimensions, then
     // report each z-range bucket's bounding box — the per-bucket
@@ -11340,17 +11390,29 @@ object SparkEntry {
     // text is ground truth, not a proxy), so its recall=1e6 is the
     // pigeonhole guarantee itself, hash-pinned.
     ("d33_dedup_gold_eval", (s, dir) => {
-      val docs = t(s, dir, "documents")
+      // round 14: the regenerated corpus has ZERO natural
+      // byte-identical pairs, which made this eval vacuously
+      // all-zero — the gate now injects deterministic copies (d34's
+      // every-97th-doc id-offset construction, replayed by the
+      // oracle) so the gold is non-empty on ANY testdata generation
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val docs = base.unionByName(base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
       Dedup.pairEval(
         Dedup.simhashHammingJoin(docs, 3).select("doc_a", "doc_b"),
         Dedup.exactPairs(docs))
     },
-      Some(s"""WITH $oracleSimhash60Cte,
+      Some(s"""WITH mx AS (SELECT MAX(doc_id) + 1 idoff FROM documents),
+           corp AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + idoff, text FROM documents, mx
+             WHERE doc_id % 97 = 0),
+           ${GateFixtures.oracleSimhash60CteOver("corp")},
            p AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM fp a
              JOIN fp b ON a.doc_id < b.doc_id
              WHERE bit_count(xor(a.h, b.h)) <= 3),
            g AS (SELECT a.doc_id doc_a, b.doc_id doc_b
-             FROM documents a JOIN documents b
+             FROM corp a JOIN corp b
              ON a.doc_id < b.doc_id AND a.text = b.text),
            j AS (SELECT
              CASE WHEN p.doc_a IS NOT NULL AND g.doc_a IS NOT NULL

@@ -58,4 +58,48 @@ object PageRank {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank (Haveliwala 2002, "Topic-sensitive
+    * PageRank"): teleport mass lands only on `seeds`, so rank measures
+    * proximity to the seed set instead of global centrality — the
+    * graph-side data-selection primitive (expand a trusted seed corpus
+    * along link structure; cf. Harmonic/TrustRank-style curation) next
+    * to [[ranks]]'s global summary. Same unrolled
+    * join-aggregate-stanza shape, same EXACT INTEGER micro-unit
+    * arithmetic (per-seed 1e6 basis, floor division at both steps —
+    * engine- and summation-order-portable): start = 1e6 on seeds / 0
+    * elsewhere, damping base = 150000 on seeds / 0 elsewhere. Nodes
+    * outside the seeds' `iterations`-hop neighborhood hold rank 0 —
+    * at 100 TB the per-round frontier is bounded by the seed
+    * neighborhood, not the graph, and the same persist-edges-by-src
+    * co-location argument applies.
+    *
+    * `seeds`: one BIGINT column `id`; ids absent from the edge list
+    * are ignored (they have no neighborhood to rank). */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+                        iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src")
+    val seeded = nodes.join(
+      seeds.select(col("id")).distinct().withColumn("__seed", lit(1L)),
+      Seq("id"), "left")
+    var ranks = seeded.select(col("id"),
+      (coalesce(col("__seed"), lit(0L)) * 1000000L).as("rank_micros"))
+    for (_ <- 1 to iterations) {
+      val inbound = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank_micros div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inbound"))
+      ranks = seeded
+        .join(inbound, seeded("id") === inbound("dst"), "left")
+        .select(col("id"),
+          (coalesce(col("__seed"), lit(0L)) * lit(150000L) +
+            expr("(85 * coalesce(inbound, 0L)) div 100"))
+            .as("rank_micros"))
+    }
+    ranks
+  }
 }
