@@ -418,6 +418,13 @@ object SparkEntry {
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     graphEdgesCached(s, dir).count()
     localGraphIndexCached(s, dir)
+    // the trade graph and its community labels are the same kind of
+    // persisted multi-consumer artifact (g27/g41/g49/g51/g59 read
+    // them; g49's gate was paying the one-off label build on first
+    // touch — ~4 s of the light tier that is a WRITER's cost at
+    // 100 TB)
+    tradeEdgesCached(s, dir).count()
+    lpaLabelsCached(s, dir).count()
     ()
   }
 
@@ -9325,6 +9332,64 @@ object SparkEntry {
              SELECT d.doc_id FROM documents d
              WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
              ORDER BY d.doc_id""")),
+
+    // AUDIO ENVELOPE-FINGERPRINT dedup (m16 — the audio lane's
+    // m7/m13 analogue, completing hash-dedup across all three
+    // modalities): per-frame energies (audioFrameFeatures at 32
+    // samples/frame) → one bit per frame transition (energy rose vs
+    // fell — the Shazam/Chromaprint envelope-gradient idea at its
+    // integer-exact core) packed into a BIGINT fingerprint, then d1's
+    // duplicate-group shape on (fp, n_frames). Injected copies
+    // (every 97th payload re-added under an id offset — the d34/d33
+    // construction in the audio lane) make the gold non-empty on any
+    // generation; any NATURAL envelope collisions surface in the same
+    // groups (the lossy-fingerprint over-merge, quantified like m14).
+    // Scale: framing is one mapPartitions decode pass, the fingerprint
+    // one per-doc window + aggregate, grouping one exchange on fp —
+    // no pairwise work anywhere.
+    ("m16_audio_fingerprint_dup", (s, dir) => {
+      val pcm = GateFixtures.pcmMedia(s, dir)
+      val off = pcm.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val aug = pcm.unionByName(pcm.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("payload")))
+      val frames = graft.multimodal.Multimodal
+        .audioFrameFeatures(aug, 32).toDF()
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val fps = frames
+        .withColumn("__prev", lag(col("sum_abs"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .groupBy("doc_id")
+        .agg((count(lit(1)) + lit(1L)).as("n_frames"),
+          sum(when(col("sum_abs") > col("__prev"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx - 1 AS INT))"))
+            .otherwise(lit(0L))).as("fp"))
+      fps.groupBy("fp", "n_frames")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp", "n_frames")
+    },
+      Some("""WITH mx AS (SELECT MAX(doc_id) + 1 idoff FROM documents),
+             a AS (SELECT doc_id, doc_id src FROM documents
+               UNION ALL SELECT doc_id + idoff, doc_id FROM documents, mx
+               WHERE doc_id % 97 = 0),
+             d AS (SELECT doc_id, src, 256*(2 + src % 3) n FROM a),
+             sm AS (SELECT doc_id, src,
+               UNNEST([i for i in generate_series(0, n::INT - 1)]) i FROM d),
+             v AS (SELECT doc_id, i // 32 f,
+               ABS(((src*7 + i*13) % 2048) - 1024) av FROM sm),
+             e AS (SELECT doc_id, f, SUM(av) sa FROM v GROUP BY 1, 2),
+             c AS (SELECT doc_id, f, sa,
+               lag(sa) OVER (PARTITION BY doc_id ORDER BY f) pv FROM e),
+             fpt AS (SELECT doc_id,
+               CAST(COUNT(*) + 1 AS BIGINT) n_frames,
+               CAST(SUM(CASE WHEN sa > pv
+                 THEN (CAST(1 AS BIGINT) << (f - 1)::INT) ELSE 0 END)
+                 AS BIGINT) fp
+               FROM c WHERE pv IS NOT NULL GROUP BY doc_id)
+             SELECT fp, n_frames, CAST(COUNT(*) AS BIGINT) n_docs,
+               MIN(doc_id) keep_doc_id
+             FROM fpt GROUP BY 1, 2 HAVING COUNT(*) > 1
+             ORDER BY fp, n_frames""")),
 
     // 64-bit DIFFERENCE-hash image dedup (Multimodal
     // .imageDifferenceHashes): Krawetz's dHash — decode, 9x8
