@@ -5595,18 +5595,13 @@ object SparkEntry {
     // micro-unit ranks (floor division at both the contribution and
     // damping steps) so any engine and any summation order produces
     // bit-identical ranks. Customers take even node ids, suppliers odd.
-    ("g17_pagerank", (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .union(cs.select(col("p").as("src"), col("c").as("dst")))
-      operators.PageRank.ranks(edges, 3)
+    ("g17_pagerank", (s, dir) =>
+      // the memoized/staged trade graph (tradeEdgesCached) IS this
+      // gate's edge list — one persisted build shared with
+      // g27/g41/g49/g51/g59/g61 instead of a per-gate re-derivation
+      operators.PageRank.ranks(tradeEdgesCached(s, dir), 3)
         .select(col("id").as("node_id"), col("rank_micros"))
-        .orderBy("node_id")
-    },
+        .orderBy("node_id"),
       Some {
         def round(i: Int) =
           s"""c$i AS (SELECT e.dst, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) s
@@ -5633,17 +5628,11 @@ object SparkEntry {
     // (outside the 3-hop seed neighborhood) are dropped, so output
     // size tracks the neighborhood, not the graph.
     ("g61_personalized_pagerank", (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-        .union(cs.select(col("p").as("src"), col("c").as("dst")))
       val seeds = t(s, dir, "customer")
         .filter(col("c_custkey") % 100 === 0)
         .select((col("c_custkey") * 2).as("id"))
-      operators.PageRank.personalizedRanks(edges, seeds, 3)
+      operators.PageRank.personalizedRanks(
+        tradeEdgesCached(s, dir), seeds, 3)
         .filter(col("rank_micros") > 0)
         .select(col("id").as("node_id"), col("rank_micros"))
         .orderBy("node_id")
