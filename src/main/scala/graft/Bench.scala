@@ -322,7 +322,7 @@ object Bench {
                            ios: Seq[Double], warm: Seq[Double],
                            loadStarts: Seq[Double], ctxts: Seq[Double],
                            cachedMb: Seq[Double], majflts: Seq[Double],
-                           memAvailMb: Seq[Double])
+                           memAvailMb: Seq[Double], minflts: Seq[Double])
     // members whose run 1 was cancelled at the per-run cap — recorded
     // separately from budget skips so the artifact distinguishes "over
     // budget, never started" from "started and pathological"
@@ -446,7 +446,7 @@ object Bench {
               .getOrElse(Seq.empty)
             val r = HeavyResult(f(1), series(2), series(3), series(4),
               series(5), series(6), series(7), series(8), series(9),
-              series(10), series(11), series(12))
+              series(10), series(11), series(12), series(13))
             seen += r.name; out += r
             println(f"""{"q":"${r.name}","heavy_sec":${r.walls.min}%.3f,""" +
               s""""runs":${r.walls.mkString("[", ",", "]")}}""")
@@ -591,7 +591,7 @@ object Bench {
               Console.out.flush()
               Some(HeavyResult(n, runs, Seq.empty, Seq.empty, Seq.empty,
                 Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
-                Seq.empty, Seq.empty))
+                Seq.empty, Seq.empty, Seq.empty))
             } else None
           }
         }
@@ -707,6 +707,11 @@ object Bench {
       // MemAvailable MB at run start
       s""""heavy_majflt_runs":${arrObj(heavy.map(h => h.name -> h.majflts))},""" +
       s""""heavy_memavail_mb_runs":${arrObj(heavy.map(h => h.name -> h.memAvailMb))},""" +
+      // minor faults: kernel anon-page work (THP compaction / direct
+      // reclaim) runs in OUR fault path on OUR cpu accounting — the
+      // round-14 discriminator for cpu-inflated firings that majflt
+      // and the synthetic co-tenant experiments cleared (BENCH_NOTES)
+      s""""heavy_minflt_runs":${arrObj(heavy.map(h => h.name -> h.minflts))},""" +
       s""""heavy_warm":${arrObj(heavy.map(h => h.name -> h.warm))}}""")
     // FINAL line: a compact summary that must fit the driver's bounded
     // stdout tail window (~2.2 KB observed, which also has to hold

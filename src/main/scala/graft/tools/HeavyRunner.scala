@@ -26,6 +26,7 @@ import graft.{HeavyData, SparkEntry, Tables}
   *   HEAVY\t<query>\t<wall,...>\t<gcSec,...>\t<loadAvg,...>\t<cpuSec,...>
   *     \t<ioMB,...>\t<warmSec>\t<loadAtStart,...>\t<ctxtSwitchDelta,...>
   *     \t<cachedMb,...>\t<majfltDelta,...>\t<memAvailMbAtStart,...>
+  *     \t<minfltDelta,...>
   * or, when the query never produced a valid timing:
   *   HEAVYSKIP\t<query>   — not started by the budget deadline
   *   HEAVYCAP\t<query>    — run 1 cancelled at the per-run cap
@@ -223,15 +224,51 @@ object HeavyRunner {
     * majflt counts forced re-reads of OUR OWN pages). A firing with
     * majflt_delta in the tens of thousands is NAMED; one with a flat
     * delta kills the hypothesis. -1 when /proc is unavailable. */
-  private def majorFaults: Long =
+  private def statField(idxAfterComm: Int): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/self/stat")
       val s = try src.mkString finally src.close()
       // comm may contain spaces — fields resume after the last ')':
       // state ppid pgrp session tty_nr tpgid flags minflt cminflt majflt
       val rest = s.substring(s.lastIndexOf(')') + 2).trim.split("\\s+")
-      rest(9).toLong
+      rest(idxAfterComm).toLong
     } catch { case _: Throwable => -1L }
+
+  private def majorFaults: Long = statField(9)
+
+  /** Minor page faults of THIS process (/proc/self/stat minflt). The
+    * round-14 synthetic-co-tenant experiments ELIMINATED scheduler
+    * contention (24 spins: wall 1.7x, cpu FLAT), memory bandwidth
+    * (12 stream-sum hogs: cpu flat), and in-fork position (full
+    * roster quiet: cpu flat) as cpu-inflators — yet live episodes
+    * inflate cpu 3-5x with majflt 0 and MemAvailable flat. The
+    * remaining kernel-side candidate is ANON page work (THP direct
+    * compaction / reclaim on allocation) which runs in OUR fault path
+    * on OUR cpu accounting and surfaces as MINOR faults; a firing
+    * whose minflt delta scales with the cpu excess names it, one
+    * whose minflt is flat pushes toward JVM-internal spinning (the
+    * amp dump's stack groups then adjudicate). */
+  private def minorFaults: Long = statField(7)
+
+  /** Selected /proc/vmstat counters — box-wide kernel memory-work
+    * receipts for the amp dump: compact_stall (direct-compaction
+    * stalls: a process BURNING CPU IN THE KERNEL to make a huge page),
+    * thp_fault_alloc/fallback, pgsteal_direct (direct reclaim). */
+  private def vmstat(keys: Seq[String]): Map[String, Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/vmstat")
+      try src.getLines().flatMap { l =>
+        val p = l.split(" ")
+        if (p.length == 2 && keys.contains(p(0)))
+          scala.util.Try(p(0) -> p(1).toLong).toOption
+        else None
+      }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
+  private val vmstatKeys = Seq("compact_stall", "compact_fail",
+    "thp_fault_alloc", "thp_fault_fallback", "pgsteal_direct",
+    "pgscan_direct")
 
   /** Selected /proc/meminfo fields in MB (box-wide — the co-tenant
     * context a per-process counter cannot see). */
@@ -270,15 +307,23 @@ object HeavyRunner {
     * show ordinary compute frames, faulting invisibly); threads piled
     * on one lock/shuffle frame = something else entirely. Runs in
     * milliseconds, touches nothing, never cancels the run. */
-  private def dumpAmplification(tag: String, majfltAtStart: Long): Unit =
+  private def dumpAmplification(tag: String, majfltAtStart: Long,
+                                minfltAtStart: Long,
+                                vmstatAtStart: Map[String, Long]): Unit =
     try {
       val mi = meminfoMb(Seq("MemTotal", "MemFree", "MemAvailable",
         "Cached", "Dirty", "Writeback", "SwapFree", "PageTables"))
       val mj = majorFaults
+      val mn = minorFaults
       val delta = if (mj < 0 || majfltAtStart < 0) -1L else mj - majfltAtStart
+      val mdelta = if (mn < 0 || minfltAtStart < 0) -1L else mn - minfltAtStart
+      val vm = vmstat(vmstatKeys)
+      val vmDelta = vmstatKeys.flatMap(k =>
+        for (a <- vmstatAtStart.get(k); b <- vm.get(k)) yield s"$k=${b - a}")
       System.err.println(s"[amp $tag] meminfo MB: " +
         mi.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ") +
-        s" | majflt_delta=$delta load=${f"$loadAvg%.1f"}")
+        s" | majflt_delta=$delta minflt_delta=$mdelta " +
+        s"load=${f"$loadAvg%.1f"} | vmstat deltas: ${vmDelta.mkString(" ")}")
       import scala.jdk.CollectionConverters._
       val stacks = Thread.getAllStackTraces.asScala.toSeq
         .filter(_._1.getName.startsWith("Executor task launch"))
@@ -589,6 +634,8 @@ object HeavyRunner {
             val x0 = invCtxtSwitches
             val l0 = loadAvg
             val mj0 = majorFaults
+            val mn0 = minorFaults
+            val vm0 = vmstat(vmstatKeys)
             val ma0 = memAvailableMb
             // amplification trigger (round-13 brief): 3x the member's
             // in-fork quiet band — run 1 has no band yet, so a flat
@@ -600,7 +647,8 @@ object HeavyRunner {
             val amp = new Thread(() => {
               try {
                 Thread.sleep(ampMs)
-                if (!done) dumpAmplification(s"$q run$i @${ampMs / 1000}s", mj0)
+                if (!done) dumpAmplification(s"$q run$i @${ampMs / 1000}s",
+                  mj0, mn0, vm0)
               } catch { case _: InterruptedException => }
             })
             amp.setDaemon(true)
@@ -628,9 +676,11 @@ object HeavyRunner {
             val ctxtDelta = if (x0 < 0 || x1 < 0) -1L else x1 - x0
             val mj1 = majorFaults
             val majfltDelta = if (mj0 < 0 || mj1 < 0) -1L else mj1 - mj0
+            val mn1 = minorFaults
+            val minfltDelta = if (mn0 < 0 || mn1 < 0) -1L else mn1 - mn0
             Some((wall, (gcMillis - g0) / 1e3, loadAvg, cpuSeconds - c0,
               (diskReadBytes - i0) / 1e6, l0, ctxtDelta,
-              cachedStorageMb(spark), majfltDelta, ma0))
+              cachedStorageMb(spark), majfltDelta, ma0, minfltDelta))
           } catch {
             case e: Throwable if capped && isCancellation(e) =>
               System.err.println(s"[heavy] $q run $i cancelled at the " +
@@ -653,7 +703,8 @@ object HeavyRunner {
             s"\t${runs.map(r => r._7.toString).mkString(",")}" +
             s"\t${runs.map(r => r._8.toString).mkString(",")}" +
             s"\t${runs.map(r => r._9.toString).mkString(",")}" +
-            s"\t${runs.map(r => r._10.toString).mkString(",")}"
+            s"\t${runs.map(r => r._10.toString).mkString(",")}" +
+            s"\t${runs.map(r => r._11.toString).mkString(",")}"
         error match {
           case Some(msg) =>
             // A failure at run i>1 must not discard run 1..i-1's valid
