@@ -3827,6 +3827,70 @@ object SparkEntry {
                  ORDER BY pos), '')) AS cleaned_md5
              FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // SCRUB EVAL with CERTAIN gold (d33/d34's injected-gold discipline
+    // in the scrub lane): append a known 12-token boilerplate to every
+    // 50th doc, run the d20 exact-substring scrub, and gate the
+    // SEMANTIC claim the d20 hash parity alone cannot state — the
+    // injected span is removed from EVERY injected doc except exactly
+    // ONE canonical (the corpus-first occurrence), and each scrubbed
+    // doc loses at least the 12 boilerplate tokens. The boilerplate
+    // tokens are synthetic markers absent from the corpus, so the
+    // gold is certain by construction on any testdata generation;
+    // n_boiler_kept == 1 IS the keep-first-occurrence contract,
+    // observed in the cleaned text itself.
+    ("d35_scrub_eval", (s, dir) => {
+      val boiler = "zqa zqb zqc zqd zqe zqf zqg zqh zqi zqj zqk zql"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.withColumn("text",
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+      Dedup.substringScrub(aug, 12)
+        .filter(col("doc_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_injected"),
+          sum(when(instr(col("cleaned_text"), boiler) > 0, 1L)
+            .otherwise(0L)).as("n_boiler_kept"),
+          sum(when(col("n_removed") >= 12, 1L).otherwise(0L))
+            .as("n_docs_scrubbed"),
+          sum(col("n_removed")).as("total_removed"))
+    },
+      Some("""WITH aug AS (SELECT doc_id,
+               CASE WHEN doc_id % 50 = 0
+                 THEN text || ' zqa zqb zqc zqd zqe zqf zqg zqh zqi zqj zqk zql'
+                 ELSE text END AS text
+               FROM documents),
+             w AS (SELECT doc_id, string_split(text, ' ') w FROM aug),
+             t0 AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1, t := w[i])
+                 for i in generate_series(1, len(w))]) s FROM w),
+             tk AS (SELECT doc_id, s.p pos, s.t w FROM t0),
+             g AS (SELECT doc_id, UNNEST([struct_pack(p := i - 1,
+                 gr := array_to_string(w[i : i+11], ' '))
+                 for i in generate_series(1, len(w) - 11)]) s FROM w),
+             e AS (SELECT doc_id, s.p pos, s.gr gram FROM g),
+             r AS (SELECT doc_id, pos, ROW_NUMBER() OVER
+               (PARTITION BY gram ORDER BY doc_id, pos) rk FROM e),
+             rem AS (SELECT doc_id, pos FROM r WHERE rk >= 2),
+             i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY pos) grp FROM rem),
+             isl AS (SELECT doc_id, MIN(pos) st, COUNT(*) + 11 len
+               FROM i GROUP BY doc_id, grp),
+             cov AS (SELECT DISTINCT doc_id,
+               UNNEST(generate_series(st, st + len - 1)) pos FROM isl),
+             j AS (SELECT tk.doc_id, tk.pos, tk.w, cov.pos IS NOT NULL rm
+               FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos),
+             per AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) n_removed,
+               COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' '
+                 ORDER BY pos), '') cleaned
+               FROM j GROUP BY doc_id)
+             SELECT CAST(COUNT(*) AS BIGINT) n_injected,
+               CAST(SUM(CASE WHEN instr(cleaned,
+                 'zqa zqb zqc zqd zqe zqf zqg zqh zqi zqj zqk zql') > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) n_boiler_kept,
+               CAST(SUM(CASE WHEN n_removed >= 12 THEN 1 ELSE 0 END)
+                 AS BIGINT) n_docs_scrubbed,
+               CAST(SUM(n_removed) AS BIGINT) total_removed
+             FROM per WHERE doc_id % 50 = 0""")),
+
     // INCREMENTAL substring scrub (Dedup.incrementalScrub): the
     // recurring-ingest form — the accepted corpus (doc_id % 4 != 0)
     // participates only through its gram index; the arriving batch
