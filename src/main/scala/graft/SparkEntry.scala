@@ -12105,6 +12105,71 @@ object SparkEntry {
            CAST(2 AS BIGINT) n_expired, CAST(2 AS BIGINT) n_snapshots
            FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // APPEND-PATH SCHEMA EVOLUTION (x16's discipline through the
+    // O(batch) ingest: a later appendPartitioned batch ARRIVES with a
+    // new column; the store's manifest read null-pads the
+    // carried-forward old snapshot's rows — mergeSchema within each
+    // referenced group, allowMissingColumns across the union — so
+    // evolution costs zero rewrites of history, exactly like x16's
+    // plain-dir form but composed with the by-reference append).
+    // Gated: row/bucket counts, the old rows' NULL-padding
+    // (pre_evolution_rows), the new column's sum over exactly the
+    // rows that carried it, and the content checksum.
+    ("x19_append_evolution", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(min(col("doc_id")).as("__mn"),
+        max(col("doc_id")).as("__mx"))
+      val b = docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), md5(col("text")).as("th"),
+          col("n_chars").cast("long").as("n_chars"),
+          expr("(doc_id - __mn) div 1000").as("bucket"),
+          expr("(doc_id - __mn) * 2 div (__mx - __mn + 1)").as("half"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x19").toString
+      try {
+        val root = s"$tmp/store"
+        graft.sources.VersionedParquetStore.appendPartitioned(s, root,
+          b.filter(col("half") === 0)
+            .select("doc_id", "th", "bucket"), "bucket")
+        graft.sources.VersionedParquetStore.appendPartitioned(s, root,
+          b.filter(col("half") === 1)
+            .select("doc_id", "th", "n_chars", "bucket"), "bucket")
+        val back = graft.sources.VersionedParquetStore.read(s, root).get
+        val h = md5(concat_ws("|", col("doc_id"), col("th")))
+        val hex32 = (0 until 8).map(c =>
+          (expr(s"instr('0123456789abcdef', substr(__h, ${c + 1}, 1))")
+            .cast("long") - 1L) * lit(1L << (4 * (7 - c)))).reduce(_ + _)
+        materialized(s, back.withColumn("__h", h)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("bucket")).as("n_buckets"),
+            sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+              .as("pre_evolution_rows"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"),
+            sum(hex32).as("checksum")))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some {
+        val hex32 = (0 until 8).map(c =>
+          s"(strpos('0123456789abcdef', substr(h, ${c + 1}, 1)) - 1) * ${1L << (4 * (7 - c))}")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT MIN(doc_id) mn, MAX(doc_id) mx
+             FROM documents),
+           d AS (SELECT doc_id, n_chars,
+             (doc_id - mn) // 1000 bucket,
+             (doc_id - mn) * 2 // (mx - mn + 1) half
+             FROM documents, b),
+           r AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) h
+             FROM documents)
+           SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) n_rows,
+             (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM d)
+               n_buckets,
+             (SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM d) pre_evolution_rows,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN half = 1 THEN n_chars END), 0)
+               AS BIGINT) FROM d) chars_sum,
+             (SELECT CAST(SUM($hex32) AS BIGINT) FROM r) checksum"""
+      }),
+
     // TIME TRAVEL (VersionedParquetStore.readSnapshot — the read-side
     // complement of x17's expiry, which "narrows time travel, never
     // the present": every snapshot table format ships read-at-version

@@ -120,16 +120,23 @@ object VersionedParquetStore {
       val ownDirs = f.listStatus(snapDir).toSeq
         .filter(s => s.isDirectory || !s.getPath.getName.startsWith("_"))
         .map(_.getPath.toString)
+      // mergeSchema within each read + allowMissingColumns across the
+      // union: an appended batch may EVOLVE the schema (x16's
+      // discipline on the append path — new columns arrive, old
+      // snapshots' rows null-pad), and the carried-forward dirs
+      // predate the new column by construction
       val own =
         if (ownDirs.isEmpty) None
         else Some(spark.read.option("basePath", snapDir.toString)
-          .parquet(snapDir.toString))
+          .option("mergeSchema", "true").parquet(snapDir.toString))
       val referenced = refs.groupBy(r => new Path(r).getParent.toString)
         .toSeq.sortBy(_._1)
         .map { case (parent, dirs) =>
-          spark.read.option("basePath", parent).parquet(dirs.sorted: _*)
+          spark.read.option("basePath", parent)
+            .option("mergeSchema", "true").parquet(dirs.sorted: _*)
         }
-      (own.toSeq ++ referenced).reduce(_ unionByName _)
+      (own.toSeq ++ referenced)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
