@@ -11925,6 +11925,58 @@ object SparkEntry {
       Some(GateFixtures.annGraphSweepOracleSql(
         Seq((4, 2), (8, 4), (16, 6)), m = 10, k = 5, maxBucket = 256))),
 
+    // GRAPH-INDEX HEALTH AUDIT (n32 — the check an operator runs
+    // BEFORE trusting a just-built/ingested index, next to n31's
+    // accuracy curve): out-degree profile (a sink node can be entered
+    // but never expands — walk dead-ends) and ENTRY-POINT REACHABILITY
+    // (the beam walk seeds somewhere; nodes outside the entry's
+    // bounded-hop neighborhood are invisible to every search that
+    // starts there — HNSW fleets audit exactly this connectivity
+    // before serving). One degree aggregation + g27's bounded BFS
+    // over the staged edge index; both summaries one row.
+    ("n32_graph_index_audit", (s, dir) => {
+      val em = t(s, dir, "embeddings").select(col("vec_id"))
+      val edges = graphEdgesCached(s, dir)
+      val deg = em.join(
+        edges.groupBy(col("src").as("vec_id"))
+          .agg(count(lit(1)).as("outdeg")), Seq("vec_id"), "left")
+        .na.fill(0L, Seq("outdeg"))
+      val entry = em.agg(min(col("vec_id"))).head().getLong(0)
+      val reach = operators.Bfs.hopDistances(edges,
+        em.filter(col("vec_id") === entry).select(col("vec_id").as("id")), 6)
+      deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("outdeg")).as("n_edges"),
+        min(col("outdeg")).as("min_outdeg"),
+        max(col("outdeg")).as("max_outdeg"),
+        sum(when(col("outdeg") === 0, 1L).otherwise(0L)).as("n_sinks"))
+        .crossJoin(broadcast(
+          reach.agg(count(lit(1)).as("n_reachable_6h"))))
+    },
+      Some {
+        val rounds = (1 to 6).map(r =>
+          s"""rb$r AS MATERIALIZED (SELECT id FROM rb${r - 1}
+             UNION SELECT e.dst id FROM gedges e
+             JOIN rb${r - 1} f ON e.src = f.id)""").mkString(",\n")
+        s"""WITH $oracleUnitCte,
+           ${GateFixtures.annGraphBuildCtes("g", "TRUE", "TRUE", 10, 256, 2)},
+           corp AS (SELECT vec_id FROM embeddings),
+           dg AS (SELECT c.vec_id, CAST(COALESCE(e.n, 0) AS BIGINT) outdeg
+             FROM corp c LEFT JOIN
+             (SELECT src, COUNT(*) n FROM gedges GROUP BY 1) e
+             ON e.src = c.vec_id),
+           rb0 AS (SELECT MIN(vec_id) id FROM corp),
+           $rounds
+           SELECT CAST(COUNT(*) AS BIGINT) n_nodes,
+             CAST(SUM(outdeg) AS BIGINT) n_edges,
+             CAST(MIN(outdeg) AS BIGINT) min_outdeg,
+             CAST(MAX(outdeg) AS BIGINT) max_outdeg,
+             CAST(SUM(CASE WHEN outdeg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               n_sinks,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rb6) n_reachable_6h
+           FROM dg"""
+      }),
+
     // Dedup-aware token SUPPLY (d1's exact dedup x t-family token
     // counting, per source): raw vs post-dedup docs and tokens, and
     // the duplicated-token ppm — the FRESH-DATA supply table o28's
