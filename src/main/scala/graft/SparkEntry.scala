@@ -11925,6 +11925,65 @@ object SparkEntry {
       Some(GateFixtures.annGraphSweepOracleSql(
         Seq((4, 2), (8, 4), (16, 6)), m = 10, k = 5, maxBucket = 256))),
 
+    // LEAKAGE-FREE SPLIT (o32 — o11's group split keyed by the DUP
+    // CLUSTER label, the d7 ∘ o11 composition Lee et al. recommend
+    // for exactly this reason: a random doc-level split puts one copy
+    // of a near-dup family in train and another in test, and the
+    // model is graded on memorization): cluster members inherit one
+    // split; singletons key on their own id. The leak-free property
+    // is IN the hashed answer — n_straddling counts LSH candidate
+    // pairs whose endpoints landed in different splits, structurally
+    // ZERO under cluster keying (same cluster → same group → same
+    // split) where a doc-keyed split would leave it positive.
+    ("o32_leakage_free_split", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(s, lshPairsCached(s, dir))
+      val keyed = docs.select(col("doc_id")).join(cl, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+      val sp = operators.Sampling.groupSplit(keyed, "grp", salt = "lf")
+        .select(col("doc_id"), col("split"))
+      val straddle = lshPairsCached(s, dir)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          Seq("doc_b"))
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_straddling"))
+      sp.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(straddle))
+        .orderBy("split")
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id),
+           k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) grp
+             FROM documents d LEFT JOIN cl USING (doc_id)),
+           hh AS (SELECT doc_id, md5('lf|' || CAST(grp AS VARCHAR)) h
+             FROM k),
+           vv AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS v
+             FROM hh),
+           sp AS (SELECT doc_id,
+             CASE WHEN v * 1000 < 800 * 4096 THEN 'train'
+                  WHEN v * 1000 < 900 * 4096 THEN 'val'
+                  ELSE 'test' END AS split
+             FROM vv),
+           st AS (SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+               THEN 1 ELSE 0 END), 0) AS BIGINT) n_straddling
+             FROM pairs p JOIN sp sa ON sa.doc_id = p.doc_a
+             JOIN sp sb ON sb.doc_id = p.doc_b)
+           SELECT sp.split, CAST(COUNT(*) AS BIGINT) n_docs,
+             st.n_straddling
+           FROM sp, st GROUP BY sp.split, st.n_straddling
+           ORDER BY sp.split""")),
+
     // GRAPH-INDEX HEALTH AUDIT (n32 — the check an operator runs
     // BEFORE trusting a just-built/ingested index, next to n31's
     // accuracy curve): out-degree profile (a sink node can be entered
