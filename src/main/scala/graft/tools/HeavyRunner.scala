@@ -639,15 +639,17 @@ object HeavyRunner {
             val ma0 = memAvailableMb
             // amplification trigger (round-13 brief): 3x the member's
             // in-fork quiet band — run 1 has no band yet, so a flat
-            // threshold. 45 -> 30 s (round 14): the e6 firing class
-            // lands at 30-35 s wall (runs 1 and 5: 31.7 / 32.9 s with
-            // 6x cpu and +1.8M minflt over band) and sailed UNDER the
-            // 45 s trigger both times — at 30 s the dump catches it;
-            // a legitimately slow loaded run costs only a stderr line.
+            // threshold. 45 -> 15 s (round 14): the observed firing
+            // class spans 17-35 s wall (e6 31.7/32.9 s at 6x cpu;
+            // d5 21.2 s at 4x cpu — all with the +~2M minflt
+            // correlate) and every firing sailed UNDER the 45 s
+            // trigger; at 15 s the dump catches the whole class, and
+            // a legitimately slow cold run costs only a few stderr
+            // lines (the dump never cancels anything).
             val ampMs = sys.env.get("SPARK_GRAFT_AMP_TRIGGER_MS")
               .map(_.toLong).getOrElse(
-                if (i == 1 || firstWallMs == 0) 30000L
-                else math.max(20000L, 3 * firstWallMs))
+                if (i == 1 || firstWallMs == 0) 15000L
+                else math.max(15000L, 3 * firstWallMs))
             val amp = new Thread(() => {
               try {
                 Thread.sleep(ampMs)
