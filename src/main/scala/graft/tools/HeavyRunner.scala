@@ -71,11 +71,35 @@ object HeavyRunner {
     * member starts from the persisted indexes: d5 times the verify,
     * e6 times verify→CC→keep — its documented production shape
     * (chain build stays measured by d2/d3's own members). */
+  /** Round 14 addition to the d5/e6 stagers: ALSO run the VERIFY
+    * kernel once on a tiny pair slice. The round's amplification
+    * mechanism is now NAMED (BENCH_NOTES): the firings are
+    * INTERPRETED-EXECUTION phases — freshly generated per-plan
+    * codegen classes running un-JIT-compiled while co-tenant CPU
+    * pressure starves HotSpot's compiler threads (mid-flight stack
+    * dump: 24/33 task threads in SQLOpenHashSet /
+    * SpecializedGettersReader — array_intersect's interpreted path;
+    * magnitude bracket: C1-only 1.4x, observed firings 6-22x, full
+    * interpreter 55x). d5/e6 are the firing members precisely
+    * because the d3-dataflow staging pre-JITs the CHAIN but not
+    * their verify kernel — a 200-pair verify slice compiles exactly
+    * those classes, untimed, for pennies. */
+  private def stageDedupChain(s: SparkSession, dir: String): Unit = {
+    val pairs = SparkEntry.queries("d3_lsh_pairs")(s, dir)
+    pairs.count()
+    // the verify-kernel pre-JIT: same expression shapes as the timed
+    // verify (Spark's codegen cache keys on generated source, so the
+    // compiled-and-JITted classes are REUSED by the timed run); 200
+    // pairs x ~2k grams of backedges is past the C1/C2 OSR thresholds
+    graft.operators.Dedup.ngramJaccard(
+      graft.Tables.load(s, dir, "documents"), pairs.limit(200))
+      .write.format("noop").mode("overwrite").save()
+    ()
+  }
+
   private val stagers: Map[String, (SparkSession, String) => Unit] = Map(
-    "d5_ngram_jaccard" -> ((s, dir) =>
-      { SparkEntry.queries("d3_lsh_pairs")(s, dir).count(); () }),
-    "e6_dedup_pipeline" -> ((s, dir) =>
-      { SparkEntry.queries("d3_lsh_pairs")(s, dir).count(); () }))
+    "d5_ngram_jaccard" -> ((s, dir) => stageDedupChain(s, dir)),
+    "e6_dedup_pipeline" -> ((s, dir) => stageDedupChain(s, dir)))
 
   def resolve(name: String): (SparkSession, String) => DataFrame = {
     def persisted(dir: String) =
