@@ -82,8 +82,14 @@ object HeavyRunner {
     * magnitude bracket: C1-only 1.4x, observed firings 6-22x, full
     * interpreter 55x). d5/e6 are the firing members precisely
     * because the d3-dataflow staging pre-JITs the CHAIN but not
-    * their verify kernel — a 200-pair verify slice compiles exactly
-    * those classes, untimed, for pennies. */
+    * their verify kernel — a 200-pair verify slice invokes exactly
+    * those code paths, untimed, for pennies. HONEST LIMIT (run-7
+    * receipt): under active compiler starvation the warm-up only
+    * ENQUEUES the compilations — the C2 threads still cannot run, so
+    * a firing can still occur (e6 58.6 s / 1591 cpu-s in run 7, the
+    * dump again showing the interpreted array path). The slice makes
+    * quiet-box runs immune; under starvation the per-run cap bounds
+    * the damage and min-of-history carries the true number. */
   private def stageDedupChain(s: SparkSession, dir: String): Unit = {
     val pairs = SparkEntry.queries("d3_lsh_pairs")(s, dir)
     pairs.count()
