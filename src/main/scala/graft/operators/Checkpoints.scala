@@ -80,7 +80,13 @@ object Checkpoints {
     val reliable =
       s.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean &&
         s.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint()
+    // reliable mode stays LAZY too: an eager reliable checkpoint would
+    // silently reintroduce the per-round job dispatch (plus a
+    // distributed-FS write per round) this member exists to remove —
+    // exactly in the large-cluster configuration reliable mode targets.
+    // The consumer's action still materializes (and checkpoints) the
+    // whole pinned chain as one job.
+    if (reliable) df.checkpoint(eager = false)
     else {
       val c = df.localCheckpoint(eager = false)
       c.queryExecution.logical match {

@@ -250,13 +250,18 @@ object Compaction {
     if (frag.isEmpty)
       return VersionedParquetStore.readSnapshot(spark, root, expected)
     // read ONLY the fragmented dirs — one read per parent snapshot dir
-    // (basePath recovers the bucket partition column)
+    // (basePath recovers the bucket partition column). mergeSchema +
+    // allowMissingColumns mirror readSnapshot: a bucket fragmented
+    // across a pre-evolution and a post-evolution snapshot (the
+    // x19+w34 lifecycle composition) must fold, not throw — older
+    // rows null-pad the appended columns exactly as a read would.
     val fragRows = frag.groupBy(_.getParent.toString).toSeq.sortBy(_._1)
       .map { case (parent, dirs) =>
         spark.read.option("basePath", parent)
+          .option("mergeSchema", "true")
           .parquet(dirs.map(_.toString).sorted: _*)
       }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     VersionedParquetStore.commitSnapshot(spark, root, Some(expected),
       path => {
         fragRows.repartition(col("bucket"))

@@ -241,10 +241,30 @@ object VersionedParquetStore {
     val before = readPointer(f, root)
     val prevDirs = before.toSeq.flatMap { v =>
       val snapDir = f.makeQualified(new Path(root, v))
-      val own = f.listStatus(snapDir).toSeq
+      val entries = f.listStatus(snapDir).toSeq
+      val own = entries
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(s"$partitionCol="))
         .map(s => f.makeQualified(s.getPath).toString)
+      // ENFORCE the layout contract instead of documenting it: a prior
+      // snapshot holding data outside `partitionCol=` dirs (flat part
+      // files from merge(), or dirs partitioned on another column)
+      // cannot be carried by reference — committing anyway would swap
+      // the pointer to a snapshot containing ONLY the delta and the
+      // whole table would silently vanish from the current view.
+      // Underscore-prefixed names (_MANIFEST, _SUCCESS) are metadata,
+      // never data.
+      val foreign = entries
+        .filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(s"$partitionCol="))
+        .map(_.getPath.getName)
+      if (foreign.nonEmpty)
+        throw new IllegalStateException(
+          s"appendPartitioned($partitionCol) on $root: previous snapshot " +
+            s"$v is not $partitionCol=-partitioned (found " +
+            s"${foreign.take(3).mkString(", ")}${if (foreign.size > 3) ", …" else ""}) " +
+            "— carrying it by manifest reference would silently drop its " +
+            "rows; use merge() or re-bucket the store first")
       own ++ manifestRefs(spark, root, v)
     }
     commitSnapshot(spark, root, before,

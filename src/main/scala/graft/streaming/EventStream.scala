@@ -467,14 +467,23 @@ object EventStream {
     * point of e20's selectivity: per-batch maintenance cost tracks
     * the batch's blast radius, not the table.
     *
-    * Replay idempotency is STRUCTURAL (the w32 discipline): the
-    * arriving batch is anti-joined against the store's ids, so a
-    * replayed batch derives an EMPTY delta — no append commit, and
-    * compaction's no-op fast path commits nothing either (at 100 TB
-    * the anti-join is a key-index probe, d15's shape — here the
-    * store read is the gate-scale stand-in). Batches must carry the
-    * target `bucket` column (the writer owns placement — contiguous
-    * id runs keep min/max file stats selective, e13's argument). */
+    * Replay handling is STRUCTURAL and its semantics are, precisely,
+    * FIRST-WRITE-WINS BY `doc_id`: the arriving batch is anti-joined
+    * on `doc_id` against the ENTIRE current store, so a replayed
+    * batch derives an empty delta (no append commit, and compaction's
+    * no-op fast path commits nothing) — but a genuinely NEW record
+    * that reuses an existing doc_id is dropped by the same join,
+    * indistinguishable from a replay. That is the contract: doc_id
+    * is the immutable identity of an append-only fact store; a
+    * record that must change under an existing id belongs on the
+    * merge()/K2 upsert path, not here. Cost honesty: the per-batch
+    * anti-join reads the CURRENT STORE — O(table), not O(batch) — the
+    * right gate-scale stand-in, but a 100 TB deployment keys replay
+    * detection off a persisted seen-id digest store probed per batch
+    * (exactly how [[maintainTokenSupply]] tracks its kept-hash digest;
+    * d15's key-index-probe shape). Batches must carry the target
+    * `bucket` column (the writer owns placement — contiguous id runs
+    * keep min/max file stats selective, e13's argument). */
   def appendCompactStore(stream: DataFrame, root: String,
                          maxFilesPerBucket: Int, checkpoint: String)
                         : org.apache.spark.sql.streaming.StreamingQuery =

@@ -121,6 +121,40 @@ class CompactionIncrementalSpec extends AnyFunSuite {
     assert(contents(root) == before)
   }
 
+  test("a bucket fragmented ACROSS a schema evolution folds — older " +
+    "rows null-pad the appended column (x19+w34 composition)") {
+    // seed: one bucket, original schema; append: same bucket, one NEW
+    // column. The bucket is now fragmented across a pre-evolution and
+    // a post-evolution snapshot — the maintenance pass must fold it
+    // (mergeSchema + allowMissingColumns, mirroring readSnapshot), not
+    // throw and leave the store permanently uncompactable (round-14
+    // advice, medium).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cinc-evo").toString + "/store"
+    val seed = Seq((1L, "a", 0L), (2L, "b", 0L))
+      .toDF("id", "payload", "bucket")
+    VersionedParquetStore.commitSnapshot(spark, root, None, path =>
+      seed.write.mode("errorifexists").partitionBy("bucket").parquet(path))
+    val evolved = Seq((3L, "c", "EN", 0L))
+      .toDF("id", "payload", "lang", "bucket")
+    VersionedParquetStore.appendPartitioned(spark, root, evolved, "bucket")
+
+    Compaction.applyPlanIncremental(spark, root, maxFilesPerBucket = 1)
+
+    val back = VersionedParquetStore.read(spark, root).get
+    val got = back.select("id", "payload", "lang", "bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(
+      (1L, "a", None), (2L, "b", None), (3L, "c", Some("EN"))))
+    // and the fold actually compacted: bucket 0 is one file now
+    val files = back.withColumn("__f", input_file_name())
+      .select("__f").distinct().collect()
+    assert(files.length == 1,
+      s"evolved bucket must fold to one file, got ${files.length}")
+  }
+
   test("vacuum exempts manifest-referenced snapshots, collects them " +
     "once unreferenced") {
     val (root, seedV) = freshStore()

@@ -57,4 +57,39 @@ class VersionedParquetStoreSpec extends AnyFunSuite {
       .select("username").as[String].collect().toSet
     assert(got == Set("ada", "bob"))
   }
+
+  test("appendPartitioned REFUSES a non-partitioned previous snapshot " +
+    "instead of silently dropping the table") {
+    // merge() writes FLAT part files: carrying that snapshot by
+    // manifest reference would find no bucket= dirs and the commit
+    // would swap the pointer to a delta-only view — the whole table
+    // silently gone. The layout contract is now enforced, not merely
+    // documented (round-14 advice, medium).
+    val root = freshRoot()
+    val base = Seq((1L, "a", 0L), (2L, "b", 1L))
+      .toDF("doc_id", "payload", "bucket")
+    VersionedParquetStore.merge(spark, root, base, keyCol = "doc_id")
+    val before = VersionedParquetStore.currentVersion(spark, root)
+    val delta = Seq((3L, "c", 0L)).toDF("doc_id", "payload", "bucket")
+    val ex = intercept[IllegalStateException] {
+      VersionedParquetStore.appendPartitioned(spark, root, delta, "bucket")
+    }
+    assert(ex.getMessage.contains("not bucket=-partitioned"))
+    // nothing committed; the flat store is fully intact
+    assert(VersionedParquetStore.currentVersion(spark, root) == before)
+    assert(VersionedParquetStore.read(spark, root).get.count() == 2)
+  }
+
+  test("appendPartitioned refuses a previous snapshot partitioned on a " +
+    "DIFFERENT column") {
+    val root = freshRoot()
+    val base = Seq((1L, "a", 0L)).toDF("doc_id", "payload", "shard")
+    VersionedParquetStore.commitSnapshot(spark, root, None, path =>
+      base.write.mode("errorifexists").partitionBy("shard").parquet(path))
+    val delta = Seq((2L, "b", 0L)).toDF("doc_id", "payload", "bucket")
+    val ex = intercept[IllegalStateException] {
+      VersionedParquetStore.appendPartitioned(spark, root, delta, "bucket")
+    }
+    assert(ex.getMessage.contains("shard="))
+  }
 }
