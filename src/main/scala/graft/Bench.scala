@@ -176,6 +176,96 @@ object Bench {
       out
     } catch { case scala.util.control.NonFatal(_) => Set.empty }
 
+  /** Per-member QUIET BANDS from the official-run ledger (round-15
+    * verdict item 6): every heavy fork appends its per-run cpu/minflt
+    * series to BENCH_LEDGER.jsonl, and each artifact's detail line
+    * republishes min/max over the accumulated QUIET samples (cpu
+    * within 2x the member's historical minimum — the firing class
+    * sits 4-25x above band, so the filter separates cleanly). A
+    * future firing is then adjudicated by SUBTRACTION against the
+    * artifact itself instead of session archaeology (e6's 1.7-3.2M
+    * minflt band made its run-5 firing readable on sight; this makes
+    * that reading mechanical). Seeded with the round-14 BENCH_NOTES
+    * receipts. Best-effort everywhere: a missing/corrupt ledger only
+    * omits the bands. */
+  private[graft] def ledgerSamples(path: String)
+      : Map[String, (Seq[Double], Seq[Double])] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    import org.json4s._
+    val acc = scala.collection.mutable
+      .Map[String, (Vector[Double], Vector[Double])]()
+    try {
+      val src = scala.io.Source.fromFile(f)
+      val lines = try src.getLines().toList finally src.close()
+      for (line <- lines if line.trim.nonEmpty) {
+        try {
+          org.json4s.jackson.JsonMethods.parse(line) \ "heavy" match {
+            case JObject(fields) => fields.foreach { case (name, v) =>
+              def nums(k: String): Vector[Double] = v \ k match {
+                case JArray(xs) => xs.collect {
+                  case JDouble(d) => d
+                  case JInt(i)    => i.toDouble
+                  case JLong(l)   => l.toDouble
+                }.toVector
+                case _ => Vector.empty
+              }
+              val (c0, m0) = acc.getOrElse(name,
+                (Vector.empty[Double], Vector.empty[Double]))
+              acc(name) = (c0 ++ nums("cpu"), m0 ++ nums("minflt"))
+            }
+            case _ =>
+          }
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    acc.toMap
+  }
+
+  /** min/max over the quiet samples per member, as the detail-line
+    * JSON fragment: {"name":{"cpu":[lo,hi],"minflt":[lo,hi],"n":k}}.
+    * cpu and minflt series are per-run aligned when complete; the
+    * quiet filter keys on cpu (the inflation signal) and carries the
+    * same run's minflt when alignment holds, all minflt samples
+    * otherwise. */
+  private[graft] def quietBandsJson(
+      samples: Map[String, (Seq[Double], Seq[Double])]): String = {
+    val entries = samples.toSeq.sortBy(_._1).flatMap { case (name, (c, m)) =>
+      if (c.isEmpty) None
+      else {
+        val minC = c.min
+        val quietIdx = c.indices.filter(i => c(i) <= 2.0 * minC)
+        val qc = quietIdx.map(c)
+        val qm = if (m.length == c.length) quietIdx.map(m) else m
+        val mPart =
+          if (qm.nonEmpty) f""","minflt":[${qm.min}%.0f,${qm.max}%.0f]"""
+          else ""
+        Some(f""""$name":{"cpu":[${qc.min}%.1f,${qc.max}%.1f]""" +
+          s"""$mPart,"n":${qc.size}}""")
+      }
+    }
+    entries.mkString("{", ",", "}")
+  }
+
+  /** Append this run's heavy per-run series to the ledger (one JSON
+    * line per official-shape run). Best-effort: failure to write only
+    * loses future band samples. */
+  private def appendLedger(path: String,
+      rows: Seq[(String, Seq[Double], Seq[Double], Seq[Double])]): Unit =
+    if (rows.nonEmpty) try {
+      def arr(xs: Seq[Double]) =
+        xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+      val body = rows.map { case (n, w, c, m) =>
+        s""""$n":{"wall":${arr(w)},"cpu":${arr(c)},"minflt":${arr(m)}}"""
+      }.mkString(",")
+      val line = s"""{"ts":${System.currentTimeMillis()},""" +
+        s""""heavy":{$body}}\n"""
+      val out = new java.io.FileWriter(path, true)
+      try out.write(line) finally out.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] ledger append failed: ${e.getMessage}")
+    }
+
   /** `tier` with the members absent from the latest driver artifact
     * rotated to the front (stable within both halves, so the
     * cheapest-first receipts order is preserved as the tiebreak). */
@@ -598,6 +688,18 @@ object Bench {
       }
     } else Seq.empty
 
+    // ---- quiet-band ledger (round-15 item 6): persist this run's
+    // heavy series, then publish per-member quiet bands (min/max cpu
+    // + minflt over official history) in the detail line so a firing
+    // is adjudicated against the artifact itself. ----
+    val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_LEDGER",
+      "BENCH_LEDGER.jsonl")
+    appendLedger(ledgerPath, heavy.collect {
+      case h if h.cpus.nonEmpty =>
+        (h.name, h.walls, h.cpus, h.minflts)
+    })
+    val quietBands = quietBandsJson(ledgerSamples(ledgerPath))
+
     // ---- tail outlier rerun: a light wall measured during a
     // co-tenant load episode reads as a regression it isn't (rounds
     // 7-9: three driver artifacts mooted; d23 21.3 s vs a 3.6 s quiet
@@ -712,6 +814,10 @@ object Bench {
       // round-14 discriminator for cpu-inflated firings that majflt
       // and the synthetic co-tenant experiments cleared (BENCH_NOTES)
       s""""heavy_minflt_runs":${arrObj(heavy.map(h => h.name -> h.minflts))},""" +
+      // per-member quiet bands over ALL official history (the ledger):
+      // min/max cpu-s and minflt of in-band runs — a firing reads as
+      // "this run's cpu/minflt minus the band" with no archaeology
+      s""""heavy_quiet_band":$quietBands,""" +
       s""""heavy_warm":${arrObj(heavy.map(h => h.name -> h.warm))}}""")
     // FINAL line: a compact summary that must fit the driver's bounded
     // stdout tail window (~2.2 KB observed, which also has to hold

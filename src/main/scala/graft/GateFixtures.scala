@@ -695,7 +695,8 @@ object GateFixtures {
     * index sharing, mirrored). Reads `gq(qid, qu)`, `gedges(src,
     * dst)`, `u(vec_id, ue)`; ends with `<p>res(qid, neighbor_id,
     * cos_r, rnk)` — the full visited ranking, caller truncates. */
-  private def annWalkCtes(p: String, beam: Int, rounds: Int): String = {
+  private def annWalkCtes(p: String, beam: Int, rounds: Int,
+                          edgesName: String = "gedges"): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""${p}f${r - 1} AS MATERIALIZED (SELECT qid, node, cos_r FROM
            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -706,7 +707,7 @@ object GateFixtures {
          ${p}x$r AS MATERIALIZED (SELECT qid, node FROM ${p}x${r - 1}
                  UNION SELECT qid, node FROM ${p}f${r - 1}),
          ${p}n$r AS MATERIALIZED (SELECT DISTINCT f.qid, e.dst node FROM ${p}f${r - 1} f
-                 JOIN gedges e ON e.src = f.node
+                 JOIN $edgesName e ON e.src = f.node
                  WHERE NOT EXISTS (SELECT 1 FROM ${p}v${r - 1} v
                    WHERE v.qid = f.qid AND v.node = e.dst)),
          ${p}s$r AS MATERIALIZED (SELECT n.qid, n.node,
@@ -780,5 +781,70 @@ object GateFixtures {
        $walks,
        $perSetting
        SELECT * FROM ($rows) ORDER BY beam, rounds, qid"""
+  }
+
+  /** Oracle twin of the n33 graph-index repair gate: build the edge
+    * index, BFS `maxHops` rounds from the min-id entry (per-round
+    * cumulative sets, so hop<=maxHops-1 defines the anchor set),
+    * bridge every out-of-horizon node to its cosine-argmax anchor,
+    * re-BFS over the repaired edges, and walk the (beam, rounds) top
+    * rung on BOTH edge sets against one brute-force truth table —
+    * one row: counts plus pre/post average recall in exact ppm. */
+  private[graft] def annGraphRepairOracleSql(m: Int, beam: Int,
+                                             rounds: Int, k: Int,
+                                             maxBucket: Int,
+                                             maxHops: Int): String = {
+    def bfs(p: String, edges: String): String =
+      (1 to maxHops).map(r =>
+        s"""$p$r AS MATERIALIZED (SELECT id FROM $p${r - 1}
+           UNION SELECT e.dst id FROM $edges e
+           JOIN $p${r - 1} f ON e.src = f.id)""").mkString(",\n")
+    def hitAgg(p: String): String =
+      s"""${p}a AS (SELECT qid, neighbor_id FROM ${p}res WHERE rnk <= $k),
+         ${p}hh AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) h FROM
+           (SELECT a.qid, COUNT(*) c FROM ${p}a a JOIN gex
+              ON a.qid = gex.qid AND a.neighbor_id = gex.nid
+            GROUP BY 1))"""
+    s"""WITH $oracleUnitCte,
+       ${annGraphBuildCtes("g", "TRUE", "TRUE", m, maxBucket, 2)},
+       corp AS (SELECT vec_id FROM u),
+       rb0 AS (SELECT MIN(vec_id) id FROM corp),
+       ${bfs("rb", "gedges")},
+       anch AS MATERIALIZED (SELECT id FROM rb${maxHops - 1}),
+       ubr AS MATERIALIZED (SELECT c.vec_id u_id FROM corp c
+         WHERE c.vec_id NOT IN (SELECT id FROM rb$maxHops)),
+       bsc AS (SELECT a.id a_id, ub.u_id,
+           ROUND(list_dot_product(ua.ue, uu.ue), 6) w
+         FROM anch a JOIN u ua ON ua.vec_id = a.id
+         CROSS JOIN ubr ub JOIN u uu ON uu.vec_id = ub.u_id),
+       bre AS MATERIALIZED (SELECT a_id src, u_id dst FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY u_id
+            ORDER BY w DESC, a_id) r FROM bsc) WHERE r = 1),
+       redges AS MATERIALIZED (SELECT src, dst FROM gedges
+         UNION SELECT src, dst FROM bre),
+       pb0 AS (SELECT MIN(vec_id) id FROM corp),
+       ${bfs("pb", "redges")},
+       gq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+       gbs AS (SELECT qid, u.vec_id nid,
+         ROUND(list_dot_product(qu, u.ue), 6) cos_r
+         FROM gq, u WHERE u.vec_id <> qid),
+       gbr AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         ORDER BY cos_r DESC, nid) rnk FROM gbs),
+       gex AS MATERIALIZED (SELECT qid, nid FROM gbr WHERE rnk <= $k),
+       ${annWalkCtes("pre", beam, rounds, "gedges")},
+       ${annWalkCtes("post", beam, rounds, "redges")},
+       ${hitAgg("pre")},
+       ${hitAgg("post")},
+       nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) n FROM gex)
+       SELECT
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ubr) n_unreach_before,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bre) n_bridges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM corp)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM pb$maxHops)
+           AS n_unreach_after,
+         (SELECT h FROM prehh) * 1000000 // ($k * (SELECT n FROM nq))
+           AS recall_pre_ppm,
+         (SELECT h FROM posthh) * 1000000 // ($k * (SELECT n FROM nq))
+           AS recall_post_ppm"""
   }
 }

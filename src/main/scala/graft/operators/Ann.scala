@@ -688,9 +688,32 @@ object Ann {
       units: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
 
   /** Collect + broadcast the serving index from the (vec_id, ue) unit
-    * corpus and the persisted (src, dst) edge table. */
+    * corpus and the persisted (src, dst) edge table.
+    *
+    * GUARDED: the two collects are bounded by a count() precheck
+    * against `spark.graft.ann.localIndexMaxMb` (default 2048) —
+    * estimated as 16 B/edge + 8·dim B/vector. Over the cap this
+    * FAILS LOUDLY naming the regime split instead of OOMing the
+    * driver anonymously: an index past broadcastable size belongs on
+    * [[graphSearch]]'s distributed-join walk (the over-RAM regime
+    * n23 gates), not on the serving replica. */
   def buildLocalGraphIndex(em: DataFrame, edges: DataFrame): LocalGraphIndex = {
     val sc = em.sparkSession.sparkContext
+    val maxMb = em.sparkSession.conf
+      .get("spark.graft.ann.localIndexMaxMb", "2048").toDouble
+    val nEdges = edges.count()
+    val emHead = em.select(col("ue")).limit(1).collect()
+    val dim = emHead.headOption.map(_.getSeq[Double](0).size).getOrElse(0)
+    val nVecs = em.count()
+    val estMb = (nEdges * 16.0 + nVecs * (8.0 * dim + 24.0)) / 1e6
+    if (estMb > maxMb)
+      throw new IllegalStateException(
+        f"buildLocalGraphIndex: estimated serving-index size $estMb%.0f MB " +
+          f"($nEdges edges, $nVecs vectors × dim $dim) exceeds " +
+          f"spark.graft.ann.localIndexMaxMb=$maxMb%.0f — this corpus is in " +
+          "the over-RAM-index regime; use graphSearch's distributed-join " +
+          "walk (n23's plan) or raise the cap if every executor truly has " +
+          "the headroom")
     val adj = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .collect()
@@ -759,6 +782,57 @@ object Ann {
         }
       }
       .toDF("qid", "rnk", "neighbor_id", "cos_r")
+  }
+
+  /** N33: graph-index REPAIR — the fix half of n32's audit (an audit
+    * that only detects is half the production loop): every node
+    * outside the entry's bounded-hop neighborhood gets ONE bridge
+    * edge from its most-similar REACHABLE anchor (cosine argmax,
+    * HALF_UP 6-decimal rounding, (cos desc, anchor id) ties — the
+    * walk's own pick discipline), anchors restricted to hop <=
+    * maxHops-1 so the bridged node lands INSIDE the audit horizon:
+    * re-auditing the repaired index pins zero unreachable by
+    * construction. HNSW implementations repair orphaned components
+    * exactly this way — connect them to the searched layer's frontier
+    * — rather than rebuilding the index.
+    *
+    * `reach` is [[Bfs.hopDistances]]' (id, dist) output from the
+    * entry over the CURRENT edges — passed in, not recomputed, so the
+    * caller's audit and the repair share one BFS.
+    *
+    * Scale: the unreachable set is the audit's TAIL (3/500 at gate
+    * scale; the failure class, not the corpus) — broadcast it; the
+    * anchor side is ONE scan of the reachable corpus scored against
+    * the broadcast. Never all-pairs, never a rebuild; the bridge set
+    * is append-only on the stored edge table (n25's ingest
+    * discipline). Returns (src=anchor, dst=bridged node). */
+  def bridgeEdges(em: DataFrame, reach: DataFrame, maxHops: Int): DataFrame = {
+    val unreach = em
+      .join(reach.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("u_id"), col("ue").as("u_ue"))
+    val anchors = em.join(
+      reach.filter(col("dist") <= maxHops - 1).select(col("id").as("vec_id")),
+      Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("ue").as("a_ue"))
+    val scored = anchors.crossJoin(broadcast(unreach))
+      .select(col("a_id"), col("u_id"),
+        round(Similarity.dot(col("a_ue"), col("u_ue")), 6).as("cos_r"))
+    topKPerGroup(scored, Seq("u_id"), Seq(col("cos_r").desc, col("a_id")),
+      1, "__rb")
+      .select(col("a_id").as("src"), col("u_id").as("dst"))
+  }
+
+  /** [[bridgeEdges]] as a one-call repair: audit-BFS from `entryId`,
+    * bridge everything outside the horizon, return the repaired
+    * (src, dst) edge table (stored edges pass through bit-for-bit;
+    * bridges are appended). */
+  def repairGraphIndex(em: DataFrame, edges: DataFrame, entryId: Long,
+                       maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val reach = Bfs.hopDistances(e,
+      em.filter(col("vec_id") === entryId).select(col("vec_id").as("id")),
+      maxHops)
+    e.unionByName(bridgeEdges(em, reach, maxHops))
   }
 
   /** Sign-bit band table of `em` (vec_id, ue) vs the `planes`
