@@ -46,9 +46,12 @@ case "${2:-all}" in
     run_fork "B xbatch"       -Xbatch ;
     run_fork "C c1floor"      -XX:TieredStopAtLevel=1 ;;
   load)
+    # E is C1-floor, not -Xbatch: the quiet arms REJECTED -Xbatch
+    # (run-1 cpu 143.7 -> 728.7 cpu-s across two quiet repeats — the
+    # synchronous-compile stall is itself firing-class)
     spin_start
     run_fork "D load default" ;
-    run_fork "E load xbatch"  -Xbatch ;
+    run_fork "E load c1floor" -XX:TieredStopAtLevel=1 ;
     spin_stop ;;
   all)
     "$0" "$Q" quiet
