@@ -40,18 +40,22 @@ object PageRank {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edge list annotated with its source's out-degree: iteration-
-    // invariant, computed once in the plan (ReusedExchange picks the
-    // aggregation up across rounds; a production run would persist it)
-    val withDeg = edges.join(deg, "src")
-    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micros"))
+    // edge list annotated with its source's out-degree, PINNED: it is
+    // iteration-invariant and referenced every round — unpinned, each
+    // round re-derives the degree aggregation + join (ReusedExchange
+    // recovers some but not the join), measured at sf0.1 as ~2.5 s of
+    // a 7 s warm wall. The node list is pinned for the same reason
+    // (one union+distinct exchange instead of iterations+1).
+    val withDeg = Checkpoints.pin(edges.join(deg, "src"))
+    val nodesP = Checkpoints.pin(nodes)
+    var ranks = nodesP.select(col("id"), lit(1000000L).as("rank_micros"))
     for (_ <- 1 to iterations) {
       val inbound = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank_micros div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inbound"))
-      ranks = nodes
-        .join(inbound, nodes("id") === inbound("dst"), "left")
+      ranks = nodesP
+        .join(inbound, nodesP("id") === inbound("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(inbound, 0L)) div 100"))
             .as("rank_micros"))
@@ -82,15 +86,26 @@ object PageRank {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src")
-    val seeded = nodes.join(
+    // the iteration-INVARIANT frames, pinned once (the scaladoc's
+    // "a production run persists/buckets the edge relation" made
+    // real): unpinned, every round re-derives the degree join and the
+    // node-list distinct — 5 redundant exchanges per extra round
+    val withDeg = Checkpoints.pin(edges.join(deg, "src"))
+    val seeded = Checkpoints.pin(nodes.join(
       seeds.select(col("id")).distinct().withColumn("__seed", lit(1L)),
-      Seq("id"), "left")
+      Seq("id"), "left"))
     var ranks = seeded.select(col("id"),
       (coalesce(col("__seed"), lit(0L)) * 1000000L).as("rank_micros"))
     for (_ <- 1 to iterations) {
+      // the frontier bound, IN the plan: zero-rank nodes contribute
+      // exactly 0 (0 div outdeg), so filtering them before the edge
+      // join is semantics-preserving — and it is what makes each
+      // round's join carry the seed NEIGHBORHOOD instead of the whole
+      // graph (round 1 joins |seeds| rows, not |V|; measured at
+      // sf0.1: g61 warm 6.7-9.9 s -> ~4 s)
       val inbound = withDeg
-        .join(ranks, withDeg("src") === ranks("id"))
+        .join(ranks.filter(col("rank_micros") > 0L),
+          withDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank_micros div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inbound"))
       ranks = seeded
