@@ -186,8 +186,17 @@ object Bench {
     * artifact itself instead of session archaeology (e6's 1.7-3.2M
     * minflt band made its run-5 firing readable on sight; this makes
     * that reading mechanical). Seeded with the round-14 BENCH_NOTES
-    * receipts. Best-effort everywhere: a missing/corrupt ledger only
-    * omits the bands. */
+    * receipts, ONE ledger line per documented fork.
+    *
+    * Bands are RUN-1 bands: only the FIRST sample of each ledger
+    * line's series counts. Run 1 is the cold run where firings occur;
+    * mixing warm run-2 samples in anchored the 2x-min filter at the
+    * warm floor and would misread every normal cold run as a firing
+    * (caught on this round's second official run: e6's band read
+    * [14.8, 16.9] from its warm runs while its cold quiet runs sit at
+    * 139-157 cpu-s — exactly BENCH_NOTES' run-1/run-2 band split).
+    * Best-effort everywhere: a missing/corrupt ledger only omits the
+    * bands. */
   private[graft] def ledgerSamples(path: String)
       : Map[String, (Seq[Double], Seq[Double])] = {
     val f = new java.io.File(path)
@@ -212,7 +221,9 @@ object Bench {
               }
               val (c0, m0) = acc.getOrElse(name,
                 (Vector.empty[Double], Vector.empty[Double]))
-              acc(name) = (c0 ++ nums("cpu"), m0 ++ nums("minflt"))
+              // run-1 only: the head of each series (see scaladoc)
+              acc(name) = (c0 ++ nums("cpu").take(1),
+                m0 ++ nums("minflt").take(1))
             }
             case _ =>
           }

@@ -12307,6 +12307,179 @@ object SparkEntry {
            FROM cw ORDER BY epoch, tokens DESC, source"""
       }),
 
+    // CURATION FUNNEL REPORT (o33 — e21's per-stage ledger: the
+    // composite's answer is the terminal allocation table; this is
+    // the debugging artifact next to it, one row per stage with
+    // surviving docs and tokens, so a curator sees WHERE the corpus
+    // went. Same staged operators, aggregated instead of carried —
+    // any stage bug moves its row and every row after it.)
+    ("o33_curation_funnel", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def ledger(stage: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+            .as("n_tokens"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+      val kept = Dedup.keepList(s, docs, lshPairsCached(s, dir))
+      val train0 = kept.filter(col("doc_id") % 7 =!= 0)
+      val flagged = Dedup.contaminationBloom(
+        train0, docs.filter(col("doc_id") % 7 === 0), 6).select("doc_id")
+      val clean = train0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      val qual = clean.join(
+        TextQuality.textStats(clean, stopwords)
+          .filter(col("quality") >= 0.5).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val cl = Dedup.clusters(s, lshPairsCached(s, dir))
+      val sp = operators.Sampling.groupSplit(
+        qual.join(cl, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("cluster"), col("doc_id"))),
+        "grp", salt = "lf")
+      Seq(
+        ledger("0_raw", docs),
+        ledger("1_dedup_keep", kept),
+        ledger("2_decontaminated", clean),
+        ledger("3_quality", qual),
+        ledger("4_train_split", sp.filter(col("split") === "train")))
+        .reduce(_ unionByName _)
+        .orderBy("stage")
+    },
+      Some(s"""WITH RECURSIVE $oracleSigCtes, $oraclePairCtes,
+           edges AS (SELECT doc_a src, doc_b dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
+           reach(doc_id, lbl) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           cl AS (SELECT doc_id, MIN(lbl) AS cluster FROM reach
+             GROUP BY doc_id),
+           keep AS (SELECT d.* FROM documents d
+             WHERE d.doc_id NOT IN
+               (SELECT doc_id FROM cl WHERE doc_id <> cluster)),
+           bw AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+             WHERE doc_id % 7 = 0),
+           bsh AS (SELECT DISTINCT
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4],
+                 w[i+5]) for i in generate_series(1, len(w) - 5)]) sh
+             FROM bw),
+           tw AS (SELECT doc_id, string_split(text, ' ') w FROM keep
+             WHERE doc_id % 7 <> 0),
+           tsh AS (SELECT DISTINCT doc_id,
+               UNNEST([concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4],
+                 w[i+5]) for i in generate_series(1, len(w) - 5)]) sh
+             FROM tw),
+           flag AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b
+             USING (sh)),
+           clean AS (SELECT k.* FROM keep k WHERE k.doc_id % 7 <> 0
+             AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
+           qw AS (SELECT doc_id, source, text, string_split(text, ' ') w
+             FROM clean),
+           qual AS (SELECT doc_id, source, text FROM qw
+             WHERE LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
+               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+               + (CAST(len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in'], x))) AS DOUBLE)
+                  / len(w)) * 0.2 >= 0.5),
+           k2 AS (SELECT q.doc_id, q.text,
+               COALESCE(cl.cluster, q.doc_id) grp
+             FROM qual q LEFT JOIN cl USING (doc_id)),
+           hh AS (SELECT doc_id, text, md5('lf|' || CAST(grp AS VARCHAR)) h
+             FROM k2),
+           vv AS (SELECT doc_id, text,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS v
+             FROM hh),
+           tr AS (SELECT doc_id, text FROM vv
+             WHERE v * 1000 < 800 * 4096),
+           led AS (
+             SELECT '0_raw' stage, CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+                 n_tokens FROM documents
+             UNION ALL SELECT '1_dedup_keep', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+               FROM keep
+             UNION ALL SELECT '2_decontaminated', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+               FROM clean
+             UNION ALL SELECT '3_quality', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+               FROM qual
+             UNION ALL SELECT '4_train_split', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+               FROM tr)
+           SELECT stage, n_docs, n_tokens FROM led ORDER BY stage""")),
+
+    // VIDEO NEAR-DUP by exact-frame CONTAINMENT (m18 — the near-miss
+    // tier above m17's exact sequence fingerprint, for the TRIMMED /
+    // re-cut video: a prefix cut shares every complete frame with its
+    // original, so |frames(a) ∩ frames(b)| / |frames(a)| stays high
+    // while the sequence fingerprint differs. d24's containment shape
+    // on m2's frame grid with full-window md5 frame hashes; frames
+    // block the join (equality on the hash), df-capped at 100 docs
+    // per frame (the d12 boilerplate guard — one viral frame must not
+    // go quadratic), docs need >= 4 distinct frames (a 1-frame doc
+    // 'contains' anything it collides with). Injected gold: every
+    // 97th doc gets a 2/3-prefix trim under an offset id — the trim's
+    // complete frames are the original's by construction, so pairs
+    // exist on any generation.
+    ("m18_video_trim_containment", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val aug = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            expr("substr(text, 1, CAST(greatest((length(text) * 2) div 3, 1) AS INT))")
+              .as("text")))
+      val nFrames =
+        expr("(greatest(CAST(length(text) AS BIGINT), 1L) - 1) div 100")
+      val fr = aug
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), nFrames)).as("f"))
+        .select(col("doc_id"),
+          md5(expr("substr(text, CAST(f*100 + 1 AS INT), 100)")).as("fh"))
+        .distinct()
+      val capped = fr.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy("fh")))
+        .filter(col("__df") <= 100).drop("__df")
+      val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        .filter(col("na") >= 4)
+      val ins = capped.as("a")
+        .join(capped.as("b"),
+          col("a.fh") === col("b.fh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter_n"))
+      ins.join(sz.select(col("doc_id").as("doc_a"), col("na")), Seq("doc_a"))
+        .filter(col("inter_n") * 10 >= col("na") * 6)
+        .select(col("doc_a"), col("doc_b"), col("inter_n"), col("na"),
+          round(col("inter_n") * lit(1.0) / col("na"), 6).as("containment_r"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH mx AS (SELECT MAX(doc_id) + 1 idoff FROM documents),
+             a AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + idoff,
+                 substr(text, 1, CAST(greatest((len(text) * 2) // 3, 1) AS INT))
+               FROM documents, mx WHERE doc_id % 97 = 0),
+             fr0 AS (SELECT doc_id, text,
+               UNNEST([i for i in generate_series(0,
+                 (greatest(len(text), 1) - 1) // 100)]) f FROM a),
+             fr AS (SELECT DISTINCT doc_id,
+               md5(substr(text, CAST(f*100 + 1 AS INT), 100)) fh FROM fr0),
+             capped AS (SELECT doc_id, fh FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY fh) df FROM fr)
+               WHERE df <= 100),
+             sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) na FROM capped
+               GROUP BY 1 HAVING COUNT(*) >= 4),
+             ins AS (SELECT a.doc_id da, b.doc_id db,
+                 CAST(COUNT(*) AS BIGINT) i
+               FROM capped a JOIN capped b ON a.fh = b.fh
+                 AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+             SELECT da AS doc_a, db AS doc_b, i AS inter_n, sz.na,
+               ROUND(i * 1.0 / sz.na, 6) AS containment_r
+             FROM ins JOIN sz ON sz.doc_id = ins.da
+             WHERE i * 10 >= sz.na * 6
+             ORDER BY doc_a, doc_b""")),
+
     // Dedup-aware token SUPPLY (d1's exact dedup x t-family token
     // counting, per source): raw vs post-dedup docs and tokens, and
     // the duplicated-token ppm — the FRESH-DATA supply table o28's

@@ -14,14 +14,18 @@ class BenchLedgerSpec extends AnyFunSuite {
     f.toString
   }
 
-  test("samples accumulate across lines; corrupt lines are skipped") {
+  test("run-1 samples accumulate across lines (warm run-2 samples are " +
+    "NOT band material); corrupt lines are skipped") {
     val p = tmpLedger(
-      """{"heavy":{"e6":{"wall":[12.0],"cpu":[148.1,150.0],"minflt":[2090000,2280000]}}}""",
+      // run-2 cpu 15.0 / minflt 20310 must be ignored: a warm sample
+      // in the band would anchor the 2x-min filter at the warm floor
+      // and misread every normal cold run as a firing
+      """{"heavy":{"e6":{"wall":[12.0,1.6],"cpu":[148.1,15.0],"minflt":[2090000,20310]}}}""",
       """not json at all""",
       """{"heavy":{"e6":{"cpu":[156.5],"minflt":[3230000]},"d5":{"cpu":[137.4],"minflt":[2050000]}}}""")
     val s = Bench.ledgerSamples(p)
-    assert(s("e6")._1 == Seq(148.1, 150.0, 156.5))
-    assert(s("e6")._2 == Seq(2090000.0, 2280000.0, 3230000.0))
+    assert(s("e6")._1 == Seq(148.1, 156.5))
+    assert(s("e6")._2 == Seq(2090000.0, 3230000.0))
     assert(s("d5")._1 == Seq(137.4))
   }
 
@@ -44,7 +48,16 @@ class BenchLedgerSpec extends AnyFunSuite {
     val s = Bench.ledgerSamples("BENCH_LEDGER.jsonl")
     assert(s.contains("e6_dedup_pipeline") && s.contains("d5_ngram_jaccard"))
     val json = Bench.quietBandsJson(s)
-    assert(json.contains(""""e6_dedup_pipeline":{"cpu":[148.0,156.5]"""))
-    assert(json.contains(""""minflt":[1740000,3230000]"""))
+    // seed run-1 cpu band 123-157 (d5): any official-run firing
+    // appended later (cpu 4-16x) must not widen it
+    val d5 = """"d5_ngram_jaccard":\{"cpu":\[(\d+\.\d),(\d+\.\d)\]""".r
+    val m = d5.findFirstMatchIn(json)
+    assert(m.isDefined, json)
+    assert(m.get.group(1).toDouble == 123.0)
+    assert(m.get.group(2).toDouble <= 200.0,
+      s"a firing widened d5's quiet band: $json")
+    assert(json.contains(""""e6_dedup_pipeline":{"cpu":[139.7,156.5]""") ||
+      json.contains(""""e6_dedup_pipeline":{"cpu":[148.0,156.5]"""),
+      json)
   }
 }

@@ -23,6 +23,24 @@ class VideoKeyframeDupSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) >= 2L))
   }
 
+  test("m18: every injected 2/3-trim is contained in its original " +
+    "above threshold; no containment without >= 60% shared frames") {
+    val out = graft.SparkEntry
+      .queries("m18_video_trim_containment")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "injected trims must produce containment pairs")
+    // d24's threshold inequality holds on every emitted row
+    assert(out.forall { case (_, _, inter, na) => inter * 10 >= na * 6 })
+    // at least one pair is a (trimmed copy, original) with the
+    // injected id offset: doc_a = doc_b + off and doc_b % 97 == 0
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val off = docs.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0) + 1
+    assert(out.exists { case (a, b, _, _) => a == b + off && b % 97 == 0 },
+      s"no injected trim->original pair found (off=$off)")
+  }
+
   test("the sequence fingerprint is order-sensitive") {
     // two synthetic 'videos' with identical keyframe SETS in different
     // ORDER: text A = block X ++ pad ++ block Y, text B = Y ++ pad ++ X
