@@ -392,6 +392,23 @@ object SparkEntry {
     graphEdgesCache.getOrElseUpdate((s, dir),
       Ann.knnGraphEdges(t(s, dir, "embeddings"), rpPlanes, 10).persist())
 
+  // The INCREMENTAL edge table (n25's stored-build + batch-ingest
+  // fold) as a persisted index for the n34 maintenance audit — n25
+  // itself deliberately rebuilds per call (the ingest fold IS what it
+  // measures); n34 only READS the folded table, so it stages like
+  // every other index (the round-13 discipline: the audit job must
+  // not be charged the writer's one-off build).
+  private val incrEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def incrEdgesCached(s: SparkSession, dir: String): DataFrame =
+    incrEdgesCache.getOrElseUpdate((s, dir), {
+      val em = t(s, dir, "embeddings")
+      Ann.incrementalGraphEdges(
+        Ann.knnGraphEdges(em.filter(col("vec_id") % 4 =!= 0), rpPlanes, 10),
+        em, col("vec_id") % 4 === 0, rpPlanes, 10)
+        .select("src", "dst").persist()
+    })
+
   // The SERVING-side replica of the same index (adjacency + unit
   // corpus broadcast per executor — Ann.LocalGraphIndex's scaladoc
   // argues the regime): w30's at-arrival search and n31's sweep read
@@ -444,6 +461,7 @@ object SparkEntry {
     // 100 TB)
     tradeEdgesCached(s, dir).count()
     lpaLabelsCached(s, dir).count()
+    incrEdgesCached(s, dir).count()
     // pre-JIT the personalized-PageRank kernel (g61): one untimed run
     // of the exact gate dataflow — no data is cached, only the
     // codegen/JIT state the timed gate would otherwise pay on first
@@ -454,7 +472,7 @@ object SparkEntry {
 
   def clearCaches(s: SparkSession): Unit = {
     Seq(sigCache, pairsCache, verifiedCache, edgesCache, lpaCache,
-        graphEdgesCache).foreach { cache =>
+        graphEdgesCache, incrEdgesCache).foreach { cache =>
       cache.toSeq.filter(_._1._1 eq s).foreach { case (k, df) =>
         df.unpersist(blocking = false)
         cache.remove(k)
@@ -12111,6 +12129,87 @@ object SparkEntry {
       Some(GateFixtures.annGraphRepairOracleSql(
         m = 10, beam = 16, rounds = 6, k = 5, maxBucket = 256,
         maxHops = 6))),
+
+    // INCREMENTAL-INDEX REPAIR LIFECYCLE (n34 — n33's repair run
+    // where the maintenance loop actually needs it: n25's append-only
+    // ingest gives each batch node its top-m OUT-edges and leaves
+    // stored edge lists untouched — so NO stored node points at a
+    // batch node, and a batch node is reachable only through chains
+    // of batch→batch band edges from a batch entry. The audit
+    // quantifies that ingest debt (at sf0.01: 80 unreachable, 79 of
+    // them batch nodes), the bridge repair pays it,
+    // and the re-audit pins zero. This is the audit→fix loop composed
+    // with the ingest path — the recurring maintenance job an HNSW
+    // serving fleet runs after every batch, next to n24's
+    // decision-gated full rebuild.)
+    ("n34_incremental_index_repair", (s, dir) => {
+      val emRaw = t(s, dir, "embeddings")
+      val em = emRaw.select(col("vec_id"),
+        graft.functions.Similarity.unit(col("embedding")).as("ue"))
+      // the persisted+staged incremental edge table (incrEdgesCached):
+      // the audit reads the index the n25 ingest path wrote — charging
+      // the reader for the build is the round-13 anti-pattern
+      val edges = incrEdgesCached(s, dir)
+      val entry = emRaw.agg(min(col("vec_id"))).head().getLong(0)
+      val maxHops = 6
+      val entrySrc = em.filter(col("vec_id") === entry)
+        .select(col("vec_id").as("id"))
+      val reach = operators.Bfs.hopDistances(edges, entrySrc, maxHops)
+      val bridges = Ann.bridgeEdges(em, reach, maxHops)
+      val repaired = edges.unionByName(bridges)
+      val reachAfter = operators.Bfs.hopDistances(repaired, entrySrc, maxHops)
+      val corpus = emRaw.select(col("vec_id"))
+      corpus.join(reach.select(col("id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_unreach_before"),
+          coalesce(sum(when(col("vec_id") % 4 === 0, 1L).otherwise(0L)),
+            lit(0L)).as("n_unreach_batch"))
+        .crossJoin(broadcast(bridges.agg(count(lit(1)).as("n_bridges"))))
+        .crossJoin(broadcast(
+          corpus.join(reachAfter.select(col("id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+            .agg(count(lit(1)).as("n_unreach_after"))))
+    },
+      Some {
+        val maxHops = 6
+        def bfs(p: String, edges: String): String =
+          (1 to maxHops).map(r =>
+            s"""$p$r AS MATERIALIZED (SELECT id FROM $p${r - 1}
+               UNION SELECT e.dst id FROM $edges e
+               JOIN $p${r - 1} f ON e.src = f.id)""").mkString(",\n")
+        s"""WITH $oracleUnitCte,
+           ${GateFixtures.annGraphBuildCtes("st", "vec_id % 4 <> 0",
+             "TRUE", 10, 256, 2)},
+           ${GateFixtures.annGraphBuildCtes("bt", "TRUE",
+             "a.vec_id % 4 = 0", 10, 256, 0)},
+           iedges AS MATERIALIZED (SELECT src, dst FROM stedges
+             UNION ALL SELECT src, dst FROM btedges),
+           corp AS (SELECT vec_id FROM u),
+           rb0 AS (SELECT MIN(vec_id) id FROM corp),
+           ${bfs("rb", "iedges")},
+           anch AS MATERIALIZED (SELECT id FROM rb${maxHops - 1}),
+           ubr AS MATERIALIZED (SELECT c.vec_id u_id FROM corp c
+             WHERE c.vec_id NOT IN (SELECT id FROM rb$maxHops)),
+           bsc AS (SELECT a.id a_id, ub.u_id,
+               ROUND(list_dot_product(ua.ue, uu.ue), 6) w
+             FROM anch a JOIN u ua ON ua.vec_id = a.id
+             CROSS JOIN ubr ub JOIN u uu ON uu.vec_id = ub.u_id),
+           bre AS MATERIALIZED (SELECT a_id src, u_id dst FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY u_id
+                ORDER BY w DESC, a_id) r FROM bsc) WHERE r = 1),
+           redges AS MATERIALIZED (SELECT src, dst FROM iedges
+             UNION SELECT src, dst FROM bre),
+           pb0 AS (SELECT MIN(vec_id) id FROM corp),
+           ${bfs("pb", "redges")}
+           SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ubr) n_unreach_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ubr WHERE u_id % 4 = 0)
+               n_unreach_batch,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bre) n_bridges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM corp)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM pb$maxHops)
+               AS n_unreach_after"""
+      }),
 
     // VIDEO KEYFRAME DEDUP (m17 — completing the modality triad:
     // image has hash dedup through keep-list m7/m11/m13/m15, audio
