@@ -12871,6 +12871,68 @@ object SparkEntry {
         s"""SELECT * FROM ($perVersion) ORDER BY version_idx, source"""
       }),
 
+    // SHALLOW CLONE (x20 — VersionedParquetStore.shallowClone, the
+    // Delta/Iceberg zero-copy CLONE): the clone's first snapshot is
+    // ONE manifest referencing the source's physical files — commit
+    // cost is metadata regardless of table size (the instant
+    // dev/test/experiment fork at 100 TB). The gate proves the three
+    // clone semantics in one hashed row: (a) the clone READS the
+    // source's bytes (every pre-clone clone row is served from a file
+    // under the SOURCE root — n_clone_from_source counts
+    // input_file_name provenance); (b) the fork is independent both
+    // ways (an append to the clone and a different append to the
+    // source land only on their own side — the two sums diverge
+    // exactly by their own delta). CloneSpec pins the metadata-only
+    // layout and the cross-root vacuum hazard.
+    ("x20_shallow_clone", (s, dir) => {
+      def rows(m: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === m)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 4).as("bucket"),
+          cents(col("o_totalprice")).as("price_c"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x20").toString
+      try {
+        val src = s"$tmp/source"
+        val cln = s"$tmp/clone"
+        graft.sources.VersionedParquetStore.commitSnapshot(s, src, None,
+          path => rows(0).write.mode("errorifexists")
+            .partitionBy("bucket").parquet(path))
+        graft.sources.VersionedParquetStore.shallowClone(s, src, cln)
+        graft.sources.VersionedParquetStore
+          .appendPartitioned(s, cln, rows(1), "bucket")
+        graft.sources.VersionedParquetStore
+          .appendPartitioned(s, src, rows(2), "bucket")
+        val srcBack = graft.sources.VersionedParquetStore.read(s, src).get
+        val clnBack = graft.sources.VersionedParquetStore.read(s, cln).get
+          .withColumn("__f", input_file_name())
+        materialized(s,
+          srcBack.agg(count(lit(1)).as("n_source"),
+            sum(col("price_c")).as("src_sum_c"))
+          .crossJoin(broadcast(clnBack.agg(
+            count(lit(1)).as("n_clone"),
+            sum(col("price_c")).as("clone_sum_c"),
+            sum(when(col("__f").contains("/source/"), 1L).otherwise(0L))
+              .as("n_clone_from_source"))))
+          .select(col("n_source"), col("src_sum_c"), col("n_clone"),
+            col("clone_sum_c"), col("n_clone_from_source")))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some("""WITH b AS (SELECT o_orderkey id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) c,
+               o_orderkey % 50 m FROM orders)
+             SELECT
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE m IN (0, 2))
+                 n_source,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM b WHERE m IN (0, 2))
+                 src_sum_c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE m IN (0, 1))
+                 n_clone,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM b WHERE m IN (0, 1))
+                 clone_sum_c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE m = 0)
+                 n_clone_from_source""")),
+
     // Degree assortativity (GraphStats.degreeAssortativity, Newman
     // 2002) over the symmetric customer-supplier trade graph the
     // g41/g49/g51 family shares: do high-degree nodes trade with

@@ -277,6 +277,50 @@ object VersionedParquetStore {
       beforeCommit)
   }
 
+  /** SHALLOW CLONE (x20 — Delta/Iceberg's zero-copy CLONE): create a
+    * NEW store root whose first snapshot carries the SOURCE's current
+    * snapshot entirely by manifest reference. No data file is read,
+    * copied, or rewritten — the commit cost is one manifest and one
+    * pointer file, regardless of table size; at 100 TB this is the
+    * difference between an instant dev/test/experiment fork and a
+    * day-long copy job. The clone then evolves independently: its own
+    * appends/merges/compactions write under its own root and the
+    * source never sees them (copy-on-write at snapshot granularity);
+    * conversely later source commits never move the clone (it is
+    * pinned to the snapshot it cloned).
+    *
+    * HAZARD — the documented shallow-clone contract every format
+    * shares (Delta's shallow clone, Iceberg snapshot refs): the
+    * clone's manifest references PHYSICAL paths under the SOURCE
+    * root, and [[vacuum]]'s referenced-snapshot exemption only scans
+    * manifests under its OWN root — a vacuum on the source cannot see
+    * the clone and may collect the shared files (CloneSpec pins
+    * exactly this). Operate clones within the source's retention
+    * window, or materialize first (a full-rewrite compaction on the
+    * clone replaces every reference with clone-owned files).
+    * @return the clone's first snapshot as committed */
+  def shallowClone(spark: SparkSession, sourceRoot: String,
+                   cloneRoot: String): DataFrame = {
+    val f = fs(spark, sourceRoot)
+    val v = readPointer(f, sourceRoot).getOrElse(
+      throw new IllegalStateException(s"nothing to clone under $sourceRoot"))
+    val snapDir = f.makeQualified(new Path(sourceRoot, v))
+    // the source snapshot's own data entries (partition dirs of a
+    // bucketed layout, or bare part files of a flat one) ...
+    val own = f.listStatus(snapDir).toSeq
+      .filter(s => s.isDirectory || !s.getPath.getName.startsWith("_"))
+      .map(s => f.makeQualified(s.getPath).toString)
+    // ... plus everything it already carries by reference — FLATTENED
+    // at clone time, same as every manifest writer (no chains: reads
+    // and vacuum stay one-hop)
+    val refs = (own ++ manifestRefs(spark, sourceRoot, v)).distinct.sorted
+    readPointer(fs(spark, cloneRoot), cloneRoot).foreach(p =>
+      throw new IllegalStateException(
+        s"clone target $cloneRoot already has snapshot $p"))
+    commitSnapshot(spark, cloneRoot, None,
+      path => writeManifest(spark, path, refs))
+  }
+
   /** Snapshot EXPIRY — the retention/GC half of the snapshot
     * lifecycle (every snapshot table format ships it; cf. Iceberg's
     * expire_snapshots): delete every snapshot directory outside the
