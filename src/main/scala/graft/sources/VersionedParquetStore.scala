@@ -321,6 +321,26 @@ object VersionedParquetStore {
       path => writeManifest(spark, path, refs))
   }
 
+  /** MATERIALIZE — the shallow-clone hazard's remedy (Delta's "clone
+    * deep" run after the fact): rewrite the CURRENT snapshot's rows
+    * into store-owned physical files (partitioned on `partitionCol`,
+    * no manifest), so nothing under this root references another
+    * root's files any more and the source's GC schedule stops
+    * mattering. Costs one full read+write of the live table — the
+    * price of independence, paid once and only when chosen (contrast
+    * [[shallowClone]]'s free fork). Same optimistic snapshot-swap;
+    * readers stay on the referencing snapshot until the pointer
+    * moves. */
+  def materialize(spark: SparkSession, root: String,
+                  partitionCol: String): DataFrame = {
+    val before = readPointer(fs(spark, root), root).getOrElse(
+      throw new IllegalStateException(s"nothing to materialize under $root"))
+    val cur = readSnapshot(spark, root, before)
+    commitSnapshot(spark, root, Some(before),
+      path => cur.write.mode("errorifexists")
+        .partitionBy(partitionCol).parquet(path))
+  }
+
   /** Snapshot EXPIRY — the retention/GC half of the snapshot
     * lifecycle (every snapshot table format ships it; cf. Iceberg's
     * expire_snapshots): delete every snapshot directory outside the

@@ -100,6 +100,35 @@ class CloneSpec extends AnyFunSuite {
         "scaladoc documents must actually exist, or the doc is wrong")
   }
 
+  test("materialize is the hazard's remedy: a materialized clone " +
+    "survives source vacuum") {
+    val tmp = freshTmp()
+    val (src, cln) = (s"$tmp/source", s"$tmp/clone")
+    seed(src, 0 until 12)
+    VersionedParquetStore.shallowClone(spark, src, cln)
+    VersionedParquetStore.materialize(spark, cln, "bucket")
+    // source moves on with a FULL REWRITE (no within-root references
+    // keep the old snapshot alive) and vacuum COLLECTS the snapshot
+    // the clone used to reference — the materialized clone no longer
+    // cares
+    val clonedV = VersionedParquetStore.currentVersion(spark, src).get
+    VersionedParquetStore.merge(spark, src,
+      (0 until 12).map(i => (i.toLong, i.toLong % 3, s"v2-$i"))
+        .toDF("id", "bucket", "payload"),
+      keyCol = "id",
+      combine = (cur, upd) => upd.unionByName(
+        cur.join(upd.select("id"), Seq("id"), "left_anti")))
+    val deleted = VersionedParquetStore.vacuum(spark, src, keep = 1)
+    assert(deleted.contains(clonedV), "precondition: the shared " +
+      "snapshot must actually be collected for this test to bite")
+    val back = VersionedParquetStore.read(spark, cln).get
+    assert(idsOf(back) == (0L until 12L).toSet)
+    val files = back.withColumn("__f", input_file_name())
+      .select("__f").as[String].collect()
+    assert(files.forall(_.contains("/clone/")),
+      "after materialize every row must be served from clone-owned files")
+  }
+
   test("cloning onto an existing store refuses loudly") {
     val tmp = freshTmp()
     val (src, cln) = (s"$tmp/source", s"$tmp/clone")
