@@ -129,6 +129,25 @@ class CloneSpec extends AnyFunSuite {
       "after materialize every row must be served from clone-owned files")
   }
 
+  test("a FLAT (merge-written) source clones too: file-level " +
+    "references resolve") {
+    // the e18 gate forks a flat 64-file seed per call — the clone's
+    // manifest references bare part FILES, not partition dirs
+    val tmp = freshTmp()
+    val (src, cln) = (s"$tmp/source", s"$tmp/clone")
+    VersionedParquetStore.merge(spark,
+      src, (0 until 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartition(8),
+      keyCol = "id")
+    VersionedParquetStore.shallowClone(spark, src, cln)
+    val back = VersionedParquetStore.read(spark, cln).get
+    assert(idsOf(back) == (0L until 20L).toSet)
+    val files = back.withColumn("__f", input_file_name())
+      .select("__f").as[String].distinct().collect()
+    assert(files.length > 1 && files.forall(_.contains("/source/")),
+      "multi-file flat source must be served from source files")
+  }
+
   test("cloning onto an existing store refuses loudly") {
     val tmp = freshTmp()
     val (src, cln) = (s"$tmp/source", s"$tmp/clone")
