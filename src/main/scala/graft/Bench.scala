@@ -239,6 +239,16 @@ object Bench {
     * quiet filter keys on cpu (the inflation signal) and carries the
     * same run's minflt when alignment holds, all minflt samples
     * otherwise. */
+  /** Locale-pinned numeric formatting for everything written into the
+    * ledger and the artifact's quiet-band fragment: the `f""`
+    * interpolator uses the JVM default locale, and a comma-decimal
+    * locale would emit invalid JSON that ledgerSamples then silently
+    * skips — the bands would quietly disappear. */
+  private def num1(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+  private def num0(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.0f", Double.box(x))
+
   private[graft] def quietBandsJson(
       samples: Map[String, (Seq[Double], Seq[Double])]): String = {
     val entries = samples.toSeq.sortBy(_._1).flatMap { case (name, (c, m)) =>
@@ -247,11 +257,15 @@ object Bench {
         val minC = c.min
         val quietIdx = c.indices.filter(i => c(i) <= 2.0 * minC)
         val qc = quietIdx.map(c)
-        val qm = if (m.length == c.length) quietIdx.map(m) else m
+        // minflt only publishes when per-run aligned with cpu: on
+        // misalignment the unfiltered series would include exactly the
+        // firing-run samples the band exists to adjudicate.
+        val qm = if (m.length == c.length) quietIdx.map(m) else Seq.empty
         val mPart =
-          if (qm.nonEmpty) f""","minflt":[${qm.min}%.0f,${qm.max}%.0f]"""
+          if (qm.nonEmpty)
+            s""","minflt":[${num0(qm.min)},${num0(qm.max)}]"""
           else ""
-        Some(f""""$name":{"cpu":[${qc.min}%.1f,${qc.max}%.1f]""" +
+        Some(s""""$name":{"cpu":[${num1(qc.min)},${num1(qc.max)}]""" +
           s"""$mPart,"n":${qc.size}}""")
       }
     }
@@ -265,7 +279,7 @@ object Bench {
       rows: Seq[(String, Seq[Double], Seq[Double], Seq[Double])]): Unit =
     if (rows.nonEmpty) try {
       def arr(xs: Seq[Double]) =
-        xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+        xs.map(num1).mkString("[", ",", "]")
       val body = rows.map { case (n, w, c, m) =>
         s""""$n":{"wall":${arr(w)},"cpu":${arr(c)},"minflt":${arr(m)}}"""
       }.mkString(",")

@@ -702,9 +702,11 @@ object Ann {
     val maxMb = em.sparkSession.conf
       .get("spark.graft.ann.localIndexMaxMb", "2048").toDouble
     val nEdges = edges.count()
-    val emHead = em.select(col("ue")).limit(1).collect()
-    val dim = emHead.headOption.map(_.getSeq[Double](0).size).getOrElse(0)
-    val nVecs = em.count()
+    // one job for count+dim (was three precheck jobs: count, limit(1)
+    // head, count — each a full dispatch inside timed gates)
+    val emStats = em.agg(count(lit(1)), first(size(col("ue")))).collect()(0)
+    val nVecs = emStats.getLong(0)
+    val dim = if (emStats.isNullAt(1)) 0 else emStats.getInt(1)
     val estMb = (nEdges * 16.0 + nVecs * (8.0 * dim + 24.0)) / 1e6
     if (estMb > maxMb)
       throw new IllegalStateException(

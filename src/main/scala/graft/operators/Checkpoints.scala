@@ -97,6 +97,33 @@ object Checkpoints {
     }
   }
 
+  /** Run `body` and release the checkpoint RDDs it pinned on behalf
+    * of `s`, leaving pins from before the scope untouched. For
+    * throwaway runs whose pins nothing later reads (the untimed
+    * pre-JIT warm-up of an iterative kernel): each call pins fresh
+    * frames, so a warm-up's blocks would otherwise sit in executor
+    * storage until clearCaches. Only safe when the scope's RESULT is
+    * fully consumed inside the scope — a localCheckpoint is
+    * non-replayable, so a frame escaping the scope cannot be
+    * collected again. */
+  def scope[T](s: SparkSession)(body: => T): T = {
+    val before =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[RDD[_], java.lang.Boolean]())
+    pinned.forEach(p => if (p._1 eq s) { before.add(p._2); () })
+    try body
+    finally {
+      val it = pinned.iterator()
+      while (it.hasNext) {
+        val (owner, rdd) = it.next()
+        if ((owner eq s) && !before.contains(rdd)) {
+          rdd.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+    }
+  }
+
   /** Unpersist every checkpoint RDD registered on behalf of `s`. */
   def clear(s: SparkSession): Unit = {
     val it = pinned.iterator()

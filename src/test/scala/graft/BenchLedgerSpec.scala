@@ -44,20 +44,28 @@ class BenchLedgerSpec extends AnyFunSuite {
   }
 
   test("the committed seed ledger parses and bands both amplification " +
-    "members") {
+    "members, and every published band satisfies the exclusion rule's " +
+    "own invariant (max <= 2x min)") {
+    // The ledger is LIVE and append-only: official runs and receipt
+    // commits legitimately add gray-zone quiet samples (e.g. d5 run-11
+    // at 1.64x band min — under the 2x firing exclusion, so band
+    // material). Round-15 lesson: do NOT pin the live file with
+    // independent constants; assert only what the shipped rule
+    // guarantees — quiet bands never span more than the 2x-min
+    // exclusion window, and firings (4-25x) never widen them.
     val s = Bench.ledgerSamples("BENCH_LEDGER.jsonl")
     assert(s.contains("e6_dedup_pipeline") && s.contains("d5_ngram_jaccard"))
     val json = Bench.quietBandsJson(s)
-    // seed run-1 cpu band 123-157 (d5): any official-run firing
-    // appended later (cpu 4-16x) must not widen it
-    val d5 = """"d5_ngram_jaccard":\{"cpu":\[(\d+\.\d),(\d+\.\d)\]""".r
-    val m = d5.findFirstMatchIn(json)
-    assert(m.isDefined, json)
-    assert(m.get.group(1).toDouble == 123.0)
-    assert(m.get.group(2).toDouble <= 200.0,
-      s"a firing widened d5's quiet band: $json")
-    assert(json.contains(""""e6_dedup_pipeline":{"cpu":[139.7,156.5]""") ||
-      json.contains(""""e6_dedup_pipeline":{"cpu":[148.0,156.5]"""),
-      json)
+    val band = """"([a-z0-9_]+)":\{"cpu":\[(\d+\.\d),(\d+\.\d)\]""".r
+    val bands = band.findAllMatchIn(json).map(m =>
+      (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toList
+    assert(bands.exists(_._1 == "d5_ngram_jaccard"), json)
+    assert(bands.exists(_._1 == "e6_dedup_pipeline"), json)
+    bands.foreach { case (name, lo, hi) =>
+      assert(lo > 0.0, s"$name band min must be positive: $json")
+      assert(hi <= 2.0 * lo,
+        s"$name band violates the 2x-min exclusion invariant " +
+          s"(a firing leaked into the band): $json")
+    }
   }
 }
