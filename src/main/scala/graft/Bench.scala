@@ -272,24 +272,102 @@ object Bench {
     entries.mkString("{", ",", "}")
   }
 
-  /** Append this run's heavy per-run series to the ledger (one JSON
-    * line per official-shape run). Best-effort: failure to write only
+  /** Append this run's heavy per-run series — plus the top light
+    * walls (round-16 item 7: the light tier's w-tail is where the
+    * ~12-minute co-tenant lands, and without light history the
+    * driver's light regressions can't be adjudicated by subtraction
+    * the way the heavy tier's now are) — to the ledger (one JSON line
+    * per official-shape run). Best-effort: failure to write only
     * loses future band samples. */
   private def appendLedger(path: String,
-      rows: Seq[(String, Seq[Double], Seq[Double], Seq[Double])]): Unit =
-    if (rows.nonEmpty) try {
+      rows: Seq[(String, Seq[Double], Seq[Double], Seq[Double])],
+      lightTop: Seq[(String, Double)] = Seq.empty): Unit =
+    if (rows.nonEmpty || lightTop.nonEmpty) try {
       def arr(xs: Seq[Double]) =
         xs.map(num1).mkString("[", ",", "]")
       val body = rows.map { case (n, w, c, m) =>
         s""""$n":{"wall":${arr(w)},"cpu":${arr(c)},"minflt":${arr(m)}}"""
       }.mkString(",")
+      val lightBody = lightTop.map { case (n, w) =>
+        s""""$n":${num1(w)}"""
+      }.mkString(",")
       val line = s"""{"ts":${System.currentTimeMillis()},""" +
-        s""""heavy":{$body}}\n"""
+        s""""heavy":{$body},"light":{$lightBody}}\n"""
       val out = new java.io.FileWriter(path, true)
       try out.write(line) finally out.close()
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] ledger append failed: ${e.getMessage}")
     }
+
+  /** Accumulated light walls per member from the ledger's "light"
+    * sections (one best-of-run wall per line — already the min over
+    * pass A/B and tail reruns, so each sample is the run's most
+    * shielded number). */
+  private[graft] def lightLedgerSamples(path: String)
+      : Map[String, Seq[Double]] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    import org.json4s._
+    val acc = scala.collection.mutable.Map[String, Vector[Double]]()
+    try {
+      val src = scala.io.Source.fromFile(f)
+      val lines = try src.getLines().toList finally src.close()
+      for (line <- lines if line.trim.nonEmpty) {
+        try {
+          org.json4s.jackson.JsonMethods.parse(line) \ "light" match {
+            case JObject(fields) => fields.foreach {
+              case (name, JDouble(d)) =>
+                acc(name) = acc.getOrElse(name, Vector.empty) :+ d
+              case (name, JInt(i)) =>
+                acc(name) = acc.getOrElse(name, Vector.empty) :+ i.toDouble
+              case _ =>
+            }
+            case _ =>
+          }
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    acc.toMap
+  }
+
+  /** Light-tier quiet bands: {"name":{"wall":[lo,hi],"n":k}} under
+    * the same 2x-min exclusion as the heavy bands (a co-tenant
+    * episode inflates a light wall 2-4x — w11 5.1→14.0, w20
+    * 2.7→10.7 in round 15 — while quiet scatter stays well inside
+    * 2x of the member's historical minimum). */
+  private[graft] def lightBandsJson(
+      samples: Map[String, Seq[Double]]): String = {
+    val entries = samples.toSeq.sortBy(_._1).flatMap { case (name, w) =>
+      if (w.isEmpty) None
+      else {
+        val q = w.filter(_ <= 2.0 * w.min)
+        Some(s""""$name":{"wall":[${num1(q.min)},${num1(q.max)}],""" +
+          s""""n":${q.size}}""")
+      }
+    }
+    entries.mkString("{", ",", "}")
+  }
+
+  /** Round-16 item 6 (d5 fork-position hygiene): move the tier member
+    * with the WIDEST official-vs-quiet spread — max/min over its
+    * run-1 cpu history, the co-tenant amplification fingerprint — to
+    * the very front of its fork, so the known-amplified member runs
+    * before the box's documented ~12-minute co-tenant arrival. Only
+    * fires past 4x (quiet scatter stays under 2x by the band rule;
+    * the firing class sits 4-25x), so an un-amplified roster keeps
+    * its cheapest-first receipts order untouched. */
+  private[graft] def frontWidestSpread(tier: Seq[String],
+      samples: Map[String, (Seq[Double], Seq[Double])]): Seq[String] = {
+    val spreads = tier.flatMap { q =>
+      samples.get(q).map(_._1).filter(c => c.nonEmpty && c.min > 0)
+        .map(c => q -> c.max / c.min)
+    }
+    spreads.sortBy(-_._2).headOption.filter(_._2 >= 4.0) match {
+      case Some((widest, _)) =>
+        widest +: tier.filterNot(_ == widest)
+      case None => tier
+    }
+  }
 
   /** `tier` with the members absent from the latest driver artifact
     * rotated to the front (stable within both halves, so the
@@ -615,11 +693,18 @@ object Bench {
         // member with a misleading number.
         val measured = lastMeasuredHeavy()
         val ever = everMeasuredHeavy()
+        // round-16 item 6: the widest-spread member (d5 today) fronts
+        // its fork ahead of the rotation bands, so the known-amplified
+        // member is measured before the ~12-minute co-tenant arrival
+        val bandHistory = ledgerSamples(sys.env.getOrElse(
+          "SPARK_GRAFT_LEDGER", "BENCH_LEDGER.jsonl"))
         val twoForks = Seq(
-          (rotateUnmeasuredFirst(heavyCanaries, measured, ever), heavyN, true,
-            fork2ReserveSec),
-          (rotateUnmeasuredFirst(heavyWorstCases, measured, ever), heavyN,
-            false, 0.0))
+          (frontWidestSpread(
+            rotateUnmeasuredFirst(heavyCanaries, measured, ever),
+            bandHistory), heavyN, true, fork2ReserveSec),
+          (frontWidestSpread(
+            rotateUnmeasuredFirst(heavyWorstCases, measured, ever),
+            bandHistory), heavyN, false, 0.0))
           .flatMap { case (group, n, warm, reserveAfter) =>
             if (remainingForkSec < 60) { skipped ++= group; Seq.empty }
             else runHeavyFork(heavyDir, cp, javaBin, group, n, warm,
@@ -713,18 +798,6 @@ object Bench {
       }
     } else Seq.empty
 
-    // ---- quiet-band ledger (round-15 item 6): persist this run's
-    // heavy series, then publish per-member quiet bands (min/max cpu
-    // + minflt over official history) in the detail line so a firing
-    // is adjudicated against the artifact itself. ----
-    val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_LEDGER",
-      "BENCH_LEDGER.jsonl")
-    appendLedger(ledgerPath, heavy.collect {
-      case h if h.cpus.nonEmpty =>
-        (h.name, h.walls, h.cpus, h.minflts)
-    })
-    val quietBands = quietBandsJson(ledgerSamples(ledgerPath))
-
     // ---- tail outlier rerun: a light wall measured during a
     // co-tenant load episode reads as a regression it isn't (rounds
     // 7-9: three driver artifacts mooted; d23 21.3 s vs a 3.6 s quiet
@@ -780,6 +853,23 @@ object Bench {
     }
     val corrected = results.map { case (n, b) => n -> correctedBest(n, b) }
     val loadEnd = loadAvg
+
+    // ---- quiet-band ledger (round-15 item 6, extended round 16):
+    // persist this run's heavy series AND its top-10 corrected light
+    // walls, then publish per-member quiet bands (heavy: min/max
+    // cpu + minflt; light: min/max wall) in the detail line so a
+    // firing in EITHER tier is adjudicated against the artifact
+    // itself. The append runs after the tail reruns so the light
+    // samples are the run's most shielded numbers. ----
+    val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_LEDGER",
+      "BENCH_LEDGER.jsonl")
+    appendLedger(ledgerPath,
+      heavy.collect { case h if h.cpus.nonEmpty =>
+        (h.name, h.walls, h.cpus, h.minflts)
+      },
+      corrected.sortBy(-_._2).take(10))
+    val quietBands = quietBandsJson(ledgerSamples(ledgerPath))
+    val lightBands = lightBandsJson(lightLedgerSamples(ledgerPath))
 
     def obj(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -843,6 +933,11 @@ object Bench {
       // min/max cpu-s and minflt of in-band runs — a firing reads as
       // "this run's cpu/minflt minus the band" with no archaeology
       s""""heavy_quiet_band":$quietBands,""" +
+      // round-16 item 7: light-tier bands for the members that have
+      // appeared in any official run's top-10 walls — the w-tail's
+      // co-tenant inflation (w11 5.1→14.0, w20 2.7→10.7 in r15)
+      // becomes subtraction-readable like the heavy tier's
+      s""""light_quiet_band":$lightBands,""" +
       s""""heavy_warm":${arrObj(heavy.map(h => h.name -> h.warm))}}""")
     // FINAL line: a compact summary that must fit the driver's bounded
     // stdout tail window (~2.2 KB observed, which also has to hold

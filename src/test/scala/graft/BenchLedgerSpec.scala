@@ -41,6 +41,42 @@ class BenchLedgerSpec extends AnyFunSuite {
   test("missing ledger yields no bands, empty JSON object") {
     assert(Bench.ledgerSamples("/nonexistent/ledger.jsonl").isEmpty)
     assert(Bench.quietBandsJson(Map.empty) == "{}")
+    assert(Bench.lightLedgerSamples("/nonexistent/ledger.jsonl").isEmpty)
+    assert(Bench.lightBandsJson(Map.empty) == "{}")
+  }
+
+  test("light walls accumulate across lines and band under the same " +
+    "2x-min exclusion; heavy-only seed lines (no light section) are " +
+    "tolerated") {
+    val p = tmpLedger(
+      """{"heavy":{"e6":{"cpu":[148.1],"minflt":[2090000]}}}""",
+      """{"heavy":{},"light":{"w7":9.8,"e18":8.2}}""",
+      """{"heavy":{},"light":{"w7":3.1,"e18":8.0,"w11":5.1}}""",
+      """{"heavy":{},"light":{"w7":14.0,"w11":5.4}}""")
+    val s = Bench.lightLedgerSamples(p)
+    assert(s("w7") == Seq(9.8, 3.1, 14.0))
+    assert(s("e18") == Seq(8.2, 8.0))
+    val json = Bench.lightBandsJson(s)
+    // w7: min 3.1 -> 2x cut at 6.2 excludes both 9.8 and 14.0
+    assert(json.contains(""""w7":{"wall":[3.1,3.1],"n":1}"""), json)
+    assert(json.contains(""""e18":{"wall":[8.0,8.2],"n":2}"""), json)
+    assert(json.contains(""""w11":{"wall":[5.1,5.4],"n":2}"""), json)
+  }
+
+  test("frontWidestSpread moves the widest >=4x-spread member to the " +
+    "fork head and leaves an un-amplified roster untouched") {
+    val samples = Map(
+      "d5" -> (Seq(123.0, 1983.0, 616.0), Seq.empty[Double]), // 16.1x
+      "e6" -> (Seq(139.7, 1313.0), Seq.empty[Double]),        //  9.4x
+      "d16" -> (Seq(10.0, 12.0), Seq.empty[Double]))          //  1.2x
+    assert(Bench.frontWidestSpread(
+      Seq("e6", "d16", "d5"), samples) == Seq("d5", "e6", "d16"))
+    // below the 4x firing floor: order preserved
+    val quiet = Map("a" -> (Seq(10.0, 19.0), Seq.empty[Double]))
+    assert(Bench.frontWidestSpread(Seq("b", "a"), quiet) == Seq("b", "a"))
+    // no history at all: order preserved
+    assert(Bench.frontWidestSpread(Seq("x", "y"),
+      Map.empty[String, (Seq[Double], Seq[Double])]) == Seq("x", "y"))
   }
 
   test("the committed seed ledger parses and bands both amplification " +
