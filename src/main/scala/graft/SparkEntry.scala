@@ -7489,6 +7489,50 @@ object SparkEntry {
                ROUND(SQRT(n_tok / n_max), 6) AS w_rel
              FROM s, m ORDER BY source""")),
 
+    // Temperature ALLOCATION (o34 — Sampling.temperatureMix): the
+    // executable-integer step downstream of o18's diagnostic weights.
+    // o18 reports relative float weights; o34 converts tokens^(1/2)
+    // into ppm shares and an integer token allocation that sums to
+    // the budget EXACTLY (largest-remainder closure to the top-weight
+    // source) — the number a shard-builder can consume verbatim. The
+    // square root is exact INTEGER isqrt in both engines: a float
+    // seed corrected by two integer comparisons, so no libm rounding
+    // ever reaches the hash (the o-family discipline; contrast o18,
+    // which deliberately publishes the one-sqrt float). Scale: one
+    // map-side-combinable aggregate over the corpus, then arithmetic
+    // on the bounded source table.
+    ("o34_temperature_allocation", (s, dir) =>
+      Sampling.temperatureMix(
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(size(TextAnalysis.words(col("text"))))
+            .cast("long").as("tokens")),
+        budgetTokens = 5000000L)
+        .orderBy("source"),
+      Some("""WITH s AS (SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) tokens
+               FROM documents GROUP BY 1),
+             w0 AS (SELECT source, tokens,
+               CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) sq
+               FROM s),
+             w1 AS (SELECT source, tokens,
+               CASE WHEN (sq+1)*(sq+1) <= tokens THEN sq+1 ELSE sq END squ
+               FROM w0),
+             w AS (SELECT source, tokens,
+               CASE WHEN squ*squ > tokens THEN squ-1 ELSE squ END w
+               FROM w1),
+             tt AS (SELECT CAST(SUM(w) AS BIGINT) wsum FROM w),
+             top AS (SELECT source top FROM w
+               ORDER BY w DESC, source DESC LIMIT 1),
+             asum AS (SELECT CAST(SUM(w * 5000000 // wsum) AS BIGINT) a
+               FROM w, tt)
+             SELECT w.source, w.tokens, w.w,
+               w.w * 1000000 // tt.wsum AS share_ppm,
+               w.w * 5000000 // tt.wsum +
+                 CASE WHEN w.source = top.top
+                      THEN 5000000 - asum.a ELSE 0 END AS alloc_tokens
+             FROM w, tt, top, asum ORDER BY source""")),
+
     // Collocation extraction (PMI-family): adjacent word pairs scored
     // by lift = p(ab) / (p(a)p(b)) — the association measure PMI is
     // the log of. All counts exact; the lift is ONE left-associated
@@ -13233,6 +13277,178 @@ object SparkEntry {
                  clone_sum_c,
                CAST(0 AS BIGINT) n_clone_from_source,
                CAST(1 AS BIGINT) n_vacuumed""")),
+
+    // CHANGEFEED (x22 — VersionedParquetStore.changefeed, the
+    // append-only case of Delta CDF / Iceberg incremental reads):
+    // rows added between two snapshot versions recovered purely from
+    // MANIFEST ARITHMETIC — v0 committed, two appends, then
+    // changefeed(v0 -> v2) must yield exactly the two appended
+    // batches while opening ZERO base-snapshot files (n_from_base
+    // pins the provenance via input_file_name), and the identity
+    // feed changefeed(v0 -> v0) must be empty (n_self_feed). The
+    // rewrite-refusal contract (a compaction between the cursors
+    // makes file arithmetic lie, so the feed throws instead of
+    // re-emitting the table) is pinned by ChangefeedSpec. Scale:
+    // this is the incremental-consumer contract at 100 TB — the
+    // nightly dedup/index/quality job pays O(ingested batch), never
+    // O(corpus); the feed itself costs two manifest reads and one
+    // listStatus per cursor.
+    ("x22_changefeed", (s, dir) => {
+      def rows(m: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === m)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 4).as("bucket"),
+          cents(col("o_totalprice")).as("price_c"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x22").toString
+      try {
+        val root = s"$tmp/store"
+        val V = graft.sources.VersionedParquetStore
+        V.commitSnapshot(s, root, None,
+          path => rows(0).write.mode("errorifexists")
+            .partitionBy("bucket").parquet(path))
+        val v0 = V.currentVersion(s, root).get
+        V.appendPartitioned(s, root, rows(1), "bucket")
+        V.appendPartitioned(s, root, rows(2), "bucket")
+        val v2 = V.currentVersion(s, root).get
+        val feed = V.changefeed(s, root, v0, v2)
+          .withColumn("__f", input_file_name())
+        materialized(s,
+          feed.agg(count(lit(1)).as("n_feed"),
+            sum(col("price_c")).as("feed_sum_c"),
+            sum(when(col("__f").contains(s"/$v0/"), 1L).otherwise(0L))
+              .as("n_from_base"))
+          .crossJoin(broadcast(V.changefeed(s, root, v0, v0)
+            .agg(count(lit(1)).as("n_self_feed"))))
+          .select(col("n_feed"), col("feed_sum_c"),
+            col("n_from_base"), col("n_self_feed")))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some("""WITH b AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) c,
+               o_orderkey % 50 m FROM orders)
+             SELECT
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE m IN (1, 2))
+                 n_feed,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM b WHERE m IN (1, 2))
+                 feed_sum_c,
+               CAST(0 AS BIGINT) n_from_base,
+               CAST(0 AS BIGINT) n_self_feed""")),
+
+    // Changefeed-DRIVEN incremental dedup (x23 — the x22 contract
+    // composed with d15's consumer): the accepted corpus is committed
+    // to a versioned store, an ingest batch lands as an append, and
+    // the dedup maintenance job reads ONLY changefeed(v0 -> v1) —
+    // the batch recovered by manifest arithmetic, not by re-filtering
+    // the table — then probes it against the signature index built
+    // from the v0 snapshot (Dedup.incrementalDedup: the historical
+    // corpus is banded once, never re-shingled). The oracle rebuilds
+    // the same screen from the raw table with a 6-way split, so a
+    // feed that dropped, duplicated, or mis-partitioned one row
+    // hash-fails the gate. This is the round's composition claim:
+    // store CDC and the incremental-dedup family snap together with
+    // no adapter code. Scale: the job pays O(batch) end to end —
+    // feed files only, index side persisted, bands df-capped.
+    ("x23_feed_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "source")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x23").toString
+      try {
+        val root = s"$tmp/corpus"
+        val V = graft.sources.VersionedParquetStore
+        V.commitSnapshot(s, root, None,
+          path => docs.filter(col("doc_id") % 6 =!= 0)
+            .write.mode("errorifexists")
+            .partitionBy("source").parquet(path))
+        val v0 = V.currentVersion(s, root).get
+        V.appendPartitioned(s, root,
+          docs.filter(col("doc_id") % 6 === 0), "source")
+        val v1 = V.currentVersion(s, root).get
+        val accepted = V.readSnapshot(s, root, v0)
+        val feed = V.changefeed(s, root, v0, v1)
+        materialized(s,
+          Dedup.incrementalDedup(
+            Dedup.minhashSignatures(accepted), feed)
+            .orderBy("new_doc"))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some(s"""WITH $oracleSigCtes,
+             bands AS (SELECT doc_id, UNNEST([md5('b0|' || sig0 || sig1),
+               md5('b1|' || sig2 || sig3), md5('b2|' || sig4 || sig5),
+               md5('b3|' || sig6 || sig7)]) bkey FROM sig),
+             ib AS (SELECT doc_id, bkey FROM
+               (SELECT *, COUNT(*) OVER (PARTITION BY bkey) bn
+                FROM bands WHERE doc_id % 6 <> 0) WHERE bn <= 100),
+             nb AS (SELECT doc_id AS new_doc, bkey FROM bands WHERE doc_id % 6 = 0),
+             hits AS (SELECT DISTINCT n.new_doc, i.doc_id index_doc
+               FROM nb n JOIN ib i USING (bkey))
+             SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_index_hits,
+               MIN(index_doc) AS first_index_doc
+             FROM hits GROUP BY new_doc ORDER BY new_doc""")),
+
+    // Store CDC as a STREAM (w35 — the x22 trilogy's streaming leg):
+    // the store's zero-copy append layout (new snapshot = own delta
+    // files + manifest REFERENCES to history) means a data file is
+    // written exactly once, ever — so Structured Streaming's file
+    // source over the store root IS the changefeed reader, with
+    // checkpointed exactly-once for free. The gate runs the same
+    // AvailableNow query TWICE against one checkpoint: pass 1 drains
+    // base + two appends, a third batch lands, pass 2 must emit ONLY
+    // it (the CDC resume). If appends copied history forward
+    // physically — or the file source re-read a carried-forward
+    // reference — base rows would double/triple-count and the per-m
+    // counts hash-fail. Rewrites (compaction/materialize) re-emit
+    // rows by design here exactly as in x22's refusal note: CDC
+    // windows are append-only spans. Scale: each pass lists the root
+    // and reads ONLY files the checkpoint has not seen — O(batch)
+    // per trigger at any corpus size.
+    ("w35_store_cdc_stream", (s, dir) => {
+      def rows(m: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === m)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 4).as("bucket"),
+          cents(col("o_totalprice")).as("price_c"),
+          (col("o_orderkey") % 50).as("m"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-w35").toString
+      try {
+        val root = s"$tmp/store"
+        val sink = s"$tmp/sink"
+        val chk = s"$tmp/chk"
+        val V = graft.sources.VersionedParquetStore
+        V.commitSnapshot(s, root, None,
+          path => rows(0).write.mode("errorifexists")
+            .partitionBy("bucket").parquet(path))
+        V.appendPartitioned(s, root, rows(1), "bucket")
+        V.appendPartitioned(s, root, rows(2), "bucket")
+        // bucket is the partition dir, not a file column; the stream
+        // reads data columns only (recursiveFileLookup skips partition
+        // inference, and _CURRENT/_MANIFEST are _-invisible to it)
+        val sch = rows(0).drop("bucket").schema
+        def pass(): Unit = {
+          val q = s.readStream.schema(sch)
+            .option("recursiveFileLookup", "true").parquet(root)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        pass()
+        V.appendPartitioned(s, root, rows(3), "bucket")
+        pass()
+        materialized(s, s.read.parquet(sink)
+          .groupBy("m")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+          .orderBy("m"))
+      } finally rmTree(new java.io.File(tmp))
+    },
+      Some("""WITH b AS (SELECT o_orderkey % 50 m,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) c FROM orders
+               WHERE o_orderkey % 50 IN (0, 1, 2, 3))
+             SELECT m, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(c) AS BIGINT) sum_c
+             FROM b GROUP BY m ORDER BY m""")),
 
     // Degree assortativity (GraphStats.degreeAssortativity, Newman
     // 2002) over the symmetric customer-supplier trade graph the

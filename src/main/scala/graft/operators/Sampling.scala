@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -348,6 +348,50 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("loss_ppm"),
         col("excess_ppm"), col("mult_milli"),
         expr("mult_milli * 1000000 div __msum").as("new_w_ppm"))
+  }
+
+  /** TEMPERATURE-scaled mixture sampling (the multilingual/
+    * multi-domain upsampling rule of mBERT/XLM-R/mT5: sample source i
+    * with p_i ∝ n_i^α, α < 1, so head sources stop drowning the
+    * tail): weights, ppm shares, and an integer token allocation
+    * under `budgetTokens`, as an exact-integer executable contract —
+    * the o-family discipline. α is expressed as `halvings` iterated
+    * integer square roots (1 → α=1/2, the mT5 T=2 operating point;
+    * 2 → α=1/4), and isqrt is computed EXACTLY in both engines by
+    * correcting a float-sqrt seed with two integer comparisons, so
+    * the gate never rides libm rounding. The remainder after integer
+    * division goes to the largest-weight source (deterministic
+    * largest-remainder-style closure: Σ alloc == budget exactly, no
+    * drifting "approximately sums to budget" contract).
+    *
+    * Scale: one count/sum aggregate per source (map-side combinable)
+    * then arithmetic over the BOUNDED source table — the corpus is
+    * touched once; the mixture math costs nothing at any scale. */
+  def temperatureMix(sourceTokens: DataFrame, budgetTokens: Long,
+                     halvings: Int = 1): DataFrame = {
+    require(halvings >= 1, "halvings must be >= 1")
+    require(budgetTokens >= 0L, "budgetTokens must be >= 0")
+    def isqrt(c: Column): Column = {
+      val s = floor(sqrt(c.cast("double"))).cast("long")
+      // exact integer sqrt from the float seed: one step up or down
+      // covers the worst double-rounding error for inputs < 2^52
+      val up = when((s + 1L) * (s + 1L) <= c, s + 1L).otherwise(s)
+      when(up * up > c, up - 1L).otherwise(up)
+    }
+    val w = (1 to halvings).foldLeft(col("tokens"))((c, _) => isqrt(c))
+    val weighted = sourceTokens.select(col("source"), col("tokens"))
+      .withColumn("w", w)
+    val tot = weighted.agg(sum(col("w")).as("__wsum"),
+      max(struct(col("w"), col("source"))).as("__top"))
+    val base = weighted.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("w * 1000000 div __wsum"))
+      .withColumn("__base", expr(s"w * ${budgetTokens}L div __wsum"))
+    val allocated = base.agg(sum(col("__base")).as("__asum"))
+    base.crossJoin(broadcast(allocated))
+      .withColumn("alloc_tokens", col("__base") +
+        when(col("source") === col("__top.source"),
+          lit(budgetTokens) - col("__asum")).otherwise(lit(0L)))
+      .select("source", "tokens", "w", "share_ppm", "alloc_tokens")
   }
 
   def kCenterCoreset(df: DataFrame, idCol: String, coordCols: Seq[String],
