@@ -790,6 +790,65 @@ object GateFixtures {
     * re-BFS over the repaired edges, and walk the (beam, rounds) top
     * rung on BOTH edge sets against one brute-force truth table —
     * one row: counts plus pre/post average recall in exact ppm. */
+  /** Oracle twin of the n35 segment merge: two independent segment
+    * builds (CTE prefixes sa/sb over the even/odd halves), a
+    * stitch-only build (refineRounds 0, candidates restricted to
+    * cross-segment pairs), BFS reachability from the min-id entry
+    * over the unstitched union vs the merged graph, and one beam walk
+    * over the merged graph scored against shared brute truth. */
+  private[graft] def annSegmentMergeOracleSql(m: Int, mStitch: Int,
+                                              beam: Int, rounds: Int,
+                                              k: Int, maxBucket: Int,
+                                              maxHops: Int,
+                                              segRounds: Int): String = {
+    def bfs(p: String, edges: String): String =
+      (1 to maxHops).map(r =>
+        s"""$p$r AS MATERIALIZED (SELECT id FROM $p${r - 1}
+           UNION SELECT e.dst id FROM $edges e
+           JOIN $p${r - 1} f ON e.src = f.id)""").mkString(",\n")
+    s"""WITH $oracleUnitCte,
+       ${annGraphBuildCtes("sa", "vec_id % 2 = 0", "TRUE", m, maxBucket,
+          segRounds)},
+       ${annGraphBuildCtes("sb", "vec_id % 2 = 1", "TRUE", m, maxBucket,
+          segRounds)},
+       ${annGraphBuildCtes("st", "TRUE",
+          "(a.vec_id % 2) <> (b.vec_id % 2)", mStitch, maxBucket, 0)},
+       pre AS MATERIALIZED (SELECT src, dst FROM saedges
+         UNION ALL SELECT src, dst FROM sbedges),
+       medges AS MATERIALIZED (SELECT src, dst FROM pre
+         UNION ALL SELECT src, dst FROM stedges),
+       corp AS (SELECT vec_id FROM u),
+       qb0 AS (SELECT MIN(vec_id) id FROM corp),
+       ${bfs("qb", "pre")},
+       pb0 AS (SELECT MIN(vec_id) id FROM corp),
+       ${bfs("pb", "medges")},
+       gq AS (SELECT vec_id qid, ue qu FROM u WHERE vec_id < 5),
+       gbs AS (SELECT qid, u.vec_id nid,
+         ROUND(list_dot_product(qu, u.ue), 6) cos_r
+         FROM gq, u WHERE u.vec_id <> qid),
+       gbr AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         ORDER BY cos_r DESC, nid) rnk FROM gbs),
+       gex AS MATERIALIZED (SELECT qid, nid FROM gbr WHERE rnk <= $k),
+       ${annWalkCtes("mg", beam, rounds, "medges")},
+       mga AS (SELECT qid, neighbor_id FROM mgres WHERE rnk <= $k),
+       mgh AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) h FROM
+         (SELECT a.qid, COUNT(*) c FROM mga a JOIN gex
+            ON a.qid = gex.qid AND a.neighbor_id = gex.nid
+          GROUP BY 1)),
+       nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) n FROM gex)
+       SELECT
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pre) n_seg_edges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM stedges) n_stitch,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM corp)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM qb$maxHops)
+           AS n_unreach_before,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM corp)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM pb$maxHops)
+           AS n_unreach_after,
+         (SELECT h FROM mgh) * 1000000 // ($k * (SELECT n FROM nq))
+           AS recall_ppm"""
+  }
+
   private[graft] def annGraphRepairOracleSql(m: Int, beam: Int,
                                              rounds: Int, k: Int,
                                              maxBucket: Int,

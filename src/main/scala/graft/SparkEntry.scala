@@ -12293,6 +12293,76 @@ object SparkEntry {
                AS n_unreach_after"""
       }),
 
+    // SEGMENT MERGE (n35 — Ann.mergeSegmentIndexes): the compaction
+    // verb of the graph-index lifecycle (build n23 → ingest n25 →
+    // tombstone n24 → repair n33/n34 → MERGE), the LSM serving
+    // posture: two segment indexes built INDEPENDENTLY over the
+    // even/odd halves are merged — segment edge lists pass through
+    // bit-for-bit, the only new work is the cross-segment STITCH
+    // (banded candidates filtered to cross pairs, top-4 per node).
+    // The answer pins the merge's whole value proposition: before
+    // stitching, a walk seeded at the min-id entry (even → segment A)
+    // cannot reach ONE node of segment B (n_unreach_before ≈ |B|);
+    // after, the BFS deficit collapses and a 6-round beam walk over
+    // the merged graph scores against brute-force truth on the FULL
+    // corpus (recall_ppm). Segment builds use one NN-descent round —
+    // refinement of the merged graph is deliberately the next full
+    // rebuild's business (n25's discipline). Scale: the segments are
+    // the expensive part and arrive prebuilt in production; the
+    // stitch pays one df-capped banded join filtered to cross pairs
+    // — never |A|×|B|.
+    ("n35_segment_merge", (s, dir) => {
+      val emRaw = t(s, dir, "embeddings")
+      val em = emRaw.select(col("vec_id"),
+        graft.functions.Similarity.unit(col("embedding")).as("ue"))
+      val segA = operators.Checkpoints.pin(Ann.knnGraphEdges(
+        emRaw.filter(col("vec_id") % 2 === 0), rpPlanes,
+        m = 10, refineRounds = 1))
+      val segB = operators.Checkpoints.pin(Ann.knnGraphEdges(
+        emRaw.filter(col("vec_id") % 2 === 1), rpPlanes,
+        m = 10, refineRounds = 1))
+      val pre = segA.select("src", "dst")
+        .unionByName(segB.select("src", "dst"))
+      val merged = operators.Checkpoints.pin(
+        Ann.mergeSegmentIndexes(emRaw, Seq(segA, segB),
+          (a, b) => (a % 2) =!= (b % 2), rpPlanes, mStitch = 4))
+      val entry = emRaw.agg(min(col("vec_id"))).head().getLong(0)
+      val seed = em.filter(col("vec_id") === entry)
+        .select(col("vec_id").as("id"))
+      val reachPre = operators.Bfs.hopDistances(pre, seed, 6)
+      val reachPost = operators.Bfs.hopDistances(merged, seed, 6)
+      val corpus = emRaw.select(col("vec_id"))
+      val q = emRaw.filter(annQueryPred).select(col("vec_id").as("qid"),
+        graft.functions.Similarity.unit(col("embedding")).as("qu"))
+      val exact = Ann.bruteForceTopK(emRaw, annQueryPred, 5)
+      // ad-hoc serving index over the merged graph: materialize the
+      // recall eagerly and destroy the broadcasts (n33's discipline)
+      val idx = Ann.buildLocalGraphIndex(em, merged)
+      val rec =
+        try Ann.recallAtK(Ann.graphSearchLocal(idx, q, 16, 6, 5),
+            exact, 5)
+          .agg(coalesce(sum(col("n_hits")), lit(0L)).as("h"),
+            count(lit(1)).as("nq")).head()
+        finally { idx.adj.destroy(); idx.units.destroy() }
+      val (hits, nq) = (rec.getLong(0), rec.getLong(1))
+      corpus.join(reachPre.select(col("id").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_unreach_before"))
+        .crossJoin(broadcast(pre.agg(count(lit(1)).as("n_seg_edges"))))
+        .crossJoin(broadcast(merged.agg(count(lit(1)).as("__nm"))))
+        .crossJoin(broadcast(
+          corpus.join(reachPost.select(col("id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+            .agg(count(lit(1)).as("n_unreach_after"))))
+        .select(col("n_seg_edges"),
+          (col("__nm") - col("n_seg_edges")).as("n_stitch"),
+          col("n_unreach_before"), col("n_unreach_after"),
+          expr(s"${hits}L * 1000000 DIV (5 * ${nq}L)").as("recall_ppm"))
+    },
+      Some(GateFixtures.annSegmentMergeOracleSql(
+        m = 10, mStitch = 4, beam = 16, rounds = 6, k = 5,
+        maxBucket = 256, maxHops = 6, segRounds = 1))),
+
     // VIDEO KEYFRAME DEDUP (m17 — completing the modality triad:
     // image has hash dedup through keep-list m7/m11/m13/m15, audio
     // m16; video existed only as frame sampling m2). Keyframe

@@ -933,6 +933,47 @@ object Ann {
       .unionByName(topMEdges(scoreEdges(em, cand), m))
   }
 
+  /** N35: SEGMENT MERGE — the compaction verb of the graph-index
+    * lifecycle (build n23 → ingest n25 → tombstone n24 → repair
+    * n33/n34 → MERGE), the LSM posture every segment-file ANN serving
+    * fleet runs (Lucene HNSW segment merges; DiskANN's index sharding
+    * literature): two or more INDEPENDENTLY BUILT segment indexes are
+    * combined into one searchable graph. Segment edge lists pass
+    * through BIT-FOR-BIT (the frozen-segment contract — history is
+    * never re-scored); the only new work is STITCHING: banded
+    * signature candidates restricted to CROSS-segment pairs
+    * (`crossPred` over the two vec_ids), exact-cosine scored, top-
+    * `mStitch` out-edges per node. Without stitch edges a walk
+    * seeded in one segment can never reach another — the merge's
+    * whole point is paying exactly that connectivity and nothing
+    * else.
+    *
+    * Scale: each segment's build already happened (and is the
+    * expensive part); the stitch pays one banded join whose candidate
+    * set is df-capped per bucket and filtered to cross-segment pairs
+    * — never |A|×|B|. NN-descent refinement of the merged graph is
+    * deliberately NOT run here (n25's discipline: rebalancing is the
+    * next full rebuild's business; search reaches the other segment
+    * through the stitch edges meanwhile). */
+  def mergeSegmentIndexes(embeddings: DataFrame, segEdges: Seq[DataFrame],
+                          crossPred: (Column, Column) => Column,
+                          planes: Seq[Array[Double]], mStitch: Int,
+                          maxBucket: Int = 256): DataFrame = {
+    require(segEdges.nonEmpty, "need at least one segment")
+    val em = embeddings
+      .select(col("vec_id"), Similarity.unit(col("embedding")).as("ue"))
+    val kept = signatureBands(em, planes, maxBucket)
+    val cand = kept.as("a").join(kept.as("b"), Seq("band", "bv"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .filter(crossPred(col("a.vec_id"), col("b.vec_id")))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val stitch = topMEdges(scoreEdges(em, cand), mStitch)
+    segEdges.map(_.select(col("src"), col("dst")))
+      .reduce(_.unionByName(_))
+      .unionByName(stitch)
+  }
+
   /** Embedding OUTLIER detection — the centroid-distance filter a
     * curation pipeline runs after clustering/labeling: cosine of every
     * unit vector against its own group's mean vector; rows far from
