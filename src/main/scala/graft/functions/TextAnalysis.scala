@@ -31,6 +31,23 @@ object TextAnalysis {
         i => text.substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
 
+  /** OVERLAPPING context windows (the pretraining/RAG chunker: window
+    * `w` tokens, stride `s` < w, so consecutive windows share w-s
+    * tokens of context): an array of {start, chunk} structs, one per
+    * stride position while start < len — the trailing window
+    * truncates at the document end rather than padding. Pure Column
+    * expression (sequence + transform + slice — codegen'd, no
+    * explode here; the caller decides whether to flatten). Token
+    * inflation is w/s by construction — the packer's budget must
+    * charge emitted tokens, not document tokens, which is exactly
+    * what a gate over this column pins. */
+  def overlapWindows(ws: Column, w: Int, s: Int): Column = {
+    require(w >= 1 && s >= 1 && s <= w,
+      s"need 1 <= stride <= window (got w=$w, s=$s)")
+    transform(sequence(lit(0), size(ws) - 1, lit(s)),
+      st => struct(st.as("start"), slice(ws, st + lit(1), lit(w)).as("chunk")))
+  }
+
   /** Seeded string hash used by MinHash: lexicographically comparable
     * md5 hex of "seed|value". min() over these is a valid minwise hash
     * and is reproducible in any engine with md5. */
