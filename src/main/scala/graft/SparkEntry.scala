@@ -4216,12 +4216,21 @@ object SparkEntry {
         .select(col("doc_id"), col("wn.start").as("st"),
           md5(array_join(col("wn.chunk"), " ")).as("h"),
           size(col("wn.chunk")).as("n_tok"))
+      // ONE aggregate: uniqueness and the fingerprint both derive
+      // from the per-doc window list already being collected — no
+      // countDistinct expand, so the plan is a single group-by
+      // exchange plus the output sort (bounded list: ~len/stride
+      // entries per doc)
       win.groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"),
-          countDistinct(col("h")).as("n_uniq_windows"),
           sum(col("n_tok")).cast("long").as("toks_emitted"),
-          md5(concat_ws("|", transform(
-            array_sort(collect_list(struct(col("st"), col("h")))),
+          array_sort(collect_list(struct(col("st"), col("h"))))
+            .as("__ws"))
+        .select(col("doc_id"), col("n_windows"),
+          size(array_distinct(transform(col("__ws"),
+            x => x.getField("h")))).cast("long").as("n_uniq_windows"),
+          col("toks_emitted"),
+          md5(concat_ws("|", transform(col("__ws"),
             x => x.getField("h")))).as("windows_md5"))
         .orderBy("doc_id")
     },
