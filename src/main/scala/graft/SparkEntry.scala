@@ -647,6 +647,45 @@ object SparkEntry {
            FROM ${p}w GROUP BY 1"""
 
 
+  /** t38's window profile as the pure per-row PROJECTION it is (a
+    * document's windows derive from that document alone): windows,
+    * emitted tokens, distinct count and the order-sensitive
+    * fingerprint all computed from one overlapWindows array — no
+    * explode, no group-by, embarrassingly parallel at any scale.
+    * Shared by the batch gate and its stateless streaming twin
+    * (w36), t35/w27's shared-dataflow discipline. */
+  private def chunkProfile(df: DataFrame): DataFrame = {
+    val hs = transform(
+      TextAnalysis.overlapWindows(TextAnalysis.words(col("text")), 12, 8),
+      x => struct(md5(array_join(x.getField("chunk"), " ")).as("h"),
+        size(x.getField("chunk")).as("nt")))
+    df.select(col("doc_id"), hs.as("__ws"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_windows"),
+        size(array_distinct(transform(col("__ws"), x => x.getField("h"))))
+          .cast("long").as("n_uniq_windows"),
+        aggregate(transform(col("__ws"), x => x.getField("nt")),
+          lit(0L), (acc, x) => acc + x).as("toks_emitted"),
+        md5(concat_ws("|", transform(col("__ws"), x => x.getField("h"))))
+          .as("windows_md5"))
+  }
+
+  /** t38/w36's shared oracle (stream == batch: stateless per-row). */
+  private lazy val t38OracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       st AS (SELECT doc_id, len(w) n, UNNEST([i
+         for i in generate_series(0, len(w) - 1, 8)]) s0 FROM w),
+       ch AS (SELECT st.doc_id, st.s0,
+         w.w[st.s0 + 1 : least(st.s0 + 12, st.n)] chunk
+         FROM st JOIN w USING (doc_id)),
+       e AS (SELECT doc_id, s0,
+         md5(array_to_string(chunk, ' ')) h, len(chunk) nt FROM ch)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_windows,
+         CAST(COUNT(DISTINCT h) AS BIGINT) n_uniq_windows,
+         CAST(SUM(nt) AS BIGINT) toks_emitted,
+         md5(string_agg(h, '|' ORDER BY s0)) windows_md5
+       FROM e GROUP BY doc_id ORDER BY doc_id"""
+
   /** The t35 fused-profile oracle — the five oracle chains composed on
     * doc_id. Shared verbatim by the batch gate and its streaming twin
     * (w27): the profile is a stateless per-row projection, so stream
@@ -4197,56 +4236,55 @@ object SparkEntry {
              FROM k GROUP BY doc_id ORDER BY doc_id""")),
 
     // OVERLAPPING context windows (t38 — TextAnalysis.overlapWindows,
-    // the pretraining/RAG chunker: window 12, stride 8, so adjacent
+    // the pretraining/RAG chunker: window 12, stride 8, adjacent
     // windows share 4 tokens of context; contrast d14's disjoint
-    // chunks). The per-doc answer pins the chunker's contracts: how
-    // many windows (ceil(len/8) by the start < len rule), how many
-    // are UNIQUE (repetitive docs collapse — the dedup signal at
-    // chunk granularity), the EMITTED token count (the w/s inflation
-    // a packer must budget — the whole reason this is a gate), and
-    // an order-sensitive fingerprint of the window-hash sequence
-    // (m17's discipline: same windows re-ordered must not collide).
-    // Scale: one scan, a bounded w/s-ratio explode, one per-doc
-    // aggregate — no shuffle beyond the group-by.
-    ("t38_overlap_chunks", (s, dir) => {
-      val win = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextAnalysis.overlapWindows(
-            TextAnalysis.words(col("text")), 12, 8)).as("wn"))
-        .select(col("doc_id"), col("wn.start").as("st"),
-          md5(array_join(col("wn.chunk"), " ")).as("h"),
-          size(col("wn.chunk")).as("n_tok"))
-      // ONE aggregate: uniqueness and the fingerprint both derive
-      // from the per-doc window list already being collected — no
-      // countDistinct expand, so the plan is a single group-by
-      // exchange plus the output sort (bounded list: ~len/stride
-      // entries per doc)
-      win.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          sum(col("n_tok")).cast("long").as("toks_emitted"),
-          array_sort(collect_list(struct(col("st"), col("h"))))
-            .as("__ws"))
-        .select(col("doc_id"), col("n_windows"),
-          size(array_distinct(transform(col("__ws"),
-            x => x.getField("h")))).cast("long").as("n_uniq_windows"),
-          col("toks_emitted"),
-          md5(concat_ws("|", transform(col("__ws"),
-            x => x.getField("h")))).as("windows_md5"))
-        .orderBy("doc_id")
+    // chunks). Per-doc contracts pinned: window count (start < len
+    // rule), UNIQUE windows (chunk-granularity dedup signal), EMITTED
+    // token count (the w/s inflation a packer must budget — the whole
+    // reason this is a gate), and an order-sensitive fingerprint of
+    // the window-hash sequence (m17's discipline). The dataflow is
+    // chunkProfile — a pure projection, no explode/group-by: the plan
+    // is scan + project + output sort, embarrassingly parallel.
+    ("t38_overlap_chunks", (s, dir) =>
+      chunkProfile(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(t38OracleSql)),
+
+    // STREAMING overlap chunking (w36 — t38's profile at ARRIVAL,
+    // the w27/w29 stateless discipline): documents stream in as 3
+    // file batches and the window profile is computed in-stream —
+    // a document's windows derive from that document alone, so the
+    // whole dataflow is a per-row projection with NO state store,
+    // and stream == batch exactly (shared oracle). At 100 TB this is
+    // where chunking belongs: computed once at ingest and persisted
+    // with the doc, never by re-scanning the corpus later; paired
+    // with w35 the store's CDC feed drives exactly this job.
+    ("w36_stream_chunks", (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-w36").toString
+      try {
+        (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b$i"))
+        val schema = s.read.parquet(s"$tmp/in/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val name = s"w36_sink_${streamGateSeq.incrementAndGet()}"
+        val q = chunkProfile(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val resolved = s.table(name).orderBy("doc_id")
+        val rows = java.util.Arrays.asList(resolved.collect(): _*)
+        val out = s.createDataFrame(rows, resolved.schema)
+        s.catalog.dropTempView(name)
+        out
+      } finally rmTree(new java.io.File(tmp))
     },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-             st AS (SELECT doc_id, len(w) n, UNNEST([i
-               for i in generate_series(0, len(w) - 1, 8)]) s0 FROM w),
-             ch AS (SELECT st.doc_id, st.s0,
-               w.w[st.s0 + 1 : least(st.s0 + 12, st.n)] chunk
-               FROM st JOIN w USING (doc_id)),
-             e AS (SELECT doc_id, s0,
-               md5(array_to_string(chunk, ' ')) h, len(chunk) nt FROM ch)
-             SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_windows,
-               CAST(COUNT(DISTINCT h) AS BIGINT) n_uniq_windows,
-               CAST(SUM(nt) AS BIGINT) toks_emitted,
-               md5(string_agg(h, '|' ORDER BY s0)) windows_md5
-             FROM e GROUP BY doc_id ORDER BY doc_id""")),
+      Some(t38OracleSql)),
 
     ("d6_embed_neardup", (s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
