@@ -6128,20 +6128,44 @@ object SparkEntry {
     // strings (integer cents / ISO dates), so min/max formatting
     // cannot drift between engines.
     ("x6_profile", (s, dir) => {
+      // Aggregation-buffer discipline (round 16): ONE string-buffered
+      // aggregate (min/max over a string column) demotes the WHOLE
+      // mixed-distinct aggregation to SortAggregate — the Expand'd
+      // 6x corpus then pays a full 6-key sort (the plan regression
+      // receipt in plans/r16/x6_profile_before.txt). So every
+      // aggregate in the Expand path keeps a NUMERIC buffer:
+      // ship_day is profiled as its DATE (int buffer; yyyy-MM-dd
+      // formatting is a monotonic bijection on dates, so count /
+      // distinct / min / max commute with the formatting — applied to
+      // min/max at the end), and returnflag's min/max move to a
+      // separate UNGROUPED aggregate over the same scan (keys: [] —
+      // SortAggregate without grouping keys sorts nothing). The
+      // distinct counts stay in the one Expand pass (string KEYS hash
+      // fine; only string BUFFERS demote), now HashAggregate.
       val li = t(s, dir, "lineitem").select(
         cents(col("l_quantity")).as("quantity_c"),
         cents(col("l_extendedprice")).as("price_c"),
         cents(col("l_discount")).as("discount_c"),
         col("l_returnflag").as("returnflag"),
-        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
-      val cols = Seq("quantity_c", "price_c", "discount_c", "returnflag",
-        "ship_day")
-      val aggs = cols.flatMap(c => Seq(
+        to_date(col("l_shipdate")).as("ship_date"))
+      val numCols = Seq("quantity_c", "price_c", "discount_c")
+      val aggs = numCols.flatMap(c => Seq(
         count(col(c)).as(s"${c}__n"),
         count_distinct(col(c)).as(s"${c}__d"),
         min(col(c)).cast("string").as(s"${c}__mn"),
-        max(col(c)).cast("string").as(s"${c}__mx")))
+        max(col(c)).cast("string").as(s"${c}__mx"))) ++ Seq(
+        count(col("returnflag")).as("returnflag__n"),
+        count_distinct(col("returnflag")).as("returnflag__d"),
+        count(col("ship_date")).as("ship_day__n"),
+        count_distinct(col("ship_date")).as("ship_day__d"),
+        date_format(min(col("ship_date")), "yyyy-MM-dd").as("ship_day__mn"),
+        date_format(max(col("ship_date")), "yyyy-MM-dd").as("ship_day__mx"))
       val one = li.agg(aggs.head, aggs.tail: _*)
+        .crossJoin(li.agg(
+          min(col("returnflag")).as("returnflag__mn"),
+          max(col("returnflag")).as("returnflag__mx")))
+      val cols = Seq("quantity_c", "price_c", "discount_c", "returnflag",
+        "ship_day")
       val stacked = cols.map(c =>
         s"'$c', ${c}__n, ${c}__d, ${c}__mn, ${c}__mx").mkString(", ")
       one.select(expr(s"stack(${cols.size}, $stacked) AS " +

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * and with unit weights first discovery IS the minimal distance — no
   * relaxation ever revisits a node. Each round is one join + distinct;
   * lineage is cut per round (the d7 pointer-jumping discipline:
-  * iterative loops grow the PLAN, not the data) and an empty frontier
-  * exits early, so `maxHops` is a budget, not a fixed cost.
+  * iterative loops grow the PLAN, not the data). Once the frontier is
+  * exhausted the remaining rounds join an empty cached frame — a
+  * near-empty stage each, not re-expansion — so `maxHops` stays a
+  * budget in work terms even without an early-exit action.
   *
   * At 100 TB the seen set is the memory bound: it grows toward the
   * reachable component. For ego-net radii (the common case) that is
@@ -27,7 +29,23 @@ object Bfs {
   /** `edges`: (src, dst) directed — pass both directions for an
     * undirected graph. `sources`: (id). Returns (id, dist), dist 0 at
     * the sources, minimum hops elsewhere, nodes beyond `maxHops`
-    * absent. */
+    * absent.
+    *
+    * LAZY pins throughout (the graphSearchLocal/pinLazy discipline,
+    * round 16): the per-round frames are frontier-sized, and the old
+    * eager pin + isEmpty early-exit pair cost TWO driver job
+    * dispatches per hop — on the bounded-hop audit gates
+    * (n33/n34/n35: two 6-hop BFS each) that dispatch was most of the
+    * wall (receipts in OPTIMIZATION_r16.md). The whole expansion now
+    * builds as one lazy pinned chain and executes as ONE job at the
+    * consumer's action, each round's RDD cached at first
+    * materialization (so the anti-join's double reference and any
+    * downstream reuse read the cache, not the lineage). An exhausted
+    * frontier costs a near-empty stage per remaining hop instead of an
+    * early exit — callers pass small hop budgets (<= 6 across this
+    * repo), so the empty tail is noise next to the removed dispatch;
+    * the result is identical because unioning an empty round adds no
+    * rows. */
   def hopDistances(edges: DataFrame, sources: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0)
@@ -38,28 +56,22 @@ object Bfs {
     // keeps its copy — a second checkpoint would double the storage.
     val e = if (maxHops > 1 &&
         edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      Checkpoints.pin(edges.select(col("src"), col("dst")))
+      Checkpoints.pinLazy(edges.select(col("src"), col("dst")))
       else edges.select(col("src"), col("dst"))
-    var dist = Checkpoints.pin(
+    var dist = Checkpoints.pinLazy(
       sources.select(col("id")).distinct()
         .select(col("id"), lit(0L).as("dist")))
     var frontier = dist
-    var h = 1
-    var live = true
-    while (h <= maxHops && live) {
-      val next = Checkpoints.pin(
+    for (h <- 1 to maxHops) {
+      val next = Checkpoints.pinLazy(
         frontier.join(e, frontier("id") === e("src"))
           .select(col("dst").as("id"))
           .distinct()
           .join(dist.select(col("id").as("__seen")),
             col("id") === col("__seen"), "left_anti")
           .select(col("id"), lit(h.toLong).as("dist")))
-      if (next.isEmpty) live = false
-      else {
-        dist = Checkpoints.pin(dist.union(next))
-        frontier = next
-      }
-      h += 1
+      dist = Checkpoints.pinLazy(dist.union(next))
+      frontier = next
     }
     dist
   }
@@ -93,17 +105,21 @@ object Bfs {
     // re-evaluates the caller's whole edge-derivation lineage (g53's
     // orders-lineitem join ran 4x before round 10 — most of its wall).
     // Already-persisted edges keep the caller's copy (no double pin).
+    // LAZY pins (round 16, hopDistances' rationale): rounds execute as
+    // one job at the consumer's action, each round's relaxed table
+    // cached at first materialization; there is no early exit here, so
+    // laziness costs nothing and removes `rounds` eager dispatches.
     val e = if (rounds > 1 &&
         edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      Checkpoints.pin(edges.select(col("src"), col("dst"), col("w")))
+      Checkpoints.pinLazy(edges.select(col("src"), col("dst"), col("w")))
       else edges.select(col("src"), col("dst"), col("w"))
-    var dist = Checkpoints.pin(
+    var dist = Checkpoints.pinLazy(
       sources.select(col("id")).distinct()
         .select(col("id"), lit(0L).as("dist")))
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(e, dist("id") === e("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = Checkpoints.pin(
+      dist = Checkpoints.pinLazy(
         dist.union(relaxed).groupBy("id").agg(min("dist").as("dist")))
     }
     dist
