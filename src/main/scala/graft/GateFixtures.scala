@@ -50,6 +50,12 @@ object GateFixtures {
     * it just re-evaluates the pixel formula. Encoded BYTES are
     * encoder-version-dependent and deliberately never gated. */
   private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    // memory-cached ImageIO streams (Multimodal.ImageIoDecoder's
+    // rationale): the default file-backed stream cache creates and
+    // deletes a temp file per encode — ~4x the codec cost for these
+    // tiny in-memory payloads. Idempotent per-call setter; runs in
+    // whatever JVM the render closure lands on.
+    javax.imageio.ImageIO.setUseCache(false)
     val w = (8 + id % 5).toInt
     val h = (8 + id % 3).toInt
     val img = new java.awt.image.BufferedImage(
