@@ -418,35 +418,65 @@ object Dedup {
   }
 
   /** Shared d20/d21 tail: collapse removable gram starts to maximal
-    * per-doc islands, expand to covered token positions, drop them,
-    * reassemble survivors in document order. One row per doc with at
-    * least one token: (doc_id, n_removed, cleaned_text). */
+    * per-doc islands, drop the tokens any island covers, reassemble
+    * survivors in document order. One row per doc with at least one
+    * token: (doc_id, n_removed, cleaned_text).
+    *
+    * Round 16: the drop/reassemble half is a PROJECTION, not a
+    * dataflow. The original formulation exploded every token of every
+    * doc (corpus-token-sized), exploded every covered position,
+    * shuffled both on (doc_id, pos) for the coverage join, and
+    * re-assembled docs through collect_list + array_sort — three
+    * exchanges and two corpus-sized explodes to compute something each
+    * doc can decide locally. Now the islands (removable-start runs —
+    * output-of-window sized, way below token count) aggregate to ONE
+    * (start, len) list per doc, join back to the doc row on doc_id,
+    * and a single codegen projection filters the words array by
+    * "inside any island" and rejoins the survivors — token order is
+    * the array order, no sort, no token shuffle. Guide §2.4 (remove
+    * shuffles outright): 3 exchanges -> 1, and the only exploded
+    * frame left is the removable-start set itself.
+    *
+    * Equivalence: covered = union of island ranges, so "token i kept
+    * iff no island has start <= i <= start+len-1" is the old left-
+    * anti coverage test verbatim; n_removed counts covered positions
+    * (all islands lie inside [0, n_words)); docs with no removable
+    * start keep every token (null island list = empty); docs with at
+    * least one token keep their row even when scrubbed to nothing
+    * (the filter is on size(words) >= 1, matching the old posexplode
+    * row-existence). */
   private def scrubRemovableStarts(docs: DataFrame, removable: DataFrame,
                                    minRun: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
-      .withColumnRenamed("col", "w")
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = removable
       .withColumn("__grp", col("pos") - row_number().over(wDoc))
       .groupBy("doc_id", "__grp")
-      .agg(min(col("pos")).as("start"),
+      .agg(min(col("pos")).cast("long").as("start"),
         (count(lit(1)) + lit(minRun - 1)).as("len"))
-    val covered = islands
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + col("len") - 1)).as("pos"))
-      .distinct()
-    toks
-      .join(covered.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
-      .agg(
-        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("__rm").isNull,
-              struct(col("pos"), col("w"))))),
-            s => s.getField("w")),
-          " ").as("cleaned_text"))
+      .agg(collect_list(struct(col("start"), col("len"))).as("__isl"))
+    docs
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= 1)
+      .join(islands, Seq("doc_id"), "left")
+      // survivors as an array with removed slots nulled: zip each word
+      // with its position, null it when any island covers it
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("__n"),
+        zip_with(col("__ws"),
+          sequence(lit(0L), size(col("__ws")).cast("long") - 1L),
+          (w, i) => when(
+            col("__isl").isNull || not(exists(col("__isl"), isl =>
+              i >= isl.getField("start") &&
+                i < isl.getField("start") + isl.getField("len"))),
+            w)).as("__kept"))
+      .select(
+        col("doc_id"),
+        (col("__n") -
+          size(filter(col("__kept"), w => w.isNotNull)).cast("long"))
+          .as("n_removed"),
+        // array_join without a null replacement SKIPS null slots —
+        // survivors rejoin in array (document) order
+        array_join(col("__kept"), " ").as("cleaned_text"))
   }
 
   /** D14: CHUNK-level dedup — the CCNet/FineWeb paragraph-dedup stage
