@@ -68,17 +68,36 @@ object SparkEntry {
     * OPTIMIZATION_r16.md: −0.3 to −3.3 s per gate, every stateful gate
     * faster at 8). Production sizes the stateful exchange to the
     * cluster and its state volume — the width is the
-    * `spark.graft.stream.stateParts` conf (default 8 here), NOT a
-    * constant, and the session value is restored on exit. Results are
-    * partition-count independent: each gate's output is an aggregate /
-    * set contract (their scaladocs pin arrival-order independence),
-    * and the store-writing gates' one-file-per-bucket invariants hold
-    * under any hash width — all re-verified against the oracle at
-    * sf0.001+sf0.01 after this change. */
+    * `spark.graft.stream.stateParts` conf, and the session value is
+    * restored on exit.
+    *
+    * DEFAULT when the conf is unset (round-17, VERDICT item 5): derived
+    * as `min(defaultParallelism, 8)` rather than the former literal 8 —
+    * the 8 is a STATE-CARDINALITY cap (the gate fixtures hold hundreds
+    * of keys, so store instances beyond ~8 are pure per-batch commit
+    * overhead at ANY core count — re-measured identical at local[8]),
+    * and the min keeps a small driver from over-splitting. A production
+    * deployment MUST set `spark.graft.stream.stateParts` explicitly:
+    * size it to state volume / ~64 MB per store instance, bounded by
+    * cluster cores — a forgotten conf on a 1000-core cluster would
+    * otherwise run 8-way stateful parallelism.
+    *
+    * NOT reentrant / thread-safe (round-17 advice): it mutates the
+    * session-level shuffle width with a restore in finally, so two
+    * gates sharing one SparkSession concurrently (or a nested call)
+    * would race and batch sub-plans inside the wrapper also run at the
+    * gate width. Every caller in this repo is the single-threaded gate
+    * registry (Bench/Verify run gates sequentially); results are
+    * partition-count independent regardless — each gate's output is an
+    * aggregate / set contract (their scaladocs pin arrival-order
+    * independence), and the store-writing gates' one-file-per-bucket
+    * invariants hold under any hash width — all re-verified against
+    * the oracle at sf0.001+sf0.01. */
   private def withStateParts[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val derived = math.min(s.sparkContext.defaultParallelism, 8)
     s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("spark.graft.stream.stateParts", "8"))
+      s.conf.get("spark.graft.stream.stateParts", derived.toString))
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -588,6 +607,7 @@ object SparkEntry {
     GlobalRank.clear(s)
     operators.Compaction.clear(s)
     operators.Checkpoints.clear(s)
+    Tables.clear(s)
   }
 
 
@@ -614,6 +634,10 @@ object SparkEntry {
       val base = which match {
         case "full"   => em
         case "stored" => em.filter(col("vec_id") % 4 =!= 0)
+        // loud misuse failure (round-17 advice): a typo'd key would
+        // otherwise die at first materialization with a bare MatchError
+        case other    => sys.error(s"unknown codebook: '$other' " +
+          "(expected \"full\" or \"stored\")")
       }
       Ann.kmeansCentroids(base, 5, 2).persist()
     })
@@ -4633,7 +4657,14 @@ object SparkEntry {
     // Oracle: the two Lloyd rounds unrolled CTE by CTE.
     ("n5_ann_kmeans", (s, dir) => {
       val em = t(s, dir, "embeddings")
-      Ann.ivfTopK(em, codebookCached(s, dir, "full"), annQueryPred, 5, 2)
+      // NOT the staged codebook (round-17, VERDICT item 3): this gate's
+      // declared identity is the k-means BUILD — the Lloyd chain is what
+      // it times, so it trains inline per call. The other codebook
+      // consumers (search/assignment/purity/dedup gates that READ a
+      // persisted model artifact) stay on codebookCached; the staged
+      // frame is bit-identical to this inline rebuild, so the oracle is
+      // unaffected either way.
+      Ann.ivfTopK(em, Ann.kmeansCentroids(em, 5, 2), annQueryPred, 5, 2)
         .orderBy("qid", "rnk")
     },
       Some(

@@ -14,6 +14,27 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized parquet SCHEMA per (session, dir, table) — metadata
+    * only, the catalog posture (round 17, VERDICT item 2): a bare
+    * `spark.read.parquet` re-infers the schema on EVERY call, and in
+    * Spark 4 that inference is a one-task Spark JOB (footer read) —
+    * measured at 0.07-0.4 s per gate invocation across the 374-gate
+    * bench, the single largest shared slice of the light tier's
+    * per-gate floor. A production table lives in a catalog whose
+    * schema is pinned metadata; this cache is that posture for the
+    * path-read fixtures. No DATA is cached — [[load]] still returns a
+    * FRESH DataFrame per call (fresh attribute ids, so two loads of
+    * one table keep self-joining exactly as two reads did), and every
+    * action still scans the parquet. Dropped per session by
+    * [[clear]]. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.sql.types.StructType]
+
+  /** Release a session's memoized schemas (SparkEntry.clearCaches
+    * discipline — long test suites build many sessions). */
+  def clear(spark: SparkSession): Unit =
+    schemaCache.keys.filter(_._1 eq spark).foreach(schemaCache.remove)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
@@ -21,10 +42,11 @@ object Tables {
       // across regenerations; normalize them all (see normalizeTs).
       // nanosAsLong must be set BEFORE the read for the NANOS encoding.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
     }
+    val schema = schemaCache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet").schema)
+    val df = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Normalize the `ts` column to a session-local `TimestampType`

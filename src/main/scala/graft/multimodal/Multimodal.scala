@@ -67,6 +67,15 @@ object Multimodal {
     // memory-cached stream is strictly right here. Object-init runs
     // once per JVM wherever the closure deserializes — driver or
     // executor.
+    //
+    // PROCESS-GLOBAL (round-17 advice): setUseCache mutates shared JVM
+    // state — any OTHER ImageIO user in this JVM now fully
+    // memory-buffers its streams too (a concern only for huge images
+    // read from slow streams, which this engine never does; every
+    // codec call in this codebase goes through in-memory byte arrays).
+    // An embedder who needs the file-backed cache back can call
+    // ImageIO.setUseCache(true) after touching this object — nothing
+    // here re-asserts it.
     javax.imageio.ImageIO.setUseCache(false)
 
     override def decode(b: Array[Byte]): (Int, Int, Double) =

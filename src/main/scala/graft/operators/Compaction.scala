@@ -191,11 +191,30 @@ object Compaction {
       .join(assigned, cur(idCol) === assigned("__cmp_id"))
       .drop("__cmp_id")
     VersionedParquetStore.commitSnapshot(spark, root, expected,
-      path => rows.repartition(
-          spark.sessionState.conf.numShufflePartitions, col("bucket"))
+      path => writeParted(spark, rows)
         .write.mode("errorifexists").partitionBy("bucket").parquet(path),
       beforeCommit)
   }
+
+  /** The pre-write exchange for the dynamic-partition snapshot writes,
+    * width governed by `spark.graft.compaction.writeParts`:
+    * "session" (default) pins the session's shuffle parallelism,
+    * "bare" leaves a bare `repartition(col)` (AQE's advisory then
+    * coalesces the exchange — the measured serialized-writer shape:
+    * 363 buckets folded into ONE task at sf0.1), and an integer pins
+    * that count. The knob exists so the width choice is A/B-able
+    * under identical load (round-17 quiet receipts in
+    * OPTIMIZATION_r17.md §e18); one file per bucket holds for ANY
+    * width because hash partitioning sends a bucket wholly to one
+    * task. */
+  private def writeParted(spark: SparkSession,
+                          df: DataFrame): DataFrame =
+    spark.conf.get("spark.graft.compaction.writeParts", "session") match {
+      case "session" => df.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("bucket"))
+      case "bare" => df.repartition(col("bucket"))
+      case n => df.repartition(n.toInt, col("bucket"))
+    }
 
   /** INCREMENTAL compaction — [[applyPlan]]'s action made SELECTIVE
     * (the d15/n10/n25 decision→action incrementality applied to the
@@ -281,8 +300,7 @@ object Compaction {
       path => {
         // explicit partition count for the same reason as applyPlan's
         // write: keep AQE from serializing the per-bucket writers
-        fragRows.repartition(
-            spark.sessionState.conf.numShufflePartitions, col("bucket"))
+        writeParted(spark, fragRows)
           .write.mode("errorifexists").partitionBy("bucket").parquet(path)
         // manifest lands after the data, still before the pointer
         // swap — a crash anywhere in between leaves a dir the pointer

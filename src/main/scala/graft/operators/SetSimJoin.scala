@@ -79,12 +79,17 @@ object SetSimJoin {
       .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("nb"),
         col("pos").as("pb"), col("ptok")), "ptok")
       .filter(col("doc_a") < col("doc_b"))
-      // length: inter <= min(na, nb) must reach tau/(1+tau)*(na+nb)
-      .filter(least(col("na"), col("nb")) * (tauNum + tauDen) >=
-        (col("na") + col("nb")) * tauNum)
+      // length: inter <= min(na, nb) must reach tau/(1+tau)*(na+nb).
+      // Arithmetic in LONG (round-17 advice): set sizes are ints, and
+      // with ANSI off an IntegerType n*(tauNum+tauDen) product would
+      // overflow SILENTLY near Int.MaxValue/tauDen shingles and drop
+      // true pairs — same long discipline as the verify stage's
+      // inter_n/union_n.
+      .filter(least(col("na"), col("nb")).cast("long") * (tauNum + tauDen) >=
+        (col("na").cast("long") + col("nb")) * tauNum)
       // positional: common tokens from this occurrence onward
-      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) *
-        (tauNum + tauDen) >= (col("na") + col("nb")) * tauNum)
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")).cast("long") *
+        (tauNum + tauDen) >= (col("na").cast("long") + col("nb")) * tauNum)
       .select("doc_a", "doc_b").distinct()
     val a = ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
       col("n").as("na"))
@@ -152,11 +157,12 @@ object SetSimJoin {
       .toDF("doc_b", "nb", "pb", "tok")
     val cands = prefix.join(full, "tok")
       .filter(col("doc_a") =!= col("doc_b"))
-      // length: inter <= nb must reach tau*na
-      .filter(col("nb") * tauDen >= col("na") * tauNum)
+      // length: inter <= nb must reach tau*na (LONG arithmetic — the
+      // jaccardSelfJoin overflow rationale)
+      .filter(col("nb").cast("long") * tauDen >= col("na").cast("long") * tauNum)
       // positional: common tokens from this occurrence onward
-      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) *
-        tauDen >= col("na") * tauNum)
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")).cast("long") *
+        tauDen >= col("na").cast("long") * tauNum)
       .select("doc_a", "doc_b").distinct()
     val a = ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
       col("n").as("na"))
