@@ -47,17 +47,63 @@ object Bfs {
     * the result is identical because unioning an empty round adds no
     * rows. */
   def hopDistances(edges: DataFrame, sources: DataFrame,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int,
+                   localThreshold: Long = 1000000L): DataFrame = {
     require(maxHops >= 0)
-    // pin the edge list once: it is scanned every hop, and an un-pinned
-    // edge DataFrame re-evaluates the caller's derivation lineage per
-    // round (the weightedDistances round-10 fix, same cause). A caller
-    // that already persisted its edges (the memoized trade graph)
-    // keeps its copy — a second checkpoint would double the storage.
-    val e = if (maxHops > 1 &&
-        edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      Checkpoints.pinLazy(edges.select(col("src"), col("dst")))
+    // SMALL-GRAPH LOCAL PATH (round 17 — ConnectedComponents'
+    // localThreshold discipline applied to BFS): below the threshold,
+    // collect the edge list and run the frontier expansion on the
+    // driver — 2 bounded jobs (count + collect) instead of
+    // 3 exchanges PER HOP (join + distinct + anti-join), which at a
+    // 6-hop budget is ~18 tiny sequential AQE stages whose scheduling
+    // dominates the actual work (n34 runs TWO such audits; receipts in
+    // OPTIMIZATION_r17.md). Identical output: first discovery is the
+    // minimal distance on both paths. Above the threshold the
+    // distributed frontier loop below is unchanged — the seen set, not
+    // the driver, remains the memory bound at scale.
+    // pinned BEFORE the size probe so the count and the collect (or
+    // the per-hop scans on the distributed path) read one cached copy
+    // instead of re-evaluating the caller's edge derivation per pass
+    val eNarrow =
+      if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Checkpoints.pinLazy(edges.select(col("src"), col("dst")))
       else edges.select(col("src"), col("dst"))
+    if (eNarrow.count() <= localThreshold) {
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      eNarrow.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      val dist = scala.collection.mutable.LongMap.empty[Long]
+      var frontier = sources.select(col("id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      frontier.foreach(dist(_) = 0L)
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        frontier = frontier.iterator
+          .flatMap(v => adj.getOrElse(v, Nil))
+          .filter(!dist.contains(_)).toSet
+        frontier.foreach(dist(_) = h.toLong)
+        h += 1
+      }
+      val spark = edges.sparkSession
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(
+          dist.toSeq.sortBy(_._1)
+            .map { case (id, d) =>
+              org.apache.spark.sql.Row(id, d) }: _*)
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    // the pinned edge list is scanned every hop on the distributed
+    // path (the weightedDistances round-10 fix, same cause); eNarrow
+    // is already cached by the size probe above
+    val e = eNarrow
     var dist = Checkpoints.pinLazy(
       sources.select(col("id")).distinct()
         .select(col("id"), lit(0L).as("dist")))
@@ -117,7 +163,8 @@ object Bfs {
     * undirected graph. `sources`: (id), distance 0. Unreached nodes
     * are absent. */
   def weightedDistances(edges: DataFrame, sources: DataFrame,
-                        rounds: Int): DataFrame = {
+                        rounds: Int,
+                        localThreshold: Long = 1000000L): DataFrame = {
     require(rounds >= 0)
     // the edge list is scanned once PER ROUND: pin it, or every round
     // re-evaluates the caller's whole edge-derivation lineage (g53's
@@ -127,10 +174,50 @@ object Bfs {
     // one job at the consumer's action, each round's relaxed table
     // cached at first materialization; there is no early exit here, so
     // laziness costs nothing and removes `rounds` eager dispatches.
-    val e = if (rounds > 1 &&
-        edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      Checkpoints.pinLazy(edges.select(col("src"), col("dst"), col("w")))
+    val e =
+      if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Checkpoints.pinLazy(edges.select(col("src"), col("dst"), col("w")))
       else edges.select(col("src"), col("dst"), col("w"))
+    // SMALL-GRAPH LOCAL PATH (round 17 — hopDistances' rationale):
+    // below the threshold, collect and run the fixed Bellman-Ford
+    // rounds on the driver — 2 bounded jobs instead of a join + a
+    // min-aggregation exchange PER ROUND. Identical output: after k
+    // rounds both paths hold the exact minimum cost over <= k-edge
+    // paths (BfsSpec pins parity).
+    if (e.count() <= localThreshold) {
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) +=
+          ((r.getLong(1), r.getLong(2)))
+      }
+      val dist = scala.collection.mutable.LongMap.empty[Long]
+      sources.select(col("id")).distinct()
+        .collect().foreach(r => dist(r.getLong(0)) = 0L)
+      for (_ <- 1 to rounds) {
+        // relax from a frozen snapshot: one round must use only the
+        // <= (k-1)-edge distances, exactly like the distributed join
+        val snap = dist.toSeq
+        snap.foreach { case (v, dv) =>
+          adj.getOrElse(v, Nil).foreach { case (u, w) =>
+            val cand = dv + w
+            if (cand < dist.getOrElse(u, Long.MaxValue)) dist(u) = cand
+          }
+        }
+      }
+      val spark = edges.sparkSession
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(
+          dist.toSeq.sortBy(_._1)
+            .map { case (id, d) => org.apache.spark.sql.Row(id, d) }: _*)
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     var dist = Checkpoints.pinLazy(
       sources.select(col("id")).distinct()
         .select(col("id"), lit(0L).as("dist")))

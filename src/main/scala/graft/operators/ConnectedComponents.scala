@@ -94,12 +94,20 @@ object ConnectedComponents {
     // corpus-sized, so pinning is cheap. `stored` is deliberately NOT
     // pinned: it is corpus-sized and in production is a persisted
     // label-table read, which the block manager must not duplicate.
-    val edges = Checkpoints.pin(
+    // LAZY pins (round 17 — the Bfs round-16 rationale): the eager
+    // pin+dispatch pair cost one driver job each before any real work;
+    // lazily the whole maintenance flow executes at the consumer's
+    // action, each frame cached at first materialization so the double
+    // references still read the cache (d18 receipt: 26 -> 22 jobs per
+    // call, warm wall flat at ~3.4 s — the gate's cost is the minhash/
+    // LSH chains themselves, not dispatch; kept because laziness is
+    // free and scale-right).
+    val edges = Checkpoints.pinLazy(
       newEdges.select(col(srcCol).cast("long").as(srcCol),
         col(dstCol).cast("long").as(dstCol)))
     val touched = edges.select(col(srcCol).as("doc_id"))
       .union(edges.select(col(dstCol).as("doc_id"))).distinct()
-    val affectedClusters = Checkpoints.pin(
+    val affectedClusters = Checkpoints.pinLazy(
       stored.join(touched, Seq("doc_id")).select("cluster").distinct())
     val affected = stored.join(broadcast(affectedClusters), Seq("cluster"))
     val stars = affected.select(col("doc_id").cast("long").as(srcCol),

@@ -48,6 +48,24 @@ class BfsSpec extends AnyFunSuite {
     assert(g2(0L) == 0L && (1 to 20).forall(i => g2(i.toLong) == 1L))
   }
 
+  test("local and distributed paths agree (round-17 localThreshold)") {
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val pairs = (0 until 80).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+    val e = undirected(pairs: _*)
+    val srcs = Seq(0L, 7L)
+    for (hops <- Seq(0, 1, 3, 6)) {
+      val local = Bfs.hopDistances(e, srcs.toDF("id"), hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Bfs.hopDistances(e, srcs.toDF("id"), hops,
+          localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist, s"hops=$hops")
+      Checkpoints.clear(spark)
+    }
+  }
+
   // ---- weightedDistances ----
 
   private def wUndirected(tris: (Long, Long, Long)*) =
@@ -76,6 +94,24 @@ class BfsSpec extends AnyFunSuite {
     val e = wUndirected((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
     assert(runW(e, Seq(1L), 2)(4L) == 10L)
     assert(runW(e, Seq(1L), 3)(4L) == 3L)
+  }
+
+  test("weighted: local and distributed paths agree (round-17 localThreshold)") {
+    val rnd = new scala.util.Random(11)
+    val n = 20
+    val tris = (0 until 50).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong, (1 + rnd.nextInt(9)).toLong))
+      .filter(t => t._1 != t._2)
+    val e = wUndirected(tris: _*)
+    for (rounds <- Seq(0, 1, 4)) {
+      val local = Bfs.weightedDistances(e, Seq(0L).toDF("id"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Bfs.weightedDistances(e, Seq(0L).toDF("id"), rounds,
+          localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist, s"rounds=$rounds")
+      Checkpoints.clear(spark)
+    }
   }
 
   test("weighted matches a driver-side Bellman-Ford replay on a random graph") {
