@@ -863,11 +863,22 @@ object Bench {
     // samples are the run's most shielded numbers. ----
     val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_LEDGER",
       "BENCH_LEDGER.jsonl")
+    // Round-17 (verdict item 7): once a member has entered the light
+    // ledger (any run's top-10), EVERY later run contributes its
+    // corrected wall — so a member that spiked under co-tenant load
+    // (d27's 33.9 s in the r16 artifact vs a 1.6 s quiet receipt)
+    // accumulates quiet samples on subsequent runs and its published
+    // band converges to the quiet wall instead of freezing at the
+    // firing. Measurement methodology is untouched — this only widens
+    // WHICH already-measured walls are persisted for the bands.
+    val lightHistory = lightLedgerSamples(ledgerPath).keySet
+    val lightForLedger = (corrected.sortBy(-_._2).take(10) ++
+      corrected.filter(kv => lightHistory.contains(kv._1))).distinct
     appendLedger(ledgerPath,
       heavy.collect { case h if h.cpus.nonEmpty =>
         (h.name, h.walls, h.cpus, h.minflts)
       },
-      corrected.sortBy(-_._2).take(10))
+      lightForLedger)
     val quietBands = quietBandsJson(ledgerSamples(ledgerPath))
     val lightBands = lightBandsJson(lightLedgerSamples(ledgerPath))
 

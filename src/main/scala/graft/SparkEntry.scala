@@ -815,6 +815,7 @@ object SparkEntry {
     operators.Compaction.clear(s)
     operators.Checkpoints.clear(s)
     Tables.clear(s)
+    graft.sources.VersionedParquetStore.clearSchemaCache(s)
   }
 
 

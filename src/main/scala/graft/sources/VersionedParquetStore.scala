@@ -51,6 +51,54 @@ object VersionedParquetStore {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Memoized INFERRED SCHEMA per (session, read target) — round 17.
+    * Snapshot directories are immutable after the pointer swap (the
+    * store's core contract; time travel and manifest references rely
+    * on it), so their merged parquet schema is fixed at commit time —
+    * exactly the metadata a real table format (Iceberg/Delta) writes
+    * into its manifest so readers never re-derive it. Spark's
+    * mergeSchema inference is a one-task-PER-FILE job per read call
+    * (e18's 363-bucket snapshot paid two 363-task footer sweeps per
+    * compaction); with the memo each distinct (basePath, dir set) is
+    * inferred once per session and later reads supply the schema
+    * explicitly (per-file missing columns still null-pad — explicit
+    * schema is how mergeSchema behaves post-inference). No DATA is
+    * cached and every read still scans the files. Dropped per session
+    * by [[clearSchemaCache]] (wired into SparkEntry.clearCaches). */
+  private val snapSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
+  def clearSchemaCache(spark: SparkSession): Unit =
+    snapSchemaCache.keys.filter(_._1 eq spark)
+      .foreach(snapSchemaCache.remove)
+
+  /** mergeSchema parquet read of immutable snapshot dirs with the
+    * inference memoized (scaladoc above). The FIRST read of a target
+    * is byte-for-byte the original mergeSchema read (one listing, one
+    * footer-sweep inference) and its already-resolved schema is
+    * recorded for free; only REPEAT reads supply the schema
+    * explicitly and skip the footer sweep — so a fresh-path read
+    * never pays an extra listing for a memo it cannot hit (the first
+    * cut pre-inferred on miss and cost e18 one extra 363-dir listing
+    * per call). */
+  private def readParquetCached(spark: SparkSession,
+                                basePath: Option[String],
+                                dirs: Seq[String]): DataFrame = {
+    val key = (spark,
+      basePath.getOrElse("") + "|" + dirs.sorted.mkString("|"))
+    snapSchemaCache.get(key) match {
+      case Some(schema) =>
+        val r = spark.read.schema(schema)
+        basePath.fold(r)(b => r.option("basePath", b)).parquet(dirs: _*)
+      case None =>
+        val r = spark.read.option("mergeSchema", "true")
+        val df = basePath.fold(r)(b => r.option("basePath", b))
+          .parquet(dirs: _*)
+        snapSchemaCache.put(key, df.schema)
+        df
+    }
+  }
+
   private def readPointer(f: FileSystem, root: String): Option[String] = {
     val p = new Path(root, POINTER)
     if (!f.exists(p)) None
@@ -111,7 +159,8 @@ object VersionedParquetStore {
                    version: String): DataFrame = {
     val snapDir = new Path(root, version)
     val refs = manifestRefs(spark, root, version)
-    if (refs.isEmpty) spark.read.parquet(snapDir.toString)
+    if (refs.isEmpty)
+      readParquetCached(spark, None, Seq(snapDir.toString))
     else {
       val f = fs(spark, root)
       // own data: present unless the snapshot carried everything
@@ -124,16 +173,16 @@ object VersionedParquetStore {
       // union: an appended batch may EVOLVE the schema (x16's
       // discipline on the append path — new columns arrive, old
       // snapshots' rows null-pad), and the carried-forward dirs
-      // predate the new column by construction
+      // predate the new column by construction. Inference is memoized
+      // per immutable target (readParquetCached).
       val own =
         if (ownDirs.isEmpty) None
-        else Some(spark.read.option("basePath", snapDir.toString)
-          .option("mergeSchema", "true").parquet(snapDir.toString))
+        else Some(readParquetCached(spark, Some(snapDir.toString),
+          Seq(snapDir.toString)))
       val referenced = refs.groupBy(r => new Path(r).getParent.toString)
         .toSeq.sortBy(_._1)
         .map { case (parent, dirs) =>
-          spark.read.option("basePath", parent)
-            .option("mergeSchema", "true").parquet(dirs.sorted: _*)
+          readParquetCached(spark, Some(parent), dirs.sorted)
         }
       (own.toSeq ++ referenced)
         .reduce(_.unionByName(_, allowMissingColumns = true))
